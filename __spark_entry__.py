@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Backed by the moc_indexer_spark package: `queries()` / `oracle_sql()` are
+generated from the query registry (moc_indexer_spark/plans/registry.py), where
+each PySpark builder is defined next to its DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from moc_indexer_spark.plans.registry import registry  # noqa: E402
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the tx-list read API (filter + not-in + top-k page)."""
+    from pyspark.sql import functions as F
+
+    from moc_indexer_spark.operators import relational as R
+    from moc_indexer_spark.plans.registry import EXCLUDED_EVENTS, PAGE_LIMIT, TX_USER
+    from moc_indexer_spark.tables import transactions
+
+    t = transactions(spark, SMOKE_SF_DIR)
+    f = t.filter(
+        (F.col("address") == TX_USER) & (~F.col("event").isin(*EXCLUDED_EVENTS))
+    ).select("tx_hash", "address", "event", "created_at", "amount")
+    return R.page_top_k(f, [F.desc("created_at"), F.desc("tx_hash")], 0, PAGE_LIMIT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {spec.name: spec.build for spec in registry()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {spec.name: spec.oracle for spec in registry() if spec.oracle}

@@ -1,0 +1,110 @@
+"""Relational operators mirroring the reference's read surface (SURVEY.md §2.2-2.8).
+
+Reference semantics reproduced here:
+- tx-list filter/sort/paginate/count   /root/reference/webservice/bp_user_operations.py:9-93
+- NOT-IN excluded events               /root/reference/webservice/bp_user_operations.py:35
+- top-1 latest                         /root/reference/webservice/bp_prices.py:22-34
+- latest-row-per-key singleton         /root/reference/indexer/scan_events_txs.py:43-48
+- as-of lookups                        /root/reference/indexer/scan_moc_state.py:76-81,
+                                       /root/reference/webservice/bp_prices.py:44-60
+- group-by distinct address counts     /root/reference/report/historical.py:144-165
+- registered-user semi-join            /root/reference/indexer/events/token_riskpro.py:50-53
+- confirming-percent maturation        /root/reference/indexer/scan_transaction_status.py:34-46
+
+Scale notes:
+- Pagination: `orderBy(...).limit(skip+n)` compiles to TakeOrderedAndProject —
+  a per-partition top-k + single-reducer merge of only skip+n rows. The
+  row_number window then runs over those <=skip+n rows only. Never a global
+  sort of the full table.
+- Latest-per-key: row_number over (key, ts desc) is a single hash shuffle on
+  the key; at 100 TB this is the minimal-shuffle formulation (no join back).
+- Semi/anti joins against small dimension tables are broadcast — no shuffle
+  of the fact side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def page_top_k(
+    df: DataFrame,
+    order_by: Sequence,
+    skip: int,
+    limit: int,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Mongo `sort().skip().limit()` (bp_user_operations.py:69) as Spark top-k.
+
+    `order_by` must be a total order (pass tiebreaker columns) so pages are
+    deterministic. Physical plan: TakeOrderedAndProject(skip+limit) then a
+    window over that bounded set — no global sort.
+    """
+    top = df.orderBy(*order_by).limit(skip + limit)
+    w = Window.orderBy(*order_by)
+    return (
+        top.withColumn(rn_col, F.row_number().over(w).cast("bigint"))
+        .filter((F.col(rn_col) > skip) & (F.col(rn_col) <= skip + limit))
+    )
+
+
+def top_1_latest(df: DataFrame, order_by: Sequence) -> DataFrame:
+    """`find_one(sort=[(ts, -1)])` (bp_prices.py:22-34): global latest row."""
+    return df.orderBy(*order_by).limit(1)
+
+
+def latest_per_key(df: DataFrame, keys: Sequence[str], order_by: Sequence) -> DataFrame:
+    """Latest-row-per-key singleton view (J7; scan_events_txs.py:43-48).
+
+    One hash shuffle on `keys`; the filter happens map-side post-shuffle.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def as_of(df: DataFrame, ts_col: str, cutoff, order_by: Sequence) -> DataFrame:
+    """As-of lookup (J3; scan_moc_state.py:76-81): latest row with ts < cutoff."""
+    return df.filter(F.col(ts_col) < F.lit(cutoff)).orderBy(*order_by).limit(1)
+
+
+def as_of_range(
+    df: DataFrame, ts_col: str, lo, hi, order_by: Sequence
+) -> DataFrame:
+    """Range-bounded as-of (J4; bp_prices.py:44-60): latest row in [lo, hi)."""
+    return (
+        df.filter((F.col(ts_col) >= F.lit(lo)) & (F.col(ts_col) < F.lit(hi)))
+        .orderBy(*order_by)
+        .limit(1)
+    )
+
+
+def paginate_with_total(
+    df: DataFrame, order_by: Sequence, skip: int, limit: int
+) -> DataFrame:
+    """Page + total count in one result (bp_user_operations.py:69,91).
+
+    The reference issues two Mongo queries (page + count_documents); here the
+    count is a scalar aggregate cross-joined onto the bounded page — the full
+    table is scanned once for the count (cheap columnar count-star) and only
+    skip+limit rows are ever materialized for the page.
+    """
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    page = page_top_k(df, order_by, skip, limit)
+    return page.crossJoin(F.broadcast(total))
+
+
+def confirming_percent(confirmations_col, confirm_blocks: int = 10):
+    """Column expr: maturation percent, `least(100, confirmations*10)`.
+
+    Mirrors /root/reference/indexer/scan_transaction_status.py:34-46 with
+    confirm_blocks=10 (settings-moc-mainnet2.json:19).
+    """
+    step = 100 // confirm_blocks
+    return F.least(F.lit(100).cast("bigint"), (confirmations_col * step).cast("bigint"))

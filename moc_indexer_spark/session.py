@@ -1,0 +1,53 @@
+"""SparkSession bootstrap tuned for the engine.
+
+Scale notes (the configs below are the local analog of cluster settings):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  dynamic broadcast decisions replace hand-tuned partition counts at 100 TB.
+- shuffle.partitions is a floor; AQE coalesces down. On a real cluster this
+  would be ~2-3x total cores.
+- Arrow on: every pandas/Python boundary (the few places we use mapInPandas)
+  moves through Arrow batches, never row-at-a-time pickling.
+- Session timezone pinned UTC: the reference localizes timestamps at the edge
+  (/root/reference/indexer/scan_raw_txs.py:14); we normalize to UTC in the
+  engine and format at the serving edge only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "moc-indexer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # parquet TIMESTAMP(NANOS) (events.ts) is read as long; tables.py
+        # converts to TimestampType via `ts div 1000` (truncation — same
+        # semantics as DuckDB's ns→us read)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.maxResultSize", "4g")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,73 @@
+"""Table catalog: the driver's synthetic parquet tables + derived views.
+
+The reference's Mongo collections (SURVEY.md §1.2) map to parquet/Delta-backed
+DataFrames. Until the driver materializes reference-shaped fixtures, the
+`transactions` serving view is derived from `events.parquet` per FIXTURES.md §3:
+event_id→tx_hash, user_id→address, event_type→event, ts→created_at,
+value→amount, props→payload.
+
+The same mapping exists as an SQL CTE (`TRANSACTIONS_CTE`) so every DuckDB
+oracle sees the identical relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): illegal for Spark's vectorized
+        # reader. Read it as long (nanos since epoch) and truncate to
+        # microseconds — identical to DuckDB's ns→us read, so oracles agree.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros() yields TIMESTAMP (ltz); pin the session tz so the
+        # rendered value equals DuckDB's naive-UTC reading in any environment.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+# --- transactions serving view (FIXTURES.md §3 stand-in mapping) -----------
+
+# Columns mirror the reference's Transaction collection surface
+# (/root/reference/webservice/bp_user_operations.py:40-69) in snake_case.
+TRANSACTIONS_CTE = (
+    "SELECT event_id AS tx_hash, user_id AS address, event_type AS event, "
+    "ts AS created_at, value AS amount, props AS payload FROM events"
+)
+
+
+def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enriched-operations serving table (reference: `Transaction`)."""
+    return table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("tx_hash"),
+        F.col("user_id").alias("address"),
+        F.col("event_type").alias("event"),
+        F.col("ts").alias("created_at"),
+        F.col("value").alias("amount"),
+        F.col("props").alias("payload"),
+    )
