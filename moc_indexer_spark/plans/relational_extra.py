@@ -1,1 +1,490 @@
-"""Placeholder — joins/enrichment/window registry entries land here."""
+"""Registry batch 2: joins, decimal enrichment, windows, rollups.
+
+Covers SURVEY.md §2 items: J1/J2-analog demux, J5 conditional-override join,
+P1/P8 semi-join, anti-join (reprocess-filter analog), F3-F7 decimal money
+math, F10-F13 date/map functions, §2.8 window functions, A1/A2 group-bys,
+plus TPC-H-style join/agg queries exercising the same primitives at shuffle
+scale.
+
+Determinism: all money aggregates are exact DecimalType sums cast to double
+at the edge; double division happens once on identical operands in both
+engines; every top-k has a total-order tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..tables import TRANSACTIONS_CTE, table, transactions
+from .registry import TX_WITH, register
+
+D186 = "decimal(18,6)"
+# Multiplication operand widths: DuckDB does decimal multiply in the widest
+# input's physical type (int64 for width<=18 -> overflow); a >=19-width left
+# operand forces hugeint. (24,6)*(12,6) is exact in both engines.
+DMUL_L = "decimal(24,6)"
+DMUL_R = "decimal(12,6)"
+
+
+# --- decimal enrichment (F3-F7; events/mocexchange.py:42-89) ---------------
+
+
+@register(
+    "tx_enrich_money",
+    """
+    SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+      CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(24,6)) * CAST(p.p_retailprice AS DECIMAL(12,6)) AS DECIMAL(18,4)) AS DOUBLE) AS usd_amount,
+      CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(24,6)) * CAST(l.l_discount AS DECIMAL(12,6)) AS DECIMAL(18,4)) AS DOUBLE) AS commission,
+      CAST(CAST(CAST(l.l_tax AS DECIMAL(24,6)) * CAST(p.p_retailprice AS DECIMAL(12,6)) AS DECIMAL(18,4)) AS DOUBLE) AS gas_fee_usd,
+      CAST(CAST(CASE WHEN l.l_returnflag = 'R'
+            THEN -(CAST(l.l_extendedprice AS DECIMAL(24,6)) - CAST(l.l_extendedprice AS DECIMAL(24,6)) * CAST(l.l_discount AS DECIMAL(12,6)))
+            ELSE  (CAST(l.l_extendedprice AS DECIMAL(24,6)) - CAST(l.l_extendedprice AS DECIMAL(24,6)) * CAST(l.l_discount AS DECIMAL(12,6)))
+       END AS DECIMAL(18,4)) AS DOUBLE) AS signed_total,
+      (l.l_returnflag <> 'R') AS is_positive
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    tags=("F3", "F4", "F6", "F7", "J1"),
+    bench=True,
+)
+def q_tx_enrich_money(spark, sf_dir):
+    """The mocexchange derived-column formulas (USD amount, commission, gas
+    fee, signed total) as exact decimal expressions over a broadcast join —
+    part is the small dim side, lineitem never shuffles."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    ext = F.col("l_extendedprice").cast(DMUL_L)
+    price = F.col("p_retailprice").cast(DMUL_R)
+    disc = F.col("l_discount").cast(DMUL_R)
+    tax = F.col("l_tax").cast(DMUL_L)
+    net = ext - ext * disc
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            (ext * price).cast("decimal(18,4)").cast("double").alias("usd_amount"),
+            (ext * disc).cast("decimal(18,4)").cast("double").alias("commission"),
+            (tax * price).cast("decimal(18,4)").cast("double").alias("gas_fee_usd"),
+            F.when(F.col("l_returnflag") == "R", -net)
+            .otherwise(net)
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("signed_total"),
+            (F.col("l_returnflag") != "R").alias("is_positive"),
+        )
+    )
+
+
+# --- pricing summary (A-family aggregate; TPC-H Q1 shape) ------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(12,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*) AS avg_qty,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "A2", "agg"),
+    bench=True,
+)
+def q_pricing_summary(spark, sf_dir):
+    """Partial-agg (map-side combine) group-by with exact decimal sums.
+    Catalyst plans HashAggregate(partial)->shuffle->HashAggregate(final):
+    the shuffle carries one row per (flag,status,partition), not the table."""
+    l = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(D186)
+    ext = F.col("l_extendedprice").cast(D186)
+    ext_l = F.col("l_extendedprice").cast(DMUL_L)
+    one_minus_disc = (F.lit(1.0).cast("double") - F.col("l_discount")).cast(DMUL_R)
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(18,4)").cast("double").alias("sum_qty"),
+            F.sum(ext).cast("decimal(18,4)").cast("double").alias("sum_base_price"),
+            F.sum(ext_l * one_minus_disc).cast("decimal(18,4)").cast("double").alias("sum_disc_price"),
+            (F.sum(qty).cast("decimal(18,4)").cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+# --- top-k over join (O1 at shuffle scale; TPC-H Q3 shape) -----------------
+
+
+@register(
+    "top_revenue_orders",
+    """
+    SELECT o.o_orderkey AS orderkey, o.o_orderdate AS orderdate,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,6)) * CAST(CAST(1.0 AS DOUBLE) - l.l_discount AS DECIMAL(12,6))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(24,6)) * CAST(CAST(1.0 AS DOUBLE) - l.l_discount AS DECIMAL(12,6))) DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    tags=("O1", "J1", "agg"),
+    bench=True,
+)
+def q_top_revenue_orders(spark, sf_dir):
+    """3-way join + group + top-k. Order-by runs on the exact decimal
+    revenue (not the rounded double) with orderkey tiebreaker; limit
+    compiles to TakeOrderedAndProject."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DMUL_L) * (
+        F.lit(1.0).cast("double") - F.col("l_discount")
+    ).cast(DMUL_R)
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit("2000-03-15 00:00:00").cast("timestamp"))
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("_rev_dec"))
+        .orderBy(F.desc("_rev_dec"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("_rev_dec").cast("decimal(18,4)").cast("double").alias("revenue"),
+        )
+    )
+
+
+# --- semi / anti joins (P1/P8; token_riskpro.py:50-53) ---------------------
+
+
+@register(
+    "registered_user_txs",
+    f"""
+    {TX_WITH}
+    SELECT tx_hash, address, event, created_at, amount FROM transactions t
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = t.address AND c.c_acctbal > 5000)
+    """,
+    tags=("P8", "semi-join"),
+)
+def q_registered_user_txs(spark, sf_dir):
+    """Registered-user semi-join: process events only for known users.
+    Broadcast left-semi — the fact side never shuffles."""
+    t = transactions(spark, sf_dir)
+    users = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    return t.join(
+        F.broadcast(users), t.address == users.c_custkey, "left_semi"
+    ).select("tx_hash", "address", "event", "created_at", "amount")
+
+
+@register(
+    "unregistered_user_txs",
+    f"""
+    {TX_WITH}
+    SELECT tx_hash, address, event FROM transactions t
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = t.address AND c.c_acctbal > 5000)
+    """,
+    tags=("P4", "anti-join"),
+)
+def q_unregistered_user_txs(spark, sf_dir):
+    """Anti-join: the reprocess-filter / NOT-IN analog (scan_events_txs.py:208)."""
+    t = transactions(spark, sf_dir)
+    users = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    return t.join(
+        F.broadcast(users), t.address == users.c_custkey, "left_anti"
+    ).select("tx_hash", "address", "event")
+
+
+# --- conditional override join (J5; scan_moc_state.py:84-98) ---------------
+
+
+@register(
+    "settlement_price_override",
+    f"""
+    {TX_WITH},
+    daily_close AS (
+      SELECT CAST(CAST(created_at AS DATE) AS VARCHAR) AS day, amount AS close_amount FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY CAST(created_at AS DATE)
+                   ORDER BY created_at DESC, tx_hash DESC) AS rn
+        FROM transactions WHERE event = 'purchase') WHERE rn = 1),
+    settlement AS (
+      SELECT CAST(CAST(created_at AS DATE) AS VARCHAR) AS day, amount AS settlement_amount FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY CAST(created_at AS DATE)
+                   ORDER BY created_at DESC, tx_hash DESC) AS rn
+        FROM transactions WHERE event = 'signup') WHERE rn = 1)
+    SELECT d.day, d.close_amount, s.settlement_amount,
+           CASE WHEN s.settlement_amount IS NOT NULL
+                THEN s.settlement_amount ELSE d.close_amount END AS effective_price
+    FROM daily_close d LEFT JOIN settlement s ON d.day = s.day
+    """,
+    tags=("J5", "J7", "window"),
+)
+def q_settlement_price_override(spark, sf_dir):
+    """In-settlement price substitution: if a settlement row exists for the
+    window, its price overrides the market close (when/otherwise + left
+    broadcast join)."""
+    t = transactions(spark, sf_dir)
+
+    def daily_latest(ev, out):
+        w = Window.partitionBy(F.to_date("created_at")).orderBy(
+            F.desc("created_at"), F.desc("tx_hash")
+        )
+        return (
+            t.filter(F.col("event") == ev)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.to_date("created_at").cast("string").alias("day"), F.col("amount").alias(out))
+        )
+
+    d = daily_latest("purchase", "close_amount")
+    s = daily_latest("signup", "settlement_amount")
+    return d.join(F.broadcast(s), "day", "left").select(
+        "day",
+        "close_amount",
+        "settlement_amount",
+        F.when(
+            F.col("settlement_amount").isNotNull(), F.col("settlement_amount")
+        )
+        .otherwise(F.col("close_amount"))
+        .alias("effective_price"),
+    )
+
+
+# --- date / map / json scalar functions (F10-F13, F16, F18) ----------------
+
+
+@register(
+    "daily_rollup",
+    f"""
+    {TX_WITH}
+    SELECT CAST(CAST(created_at AS DATE) AS VARCHAR) AS day, event,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS total_amount,
+           MIN(amount) AS min_amount, MAX(amount) AS max_amount
+    FROM transactions GROUP BY CAST(CAST(created_at AS DATE) AS VARCHAR), event
+    """,
+    tags=("F10", "A1"),
+    bench=True,
+)
+def q_daily_rollup(spark, sf_dir):
+    """Per-day per-event rollup (the Price/MocState per-block history analog
+    at daily grain): date_trunc + partial-agg group-by."""
+    t = transactions(spark, sf_dir)
+    return (
+        t.groupBy(F.to_date("created_at").cast("string").alias("day"), "event")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("amount").cast(D186)).cast("decimal(18,4)").cast("double").alias("total_amount"),
+            F.min("amount").alias("min_amount"),
+            F.max("amount").alias("max_amount"),
+        )
+    )
+
+
+@register(
+    "state_decode",
+    f"""
+    {TX_WITH}
+    SELECT tx_hash, address % 4 AS state_code,
+           CASE address % 4 WHEN 0 THEN 'Liquidated' WHEN 1 THEN 'BProDiscountRate'
+                            WHEN 2 THEN 'BelowCobj' ELSE 'AboveCobj' END AS state_name
+    FROM transactions
+    """,
+    tags=("F13", "F16"),
+)
+def q_state_decode(spark, sf_dir):
+    """State-code→name decode via map literal (mocstate.py:11-16 d_states)."""
+    t = transactions(spark, sf_dir)
+    d_states = F.create_map(
+        F.lit(0), F.lit("Liquidated"),
+        F.lit(1), F.lit("BProDiscountRate"),
+        F.lit(2), F.lit("BelowCobj"),
+        F.lit(3), F.lit("AboveCobj"),
+    )
+    code = (F.col("address") % 4).cast("bigint")
+    return t.select(
+        "tx_hash",
+        code.alias("state_code"),
+        F.element_at(d_states, code.cast("int")).alias("state_name"),
+    )
+
+
+@register(
+    "payload_json_histogram",
+    f"""
+    {TX_WITH}
+    SELECT CAST(json_extract_string(payload, '$.k') AS BIGINT) AS k_value,
+           COUNT(*) AS n
+    FROM transactions GROUP BY 1
+    """,
+    tags=("F18", "json"),
+)
+def q_payload_json_histogram(spark, sf_dir):
+    """Decoded-event payload access: JSON field extract + histogram
+    (the from_json decode path of scan_events_txs.py:115-132)."""
+    t = transactions(spark, sf_dir)
+    return (
+        t.select(
+            F.get_json_object("payload", "$.k").cast("bigint").alias("k_value")
+        )
+        .groupBy("k_value")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+# --- window functions (§2.8) -----------------------------------------------
+
+
+@register(
+    "user_running_total",
+    f"""
+    {TX_WITH}
+    SELECT tx_hash, address, created_at,
+           CAST(CAST(SUM(CAST(amount AS DECIMAL(18,6))) OVER (
+             PARTITION BY address ORDER BY created_at, tx_hash
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS DOUBLE) AS cum_amount,
+           ROW_NUMBER() OVER (PARTITION BY address ORDER BY created_at, tx_hash) AS seq
+    FROM transactions
+    """,
+    tags=("window",),
+    bench=True,
+)
+def q_user_running_total(spark, sf_dir):
+    """Per-user cumulative balance (UserState evolution as a window):
+    single hash-shuffle on address, exact decimal running sum."""
+    t = transactions(spark, sf_dir)
+    w = Window.partitionBy("address").orderBy("created_at", "tx_hash")
+    return t.select(
+        "tx_hash",
+        "address",
+        "created_at",
+        F.sum(F.col("amount").cast(D186))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("cum_amount"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
+    )
+
+
+@register(
+    "user_sessions",
+    f"""
+    {TX_WITH},
+    g AS (SELECT address, created_at, tx_hash,
+            CASE WHEN epoch_us(created_at) - epoch_us(LAG(created_at) OVER (
+                   PARTITION BY address ORDER BY created_at, tx_hash)) > 1800000000
+                 OR LAG(created_at) OVER (
+                   PARTITION BY address ORDER BY created_at, tx_hash) IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+          FROM transactions),
+    s AS (SELECT *, CAST(SUM(new_session) OVER (
+            PARTITION BY address ORDER BY created_at, tx_hash
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM g)
+    SELECT address, session_id, COUNT(*) AS n_events,
+           MIN(created_at) AS session_start, MAX(created_at) AS session_end
+    FROM s GROUP BY address, session_id
+    """,
+    tags=("window", "sessionization"),
+)
+def q_user_sessions(spark, sf_dir):
+    """Session windows (30-min gap) via lag + cumulative flag — the batch
+    form of a streaming session window; one shuffle on address serves both
+    windows and the final group-by (same partitioning reused)."""
+    t = transactions(spark, sf_dir)
+    w = Window.partitionBy("address").orderBy("created_at", "tx_hash")
+    gap_us = (
+        F.unix_micros("created_at") - F.unix_micros(F.lag("created_at").over(w))
+    )
+    g = t.withColumn(
+        "new_session",
+        F.when(
+            gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    s = g.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return s.groupBy("address", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("created_at").alias("session_start"),
+        F.max("created_at").alias("session_end"),
+    )
+
+
+# --- multi-dim broadcast join rollup ---------------------------------------
+
+
+@register(
+    "region_supplier_rollup",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_suppliers,
+           CAST(CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS total_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("J1", "agg", "broadcast"),
+)
+def q_region_supplier_rollup(spark, sf_dir):
+    """Star-schema rollup: both dims broadcast; supplier never shuffles
+    until the (tiny) final aggregation."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast(D186))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "order_priority_counts",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    tags=("A1", "P5"),
+)
+def q_order_priority_counts(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
