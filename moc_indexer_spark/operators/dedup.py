@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines (100 TB design).
+
+Four tiers, cheapest-first — a real pipeline runs them as a cascade:
+1. exact (hash group-by): one shuffle on a 128-bit content hash.
+2. n-gram Jaccard (exact near-dup): shingle-inverted-index candidate join —
+   only docs sharing >=1 shingle ever meet, so the join is linear-ish in
+   corpus size instead of O(n^2). This is the verifier for tiers 3/4.
+3. MinHash + LSH banding: candidates from band-bucket collisions; exact
+   Jaccard verify on candidates only. At 100 TB: signature is 32*8 bytes/doc
+   regardless of doc size; band join shuffles (band_id, band_hash) pairs.
+4. SimHash: 8-byte signature/doc, hamming<=k via pigeonhole chunk join.
+
+All tiers are pure Catalyst expressions (no UDFs); shuffles are keyed on
+hashes, which are uniform by construction — no skew mitigation needed except
+stop-shingle removal (see `_shingle_df` note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 content hash -> keeper = min id per group.
+
+    Returns (content_hash, keeper_doc_id, n_copies). At scale the md5 group
+    shuffle is the only stage; AQE coalesces the tiny output.
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).cast("bigint").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+def _shingle_df(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, shingle) pairs, distinct per doc.
+
+    Scale note: a "stop shingle" appearing in a large fraction of docs makes
+    the inverted-index join quadratic in that posting list. For the synthetic
+    corpus no shingle is hot; production would add
+    `.join(hot_shingles, 'shingle', 'left_anti')` with hot_shingles =
+    shingles with document frequency > ~0.1% — same cascade as TF-IDF.
+    """
+    toks = docs.select(
+        F.col(id_col), T.tokens(text_col).alias("t")
+    ).filter(F.size("t") >= n)
+    return toks.select(
+        F.col(id_col), F.explode(T.shingles(F.col("t"), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via shingle inverted index.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingle sets; only pairs
+    sharing at least one shingle are candidates (lossless for threshold>0).
+    Returns (doc_i, doc_j, jaccard) with doc_i < doc_j.
+    """
+    sh = _shingle_df(docs, n, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_i"), F.col(f"b.{id_col}").alias("doc_j")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_i"), F.col("n_sh").alias("n_i"))
+    sb = sizes.select(F.col(id_col).alias("doc_j"), F.col("n_sh").alias("n_j"))
+    jac = (
+        inter.join(sa, "doc_i")
+        .join(sb, "doc_j")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_i") + F.col("n_j") - F.col("inter")).cast("double"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_i", "doc_j", "jaccard"
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    k-wide signature, `bands` bands of k/bands rows; docs colliding in any
+    band become candidates; candidates are verified with exact shingle
+    Jaccard (so output == ngram_jaccard_pairs modulo the ~1e-7 per-pair LSH
+    miss probability at threshold 0.8 with 16x2 banding).
+
+    100 TB shape: signatures are fixed 256 B/doc; the band-bucket shuffle
+    carries (band, hash, doc_id) triples only. The expensive shingle join
+    runs solely on LSH candidates.
+    """
+    r = k // bands
+    toks = docs.select(
+        F.col(id_col), T.tokens(text_col).alias("t")
+    ).filter(F.size("t") >= n)
+    sig = toks.select(
+        F.col(id_col),
+        T.shingles(F.col("t"), n).alias("sh"),
+    ).select(
+        F.col(id_col),
+        F.col("sh"),
+        T.minhash_signature(F.col("sh"), k).alias("sig"),
+    )
+    bands_df = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), bidx * r + 1, r)),
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_i"), F.col(f"b.{id_col}").alias("doc_j")
+        )
+        .distinct()
+    )
+
+    # exact verify on candidates only
+    sh_sets = sig.select(F.col(id_col), F.col("sh"))
+    si = sh_sets.select(F.col(id_col).alias("doc_i"), F.col("sh").alias("sh_i"))
+    sj = sh_sets.select(F.col(id_col).alias("doc_j"), F.col("sh").alias("sh_j"))
+    verified = (
+        candidates.join(si, "doc_i")
+        .join(sj, "doc_j")
+        .withColumn("inter", F.size(F.array_intersect("sh_i", "sh_j")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_i") + F.size("sh_j") - F.col("inter")).cast("double"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "doc_i", "doc_j", "jaccard"
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming(sig_i, sig_j) <= max_hamming.
+
+    Pigeonhole: split 64 bits into max_hamming+1 chunks; any pair within
+    distance max_hamming shares at least one exact chunk -> equi-join on
+    (chunk_idx, chunk_value), then exact hamming verify. No O(n^2) compare.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    hashes = docs.select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("tok")
+    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    sig = (
+        hashes.groupBy(id_col)
+        .agg(*T.simhash_bit_aggs("h"))
+        .select(F.col(id_col), T.simhash_assemble().alias("sig"))
+    )
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftright(F.col("sig"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk_val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    chunked = sig.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(chunk_structs).alias("ch"),
+    ).select(
+        F.col(id_col), F.col("sig"),
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.chunk_val").alias("chunk_val"),
+    )
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_i"),
+            F.col(f"b.{id_col}").alias("doc_j"),
+            T.hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

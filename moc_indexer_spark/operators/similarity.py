@@ -1,0 +1,179 @@
+"""Embedding similarity search (approximate-nearest-neighbor) operators.
+
+Baseline: brute-force cosine top-k — a blocked cross join with the dot
+product as a Catalyst `aggregate(zip_with(...))` expression (JVM-side, no
+UDF). Scale path: random-hyperplane LSH bucketing — candidates only within
+matching sign-pattern buckets (multi-probe via several independent tables).
+
+100 TB design notes:
+- Brute force is O(Q*N); it remains the right plan when Q is small (point
+  lookups) and N is partition-pruned. The query side is broadcast; the
+  corpus side streams through codegen — no shuffle at all.
+- LSH: signatures are computed in one pass (deterministic pseudo-random
+  hyperplanes derived from xxhash64 — no stored model), bucket join shuffles
+  only (table, bucket, vec_id); per-bucket verify is brute force within the
+  bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cosine top-k for every query vector (defaults: corpus vs itself,
+    self-pairs excluded). Returns (query_id, neighbor_id, cosine_sim).
+
+    cosine_sim is rounded to `round_digits` and ranking breaks ties on
+    neighbor_id so results are stable cross-engine and cross-run.
+    """
+    if queries is None:
+        queries = corpus
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def _hyperplane_sign(vec, table: int, plane: int) -> F.Column:
+    """Sign of <vec, h> for a deterministic pseudo-random hyperplane: each
+    component h[d] = (xxhash64(table, plane, d) % 1001 - 500) / 500.0 —
+    reproducible on any executor with no stored model."""
+    signed = F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, d: x
+            * (
+                (F.pmod(F.xxhash64(F.lit(table), F.lit(plane), d), F.lit(1001))
+                 - 500)
+                / 500.0
+            ),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return (signed >= 0).cast("int")
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_tables: int = 16,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN via random-hyperplane LSH: `n_tables` independent tables of
+    `n_planes`-bit sign buckets; brute-force verify within buckets; union
+    tables; top-k per query. Approximate — recall grows with n_tables.
+    """
+    v = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for pidx in range(n_planes):
+            bucket = bucket * 2 + _hyperplane_sign(F.col("v"), t, pidx)
+        v = v.withColumn(f"b{t}", bucket)
+    tables = []
+    for t in range(n_tables):
+        tables.append(
+            v.select(
+                F.col(id_col), F.col("v"), F.lit(t).alias("tbl"),
+                F.col(f"b{t}").alias("bucket"),
+            )
+        )
+    buckets = tables[0]
+    for t in tables[1:]:
+        buckets = buckets.unionByName(t)
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+            F.col("a.v").alias("qv"),
+            F.col("b.v").alias("cv"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -1,1 +1,270 @@
-"""Placeholder — LLM-data-pipeline registry entries land here."""
+"""Registry batch 3: LLM-data-pipeline operators (SURVEY.md §7 Phase 6).
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), embedding similarity
+search (brute-force + LSH), text analysis (stats, quality, language score,
+fingerprints). Oracle-checked where SQL-expressible; LSH variants whose
+output is exact-verified against shingle Jaccard share the exact oracle
+(deterministic: xxhash64 has a fixed seed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..tables import table
+from .registry import register
+
+# shared SQL fragments (DuckDB side) — keep in lockstep with functions/text.py
+SQL_TOKS = "list_filter(str_split(text, ' '), x -> x <> '')"
+SQL_STOPWORDS = "(x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'in')"
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.8
+
+# distinct 3-gram shingles from 1-based token list (duckdb list_slice is
+# inclusive): starts 1..len-2  ->  range(1, len-1) (exclusive end)
+SQL_SHINGLES = (
+    f"list_distinct(list_transform(range(1, len(t) - {NGRAM_N - 2}), "
+    f"i -> array_to_string(list_slice(t, i, i + {NGRAM_N - 1}), ' ')))"
+)
+
+_JACCARD_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, {SQL_SHINGLES} AS s FROM toks WHERE len(t) >= {NGRAM_N}),
+    pairs AS (
+      SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT doc_i, doc_j, jaccard FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_dup_pairs",
+    _JACCARD_ORACLE,
+    tags=("llm", "dedup", "jaccard"),
+    bench=True,
+)
+def q_ngram_dup_pairs(spark, sf_dir):
+    """Exact near-dup pairs; Spark uses the shingle inverted-index join (the
+    oracle brute-forces all pairs — same result, different plan)."""
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+@register(
+    "minhash_dup_pairs",
+    _JACCARD_ORACLE,
+    tags=("llm", "dedup", "minhash", "lsh"),
+)
+def q_minhash_dup_pairs(spark, sf_dir):
+    """MinHash-LSH candidates + exact verify. Shares the exact-Jaccard
+    oracle: candidate recall at 16x2 banding for j>=0.8 is 1-(1-j^2)^16
+    (>0.9999998), and the verify step makes precision exact; xxhash64's
+    fixed seed makes the whole thing deterministic."""
+    return D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        n=NGRAM_N,
+        k=32,
+        bands=16,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+@register("simhash_pairs", None, tags=("llm", "dedup", "simhash"))
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash hamming<=3 pairs via pigeonhole chunk join (rows-only check:
+    signature semantics are engine-specific; pytest cross-checks against
+    exact Jaccard pairs)."""
+    return D.simhash_pairs(table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, n_chars, {SQL_TOKS} AS t FROM documents)
+    SELECT doc_id, lang, n_chars,
+           CAST(len(t) AS BIGINT) AS token_count,
+           CAST(len(list_distinct(t)) AS BIGINT) AS distinct_tokens,
+           CAST(len(list_filter(t, x -> {SQL_STOPWORDS})) AS BIGINT) AS stopword_count
+    FROM toks
+    """,
+    tags=("llm", "text"),
+    bench=True,
+)
+def q_text_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        T.token_count().alias("token_count"),
+        T.distinct_token_count().alias("distinct_tokens"),
+        T.stopword_count().alias("stopword_count"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(len({SQL_TOKS}) AS BIGINT) AS tc,
+             CAST(len(list_distinct({SQL_TOKS})) AS BIGINT) AS dt,
+             CAST(len(list_filter({SQL_TOKS}, x -> {SQL_STOPWORDS})) AS BIGINT) AS sw
+      FROM documents)
+    SELECT doc_id,
+           CAST(sw AS DOUBLE) / CAST(tc AS DOUBLE) AS stopword_ratio,
+           CAST(dt AS DOUBLE) / CAST(tc AS DOUBLE) AS distinct_ratio,
+           CAST(n_chars AS DOUBLE) / CAST(tc AS DOUBLE) AS avg_token_span,
+           (CAST(sw AS DOUBLE) / CAST(tc AS DOUBLE)) * 0.3
+             + (CAST(dt AS DOUBLE) / CAST(tc AS DOUBLE)) * 0.4
+             + LEAST(CAST(tc AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score
+    FROM s WHERE tc > 0
+    """,
+    tags=("llm", "text"),
+)
+def q_text_quality(spark, sf_dir):
+    """Heuristic quality scoring (length / stopword / vocabulary-diversity
+    ratios) — the filter stage of a training-data pipeline."""
+    d = table(spark, sf_dir, "documents")
+    tc = T.token_count().alias("tc")
+    s = d.select("doc_id", "n_chars", tc,
+                 T.distinct_token_count().alias("dt"),
+                 T.stopword_count().alias("sw")).filter(F.col("tc") > 0)
+    swr = F.col("sw").cast("double") / F.col("tc").cast("double")
+    dr = F.col("dt").cast("double") / F.col("tc").cast("double")
+    span = F.col("n_chars").cast("double") / F.col("tc").cast("double")
+    score = swr * 0.3 + dr * 0.4 + F.least(
+        F.col("tc").cast("double") / 100.0, F.lit(1.0)
+    ) * 0.3
+    return s.select(
+        "doc_id",
+        swr.alias("stopword_ratio"),
+        dr.alias("distinct_ratio"),
+        span.alias("avg_token_span"),
+        score.alias("quality_score"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter({SQL_TOKS}, x -> {SQL_STOPWORDS})) AS BIGINT) AS en_hits,
+             CAST(len({SQL_TOKS}) AS BIGINT) AS tc
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN tc > 0 AND CAST(en_hits AS DOUBLE) / CAST(tc AS DOUBLE) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS pred_lang
+    FROM s
+    """,
+    tags=("llm", "text", "langid"),
+)
+def q_lang_id_heuristic(spark, sf_dir):
+    """Stopword-density language ID (n-gram heuristic family). The synthetic
+    corpus is English-ish regardless of its lang column — the operator is the
+    deliverable, per-language stopword tables slot into the same shape."""
+    d = table(spark, sf_dir, "documents")
+    s = d.select("doc_id", "lang", T.stopword_count().alias("en_hits"),
+                 T.token_count().alias("tc"))
+    ratio = F.col("en_hits").cast("double") / F.col("tc").cast("double")
+    return s.select(
+        "doc_id",
+        "lang",
+        F.when((F.col("tc") > 0) & (ratio >= 0.05), "en")
+        .otherwise("unknown")
+        .alias("pred_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+    FROM toks
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def q_doc_fingerprint(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.content_fingerprint().alias("fingerprint"))
+
+
+@register(
+    "cosine_topk",
+    """
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("llm", "similarity", "ann"),
+    bench=True,
+)
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for every vector (the exact-ANN baseline).
+    Similarity rounded to 6dp with neighbor_id tiebreak -> stable ordering
+    across engines despite last-ulp float noise."""
+    return S.brute_force_topk(table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register("lsh_ann_topk", None, tags=("llm", "similarity", "ann", "lsh"))
+def q_lsh_ann_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN (the 100 TB scale path; approximate, so
+    rows-only here — pytest measures recall vs the brute-force baseline)."""
+    return S.lsh_bucket_topk(table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id, label,
+           ROUND(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6) AS l2_norm
+    FROM embeddings
+    """,
+    tags=("llm", "similarity"),
+)
+def q_embedding_norms(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(
+                F.aggregate(v, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+            ),
+            6,
+        ).alias("l2_norm"),
+    )

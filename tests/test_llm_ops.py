@@ -1,0 +1,114 @@
+"""Cross-checks for the approximate (rows-only) LLM operators against exact
+baselines, and wei decimal-math unit tests against Python Decimal reference
+semantics (/root/reference/indexer/events/mocexchange.py:47-89 formulas)."""
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from moc_indexer_spark.operators import dedup as D
+from moc_indexer_spark.operators import similarity as S
+from moc_indexer_spark.tables import table
+from moc_indexer_spark.functions import wei
+
+
+def test_simhash_finds_exact_duplicate_token_bags(spark, sf_dir):
+    """Docs with near-identical token multisets must appear in simhash pairs;
+    exact 3-gram near-dups (jaccard>=0.8) are a subset of 'very similar' docs
+    whose simhash hamming should be small."""
+    docs = table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_i, r.doc_j)
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    sim = {
+        (r.doc_i, r.doc_j): r.hamming
+        for r in D.simhash_pairs(docs, max_hamming=8).collect()
+    }
+    if not exact:
+        pytest.skip("no exact near-dup pairs at this sf")
+    found = sum(1 for p in exact if p in sim)
+    assert found / len(exact) >= 0.8, f"simhash recall {found}/{len(exact)}"
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").limit(200)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_bucket_topk(emb, k=3, n_tables=16, n_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"LSH recall {recall:.2f} too low"
+
+
+def test_minhash_equals_exact_jaccard(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_i, r.doc_j): round(r.jaccard, 9)
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    mh = {
+        (r.doc_i, r.doc_j): round(r.jaccard, 9)
+        for r in D.minhash_lsh_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert mh == exact
+
+
+def test_wei_roundtrip_and_usd(spark):
+    rows = [
+        # (reserveTotal wei, reservePrice wei)
+        (10**18, 2 * 10**18),                      # 1 ether at price 2 -> 2e18
+        (123456789 * 10**10, 45000 * 10**18),      # fractional amount
+        (1, 10**18),                               # 1 wei at price 1
+    ]
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in rows], ["amount", "price"]
+    ).select(
+        F.col("amount").cast("decimal(38,0)").alias("amount"),
+        F.col("price").cast("decimal(38,0)").alias("price"),
+    )
+    out = df.select(
+        wei.from_wei("amount").alias("eth"),
+        wei.usd_amount(F.col("amount"), F.col("price")).alias("usd"),
+    ).collect()
+    for (a, b), r in zip(rows, out):
+        ref_eth = Decimal(a) / Decimal(10**18)
+        assert Decimal(r.eth) == ref_eth
+        ref_usd = (Decimal(a) * Decimal(b)) / Decimal(10**18)
+        # documented dust tolerance of the gwei-rescale trick
+        assert abs(Decimal(r.usd) - ref_usd) <= Decimal(a + b) / Decimal(2 * 10**9) + 1
+
+
+def test_gas_fee_and_signed_total(spark):
+    df = spark.createDataFrame(
+        [(21000, str(65_000_000))], ["gas_used", "gas_price"]
+    ).select(
+        F.col("gas_used"),
+        F.col("gas_price").cast("decimal(38,0)").alias("gas_price"),
+    )
+    r = df.select(
+        wei.gas_fee_wei(F.col("gas_used"), F.col("gas_price")).alias("fee")
+    ).collect()[0]
+    assert int(r.fee) == 21000 * 65_000_000
+
+    df2 = spark.createDataFrame(
+        [(str(10**18), str(10**16), str(0), str(5 * 10**15), True),
+         (str(10**18), str(10**16), str(0), str(5 * 10**15), False)],
+        ["rt", "comm", "ints", "gas", "pos"],
+    ).select(
+        *[F.col(c).cast("decimal(38,0)").alias(c) for c in ("rt", "comm", "ints", "gas")],
+        F.col("pos"),
+    )
+    out = df2.select(
+        wei.signed_total(
+            F.col("rt"), F.col("comm"), F.col("ints"), F.col("gas"), F.col("pos")
+        ).alias("total")
+    ).collect()
+    expect = 10**18 + 10**16 + 5 * 10**15
+    assert int(out[0].total) == expect
+    assert int(out[1].total) == -expect
