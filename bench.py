@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Headline-query benchmark.
+
+Runs every registry entry marked bench=True against $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes end-to-end into a noop sink (full computation, no
+driver-side collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from moc_indexer_spark.plans.registry import registry  # noqa: E402
+from moc_indexer_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="moc-indexer-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = [s for s in registry() if s.bench]
+    timings: dict[str, float] = {}
+    for spec in specs:
+        df = spec.build(spark, sf_dir)  # build once to amortize analysis
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -233,10 +233,11 @@ def q_doc_fingerprint(spark, sf_dir):
     bench=True,
 )
 def q_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-5 for every vector (the exact-ANN baseline).
+    """Brute-force cosine top-5 for every vector (the exact-ANN baseline),
+    vectorized: Arrow batches + BLAS matmul + per-batch partial top-k.
     Similarity rounded to 6dp with neighbor_id tiebreak -> stable ordering
     across engines despite last-ulp float noise."""
-    return S.brute_force_topk(table(spark, sf_dir, "embeddings"), k=5)
+    return S.brute_force_topk_np(table(spark, sf_dir, "embeddings"), k=5)
 
 
 @register("lsh_ann_topk", None, tags=("llm", "similarity", "ann", "lsh"))
