@@ -44,6 +44,10 @@ def get_spark(
         # converts to TimestampType via `ts div 1000` (truncation — same
         # semantics as DuckDB's ns→us read)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4.1's checksummed checkpoint file manager can deadlock in
+        # the state-store abort path on local filesystems; plain checkpoint
+        # files are fine for our durability model.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")

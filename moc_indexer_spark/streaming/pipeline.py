@@ -1,0 +1,144 @@
+"""Ingest/transform/upsert pipeline — batch/stream parity core (SURVEY.md §3.1).
+
+The reference's task loop (scan raw txs -> decode events -> enrich -> upsert,
+/root/reference/indexer/tasks.py:210-350) becomes ONE transform function that
+runs identically:
+- batch: `enrich_transactions(df)` over a static DataFrame
+- stream: `readStream` file source -> same function -> `foreachBatch` upsert
+
+The reference's bookkeeping maps to Spark primitives:
+- checkpoint cursors (moc_indexer collection) -> streaming checkpoint dir
+- `processed: false` flag                     -> source offsets (flag gone)
+- reorg margin `blocks_recession` (T1)        -> tip-k filter in the transform
+- pending-queue coalescing (T7)               -> per-batch dropDuplicates
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sink import ParquetUpsertTable
+
+CONFIRM_BLOCKS = 10  # settings-moc-mainnet2.json:19
+BLOCK_SECONDS = 30
+
+
+def enrich_transactions(raw: DataFrame, tip_ts=None) -> DataFrame:
+    """The per-event enrichment (scan_events_txs.py:115-157 envelope +
+    mocexchange-style derived columns) on the events-shaped stream.
+
+    tip_ts: the chain tip timestamp; in batch mode computed from the data,
+    in streaming passed per micro-batch (the stream analog of `last_block`).
+    """
+    df = raw.select(
+        F.col("event_id").alias("tx_hash"),
+        F.col("user_id").alias("address"),
+        F.col("event_type").alias("event"),
+        F.col("ts").alias("created_at"),
+        F.col("value").alias("amount"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+    if tip_ts is None:
+        tip = raw.agg(F.max("ts").alias("tip_ts"))
+        df = df.crossJoin(F.broadcast(tip))
+    else:
+        df = df.withColumn("tip_ts", F.lit(tip_ts).cast("timestamp"))
+    conf = F.floor(
+        (F.unix_micros("tip_ts") - F.unix_micros("created_at"))
+        / float(BLOCK_SECONDS * 1_000_000)
+    ).cast("bigint")
+    return (
+        df.withColumn("confirmations", conf)
+        .withColumn(
+            "status",
+            F.when(F.col("confirmations") >= CONFIRM_BLOCKS, "confirmed").otherwise(
+                "confirming"
+            ),
+        )
+        .withColumn(
+            "confirming_percent",
+            F.least(F.lit(100).cast("bigint"), F.col("confirmations") * 10),
+        )
+        .withColumn("amount_dec", F.col("amount").cast("decimal(18,6)"))
+        .drop("tip_ts")
+    )
+
+
+def reclassify_status(tbl: ParquetUpsertTable, tip_ts) -> None:
+    """Task-5 analog (scan_transaction_status.py:141-180): recompute
+    confirmations / status / percent for non-final rows against the current
+    tip. Streaming leaves early-batch rows at the tip they were ingested
+    under; this periodic sweep converges them — after it, stream state ==
+    batch state (deterministic replay test relies on this).
+    """
+    existing = tbl.read()
+    if existing is None:
+        return
+    conf = F.floor(
+        (
+            F.unix_micros(F.lit(tip_ts).cast("timestamp"))
+            - F.unix_micros("created_at")
+        )
+        / float(BLOCK_SECONDS * 1_000_000)
+    ).cast("bigint")
+    updated = (
+        existing.withColumn("confirmations", conf)
+        .withColumn(
+            "status",
+            F.when(F.col("confirmations") >= CONFIRM_BLOCKS, "confirmed").otherwise(
+                "confirming"
+            ),
+        )
+        .withColumn(
+            "confirming_percent",
+            F.least(F.lit(100).cast("bigint"), F.col("confirmations") * 10),
+        )
+    )
+    tbl.upsert(updated)
+
+
+def run_batch(
+    spark: SparkSession, source_dir: str, out_path: str
+) -> ParquetUpsertTable:
+    raw = spark.read.parquet(source_dir)
+    tbl = ParquetUpsertTable(spark, out_path, keys=["tx_hash"])
+    tbl.upsert(enrich_transactions(raw))
+    return tbl
+
+
+def run_stream_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema=None,
+    coalesce_key: str | None = None,
+) -> None:
+    """Incremental run draining all available input then stopping — the
+    deterministic-replay test mode (reference analog: the forced
+    from_block/to_block range, scan_raw_txs.py:94-98). In production the
+    same query runs with `trigger(processingTime='3 seconds')` (the
+    reference's scan interval)."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    raw_stream = spark.readStream.schema(schema).parquet(source_dir)
+    tbl = ParquetUpsertTable(spark, out_path, keys=["tx_hash"])
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tip = batch_df.agg(F.max("ts")).collect()[0][0]
+        enriched = enrich_transactions(batch_df, tip_ts=tip)
+        if coalesce_key:
+            # T7 queue coalescing: one refresh per key per batch
+            enriched = enriched.dropDuplicates([coalesce_key])
+        tbl.upsert(enriched)
+
+    (
+        raw_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,180 @@
+"""Deterministic replay tests for the streaming layer (SURVEY.md §5):
+fixed input slices -> assert final table state. Covers S4/S6 upsert stream,
+T1-T8 semantics, and batch/stream parity of the shared transform."""
+
+import datetime as dt
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from moc_indexer_spark.streaming.pipeline import (
+    enrich_transactions,
+    reclassify_status,
+    run_batch,
+    run_stream_available_now,
+)
+from moc_indexer_spark.streaming.sink import ParquetUpsertTable
+from moc_indexer_spark.streaming import status as ST
+from moc_indexer_spark.tables import table
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def test_upsert_idempotent(spark, workdir):
+    tbl = ParquetUpsertTable(spark, f"{workdir}/t", keys=["k"])
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    tbl.upsert(df)
+    tbl.upsert(df)  # replay the same batch (at-least-once delivery)
+    out = tbl.read().orderBy("k").collect()
+    assert [(r.k, r.v) for r in out] == [(1, "a"), (2, "b")]
+
+
+def test_upsert_merge_updates_and_inserts(spark, workdir):
+    tbl = ParquetUpsertTable(spark, f"{workdir}/t", keys=["k"])
+    tbl.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    tbl.upsert(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]))
+    out = {r.k: r.v for r in tbl.read().collect()}
+    assert out == {1: "a", 2: "B", 3: "c"}
+
+
+def test_monotonic_version_guard(spark, workdir):
+    # T8: moc_balances.py:127-136 — stale snapshot must not clobber newer
+    tbl = ParquetUpsertTable(
+        spark, f"{workdir}/t", keys=["k"], version_col="block_height"
+    )
+    tbl.upsert(spark.createDataFrame([(1, 100, "new")], ["k", "block_height", "v"]))
+    tbl.upsert(spark.createDataFrame([(1, 90, "old"), (2, 50, "x")],
+                                     ["k", "block_height", "v"]))
+    out = {r.k: (r.block_height, r.v) for r in tbl.read().collect()}
+    assert out == {1: (100, "new"), 2: (50, "x")}
+
+
+def test_update_only_mode(spark, workdir):
+    # T6: fastbtcbridge.py:58-78 — StatusUpdated without prior insert is a no-op
+    tbl = ParquetUpsertTable(spark, f"{workdir}/t", keys=["k"])
+    tbl.upsert(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    tbl.upsert(spark.createDataFrame([(1, "A"), (99, "ghost")], ["k", "v"]),
+               insert=False)
+    out = {r.k: r.v for r in tbl.read().collect()}
+    assert out == {1: "A"}
+
+
+def test_in_batch_dedup_keeps_highest_version(spark, workdir):
+    # T7 queue coalescing: duplicate keys inside one batch collapse
+    tbl = ParquetUpsertTable(spark, f"{workdir}/t", keys=["k"], version_col="ver")
+    tbl.upsert(spark.createDataFrame(
+        [(1, 5, "mid"), (1, 9, "latest"), (1, 1, "oldest")], ["k", "ver", "v"]))
+    out = tbl.read().collect()
+    assert len(out) == 1 and out[0].v == "latest"
+
+
+def test_retention_delete(spark, workdir):
+    # T9: mocsettlement.py:416-429
+    tbl = ParquetUpsertTable(spark, f"{workdir}/t", keys=["k"])
+    tbl.upsert(spark.createDataFrame([(i, i * 10) for i in range(10)], ["k", "age"]))
+    tbl.delete_where(F.col("age") >= 50)
+    assert sorted(r.k for r in tbl.read().collect()) == [0, 1, 2, 3, 4]
+
+
+def test_stream_batch_parity_with_checkpoint_resume(spark, workdir, sf_dir):
+    """Feed the events table in 3 slices through 3 incremental streaming runs
+    (checkpoint carries offsets across runs — the reference's periodic-task
+    restart); after a final status sweep the table must equal the one-shot
+    batch run."""
+    events = table(spark, sf_dir, "events").orderBy("event_id").limit(300).cache()
+    src = f"{workdir}/src"
+    os.makedirs(src)
+    slices = [(0, 100), (100, 200), (200, 300)]
+    out_path, ckpt = f"{workdir}/out", f"{workdir}/ckpt"
+    schema = events.schema
+    for i, (lo, hi) in enumerate(slices):
+        (events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+               .coalesce(1).write.mode("overwrite").parquet(f"{workdir}/stage"))
+        for f_ in os.listdir(f"{workdir}/stage"):
+            if f_.endswith(".parquet"):
+                shutil.copy(f"{workdir}/stage/{f_}", f"{src}/slice{i}.parquet")
+        run_stream_available_now(spark, src, out_path, ckpt, schema=schema)
+
+    stream_tbl = ParquetUpsertTable(spark, out_path, keys=["tx_hash"])
+    tip = events.agg(F.max("ts")).collect()[0][0]
+    reclassify_status(stream_tbl, tip)
+
+    batch_tbl = run_batch(spark, src, f"{workdir}/batch_out")
+    cols = ["tx_hash", "address", "event", "created_at", "amount",
+            "confirmations", "status", "confirming_percent"]
+    a = sorted(map(tuple, stream_tbl.read().select(*cols).collect()))
+    b = sorted(map(tuple, batch_tbl.read().select(*cols).collect()))
+    assert len(a) == 300
+    assert a == b
+
+
+def _obs(tx, observed_s, receipt, confs, created_s=0):
+    base = dt.datetime(2024, 1, 1)
+    return (tx, base + dt.timedelta(seconds=observed_s), receipt, confs,
+            base + dt.timedelta(seconds=created_s))
+
+
+OBS_COLS = ["tx_hash", "observed_at", "receipt_status", "confirmations", "created_at"]
+
+
+def test_status_machine_streaming(spark, workdir):
+    """T2/T3: pending -> confirming -> confirmed across micro-batches;
+    reverted -> failed; chain-time stale -> failed(staleTransaction)."""
+    src = f"{workdir}/obs"
+    os.makedirs(src)
+    batch1 = [
+        _obs("a", 60, "confirmed", 3),      # -> confirming
+        _obs("b", 60, "reverted", 0),       # -> failed
+        _obs("c", 60, None, 0),             # -> pending
+    ]
+    batch2 = [
+        _obs("a", 400, "confirmed", 12),    # -> confirmed
+        _obs("c", 700, None, 0),            # created+600 < chain time -> stale
+    ]
+    schema = ("tx_hash string, observed_at timestamp, receipt_status string, "
+              "confirmations long, created_at timestamp")
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, OBS_COLS).coalesce(1).write.mode(
+            "overwrite").parquet(f"{workdir}/stage{i}")
+        for f_ in os.listdir(f"{workdir}/stage{i}"):
+            if f_.endswith(".parquet"):
+                shutil.copy(f"{workdir}/stage{i}/{f_}", f"{src}/b{i}.parquet")
+        stream = spark.readStream.schema(schema).parquet(src)
+        sink_dir = f"{workdir}/status_out"
+        q = (ST.apply_status_machine(stream)
+             .writeStream.format("parquet")
+             .option("path", sink_dir)
+             .option("checkpointLocation", f"{workdir}/status_ckpt")
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    out = spark.read.parquet(f"{workdir}/status_out").toPandas()
+    # the row with the latest observation per tx is the current state
+    final = {
+        tx: grp.sort_values("last_observed_at").iloc[-1]
+        for tx, grp in out.groupby("tx_hash")
+    }
+    assert final["a"].status == "confirmed" and final["a"].confirming_percent == 100
+    assert final["b"].status == "failed" and final["b"].error_code == "reverted"
+    assert final["c"].status == "failed" and final["c"].error_code == "staleTransaction"
+
+
+def test_status_replay_batch_matches_transition_table():
+    obs = pd.DataFrame(
+        [_obs("x", 30, None, 0), _obs("x", 90, "confirmed", 5),
+         _obs("x", 400, "confirmed", 11),
+         _obs("y", 30, None, 0), _obs("y", 650, None, 0)],
+        columns=OBS_COLS,
+    )
+    out = ST.replay_batch(obs).set_index("tx_hash")
+    assert out.loc["x"].status == "confirmed"
+    assert out.loc["y"].status == "failed"
+    assert out.loc["y"].error_code == "staleTransaction"
