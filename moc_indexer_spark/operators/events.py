@@ -1,0 +1,343 @@
+"""Event decode → demux → enrichment pipeline (SURVEY.md §2 J2/§2.10, Phase 2).
+
+Reference shape (/root/reference/indexer/scan_events_txs.py):
+- :115-132 parse_tx_receipt envelope (block, hash, gas, timestamps)
+- :134-157 demux decoded logs to per-(contract, event) handlers
+- handlers compute derived financial columns and upsert into
+  Transaction / Notification / FastBtcBridge / SettlementState
+
+Spark-first: the `logs` array explodes once; payloads decode with
+`from_json` against per-event schemas (no row-at-a-time ABI library in the
+hot path — pre-decoded JSON is the contract of the raw table, FIXTURES.md
+§1); each handler is a DataFrame->DataFrame function over its filtered
+slice; the union of handler outputs feeds the keyed upsert sink. Handler
+routing is a filter, not a shuffle — one pass over the exploded logs
+produces every sink.
+
+Wei math: all amounts are DECIMAL(38,0) wei (events/events.py:5
+precision=10**18); derived columns use functions/wei.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions import wei
+
+DEC38 = "decimal(38,0)"
+
+# --- per-event payload schemas (FIXTURES.md §2; events/* handlers) ---------
+
+
+def _s(*fields) -> StructType:
+    out = []
+    for f_ in fields:
+        if isinstance(f_, tuple):
+            name, typ = f_
+        else:
+            name, typ = f_, StringType()  # amounts arrive as decimal strings
+        out.append(StructField(name, typ, True))
+    return StructType(out)
+
+
+EXCHANGE_FIELDS = _s(
+    "account", "amount", "reserveTotal", "commission", "reservePrice",
+    "mocCommissionValue", "mocPrice", "mocMarkup", "btcMarkup",
+    "reserveTokenMarkup", "interests", "leverage",
+)
+
+EVENT_SCHEMAS: dict[str, StructType] = {
+    # MoCExchange family (events/mocexchange.py:42-89)
+    "RiskProMint": EXCHANGE_FIELDS,
+    "RiskProRedeem": EXCHANGE_FIELDS,
+    "RiskProxMint": EXCHANGE_FIELDS,
+    "RiskProxRedeem": EXCHANGE_FIELDS,
+    "StableTokenMint": EXCHANGE_FIELDS,
+    "StableTokenRedeem": EXCHANGE_FIELDS,
+    "FreeStableTokenRedeem": EXCHANGE_FIELDS,
+    # Settlement (events/mocsettlement.py)
+    "SettlementStarted": _s(
+        ("stableTokenRedeemCount", LongType()), ("deleveragingCount", LongType()),
+        "riskProxPrice", "reservePrice",
+    ),
+    "RedeemRequestAlter": _s("redeemer", "delta", "isAddition"),
+    "RedeemRequestProcessed": _s("redeemer", "amount"),
+    "SettlementRedeemStableToken": _s(
+        ("queueSize", LongType()), "accumCommissions", "reservePrice"
+    ),
+    "SettlementDeleveraging": _s(
+        "leverage", "riskProxPrice", "reservePrice", ("startBlockNumber", LongType())
+    ),
+    "SettlementCompleted": _s(),
+    # MoC (events/moc.py)
+    "BucketLiquidation": _s("bucket"),
+    "ContractLiquidated": _s("bucket"),
+    # MoCInrate (events/mocinrate.py)
+    "InrateDailyPay": _s("amount", ("daysToSettlement", LongType())),
+    "RiskProHoldersInterestPay": _s("amount", "nReserveBucketC0BeforePay"),
+    # MoCState (events/mocstate.py)
+    "StateTransition": _s(("newState", LongType())),
+    # ERC20 tokens (events/token_*.py)
+    "Transfer": _s("from", "to", "value"),
+    "Approval": _s("owner", "spender", "value"),
+    # FastBtcBridge (events/fastbtcbridge.py)
+    "NewBitcoinTransfer": _s(
+        "transferId", "btcAddress", ("nonce", LongType()), "amountSatoshi",
+        "feeSatoshi", "rskAddress",
+    ),
+    "BitcoinTransferStatusUpdated": _s("transferId", ("newStatus", LongType())),
+}
+
+FASTBTC_STATUS = {0: "NOT_STARTED", 1: "SENDING", 2: "MINED", 3: "REFUNDED", 4: "RECLAIMED"}
+D_STATES = {0: "Liquidated", 1: "BProDiscountRate", 2: "BelowCobj", 3: "AboveCobj"}
+
+
+def explode_logs(raw: DataFrame) -> DataFrame:
+    """raw_transactions (FIXTURES.md §1) -> one row per log with the
+    parse_tx_receipt envelope (scan_events_txs.py:115-132)."""
+    return raw.select(
+        F.col("blockNumber").alias("block_number"),
+        F.col("hash").alias("transaction_hash"),
+        F.col("gas_used"),
+        F.col("gasPrice").cast(DEC38).alias("gas_price"),
+        F.col("timestamp").alias("block_ts"),
+        F.col("timestamp").alias("created_at"),
+        F.col("status").alias("receipt_status"),
+        F.explode("logs").alias("log"),
+    ).select(
+        "*",
+        F.lower(F.col("log.address")).alias("contract"),
+        F.col("log.logIndex").alias("log_index"),
+        F.col("log.event_name").alias("event_name"),
+        F.col("log.payload").alias("payload"),
+    ).drop("log")
+
+
+def decode_event(logs: DataFrame, event_name: str) -> DataFrame:
+    """Filter one event type and decode its JSON payload into `ev.*`
+    (from_json with the per-event schema — Catalyst JSON parser, pushdown-
+    friendly; the filter prunes before parsing)."""
+    schema = EVENT_SCHEMAS[event_name]
+    df = logs.filter(F.col("event_name") == event_name)
+    if len(schema.fields) == 0:
+        return df
+    return df.withColumn("ev", F.from_json("payload", schema))
+
+
+def _wei(col):
+    return col.cast(DEC38)
+
+
+def enrich_exchange(logs: DataFrame, event_name: str) -> DataFrame:
+    """MoCExchange derived columns (events/mocexchange.py:42-89):
+    USD amount, rbtc commission fallback to MoC-token commission (F5),
+    gas fee, signed total (F7). Output = Transaction-shaped rows."""
+    mint_like = event_name.endswith("Mint")
+    df = decode_event(logs, event_name)
+    amount = _wei(F.col("ev.amount"))
+    reserve_total = _wei(F.col("ev.reserveTotal"))
+    commission = _wei(F.col("ev.commission"))
+    reserve_price = _wei(F.col("ev.reservePrice"))
+    moc_commission = _wei(F.col("ev.mocCommissionValue"))
+    moc_price = _wei(F.col("ev.mocPrice"))
+    # markup arrives as btcMarkup OR reserveTokenMarkup (F5 fallback input)
+    markup = F.coalesce(
+        _wei(F.col("ev.btcMarkup")), _wei(F.col("ev.reserveTokenMarkup")),
+        F.lit(0).cast(DEC38),
+    )
+    interests = F.coalesce(_wei(F.col("ev.interests")), F.lit(0).cast(DEC38))
+
+    rbtc_commission = commission + markup
+    usd_commission = F.when(
+        rbtc_commission > 0, wei.usd_amount(rbtc_commission, reserve_price)
+    ).otherwise(wei.usd_amount(moc_commission, moc_price))
+    gas_fee = wei.gas_fee_wei(F.col("gas_used"), F.col("gas_price"))
+    is_positive = F.lit(mint_like)
+
+    return df.select(
+        F.col("transaction_hash").alias("transactionHash"),
+        F.lower(F.col("ev.account")).alias("address"),
+        F.col("block_number").alias("blockNumber"),
+        F.lit(event_name).alias("event"),
+        amount.alias("amount"),
+        reserve_total.alias("RBTCAmount"),
+        wei.usd_amount(reserve_total, reserve_price).alias("USDAmount"),
+        rbtc_commission.alias("rbtcCommission"),
+        usd_commission.alias("USDCommission"),
+        interests.alias("rbtcInterests"),
+        wei.usd_amount(interests, reserve_price).alias("USDInterests"),
+        gas_fee.alias("gasFeeRBTC"),
+        wei.usd_amount(gas_fee, reserve_price).alias("gasFeeUSD"),
+        wei.signed_total(
+            reserve_total, rbtc_commission, interests, gas_fee, is_positive
+        ).alias("RBTCTotal"),
+        is_positive.alias("isPositive"),
+        reserve_price.alias("reservePrice"),
+        moc_price.alias("mocPrice"),
+        F.col("created_at").alias("createdAt"),
+        F.col("log_index").alias("logIndex"),
+    )
+
+
+def enrich_transfers(
+    logs: DataFrame,
+    token: str,
+    excluded_addresses: list[str],
+    registered_users: DataFrame | None = None,
+) -> DataFrame:
+    """ERC20 Transfer -> one row per affected side (token_riskpro.py:56-122):
+    the 1->N UDTF surface (§2.10) expressed as explode over the (from, to)
+    pair, minus zero/contract addresses (P6), optionally semi-joined to
+    registered users (P8)."""
+    df = decode_event(logs, "Transfer")
+    excl = [a.lower() for a in excluded_addresses]
+    sides = df.select(
+        "*",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lower(F.col("ev.from")).alias("address"),
+                    F.lit(False).alias("is_positive"),
+                ),
+                F.struct(
+                    F.lower(F.col("ev.to")).alias("address"),
+                    F.lit(True).alias("is_positive"),
+                ),
+            )
+        ).alias("side"),
+    )
+    # reference skips the WHOLE transfer if either side is excluded
+    # (token_riskpro.py:31-41)
+    out = (
+        sides.filter(
+            ~F.lower(F.col("ev.from")).isin(excl)
+            & ~F.lower(F.col("ev.to")).isin(excl)
+        )
+        .select(
+            F.col("transaction_hash").alias("transactionHash"),
+            F.col("side.address").alias("address"),
+            F.col("block_number").alias("blockNumber"),
+            F.lit("Transfer").alias("event"),
+            F.lit(token).alias("tokenInvolved"),
+            _wei(F.col("ev.value")).alias("amount"),
+            F.when(F.col("side.is_positive"), _wei(F.col("ev.value")))
+            .otherwise(-_wei(F.col("ev.value")))
+            .alias("signedAmount"),
+            F.col("side.is_positive").alias("isPositive"),
+            F.col("created_at").alias("createdAt"),
+            F.col("log_index").alias("logIndex"),
+        )
+    )
+    if registered_users is not None:
+        users = registered_users.select(
+            F.lower(F.col("username")).alias("__u")
+        )
+        out = out.join(
+            F.broadcast(users), out.address == F.col("__u"), "left_semi"
+        )
+    return out
+
+
+def enrich_approvals(logs: DataFrame, moc_contract: str) -> DataFrame:
+    """Approval rows, only when spender is the MoC contract (P7,
+    token_reserve.py:91-93)."""
+    df = decode_event(logs, "Approval")
+    return (
+        df.filter(F.lower(F.col("ev.spender")) == moc_contract.lower())
+        .select(
+            F.col("transaction_hash").alias("transactionHash"),
+            F.lower(F.col("ev.owner")).alias("address"),
+            F.col("block_number").alias("blockNumber"),
+            F.lit("Approval").alias("event"),
+            _wei(F.col("ev.value")).alias("amount"),
+            F.col("created_at").alias("createdAt"),
+            F.col("log_index").alias("logIndex"),
+        )
+    )
+
+
+def enrich_fastbtc(logs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """FastBtcBridge: NewBitcoinTransfer inserts; StatusUpdated is
+    update-only (T6, fastbtcbridge.py:58-78). Returns (inserts, updates)."""
+    new = decode_event(logs, "NewBitcoinTransfer").select(
+        F.col("ev.transferId").alias("transferId"),
+        F.col("transaction_hash").alias("transactionHash"),
+        F.col("block_number").alias("blockNumber"),
+        F.lit("PEG_OUT").alias("type"),
+        F.col("ev.nonce").alias("nonce"),
+        F.col("ev.btcAddress").alias("btcAddress"),
+        F.lower(F.col("ev.rskAddress")).alias("rskAddress"),
+        _wei(F.col("ev.amountSatoshi")).alias("amountSatoshi"),
+        _wei(F.col("ev.feeSatoshi")).alias("feeSatoshi"),
+        F.lit(1).cast("bigint").alias("status"),
+        F.col("created_at").alias("timestamp"),
+        F.col("created_at").alias("updated"),
+    )
+    upd = decode_event(logs, "BitcoinTransferStatusUpdated").select(
+        F.col("ev.transferId").alias("transferId"),
+        F.col("transaction_hash").alias("transactionHashLastUpdated"),
+        F.col("ev.newStatus").cast("bigint").alias("status"),
+        F.col("created_at").alias("updated"),
+    )
+    return new, upd
+
+
+def enrich_state_transition(logs: DataFrame) -> DataFrame:
+    """StateTransition -> Notification rows with decoded state name
+    (mocstate.py:11-37, F13)."""
+    df = decode_event(logs, "StateTransition")
+    mapping = F.create_map(
+        *[x for kv in D_STATES.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    return df.select(
+        F.col("transaction_hash").alias("transactionHash"),
+        F.col("log_index").alias("logIndex"),
+        F.lit("StateTransition").alias("event"),
+        F.col("ev.newState").alias("newState"),
+        F.element_at(mapping, F.col("ev.newState").cast("int")).alias("stateName"),
+        F.col("created_at").alias("timestamp"),
+    )
+
+
+def run_event_pipeline(
+    raw: DataFrame,
+    moc_contract: str = "0x" + "ab" * 20,
+    excluded_addresses: tuple[str, ...] = ("0x" + "00" * 20,),
+    registered_users: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """One pass: explode logs once, fan out to every handler (J2 demux).
+
+    Returns {sink_name: DataFrame}. Each output is keyed for the upsert
+    sink with the reference's unique keys (mongo_manager.py:150-176,265-275).
+    """
+    logs = explode_logs(raw).filter(F.col("receipt_status") == "confirmed")
+    exchange = None
+    for name in (
+        "RiskProMint", "RiskProRedeem", "RiskProxMint", "RiskProxRedeem",
+        "StableTokenMint", "StableTokenRedeem", "FreeStableTokenRedeem",
+    ):
+        part = enrich_exchange(logs, name)
+        exchange = part if exchange is None else exchange.unionByName(part)
+    transfers = enrich_transfers(
+        logs, "RISKPRO", list(excluded_addresses) + [moc_contract],
+        registered_users,
+    )
+    approvals = enrich_approvals(logs, moc_contract)
+    fastbtc_new, fastbtc_upd = enrich_fastbtc(logs)
+    notifications = enrich_state_transition(logs)
+    return {
+        "transactions": exchange,
+        "transfers": transfers,
+        "approvals": approvals,
+        "fastbtc_new": fastbtc_new,
+        "fastbtc_updates": fastbtc_upd,
+        "notifications": notifications,
+    }

@@ -1,0 +1,128 @@
+"""Deterministic raw_transactions fixture generator (FIXTURES.md §1-2).
+
+Builds the reference-shaped raw tx rows with decoded-event JSON payloads in
+the `logs` array, including every edge path: markup field variants (F5
+fallback), zero-address / contract transfers (P6), foreign-spender
+approvals (P7), StatusUpdated without prior NewBitcoinTransfer (T6)."""
+
+import datetime as dt
+import json
+import random
+
+ZERO = "0x" + "00" * 20
+MOC = "0x" + "ab" * 20
+W = 10**18
+
+
+def _addr(rng):
+    return "0x" + "".join(rng.choices("0123456789abcdef", k=40))
+
+
+def _hash(rng):
+    return "0x" + "".join(rng.choices("0123456789abcdef", k=64))
+
+
+def generate_raw_txs(n_tx: int = 120, seed: int = 7):
+    rng = random.Random(seed)
+    users = [_addr(rng) for _ in range(20)]
+    base_ts = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n_tx):
+        block = 1000 + i // 2
+        logs = []
+        kind = i % 6
+        if kind in (0, 1):  # exchange event
+            name = rng.choice(
+                ["RiskProMint", "RiskProRedeem", "StableTokenMint",
+                 "RiskProxMint", "FreeStableTokenRedeem"]
+            )
+            zero_comm = rng.random() < 0.3  # exercise F5 fallback
+            payload = {
+                "account": rng.choice(users),
+                "amount": str(rng.randrange(1, 10**22)),
+                "reserveTotal": str(rng.randrange(10**15, 10**21)),
+                "commission": "0" if zero_comm else str(rng.randrange(10**12, 10**17)),
+                "reservePrice": str(rng.randrange(10**21, 10**23)),
+                "mocCommissionValue": str(rng.randrange(10**12, 10**17)),
+                "mocPrice": str(rng.randrange(10**17, 10**19)),
+            }
+            # one of two markup encodings (F5 input variant)
+            markup_key = rng.choice(["btcMarkup", "reserveTokenMarkup"])
+            payload[markup_key] = "0" if zero_comm else str(rng.randrange(10**11, 10**15))
+            if name.startswith("RiskProx"):
+                payload["interests"] = str(rng.randrange(10**12, 10**16))
+                payload["leverage"] = str(2 * W)
+            logs.append({"address": MOC, "logIndex": 0, "event_name": name,
+                         "payload": json.dumps(payload)})
+        elif kind == 2:  # transfers, some touching excluded addresses
+            frm = rng.choice([ZERO, MOC] + users)
+            to = rng.choice([ZERO] + users)
+            logs.append({
+                "address": _addr(rng), "logIndex": 0, "event_name": "Transfer",
+                "payload": json.dumps(
+                    {"from": frm, "to": to, "value": str(rng.randrange(1, 10**20))}
+                ),
+            })
+        elif kind == 3:  # approvals: half foreign spender (must be dropped)
+            spender = MOC if rng.random() < 0.5 else _addr(rng)
+            logs.append({
+                "address": _addr(rng), "logIndex": 0, "event_name": "Approval",
+                "payload": json.dumps(
+                    {"owner": rng.choice(users), "spender": spender,
+                     "value": str(rng.randrange(1, 10**20))}
+                ),
+            })
+        elif kind == 4:  # fastbtc lifecycle; some updates have no insert
+            tid = f"tid-{i if rng.random() < 0.8 else 99999}"
+            logs.append({
+                "address": _addr(rng), "logIndex": 0,
+                "event_name": "NewBitcoinTransfer",
+                "payload": json.dumps({
+                    "transferId": f"tid-{i}", "btcAddress": "bc1q" + "x" * 20,
+                    "nonce": i, "amountSatoshi": str(rng.randrange(10**4, 10**9)),
+                    "feeSatoshi": str(rng.randrange(10, 10**4)),
+                    "rskAddress": rng.choice(users),
+                }),
+            })
+            logs.append({
+                "address": _addr(rng), "logIndex": 1,
+                "event_name": "BitcoinTransferStatusUpdated",
+                "payload": json.dumps(
+                    {"transferId": tid, "newStatus": rng.choice([2, 3, 4])}
+                ),
+            })
+        else:  # state transition notification
+            logs.append({
+                "address": _addr(rng), "logIndex": 0,
+                "event_name": "StateTransition",
+                "payload": json.dumps({"newState": rng.randrange(0, 4)}),
+            })
+
+        rows.append({
+            "hash": _hash(rng),
+            "blockNumber": block,
+            "from": rng.choice(users),
+            "to": MOC,
+            "value": str(rng.randrange(0, 10**20)),
+            "gas": 2_000_000,
+            "gasPrice": str(rng.randrange(6 * 10**7, 10**10)),
+            "input": "0x",
+            "receipt": True,
+            "processed": False,
+            "gas_used": rng.randrange(21_000, 2_000_000),
+            "confirmations": 20,
+            "timestamp": base_ts + dt.timedelta(seconds=30 * (i // 2)),
+            "logs": logs,
+            "status": "confirmed" if rng.random() < 0.95 else "reverted",
+        })
+    return rows
+
+
+RAW_SCHEMA = (
+    "hash string, blockNumber long, from string, to string, value string, "
+    "gas long, gasPrice string, input string, receipt boolean, "
+    "processed boolean, gas_used long, confirmations int, "
+    "timestamp timestamp, "
+    "logs array<struct<address:string,logIndex:int,event_name:string,payload:string>>, "
+    "status string"
+)
