@@ -61,7 +61,8 @@ def register(name, oracle, tags=(), bench=False):
 
 
 def registry() -> list[QuerySpec]:
-    from . import llm_registry, relational_extra  # noqa: F401  (side-effect registration)
+    # side-effect registration
+    from . import llm_registry, relational_extra, serving_registry  # noqa: F401
 
     return list(_REGISTRY)
 
