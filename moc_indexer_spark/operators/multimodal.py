@@ -1,0 +1,121 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines — 100 TB design, decode stubbed.
+
+Layout: media as opaque `binary` columns + typed metadata struct; transforms
+(decode / resize / feature-extract / frame-sample) are Arrow-batched
+`mapInPandas` stages so bytes move executor-side in columnar batches, never
+through the driver and never row-at-a-time.
+
+The actual codec calls are STUBBED (image/audio libraries are not in this
+container): `decode_image_stub` raises NotImplementedError unless
+`fake=True`, which produces a deterministic fake decode so the Spark-side
+plumbing (schema, partitioning, batch shape, UDF signature) is real and
+tested. Swapping in PIL/ffmpeg touches only the inner function.
+
+Scale notes:
+- media tables partition by (modality, bucket(content_hash)) — dedup and
+  join locality for free; metadata-only queries never read bytes thanks to
+  parquet column pruning.
+- `spark.sql.files.maxPartitionBytes` governs batch memory: with ~1 MB
+  blobs, 128 MB partitions hold ~128 rows — decode memory stays bounded.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, modality string, content binary, "
+    "meta struct<mime:string, width:int, height:int, duration_ms:long>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, content_hash string, n_bytes long, "
+    "width int, height int, feature array<float>"
+)
+
+
+def decode_image_stub(content: bytes, fake: bool = False) -> tuple[int, int, list[float]]:
+    """Placeholder for the real decoder (PIL / torchvision / ffmpeg).
+
+    fake=True: deterministic pseudo-decode from the content hash —
+    byte-stable across executors, good enough to exercise the pipeline.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; "
+            "swap in PIL.Image.open(io.BytesIO(content)) here"
+        )
+    h = hashlib.sha256(content).digest()
+    width = 64 + h[0]
+    height = 64 + h[1]
+    feature = [b / 255.0 for b in h[:16]]
+    return width, height, feature
+
+
+def extract_features(
+    media: DataFrame, fake_decode: bool = True, batch_hint: int = 64
+) -> DataFrame:
+    """Decode + feature-extract as an Arrow mapInPandas stage.
+
+    Output keeps only metadata + features (bytes are dropped as early as
+    possible — the downstream ANN/dedup operators never see blobs).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "content_hash": [], "n_bytes": [],
+                "width": [], "height": [], "feature": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                w, h, feat = decode_image_stub(raw, fake=fake_decode)
+                out["media_id"].append(mid)
+                out["content_hash"].append(hashlib.sha256(raw).hexdigest())
+                out["n_bytes"].append(len(raw))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def exact_media_dedup(features: DataFrame) -> DataFrame:
+    """Byte-identical media dedup on the content hash (same cascade tier as
+    text exact dedup): one shuffle on a uniform 256-bit key."""
+    return (
+        features.groupBy("content_hash")
+        .agg(
+            F.min("media_id").cast("bigint").alias("keeper_media_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+def synthesize_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
+    """Deterministic fake media table for tests (binary payloads with
+    planted exact duplicates)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        if i % 7 == 0 and rows:  # planted duplicate of an earlier blob
+            content = rows[rng.randrange(len(rows))][2]
+        else:
+            content = bytes(rng.randrange(256) for _ in range(256 + i))
+        rows.append(
+            (i, "image", content, {"mime": "image/fake", "width": None,
+                                   "height": None, "duration_ms": None})
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
