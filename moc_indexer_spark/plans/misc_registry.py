@@ -1,0 +1,89 @@
+"""Registry batch 5: remaining scalar-function line items from SURVEY.md
+§2.7 — F8 unix-epoch timestamps, F9 bookkeeping timestamps (shape only;
+current_timestamp itself is non-deterministic so the oracle pins the same
+constant), F14 string→bool coercion, F18 JSON serialization of results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import transactions
+from .registry import TX_WITH, register
+
+
+@register(
+    "unix_epoch_roundtrip",
+    f"""
+    {TX_WITH}
+    SELECT tx_hash,
+           CAST(FLOOR(epoch(created_at)) AS BIGINT) AS unix_sec,
+           CAST(to_timestamp(CAST(FLOOR(epoch(created_at)) AS BIGINT)) AS TIMESTAMP)
+             AS ts_from_unix
+    FROM transactions WHERE address = 3
+    """,
+    tags=("F8",),
+)
+def q_unix_epoch_roundtrip(spark, sf_dir):
+    """F8: unix seconds <-> timestamp (scan_raw_txs.py:45-49 block-time
+    handling)."""
+    t = transactions(spark, sf_dir).filter(F.col("address") == 3)
+    unix_sec = F.floor(F.unix_micros("created_at") / 1_000_000).cast("bigint")
+    return t.select(
+        "tx_hash",
+        unix_sec.alias("unix_sec"),
+        F.timestamp_seconds(unix_sec).alias("ts_from_unix"),
+    )
+
+
+@register(
+    "bool_coercion",
+    f"""
+    {TX_WITH},
+    s AS (SELECT tx_hash,
+                 CASE WHEN address % 3 = 0 THEN 'True'
+                      WHEN address % 3 = 1 THEN 'false' ELSE 'TRUE' END AS flag_str
+          FROM transactions)
+    SELECT tx_hash, flag_str,
+           (lower(flag_str) = 'true') AS is_addition
+    FROM s
+    """,
+    tags=("F14",),
+)
+def q_bool_coercion(spark, sf_dir):
+    """F14: the RedeemRequestAlter isAddition field arrives as bool OR
+    'True'/'False' string (mocsettlement.py:97-104) — normalize via
+    lower()=='true'."""
+    t = transactions(spark, sf_dir)
+    flag = (
+        F.when(F.col("address") % 3 == 0, "True")
+        .when(F.col("address") % 3 == 1, "false")
+        .otherwise("TRUE")
+    )
+    return t.select(
+        "tx_hash",
+        flag.alias("flag_str"),
+        (F.lower(flag) == "true").alias("is_addition"),
+    )
+
+
+@register(
+    "json_result_envelope",
+    f"""
+    {TX_WITH}
+    SELECT tx_hash,
+           to_json(struct_pack(tx_hash := tx_hash, event := event,
+                               amount := amount)) AS doc
+    FROM transactions WHERE address = 3
+    """,
+    tags=("F18",),
+)
+def q_json_result_envelope(spark, sf_dir):
+    """F18: BSON/JSON serialization of result rows (lib_tools.py:34-35) —
+    the API response envelope, built engine-side with to_json(struct)."""
+    t = transactions(spark, sf_dir).filter(F.col("address") == 3)
+    return t.select(
+        "tx_hash",
+        F.to_json(F.struct(
+            F.col("tx_hash"), F.col("event"), F.col("amount")
+        )).alias("doc"),
+    )

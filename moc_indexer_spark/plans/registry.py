@@ -62,7 +62,12 @@ def register(name, oracle, tags=(), bench=False):
 
 def registry() -> list[QuerySpec]:
     # side-effect registration
-    from . import llm_registry, relational_extra, serving_registry  # noqa: F401
+    from . import (  # noqa: F401
+        llm_registry,
+        misc_registry,
+        relational_extra,
+        serving_registry,
+    )
 
     return list(_REGISTRY)
 

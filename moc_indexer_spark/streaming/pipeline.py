@@ -61,8 +61,46 @@ def enrich_transactions(raw: DataFrame, tip_ts=None) -> DataFrame:
             F.least(F.lit(100).cast("bigint"), F.col("confirmations") * 10),
         )
         .withColumn("amount_dec", F.col("amount").cast("decimal(18,6)"))
+        .withColumn("process_logs", F.lit(True))
         .drop("tip_ts")
     )
+
+
+def reprocess_unprocessed(
+    spark: SparkSession,
+    tbl: ParquetUpsertTable,
+    source_dir: str,
+    now_ts,
+    window_hours: int = 24,
+    min_age_seconds: int = 300,
+) -> int:
+    """T5 dead-letter reprocess (scan_events_txs.py:191-238): re-run the
+    enrichment for rows whose event decode never completed (process_logs
+    null), bounded to the last `window_hours` and skipping rows younger
+    than `min_age_seconds` (still in flight). Returns rows reprocessed.
+
+    Same shape at scale: the candidate set is tiny (failures), so the
+    re-read of the raw source is key-pruned via a broadcast semi-join.
+    """
+    existing = tbl.read()
+    if existing is None:
+        return 0
+    now = F.lit(now_ts).cast("timestamp")
+    cand = existing.filter(
+        F.col("process_logs").isNull()
+        & (F.col("created_at") >= now - F.expr(f"INTERVAL {window_hours} HOURS"))
+        & (F.col("created_at") <= now - F.expr(f"INTERVAL {min_age_seconds} SECONDS"))
+    ).select("tx_hash")
+    n = cand.count()
+    if n == 0:
+        return 0
+    raw = spark.read.parquet(source_dir)
+    raw_cand = raw.join(
+        F.broadcast(cand), raw["event_id"] == cand["tx_hash"], "left_semi"
+    )
+    tip = raw.agg(F.max("ts")).collect()[0][0]
+    tbl.upsert(enrich_transactions(raw_cand, tip_ts=tip))
+    return n
 
 
 def reclassify_status(tbl: ParquetUpsertTable, tip_ts) -> None:

@@ -75,12 +75,36 @@ class ParquetUpsertTable:
             .drop("__rn")
         )
 
+    def _align_schemas(
+        self, batch: DataFrame, existing: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """Partial `$set` support (fastbtcbridge.py:63-78 updates only a
+        field subset) + schema evolution (Mongo documents grow fields):
+        - columns absent from the batch are filled from the matched existing
+          row (unmatched rows get nulls — they only survive in insert mode);
+        - columns new in the batch are added to the existing table as nulls.
+        """
+        missing = [c for c in existing.columns if c not in batch.columns]
+        if missing:
+            ex = existing.select(*self.keys, *missing)
+            batch = batch.join(F.broadcast(ex), self.keys, "left")
+        new_cols = [
+            f for f in batch.schema.fields if f.name not in existing.columns
+        ]
+        for f_ in new_cols:
+            existing = existing.withColumn(
+                f_.name, F.lit(None).cast(f_.dataType)
+            )
+        return batch, existing
+
     def upsert(self, batch: DataFrame, insert: bool = True) -> None:
         """MERGE batch into the table.
 
         insert=False -> update-only (T6): non-matching incoming keys dropped.
         With version_col -> matched rows replaced only if
         incoming.version >= existing.version (T8).
+        Batches may carry a column subset (partial $set) — missing columns
+        keep their existing values.
         """
         batch = self._dedup_incoming(batch)
         existing = self.read()
@@ -88,6 +112,7 @@ class ParquetUpsertTable:
             if insert:
                 self._atomic_write(batch)
             return
+        batch, existing = self._align_schemas(batch, existing)
 
         join_cond = [batch[k] == existing[k] for k in self.keys]
 
