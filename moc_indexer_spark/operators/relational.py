@@ -85,6 +85,68 @@ def as_of_range(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Distributed keyed as-of join: for each left row, the latest right row
+    with right_ts <= left_ts for the same key (LEFT semantics — unmatched
+    rows keep null values). Spark has no ASOF JOIN; the scalable
+    formulation is the union-tag trick:
+
+      union(left, right) -> one hash shuffle on key -> per-key time order ->
+      last_value(value, ignoreNulls) running window -> keep left rows
+
+    One shuffle total, no range self-join, no per-key collect. This is the
+    balance-history reconstruction SURVEY.md §7 calls the hard part of J6:
+    at 100 TB the union is two columnar scans and the window runs inside
+    one partition per key group.
+
+    At equal timestamps the right row is visible to the left row
+    (`<=` semantics) — right rows sort first via the tag.
+    """
+    lcols = [c for c in left.columns]
+    l2 = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+          for c in value_cols],
+    )
+    r2 = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    # right rows first at equal ts => visible to left rows at the same ts
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.asc("__ts"), F.desc("__tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l2.unionByName(r2).select(
+        "*",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return (
+        filled.filter(F.col("__tag") == 0)
+        .select(
+            *lcols,
+            *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols],
+        )
+    )
+
+
 def paginate_with_total(
     df: DataFrame, order_by: Sequence, skip: int, limit: int
 ) -> DataFrame:

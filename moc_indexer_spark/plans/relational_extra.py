@@ -469,6 +469,41 @@ def q_region_supplier_rollup(spark, sf_dir):
 
 
 @register(
+    "asof_join_price_at_click",
+    f"""
+    {TX_WITH},
+    clicks AS (SELECT tx_hash, address, created_at FROM transactions
+               WHERE event = 'click'),
+    purchases AS (SELECT address, created_at, amount FROM transactions
+                  WHERE event = 'purchase')
+    SELECT c.tx_hash, c.address, c.created_at, p.amount AS asof_amount
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.address = p.address AND c.created_at >= p.created_at
+    """,
+    tags=("J6", "asof-join"),
+    bench=True,
+)
+def q_asof_join_price_at_click(spark, sf_dir):
+    """Keyed event-time AS-OF join: each click gets the user's latest prior
+    purchase amount (the balance-at-height reconstruction pattern). Spark
+    has no ASOF JOIN — this is the one-shuffle union+window formulation;
+    the oracle uses DuckDB's native ASOF JOIN."""
+    t = transactions(spark, sf_dir)
+    clicks = t.filter(F.col("event") == "click").select(
+        "tx_hash", "address", "created_at"
+    )
+    purchases = t.filter(F.col("event") == "purchase").select(
+        "address", "created_at", "amount"
+    )
+    from ..operators.relational import asof_join
+
+    return asof_join(
+        clicks, purchases, key="address", left_ts="created_at",
+        right_ts="created_at", value_cols=["amount"],
+    )
+
+
+@register(
     "order_priority_counts",
     """
     SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
