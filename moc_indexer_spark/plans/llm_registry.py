@@ -269,3 +269,14 @@ def q_embedding_norms(spark, sf_dir):
             6,
         ).alias("l2_norm"),
     )
+
+
+@register("dedup_clusters", None, tags=("llm", "dedup", "iterative"))
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters via iterative min-label propagation over the
+    exact-Jaccard pair graph (rows-only: iterative, not single-query SQL;
+    pytest checks against a Python transitive-closure reference)."""
+    pairs = D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+    return D.dedup_clusters(pairs)

@@ -7,8 +7,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..tables import transactions
+from ..tables import table, transactions
 from .registry import TX_WITH, register
+from ..streaming.windows import tumbling_agg
 
 
 @register(
@@ -87,3 +88,22 @@ def q_json_result_envelope(spark, sf_dir):
             F.col("tx_hash"), F.col("event"), F.col("amount")
         )).alias("doc"),
     )
+
+
+@register(
+    "hourly_window_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("window", "event-time", "T1"),
+    bench=True,
+)
+def q_hourly_window_agg(spark, sf_dir):
+    """Tumbling event-time window aggregation (batch form; the streaming
+    form with watermark is streaming/windows.py `streaming_tumbling_agg`,
+    replay-tested in test_windows.py)."""
+    return tumbling_agg(table(spark, sf_dir, "events"), "1 hour")

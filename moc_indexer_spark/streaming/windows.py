@@ -1,0 +1,60 @@
+"""Event-time windowed aggregation with watermarking.
+
+The reference has no event-time windows (SURVEY.md §2.9 note) — its
+per-block Price/MocState histories are 1-block tumbling windows in
+disguise. Here both forms exist Spark-natively:
+
+- `tumbling_agg`: batch form — `window(ts, width)` group-by, used by the
+  oracle-checked `hourly_window_agg` query.
+- `streaming_tumbling_agg`: the same aggregation under Structured
+  Streaming with `withWatermark` — late rows beyond the watermark are
+  dropped, finalized windows emit exactly once (append mode). This is the
+  T1 confirmation-lag idea expressed in event time.
+
+Batch/stream parity: both call the same `_agg` projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _agg(grouped):
+    return grouped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Batch tumbling window: (window_start, event_type) aggregates."""
+    g = events.groupBy(
+        F.window("ts", width).alias("w"), F.col("event_type")
+    )
+    return _agg(g).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def streaming_tumbling_agg(
+    events_stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming form: watermarked event-time windows; append-mode output
+    emits a window only once its watermark passes (deterministic finals,
+    late data beyond `watermark` dropped)."""
+    g = events_stream.withWatermark("ts", watermark).groupBy(
+        F.window("ts", width).alias("w"), F.col("event_type")
+    )
+    return _agg(g).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

@@ -112,3 +112,30 @@ def test_gas_fee_and_signed_total(spark):
     expect = 10**18 + 10**16 + 5 * 10**15
     assert int(out[0].total) == expect
     assert int(out[1].total) == -expect
+
+
+def test_dedup_clusters_match_transitive_closure(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = [(r.doc_i, r.doc_j)
+             for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()]
+    if not pairs:
+        pytest.skip("no near-dup pairs at this sf")
+    # python union-find reference
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+    from moc_indexer_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    got = {r.doc_id: r.cluster_id
+           for r in dedup_clusters(ngram_jaccard_pairs(docs, n=3, threshold=0.8)).collect()}
+    assert got == expected

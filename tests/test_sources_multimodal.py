@@ -95,3 +95,28 @@ def test_multimodal_real_decode_is_explicit_stub(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_balance_refresh_task(spark, tmp_path):
+    """Task 7: queue drain with coalescing, batched balance fetch, monotonic
+    versioned upsert — refresh at an OLDER height must not clobber."""
+    from moc_indexer_spark.app import Indexer
+
+    idx = Indexer(spark, str(tmp_path), FakeChain(CONTRACTS, USERS), CONTRACTS)
+    queue = spark.createDataFrame(
+        [(USERS[0],), (USERS[0].upper(),), (USERS[1],)], ["account"]
+    )
+    n = idx.run_balance_refresh(queue, tip=100)
+    assert n == 2  # coalesced (case-normalized duplicate)
+    state_100 = {r.address: r.moc_balance
+                 for r in idx.tables["user_state"].read().collect()}
+    # stale refresh at lower height: monotonic guard keeps height-100 rows
+    idx.run_balance_refresh(queue, tip=90)
+    after = {r.address: (r.block_height, r.moc_balance)
+             for r in idx.tables["user_state"].read().collect()}
+    for addr, (h, bal) in after.items():
+        assert h == 100 and bal == state_100[addr]
+    # newer refresh advances
+    idx.run_balance_refresh(queue, tip=110)
+    assert all(r.block_height == 110
+               for r in idx.tables["user_state"].read().collect())
