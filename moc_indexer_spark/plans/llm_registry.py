@@ -280,3 +280,76 @@ def q_dedup_clusters(spark, sf_dir):
         table(spark, sf_dir, "documents"), n=NGRAM_N, threshold=JACCARD_THRESHOLD
     )
     return D.dedup_clusters(pairs)
+
+
+@register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (data-quality profiling of
+    a training pipeline; at 100 TB swap percentile -> approx_percentile,
+    which is the mergeable-sketch path)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "token_count_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS bpe_token_count,
+           CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_token_count
+    FROM documents
+    """,
+    tags=("llm", "text", "tokenize"),
+)
+def q_token_count_bpe(spark, sf_dir):
+    """Token counting two ways (SURVEY §7): whitespace and a BPE-ish
+    pre-tokenizer regex (letters / digits / single punctuation) — the
+    cost-estimation primitive of LLM data pipelines."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_RE)).cast("bigint").alias("bpe_token_count"),
+        T.token_count().alias("ws_token_count"),
+    )
+
+
+@register(
+    "trigram_freqs",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT unnest({SQL_SHINGLES}) AS shingle FROM toks
+           WHERE len(t) >= {NGRAM_N}),
+    freq AS (SELECT shingle, COUNT(*) AS freq FROM sh GROUP BY shingle)
+    SELECT shingle, freq FROM freq ORDER BY freq DESC, shingle LIMIT 20
+    """,
+    tags=("llm", "text", "ngram"),
+)
+def q_trigram_freqs(spark, sf_dir):
+    """Corpus n-gram frequency table (LM data analysis): distinct-per-doc
+    trigrams -> global counts -> top-k with lexicographic tiebreak."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(T.tokens().alias("t")).filter(F.size("t") >= NGRAM_N)
+    sh = toks.select(F.explode(T.shingles(F.col("t"), NGRAM_N)).alias("shingle"))
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("shingle"))
+        .limit(20)
+    )

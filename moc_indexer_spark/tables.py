@@ -51,6 +51,30 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def write_serving_table(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("event",),
+    sort_within: tuple[str, ...] = ("address", "created_at"),
+) -> None:
+    """Serving-table layout (the index-replacement story, SURVEY.md §4):
+
+    - hive partitioning on low-cardinality access columns (event/date) ->
+      partition PRUNING: point queries read only matching directories;
+    - sort within files on (address, created_at) -> parquet min/max row-group
+      stats act as a coarse index for per-address range scans (the Z-ORDER
+      analog without a table format; Delta/Iceberg would Z-ORDER here);
+    - at 100 TB add bucketing on address for shuffle-free per-user joins.
+    """
+    (
+        df.repartition(*[F.col(c) for c in partition_by])
+        .sortWithinPartitions(*sort_within)
+        .write.partitionBy(*partition_by)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 # --- transactions serving view (FIXTURES.md §3 stand-in mapping) -----------
 
 # Columns mirror the reference's Transaction collection surface

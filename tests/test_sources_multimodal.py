@@ -120,3 +120,20 @@ def test_balance_refresh_task(spark, tmp_path):
     idx.run_balance_refresh(queue, tip=110)
     assert all(r.block_height == 110
                for r in idx.tables["user_state"].read().collect())
+
+
+def test_serving_table_partition_pruning(spark, tmp_path, sf_dir):
+    """Partitioned serving layout: a filter on the partition column prunes
+    at planning time (PartitionFilters in the scan, only matching files)."""
+    from moc_indexer_spark.tables import transactions, write_serving_table
+
+    t = transactions(spark, sf_dir)
+    path = f"{tmp_path}/serving_tx"
+    write_serving_table(t, path, partition_by=("event",))
+    df = spark.read.parquet(path).filter(F.col("event") == "purchase")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "purchase" in plan
+    import os
+    dirs = [d for d in os.listdir(path) if d.startswith("event=")]
+    assert len(dirs) == 5  # one dir per event type
+    assert df.count() == t.filter(F.col("event") == "purchase").count()
