@@ -28,17 +28,42 @@ ETHER_DECIMAL = "decimal(38,18)"
 
 
 def from_wei(col: Column | str) -> Column:
-    """wei → ether as DECIMAL(38,18); exact rescale (Web3.fromWei analog)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return (c.cast(ETHER_DECIMAL) / F.lit(PRECISION)).cast(ETHER_DECIMAL)
+    """wei → ether as DECIMAL(38,18); EXACT rescale (Web3.fromWei analog),
+    non-negative amounts.
+
+    Spark decimal division/multiplication re-types wide operands with the
+    result scale collapsed to 6 (adjustPrecisionScale), silently rounding —
+    and casting wei to (38,18) before dividing overflows at 100 ether. A
+    /10^18 rescale is just moving the decimal point, so do exactly that:
+    split value into (whole, frac) with pmod, then assemble
+    "whole.frac18" and cast — all whole-stage-codegen string/decimal ops,
+    exact for any wei value up to 10^20 ether."""
+    c = (F.col(col) if isinstance(col, str) else col).cast(WEI_DECIMAL)
+    p = F.lit(PRECISION).cast("decimal(19,0)")
+    frac = F.pmod(c, p).cast("decimal(18,0)")
+    whole = c - F.pmod(c, p)  # multiple of 10^18, still DECIMAL(38,0)
+    ws = whole.cast("string")
+    whole_str = F.when(whole == 0, F.lit("0")).otherwise(
+        ws.substr(F.lit(1), F.length(ws) - 18)
+    )
+    return F.concat(
+        whole_str, F.lit("."), F.lpad(frac.cast("string"), 18, "0")
+    ).cast(ETHER_DECIMAL)
 
 
 def to_wei_trunc(col: Column | str) -> Column:
     """ether → wei integer with truncation — `str(int(v * 1e18))` analog
     (mocexchange.py:50). floor() matches int() for non-negative amounts;
-    for signed totals the reference applies abs/sign explicitly (F7)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.floor(c * F.lit(PRECISION)).cast(WEI_DECIMAL)
+    for signed totals the reference applies abs/sign explicitly (F7).
+
+    A *1e18 decimal multiply re-types through adjustPrecisionScale and
+    silently rounds (scale collapses to 6), so — like `from_wei` — the
+    rescale is done by moving the decimal point textually: render at scale
+    18 (the cast to (38,18) itself rounds HALF_UP sub-wei dust, matching
+    Decimal quantization) and strip the point. Whole-stage-codegen string
+    ops; exact for |amount| < 10^20 ether."""
+    c = (F.col(col) if isinstance(col, str) else col).cast(ETHER_DECIMAL)
+    return F.regexp_replace(c.cast("string"), "[.]", "").cast(WEI_DECIMAL)
 
 
 def usd_amount(reserve_total_wei: Column, reserve_price_wei: Column) -> Column:

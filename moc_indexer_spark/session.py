@@ -55,3 +55,30 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make `moc_indexer_spark` importable on executor python workers.
+
+    Module-level functions/classes captured in RDD or mapInPandas closures
+    are pickled BY REFERENCE — workers must import the package. When the
+    driver's cwd isn't the repo root (or on a real cluster), ship the
+    package as a zip via addPyFile. Idempotent per session."""
+    import os
+    import shutil
+    import tempfile
+
+    import moc_indexer_spark
+
+    if getattr(spark, "_moc_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(moc_indexer_spark.__file__))
+    base = os.path.join(
+        tempfile.gettempdir(), f"moc_indexer_spark_pkg_{os.getpid()}"
+    )
+    zip_path = base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(base, "zip", os.path.dirname(pkg_dir),
+                            "moc_indexer_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    spark._moc_pkg_shipped = True

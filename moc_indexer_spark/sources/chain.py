@@ -75,6 +75,9 @@ def scan_blocks(
     The address filter (P1) and confirmation filter (S3) run inside the
     partition right after fetch — rows never reach the shuffle unfiltered.
     """
+    from ..session import ship_package
+
+    ship_package(spark)
     if scan.end < scan.start:
         return spark.createDataFrame([], RAW_TX_SCHEMA)
     blocks = list(range(scan.start, scan.end + 1))
@@ -165,6 +168,9 @@ def multicall_enrich(
     in moc_state.py:29-132). Used for balance/state snapshot enrichment
     where the data genuinely lives off-cluster.
     """
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
     out_schema = schema or df.schema
 
     def run(partition):

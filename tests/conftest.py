@@ -3,7 +3,15 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS = os.path.dirname(os.path.abspath(__file__))
+_ROOT = os.path.dirname(_TESTS)
+sys.path.insert(0, _ROOT)
+
+# executor python workers resolve test-module classes (fakes used inside
+# mapPartitions closures) via PYTHONPATH
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_ROOT, _TESTS, os.environ.get("PYTHONPATH", "")]
+)
 
 from moc_indexer_spark.session import get_spark
 

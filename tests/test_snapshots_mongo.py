@@ -1,0 +1,92 @@
+"""Snapshot tasks (3/4/6) + Mongo-sink adapter tests."""
+
+import json
+import os
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from moc_indexer_spark.streaming.sink import ParquetUpsertTable
+from moc_indexer_spark.streaming.snapshots import (
+    fake_state_fetcher,
+    latest_state_view,
+    snapshot_blocks,
+)
+
+
+def test_snapshot_invariant_and_history(spark, tmp_path):
+    """Per-block snapshots honor the derived-price invariant
+    (bprox2PriceInUsd = bprox2PriceInRbtc * bitcoinPrice / 1e18) and the
+    history upserts uniquely per blockHeight; the singleton is the
+    latest-row view."""
+    snaps = snapshot_blocks(spark, fake_state_fetcher, 100, 139)
+    rows = snaps.collect()
+    assert len(rows) == 40
+    for r in rows:
+        ref = (Decimal(int(r.bprox2PriceInRbtc)) * Decimal(int(r.bitcoinPrice))) / Decimal(10**18)
+        tol = Decimal(int(r.bprox2PriceInRbtc) + int(r.bitcoinPrice)) / Decimal(2 * 10**9) + 1
+        assert abs(Decimal(int(r.bprox2PriceInUsd)) - ref) <= tol
+
+    hist = ParquetUpsertTable(spark, f"{tmp_path}/moc_state_history",
+                              keys=["blockHeight"])
+    hist.upsert(snaps)
+    hist.upsert(snapshot_blocks(spark, fake_state_fetcher, 120, 159))  # overlap
+    assert hist.read().count() == 60  # 100..159 unique
+    latest = latest_state_view(hist.read()).collect()
+    assert len(latest) == 1 and latest[0].blockHeight == 159
+
+
+class FakeMongoClient:
+    """pymongo-surface fake: records update_one calls to a JSONL file (the
+    executors share the local filesystem in local mode)."""
+
+    def __init__(self, uri):
+        self.uri = uri  # uri carries the output path
+
+    def __getitem__(self, db):
+        return {"Transaction": _FakeColl(self.uri)}
+
+    def close(self):
+        pass
+
+
+class _FakeColl:
+    def __init__(self, path):
+        self.path = path
+
+    def update_one(self, flt, update, upsert=True):
+        with open(os.path.join(self.path, f"w_{os.getpid()}.jsonl"), "a") as f:
+            f.write(json.dumps({"filter": flt, "set": update["$set"],
+                                "upsert": upsert}, default=str) + "\n")
+
+
+def test_mongo_sink_upsert_shape(spark, tmp_path):
+    from moc_indexer_spark.sources.mongo_sink import MongoUpsertWriter
+
+    out = str(tmp_path)
+    writer = MongoUpsertWriter(
+        uri=out, database="moc", collection="Transaction",
+        keys=["tx", "address"], client_factory=FakeMongoClient,
+    )
+    df = spark.createDataFrame(
+        [("0xa", "u1", 5.0), ("0xb", "u2", 6.0)], ["tx", "address", "amount"]
+    )
+    writer(df, batch_id=0)
+    recs = []
+    for fn in os.listdir(out):
+        if fn.startswith("w_") and fn.endswith(".jsonl"):
+            with open(os.path.join(out, fn)) as f:
+                recs += [json.loads(line) for line in f]
+    assert len(recs) == 2
+    by_tx = {r["filter"]["tx"]: r for r in recs}
+    assert by_tx["0xa"]["filter"] == {"tx": "0xa", "address": "u1"}
+    assert by_tx["0xa"]["set"]["amount"] == 5.0
+    assert all(r["upsert"] for r in recs)
+
+
+def test_mongo_sink_import_gate():
+    from moc_indexer_spark.sources.mongo_sink import _default_client_factory
+    import pytest
+
+    with pytest.raises(ImportError):
+        _default_client_factory("mongodb://nowhere")
