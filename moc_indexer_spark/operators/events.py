@@ -290,6 +290,99 @@ def enrich_fastbtc(logs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return new, upd
 
 
+def enrich_settlement(logs: DataFrame) -> dict[str, DataFrame]:
+    """MoCSettlement family (events/mocsettlement.py):
+    - SettlementStarted -> settlement_state rows (:36-49)
+    - RedeemRequestAlter -> redeem queue deltas with the string-or-bool
+      isAddition coercion, F14 (:84-104)
+    - RedeemRequestProcessed -> processed notifications (:181-189)
+    - SettlementCompleted -> retention-delete trigger rows (T9, :413-429)
+    """
+    started = decode_event(logs, "SettlementStarted").select(
+        F.col("block_number").alias("startBlockNumber"),
+        F.lit(True).alias("inProcess"),
+        F.col("ev.stableTokenRedeemCount").alias("docRedeemCount"),
+        F.col("ev.deleveragingCount").alias("deleveragingCount"),
+        _wei(F.col("ev.riskProxPrice")).alias("btcxPrice"),
+        _wei(F.col("ev.reservePrice")).alias("btcPrice"),
+        F.col("created_at").alias("createdAt"),
+    )
+    alter = decode_event(logs, "RedeemRequestAlter").select(
+        F.col("transaction_hash").alias("transactionHash"),
+        F.lower(F.col("ev.redeemer")).alias("address"),
+        F.col("block_number").alias("blockNumber"),
+        F.lit("RedeemRequestAlter").alias("event"),
+        _wei(F.col("ev.delta")).alias("delta"),
+        # F14: payload may carry a bool or a 'True'/'False' string
+        (F.lower(F.col("ev.isAddition")) == "true").alias("isAddition"),
+        F.col("created_at").alias("createdAt"),
+        F.col("log_index").alias("logIndex"),
+    )
+    processed = decode_event(logs, "RedeemRequestProcessed").select(
+        F.col("transaction_hash").alias("transactionHash"),
+        F.col("log_index").alias("logIndex"),
+        F.lit("RedeemRequestProcessed").alias("event"),
+        F.lower(F.col("ev.redeemer")).alias("address"),
+        _wei(F.col("ev.amount")).alias("amount"),
+        F.col("created_at").alias("timestamp"),
+    )
+    completed = decode_event(logs, "SettlementCompleted").select(
+        F.col("block_number").alias("completedBlockNumber"),
+        F.col("created_at").alias("completedAt"),
+    )
+    return {
+        "settlement_state": started,
+        "redeem_queue": alter,
+        "redeem_processed": processed,
+        "settlement_completed": completed,
+    }
+
+
+def apply_settlement_retention(
+    redeem_queue_tbl, completed: DataFrame, retention_days: int = 31
+) -> None:
+    """T9 (mocsettlement.py:416-429): on SettlementCompleted, delete redeem
+    queue rows at-or-below the completed block AND older than the retention
+    window."""
+    rows = completed.collect()  # settlement completions are rare singletons
+    for r in rows:
+        cutoff_ts = r.completedAt - __import__("datetime").timedelta(
+            days=retention_days
+        )
+        redeem_queue_tbl.delete_where(
+            (F.col("blockNumber") <= r.completedBlockNumber)
+            & (F.col("createdAt") < F.lit(cutoff_ts))
+        )
+
+
+def enrich_inrate(logs: DataFrame) -> DataFrame:
+    """MoCInrate RiskProHoldersInterestPay -> BitProHoldersInterest rows
+    (events/mocinrate.py:82-102; unique per blockHeight)."""
+    return decode_event(logs, "RiskProHoldersInterestPay").select(
+        F.col("block_number").alias("blockHeight"),
+        _wei(F.col("ev.amount")).alias("amount"),
+        _wei(F.col("ev.nReserveBucketC0BeforePay")).alias("nBtcBucketC0BeforePay"),
+        F.col("block_ts").alias("timestamp"),
+        F.col("created_at").alias("createdAt"),
+    )
+
+
+def enrich_liquidation_notifications(logs: DataFrame) -> DataFrame:
+    """BucketLiquidation / ContractLiquidated -> Notification rows
+    (events/moc.py:46-58,155-166)."""
+    out = None
+    for name in ("BucketLiquidation", "ContractLiquidated"):
+        part = decode_event(logs, name).select(
+            F.col("transaction_hash").alias("transactionHash"),
+            F.col("log_index").alias("logIndex"),
+            F.lit(name).alias("event"),
+            F.col("ev.bucket").alias("bucket"),
+            F.col("created_at").alias("timestamp"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def enrich_state_transition(logs: DataFrame) -> DataFrame:
     """StateTransition -> Notification rows with decoded state name
     (mocstate.py:11-37, F13)."""
@@ -333,6 +426,7 @@ def run_event_pipeline(
     approvals = enrich_approvals(logs, moc_contract)
     fastbtc_new, fastbtc_upd = enrich_fastbtc(logs)
     notifications = enrich_state_transition(logs)
+    settlement = enrich_settlement(logs)
     return {
         "transactions": exchange,
         "transfers": transfers,
@@ -340,4 +434,7 @@ def run_event_pipeline(
         "fastbtc_new": fastbtc_new,
         "fastbtc_updates": fastbtc_upd,
         "notifications": notifications,
+        "holders_interest": enrich_inrate(logs),
+        "liquidation_notifications": enrich_liquidation_notifications(logs),
+        **settlement,
     }

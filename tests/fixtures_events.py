@@ -30,7 +30,7 @@ def generate_raw_txs(n_tx: int = 120, seed: int = 7):
     for i in range(n_tx):
         block = 1000 + i // 2
         logs = []
-        kind = i % 6
+        kind = i % 9
         if kind in (0, 1):  # exchange event
             name = rng.choice(
                 ["RiskProMint", "RiskProRedeem", "StableTokenMint",
@@ -91,11 +91,57 @@ def generate_raw_txs(n_tx: int = 120, seed: int = 7):
                     {"transferId": tid, "newStatus": rng.choice([2, 3, 4])}
                 ),
             })
-        else:  # state transition notification
+        elif kind == 5:  # state transition notification
             logs.append({
                 "address": _addr(rng), "logIndex": 0,
                 "event_name": "StateTransition",
                 "payload": json.dumps({"newState": rng.randrange(0, 4)}),
+            })
+        elif kind == 6:  # settlement lifecycle
+            logs.append({
+                "address": _addr(rng), "logIndex": 0,
+                "event_name": "SettlementStarted",
+                "payload": json.dumps({
+                    "stableTokenRedeemCount": rng.randrange(0, 50),
+                    "deleveragingCount": rng.randrange(0, 20),
+                    "riskProxPrice": str(rng.randrange(10**17, 10**19)),
+                    "reservePrice": str(rng.randrange(10**21, 10**23)),
+                }),
+            })
+            # isAddition arrives bool-encoded OR string-encoded (F14)
+            is_add = rng.random() < 0.5
+            encoded = rng.choice([is_add, str(is_add)])
+            logs.append({
+                "address": _addr(rng), "logIndex": 1,
+                "event_name": "RedeemRequestAlter",
+                "payload": json.dumps({
+                    "redeemer": rng.choice(users),
+                    "delta": str(rng.randrange(1, 10**20)),
+                    "isAddition": encoded,
+                }),
+            })
+            if rng.random() < 0.3:
+                logs.append({
+                    "address": _addr(rng), "logIndex": 2,
+                    "event_name": "SettlementCompleted",
+                    "payload": json.dumps({}),
+                })
+        elif kind == 7:  # inrate interest payment
+            logs.append({
+                "address": _addr(rng), "logIndex": 0,
+                "event_name": "RiskProHoldersInterestPay",
+                "payload": json.dumps({
+                    "amount": str(rng.randrange(10**15, 10**20)),
+                    "nReserveBucketC0BeforePay": str(rng.randrange(10**18, 10**23)),
+                }),
+            })
+        else:  # liquidation notifications
+            logs.append({
+                "address": _addr(rng), "logIndex": 0,
+                "event_name": rng.choice(
+                    ["BucketLiquidation", "ContractLiquidated"]
+                ),
+                "payload": json.dumps({"bucket": rng.choice(["X2", "C0"])}),
             })
 
         rows.append({

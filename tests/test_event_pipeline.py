@@ -149,3 +149,61 @@ def test_state_transition_decode(outputs):
     names = {0: "Liquidated", 1: "BProDiscountRate", 2: "BelowCobj", 3: "AboveCobj"}
     for r in rows:
         assert r.stateName == names[r.newState]
+
+
+def test_settlement_family(raw, outputs):
+    """SettlementStarted rows, RedeemRequestAlter bool coercion (F14 with
+    BOTH encodings), processed notifications."""
+    st = outputs["settlement_state"].collect()
+    assert st and all(r.inProcess for r in st)
+    alters = outputs["redeem_queue"].collect()
+    assert alters
+    expected = {}
+    for row in raw.collect():
+        if row.status != "confirmed":
+            continue
+        for log in row.logs:
+            if log.event_name == "RedeemRequestAlter":
+                p = json.loads(log.payload)
+                v = p["isAddition"]
+                expected[(row.hash, log.logIndex)] = (
+                    v if isinstance(v, bool) else v.lower() == "true"
+                )
+    assert expected
+    got = {(r.transactionHash, r.logIndex): r.isAddition for r in alters}
+    assert got == expected
+
+
+def test_inrate_and_liquidation(raw, outputs):
+    hi = outputs["holders_interest"].collect()
+    assert hi and all(int(r.amount) > 0 for r in hi)
+    liq = outputs["liquidation_notifications"].collect()
+    assert liq and all(r.bucket in ("X2", "C0") for r in liq)
+
+
+def test_settlement_retention_trigger(spark, tmp_path, outputs):
+    """T9: SettlementCompleted purges old redeem-queue rows at/below the
+    completed block."""
+    import datetime as dtm
+
+    from moc_indexer_spark.operators.events import apply_settlement_retention
+    from pyspark.sql import functions as FF
+
+    tbl = ParquetUpsertTable(spark, f"{tmp_path}/redeem_queue",
+                            keys=["transactionHash", "logIndex"])
+    tbl.upsert(outputs["redeem_queue"])
+    n_before = tbl.read().count()
+    completed = outputs["settlement_completed"]
+    if completed.isEmpty():
+        import pytest as _pt
+        _pt.skip("fixture produced no SettlementCompleted")
+    # force every row to look ancient so the retention window passes
+    aged = tbl.read().withColumn(
+        "createdAt", FF.col("createdAt") - FF.expr("INTERVAL 400 DAYS")
+    )
+    tbl.upsert(aged)
+    apply_settlement_retention(tbl, completed, retention_days=31)
+    max_completed = max(r.completedBlockNumber for r in completed.collect())
+    remaining = tbl.read().collect()
+    assert all(r.blockNumber > max_completed for r in remaining)
+    assert len(remaining) < n_before
