@@ -523,3 +523,131 @@ def q_order_priority_counts(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
     )
+
+
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,6)) * CAST(CAST(1.0 AS DOUBLE) - l.l_discount AS DECIMAL(12,6))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                                   AND c.c_nationkey = s.s_nationkey
+                    JOIN nation n ON s.s_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("J1", "agg", "6-way-join"),
+    bench=True,
+)
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with a same-nation theta condition.
+    customer/supplier/nation/region broadcast; lineitem->orders is the one
+    real join; AQE reorders as needed."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    su = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast(DMUL_L) * (
+        F.lit(1.0).cast("double") - F.col("l_discount")
+    ).cast(DMUL_R)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(su), (l.l_suppkey == su.s_suppkey)
+              & (c.c_nationkey == su.s_nationkey))
+        .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "shipmode_priority_counts",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    tags=("J1", "agg", "conditional-agg"),
+)
+def q_shipmode_priority_counts(spark, sf_dir):
+    """TPC-H Q12 shape: conditional aggregation (CASE inside SUM)."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "brand_revenue_share",
+    """
+    WITH j AS (
+      SELECT p.p_brand,
+             CAST(l.l_extendedprice AS DECIMAL(24,6)) * CAST(CAST(1.0 AS DOUBLE) - l.l_discount AS DECIMAL(12,6)) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00')
+    SELECT p_brand,
+           CAST(CAST(SUM(rev) AS DECIMAL(18,4)) AS DOUBLE) AS brand_revenue,
+           CAST(CAST(SUM(rev) AS DECIMAL(18,4)) AS DOUBLE)
+             / CAST((SELECT CAST(CAST(SUM(rev) AS DECIMAL(18,4)) AS DOUBLE) FROM j) AS DOUBLE) AS revenue_share
+    FROM j GROUP BY p_brand
+    """,
+    tags=("J1", "agg", "scalar-subquery"),
+)
+def q_brand_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: per-group revenue against a global scalar (share of
+    total) — scalar aggregate broadcast back over the groups."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DMUL_L) * (
+        F.lit(1.0).cast("double") - F.col("l_discount")
+    ).cast(DMUL_R)
+    j = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select("p_brand", rev.alias("rev"))
+    )
+    per_brand = j.groupBy("p_brand").agg(
+        F.sum("rev").cast("decimal(18,4)").cast("double").alias("brand_revenue")
+    )
+    total = j.agg(
+        F.sum("rev").cast("decimal(18,4)").cast("double").alias("__total")
+    )
+    return per_brand.crossJoin(F.broadcast(total)).select(
+        "p_brand",
+        "brand_revenue",
+        (F.col("brand_revenue") / F.col("__total")).alias("revenue_share"),
+    )

@@ -137,3 +137,26 @@ def test_serving_table_partition_pruning(spark, tmp_path, sf_dir):
     dirs = [d for d in os.listdir(path) if d.startswith("event=")]
     assert len(dirs) == 5  # one dir per event type
     assert df.count() == t.filter(F.col("event") == "purchase").count()
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salted join must produce exactly the plain join's result, with the
+    hot key spread across n_salts reducer partitions."""
+    from moc_indexer_spark.operators.skew import salted_join
+    from moc_indexer_spark.tables import table as _table
+
+    events = _table(spark, sf_dir, "events")
+    # manufacture skew: map 60% of rows onto one key
+    skewed = events.withColumn(
+        "k", F.when(F.col("event_id") % 10 < 6, 0).otherwise(F.col("user_id"))
+    )
+    dim = spark.createDataFrame(
+        [(i, f"dim_{i}") for i in range(200)], ["k", "dim_val"]
+    )
+    plain = skewed.join(dim, "k").select("event_id", "dim_val")
+    salted = salted_join(skewed, dim, "k", n_salts=8).select(
+        "event_id", "dim_val"
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b and len(a) > 0
