@@ -147,6 +147,43 @@ def asof_join(
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Range join: point rows matched to every interval containing them
+    (start <= ts < end) — without a nested-loop cross product.
+
+    Binning: each point maps to one time bin; each interval explodes to the
+    bins it overlaps. An EQUI-join on the bin produces a superset of
+    candidates that a final range filter refines — exact result, hash-join
+    plan. At 100 TB: shuffle cost ∝ rows x (interval_len / bin), versus a
+    nested-loop's |points| x |intervals|. Pick bin ~ median interval length.
+
+    The reference has no interval join (SURVEY.md §2.3 note) — this is the
+    Spark-native operator for settlement-window / session-window analytics.
+    """
+    p_bin = F.floor(F.unix_micros(F.col(point_ts)) / (bin_seconds * 1_000_000))
+    i_start_bin = F.floor(
+        F.unix_micros(F.col(start_ts)) / (bin_seconds * 1_000_000)
+    )
+    i_end_bin = F.floor(
+        F.unix_micros(F.col(end_ts)) / (bin_seconds * 1_000_000)
+    )
+    p = points.withColumn("__bin", p_bin)
+    i = intervals.withColumn(
+        "__bin", F.explode(F.sequence(i_start_bin, i_end_bin))
+    )
+    joined = p.join(i, "__bin")
+    return joined.filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    ).drop("__bin")
+
+
 def paginate_with_total(
     df: DataFrame, order_by: Sequence, skip: int, limit: int
 ) -> DataFrame:

@@ -651,3 +651,44 @@ def q_brand_revenue_share(spark, sf_dir):
         "brand_revenue",
         (F.col("brand_revenue") / F.col("__total")).alias("revenue_share"),
     )
+
+
+@register(
+    "settlement_window_activity",
+    f"""
+    {TX_WITH},
+    intervals AS (
+      SELECT tx_hash AS window_id, created_at AS start_ts,
+             created_at + INTERVAL 6 HOUR AS end_ts
+      FROM transactions WHERE event = 'signup' AND address % 10 = 0),
+    pts AS (SELECT tx_hash AS purchase_id, created_at AS pts_ts, amount
+            FROM transactions WHERE event = 'purchase')
+    SELECT i.window_id, p.purchase_id, p.amount
+    FROM pts p JOIN intervals i
+      ON p.pts_ts >= i.start_ts AND p.pts_ts < i.end_ts
+    """,
+    tags=("interval-join", "range"),
+)
+def q_settlement_window_activity(spark, sf_dir):
+    """Interval join: purchases inside 6h settlement windows. Spark side
+    uses the binned equi-join formulation (operators/relational.py
+    interval_join) — exact, no nested loop; the oracle is DuckDB's native
+    inequality join."""
+    from ..operators.relational import interval_join
+
+    t = transactions(spark, sf_dir)
+    intervals = (
+        t.filter((F.col("event") == "signup") & (F.col("address") % 10 == 0))
+        .select(
+            F.col("tx_hash").alias("window_id"),
+            F.col("created_at").alias("start_ts"),
+            (F.col("created_at") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+        )
+    )
+    pts = t.filter(F.col("event") == "purchase").select(
+        F.col("tx_hash").alias("purchase_id"),
+        F.col("created_at").alias("pts_ts"),
+        "amount",
+    )
+    out = interval_join(pts, intervals, "pts_ts", "start_ts", "end_ts")
+    return out.select("window_id", "purchase_id", "amount")
