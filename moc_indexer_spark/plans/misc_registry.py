@@ -107,3 +107,63 @@ def q_hourly_window_agg(spark, sf_dir):
     form with watermark is streaming/windows.py `streaming_tumbling_agg`,
     replay-tested in test_windows.py)."""
     return tumbling_agg(table(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "user_sessions_native",
+    f"""
+    {TX_WITH},
+    g AS (SELECT address, created_at, tx_hash,
+            CASE WHEN epoch_us(created_at) - epoch_us(LAG(created_at) OVER (
+                   PARTITION BY address ORDER BY created_at, tx_hash)) > 1800000000
+                 OR LAG(created_at) OVER (
+                   PARTITION BY address ORDER BY created_at, tx_hash) IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+          FROM transactions),
+    s AS (SELECT *, CAST(SUM(new_session) OVER (
+            PARTITION BY address ORDER BY created_at, tx_hash
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+          FROM g)
+    SELECT address, COUNT(*) AS n_events,
+           MIN(created_at) AS session_start, MAX(created_at) AS session_end
+    FROM s GROUP BY address, sid
+    """,
+    tags=("window", "session-window"),
+)
+def q_user_sessions_native(spark, sf_dir):
+    """Spark's NATIVE session_window (30-min gap) checked against the
+    lag+cumsum SQL formulation — two independent algorithms, same result.
+    In streaming this same expression runs with a watermark for
+    incremental sessionization."""
+    t = transactions(spark, sf_dir)
+    return (
+        t.groupBy(
+            F.session_window("created_at", "30 minutes").alias("w"), "address"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("created_at").alias("session_start"),
+            F.max("created_at").alias("session_end"),
+        )
+        .select("address", "n_events", "session_start", "session_end")
+    )
+
+
+@register(
+    "validated_sources",
+    """
+    SELECT source, COUNT(*) AS n_docs FROM documents
+    WHERE regexp_matches(source, '^src[0-9]+$')
+    GROUP BY source
+    """,
+    tags=("P9", "validation"),
+)
+def q_validated_sources(spark, sf_dir):
+    """P9 input validation (lib_tools.py:28-31 hex-address check analog):
+    regex-validated identifiers before aggregation."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("source").rlike("^src[0-9]+$"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
