@@ -29,6 +29,13 @@ def main() -> None:
     spark = get_spark(app_name="moc-indexer-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warmup: JVM/codegen spin-up + parquet footer reads, so per-query
+    # numbers reflect steady-state execution, not first-query session cost
+    from moc_indexer_spark.tables import TABLE_NAMES, table
+
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).count()
+
     specs = [s for s in registry() if s.bench]
     timings: dict[str, float] = {}
     for spec in specs:

@@ -167,3 +167,23 @@ def q_validated_sources(spark, sf_dir):
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+@register("event_pipeline_demo", None, tags=("J2", "pipeline", "demo"))
+def q_event_pipeline_demo(spark, sf_dir):
+    """The full decode->demux->enrich pipeline over the deterministic
+    reference-shaped fixture stream (FIXTURES.md §1-2): exchange events ->
+    Transaction rows with wei-decimal derived columns. Rows-only check —
+    the formulas are verified against an arbitrary-precision Decimal
+    reference in tests/test_event_pipeline.py."""
+    from ..operators.events import run_event_pipeline
+    from ..sources.fixtures import RAW_SCHEMA, generate_raw_txs
+
+    raw = spark.createDataFrame(generate_raw_txs(240, seed=11), RAW_SCHEMA)
+    tx = run_event_pipeline(raw)["transactions"]
+    return tx.select(
+        "transactionHash", "address", "blockNumber", "event",
+        F.col("USDAmount").cast("string").alias("usd_amount_wei"),
+        F.col("RBTCTotal").cast("string").alias("rbtc_total_wei"),
+        "isPositive",
+    )

@@ -1,5 +1,8 @@
 """Deterministic raw_transactions fixture generator (FIXTURES.md §1-2).
 
+Lives in the package (not tests/) so registry demo queries can build the
+reference-shaped raw stream anywhere the driver runs.
+
 Builds the reference-shaped raw tx rows with decoded-event JSON payloads in
 the `logs` array, including every edge path: markup field variants (F5
 fallback), zero-address / contract transfers (P6), foreign-spender

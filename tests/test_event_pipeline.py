@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from moc_indexer_spark.operators import events as E
 from moc_indexer_spark.streaming.sink import ParquetUpsertTable
-from fixtures_events import MOC, RAW_SCHEMA, ZERO, generate_raw_txs
+from moc_indexer_spark.sources.fixtures import MOC, RAW_SCHEMA, ZERO, generate_raw_txs
 
 W = Decimal(10**18)
 
