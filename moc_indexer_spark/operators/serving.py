@@ -89,6 +89,23 @@ def api_price_variation(prices: DataFrame, hours: int = 24) -> DataFrame:
     )
 
 
+def api_pegout_list(fastbtc: DataFrame, rsk_address: str) -> DataFrame:
+    """GET /fastbtc/pegout (bp_fastbtc_bridge.py:20-40): transfers for one
+    rsk address, newest first, status decoded."""
+    status_names = F.create_map(
+        F.lit(0), F.lit("NOT_STARTED"), F.lit(1), F.lit("SENDING"),
+        F.lit(2), F.lit("MINED"), F.lit(3), F.lit("REFUNDED"),
+        F.lit(4), F.lit("RECLAIMED"),
+    )
+    return (
+        fastbtc.filter(F.lower(F.col("rskAddress")) == rsk_address.lower())
+        .orderBy(F.desc("updated"), F.desc("transferId"))
+        .withColumn(
+            "statusName", F.element_at(status_names, F.col("status").cast("int"))
+        )
+    )
+
+
 def report_summary(spark: SparkSession, sf_dir: str, cutoff: str) -> DataFrame:
     """Report CLI (report/historical.py:85-236): tx count + distinct active
     addresses + TVL-ish total at a height cutoff, in one row."""

@@ -90,3 +90,15 @@ def test_mongo_sink_import_gate():
 
     with pytest.raises(ImportError):
         _default_client_factory("mongodb://nowhere")
+
+
+def test_api_pegout_list(spark):
+    from moc_indexer_spark.operators.serving import api_pegout_list
+
+    fastbtc = spark.createDataFrame(
+        [("t1", "0xAA", 2, 10), ("t2", "0xaa", 1, 20), ("t3", "0xbb", 4, 30)],
+        ["transferId", "rskAddress", "status", "updated"],
+    )
+    out = api_pegout_list(fastbtc, "0xAa").collect()
+    assert [r.transferId for r in out] == ["t2", "t1"]  # newest first
+    assert out[0].statusName == "SENDING" and out[1].statusName == "MINED"
