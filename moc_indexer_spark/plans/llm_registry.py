@@ -240,6 +240,63 @@ def q_cosine_topk(spark, sf_dir):
     return S.brute_force_topk_np(table(spark, sf_dir, "embeddings"), k=5)
 
 
+COSINE_DUP_THRESHOLD = 0.35
+
+
+@register(
+    "embedding_dup_pairs",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT vec_i, vec_j, cosine_sim FROM pairs
+    WHERE cosine_sim >= {COSINE_DUP_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: every (i<j) pair whose cosine
+    similarity clears the threshold. All math is JVM-side expressions
+    (zip_with product + aggregate fold, norms projected once per row) — no
+    Python in the hot path. Threshold compares the 6dp-ROUNDED value on both
+    engines so boundary pairs can't flip on last-ulp noise. The exact
+    all-pairs form is the sf-test oracle; at 100 TB the identical filter runs
+    after the LSH bucket join (lsh_ann_topk) instead of the n^2 self-join."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = e.withColumn(
+        "n",
+        F.sqrt(
+            F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+        ),
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_i"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_j"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, F.col("vec_i") < F.col("vec_j"))
+        .withColumn(
+            "cosine_sim", F.round(dot / (F.col("na") * F.col("nb")), 6)
+        )
+        .filter(F.col("cosine_sim") >= COSINE_DUP_THRESHOLD)
+        .select("vec_i", "vec_j", "cosine_sim")
+    )
+
+
 @register("lsh_ann_topk", None, tags=("llm", "similarity", "ann", "lsh"))
 def q_lsh_ann_topk(spark, sf_dir):
     """Random-hyperplane LSH ANN (the 100 TB scale path; approximate, so

@@ -150,6 +150,96 @@ def q_report_summary(spark, sf_dir):
 
 
 @register(
+    "report_pay_tc_holders",
+    f"""
+    {TX_WITH},
+    h AS (SELECT tx_hash, created_at, amount FROM transactions
+          WHERE event = 'signup')
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY created_at, tx_hash) AS BIGINT) AS n,
+           tx_hash, CAST(amount / 1e18 AS DOUBLE) AS amount_ether, created_at
+    FROM h
+    """,
+    tags=("O3", "report", "window"),
+)
+def q_report_pay_tc_holders(spark, sf_dir):
+    """Interest-payment history report (report/historical.py:238-260): the
+    ordered full scan of BitProHoldersInterest with a running row count and
+    wei->ether display division. The count column is ROW_NUMBER over the
+    report's sort order — the declarative form of the reference's cursor
+    `count += 1` loop. Total order (created_at, tx_hash) keeps it
+    deterministic; a console report is inherently single-sink so the
+    unpartitioned window is the intended plan."""
+    t = transactions(spark, sf_dir)
+    h = t.filter(F.col("event") == "signup").select(
+        "tx_hash", "created_at", "amount"
+    )
+    w = Window.orderBy("created_at", "tx_hash")
+    return h.select(
+        F.row_number().over(w).cast("bigint").alias("n"),
+        "tx_hash",
+        (F.col("amount") / F.lit(1e18)).cast("double").alias("amount_ether"),
+        "created_at",
+    )
+
+
+# report/historical.py:11-20 OPERATIONS_TRANSLATE analog for the stand-in
+# event vocabulary (F16: name-translation map literal).
+REPORT_EVENTS = ("purchase", "signup", "view")
+_TRANSLATE = {"purchase": "Mint", "signup": "Register", "view": "View"}
+REPORT_LOOKBACK_DAYS = 15  # HISTORIC_BLOCK_HEIGHT_AMOUNT = 43,200 blocks = 15 d
+
+
+@register(
+    "report_last_transactions",
+    f"""
+    {TX_WITH},
+    tip AS (SELECT MAX(created_at) AS tip_ts FROM transactions),
+    f AS (SELECT t.tx_hash, t.address, t.event, t.created_at, t.amount
+          FROM transactions t, tip
+          WHERE t.event IN ('purchase','signup','view')
+            AND t.created_at >= tip_ts - INTERVAL {REPORT_LOOKBACK_DAYS} DAY)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY created_at, tx_hash) AS BIGINT) AS n,
+           tx_hash, address,
+           CASE event WHEN 'purchase' THEN 'Mint'
+                      WHEN 'signup' THEN 'Register'
+                      ELSE 'View' END AS operation,
+           CAST(amount / 1e18 AS DOUBLE) AS amount_ether,
+           created_at
+    FROM f
+    """,
+    tags=("report", "F16", "F11", "J7"),
+)
+def q_report_last_transactions(spark, sf_dir):
+    """Last-transactions report (report/historical.py:262-325): latest
+    snapshot height (here MAX(created_at), the J7 singleton) minus the
+    15-day lookback, event IN-list filter, operation-name translation map
+    (F16), wei->ether display division, running count. The tip scalar is a
+    1-row broadcast so the big side never shuffles for it."""
+    t = transactions(spark, sf_dir)
+    tip = t.agg(F.max("created_at").alias("tip_ts"))
+    translate = F.create_map(
+        *[F.lit(x) for kv in _TRANSLATE.items() for x in kv]
+    )
+    f = (
+        t.filter(F.col("event").isin(*REPORT_EVENTS))
+        .crossJoin(F.broadcast(tip))
+        .filter(
+            F.col("created_at")
+            >= F.col("tip_ts") - F.expr(f"INTERVAL {REPORT_LOOKBACK_DAYS} DAYS")
+        )
+    )
+    w = Window.orderBy("created_at", "tx_hash")
+    return f.select(
+        F.row_number().over(w).cast("bigint").alias("n"),
+        "tx_hash",
+        "address",
+        F.element_at(translate, F.col("event")).alias("operation"),
+        (F.col("amount") / F.lit(1e18)).cast("double").alias("amount_ether"),
+        "created_at",
+    )
+
+
+@register(
     "price_lag_change",
     f"""
     {TX_WITH},
