@@ -250,3 +250,111 @@ def lsh_bucket_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    train_sample: int = 2048,
+    lloyd_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF ANN: a sample-trained spherical-k-means coarse quantizer plus
+    probed-cell search (the FAISS IVF-flat shape, expressed in DataFrames).
+
+    Train: a deterministic sample (first `train_sample` ids) is collected and
+    Lloyd-iterated driver-side — the standard IVF practice (quantizers train
+    on ~1M sampled vectors even for billion-vector indexes); init is the
+    first `n_cells` sample vectors, so the model is reproducible.
+
+    Index + search (distributed): one Arrow `mapInPandas` pass assigns every
+    vector to its nearest centroid AND computes its `n_probe` nearest cells
+    as a query; candidates are the cell-equi-join of (query, probe_cell) with
+    the cell-assigned corpus; exact cosine verify + per-query top-k window.
+
+    100 TB shape: the corpus is *stored* partitioned by cell, so a probe is a
+    partition-pruned scan instead of a shuffle, and the centroid matrix
+    (n_cells x dim floats) is a broadcast literal. Approximate — recall grows
+    with n_probe (n_probe == n_cells degenerates to exact brute force).
+    """
+    import numpy as np
+    import pandas as pd
+
+    sample = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    )
+    X = np.array([r[1] for r in sample], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    C = X[:n_cells].copy()
+    for _ in range(lloyd_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+    out_schema = (
+        f"{id_col} long, v array<double>, cell int, probes array<int>"
+    )
+
+    def assign_and_probe(batches):
+        C_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = Mn @ C_.T
+            # total order on (sim desc, cell asc) -> deterministic probes
+            order = np.lexsort(
+                (np.arange(C_.shape[0])[None, :].repeat(len(ids), 0), -sims),
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "v": list(M),
+                    "cell": order[:, 0].astype("int32"),
+                    "probes": list(order[:, :n_probe].astype("int32")),
+                }
+            )
+
+    indexed = corpus.select(id_col, vec_col).mapInPandas(
+        assign_and_probe, schema=out_schema
+    )
+    cells = indexed.select(F.col(id_col), F.col("v").alias("cv"), "cell")
+    probes = indexed.select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode("probes").alias("cell"),
+    )
+    scored = (
+        probes.join(cells, "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -46,6 +46,27 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.7, f"LSH recall {recall:.2f} too low"
 
 
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk_np(emb, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, k=3, n_cells=8, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # uniform random vectors are IVF's worst case; 0.67 measured @ 3/8 probes
+    assert recall >= 0.55, f"IVF recall {recall:.2f} too low"
+    # full probe degenerates to exact brute force
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, k=3, n_cells=8, n_probe=8).collect()
+    }
+    assert full == exact, "n_probe == n_cells must equal brute force"
+
+
 def test_minhash_equals_exact_jaccard(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     exact = {
