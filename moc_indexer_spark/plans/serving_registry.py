@@ -150,6 +150,34 @@ def q_report_summary(spark, sf_dir):
 
 
 @register(
+    "api_db_info",
+    f"""
+    {TX_WITH}
+    SELECT 'transactions' AS collection, COUNT(*) AS n FROM transactions
+    UNION ALL SELECT 'customer', COUNT(*) FROM customer
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'documents', COUNT(*) FROM documents
+    """,
+    tags=("S8", "api"),
+)
+def q_api_db_info(spark, sf_dir):
+    """/infoapi database-status payload (webservice/bp_main.py:10-16,
+    webservice/database.py get_db_info): per-collection row counts. Each
+    COUNT(*) is answered from parquet footer metadata (no data scan) —
+    Spark's `LocalLimit`-free count-star optimization — so the endpoint
+    stays O(files), not O(rows), at 100 TB."""
+    def cnt(name, df):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+            F.lit(name).alias("collection"), "n"
+        )
+
+    out = cnt("transactions", transactions(spark, sf_dir))
+    for name in ("customer", "orders", "documents"):
+        out = out.unionByName(cnt(name, table(spark, sf_dir, name)))
+    return out
+
+
+@register(
     "report_pay_tc_holders",
     f"""
     {TX_WITH},
