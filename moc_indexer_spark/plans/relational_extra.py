@@ -692,3 +692,32 @@ def q_settlement_window_activity(spark, sf_dir):
     )
     out = interval_join(pts, intervals, "pts_ts", "start_ts", "end_ts")
     return out.select("window_id", "purchase_id", "amount")
+
+
+@register(
+    "recent_price_enrichment",
+    f"""
+    {TX_WITH},
+    txs AS (SELECT tx_hash, created_at FROM transactions WHERE event = 'click'),
+    prices AS (SELECT created_at AS price_ts, amount AS price
+               FROM transactions WHERE event = 'purchase')
+    SELECT t.tx_hash, t.created_at, p.price_ts, p.price
+    FROM txs t JOIN prices p
+      ON p.price_ts >= t.created_at - INTERVAL 600 SECONDS
+     AND p.price_ts <= t.created_at
+    """,
+    tags=("stream-join", "range", "T1"),
+)
+def q_recent_price_enrichment(spark, sf_dir):
+    """Tx x recent-prices range join — the BATCH form of the stream-stream
+    join in streaming/joins.py (same function, batch/stream parity is
+    replay-tested in test_streaming.py). Spark side runs the binned
+    equi-join; the oracle is DuckDB's native inequality join."""
+    from ..streaming.joins import join_recent_prices
+
+    t = transactions(spark, sf_dir)
+    txs = t.filter(F.col("event") == "click").select("tx_hash", "created_at")
+    prices = t.filter(F.col("event") == "purchase").select(
+        F.col("created_at").alias("price_ts"), F.col("amount").alias("price")
+    )
+    return join_recent_prices(txs, prices, lookback_seconds=600)

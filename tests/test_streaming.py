@@ -178,3 +178,86 @@ def test_status_replay_batch_matches_transition_table():
     assert out.loc["x"].status == "confirmed"
     assert out.loc["y"].status == "failed"
     assert out.loc["y"].error_code == "staleTransaction"
+
+
+def test_stream_stream_join_batch_parity(spark, workdir, sf_dir):
+    """T1-analog enrichment as a genuine stream-stream join: tx stream x
+    price stream on an event-time range, watermarks bounding state. The
+    streaming result (availableNow drain) must equal the batch join of the
+    same rows."""
+    from moc_indexer_spark.streaming.joins import join_recent_prices
+
+    events = table(spark, sf_dir, "events").orderBy("event_id").limit(500)
+    txs = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("tx_hash"), F.col("ts").alias("created_at")
+    )
+    prices = events.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("price_ts"), F.col("value").alias("price")
+    )
+    tx_dir, pr_dir = f"{workdir}/txs", f"{workdir}/prices"
+    txs.coalesce(1).write.parquet(tx_dir)
+    prices.coalesce(1).write.parquet(pr_dir)
+
+    batch = join_recent_prices(
+        spark.read.parquet(tx_dir), spark.read.parquet(pr_dir)
+    )
+    expected = sorted(map(tuple, batch.collect()))
+    assert len(expected) > 0, "fixture produced no in-window pairs"
+
+    ts = spark.readStream.schema(txs.schema).parquet(tx_dir)
+    ps = spark.readStream.schema(prices.schema).parquet(pr_dir)
+    out_dir, ckpt = f"{workdir}/joined", f"{workdir}/join_ckpt"
+    q = (
+        join_recent_prices(ts, ps)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    assert got == expected
+
+
+def test_dedup_within_watermark_across_batches(spark, workdir):
+    """A4/T7 streaming-native: a key re-arriving in a later micro-batch
+    within the watermark horizon is dropped (state persists via the
+    checkpoint across availableNow runs)."""
+    from moc_indexer_spark.streaming.joins import dedup_within_watermark
+
+    base = dt.datetime(2024, 1, 1)
+    src = f"{workdir}/dupsrc"
+    os.makedirs(src)
+    schema = "k string, created_at timestamp, v long"
+    batches = [
+        [("a", base, 1), ("b", base + dt.timedelta(minutes=1), 2)],
+        # duplicate "a" within 30-min delay + a fresh key
+        [("a", base + dt.timedelta(minutes=5), 99),
+         ("c", base + dt.timedelta(minutes=6), 3)],
+    ]
+    out_dir, ckpt = f"{workdir}/dedup_out", f"{workdir}/dedup_ckpt"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["k", "created_at", "v"]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{workdir}/dstage{i}")
+        for f_ in os.listdir(f"{workdir}/dstage{i}"):
+            if f_.endswith(".parquet"):
+                shutil.copy(f"{workdir}/dstage{i}/{f_}", f"{src}/b{i}.parquet")
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            dedup_within_watermark(stream, ["k"], "created_at", "30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out = spark.read.parquet(out_dir).toPandas().sort_values("k")
+    assert list(out["k"]) == ["a", "b", "c"]
+    # first-seen row wins: the duplicate "a" (v=99) was dropped
+    assert int(out[out["k"] == "a"]["v"].iloc[0]) == 1
