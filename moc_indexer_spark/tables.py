@@ -75,6 +75,32 @@ def write_serving_table(
     )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Hash-bucketed layout: the co-located-join story from SURVEY.md §4.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT any Exchange — each task reads matching bucket files from both
+    sides (verified by tests/test_bucketing.py, which asserts the physical
+    plan is shuffle-free). At 100 TB this is how the per-address serving
+    joins (UserState x Transaction) avoid re-shuffling the fact table on
+    every query; `sort_cols` additionally pre-sorts within buckets so
+    sort-merge join skips its sort.
+
+    Spark's bucketing needs the table catalog (`saveAsTable`) — bucket
+    metadata lives in the metastore, not the parquet files.
+    """
+    w = df.write.bucketBy(n_buckets, bucket_col).mode("overwrite")
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(name)
+
+
 # --- transactions serving view (FIXTURES.md §3 stand-in mapping) -----------
 
 # Columns mirror the reference's Transaction collection surface
