@@ -119,3 +119,97 @@ def synthesize_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
                                    "height": None, "duration_ms": None})
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, content binary"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Resize stage: decode -> scale to (target_w, target_h) -> re-encode,
+    as one Arrow `mapInPandas` pass (binary in, binary out).
+
+    The pixel work is stubbed like `decode_image_stub`: the fake "resized"
+    payload is a deterministic digest-expansion of the source bytes sized
+    proportionally to the target area, so output size/behavior is stable
+    across executors and the real schema/batch plumbing is exercised.
+    Swapping in PIL touches only `_fake_resize`.
+
+    Scale note: 1 row in -> 1 row out with bounded output size; the stage
+    pipelines inside the scan task (no shuffle), so resize throughput is
+    pure executor CPU — exactly how a 100 TB re-encode should run.
+    """
+
+    def _fake_resize(raw: bytes) -> bytes:
+        if not fake_decode:
+            raise NotImplementedError(
+                "image codecs not available; swap in PIL resize here"
+            )
+        digest = hashlib.sha256(raw).digest()
+        # deterministic stand-in payload ~ (area / 64) bytes
+        reps = max(1, (target_w * target_h) // (64 * len(digest)))
+        return digest * reps
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "content": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                out["media_id"].append(mid)
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["content"].append(_fake_resize(bytes(content)))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 8,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Video frame sampling: 1 row in -> 0..max_frames rows out (every
+    `every_n`-th frame), the UDTF-style fan-out of the media pipeline.
+
+    Stubbed like the other codecs: the fake container pretends to hold
+    `len(bytes) // 32` frames and each emitted frame is a deterministic
+    digest of (content, frame_idx). `mapInPandas` output cardinality is
+    independent of input cardinality, which is the point being tested —
+    the real ffmpeg swap keeps the same signature.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "video codecs not available; swap in ffmpeg here"
+                    )
+                n_frames = len(raw) // 32
+                for k, idx in enumerate(range(0, n_frames, every_n)):
+                    if k >= max_frames:
+                        break
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame"].append(
+                        hashlib.sha256(raw + idx.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )

@@ -160,3 +160,33 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, salted.collect()))
     assert a == b and len(a) > 0
+
+
+def test_multimodal_resize_stage(spark):
+    media = MM.synthesize_media(spark, n=32)
+    resized = MM.resize_images(media, target_w=224, target_h=224).collect()
+    assert len(resized) == 32
+    assert all(r.width == 224 and r.height == 224 for r in resized)
+    # deterministic: same source bytes -> same resized payload
+    by_id = {r.media_id: bytes(r.frame) if hasattr(r, "frame") else bytes(r.content)
+             for r in resized}
+    again = {r.media_id: bytes(r.content)
+             for r in MM.resize_images(media, 224, 224).collect()}
+    assert by_id == again
+
+
+def test_multimodal_frame_sampling_fanout(spark):
+    media = MM.synthesize_media(spark, n=16)
+    frames = MM.sample_frames(media, every_n=3, max_frames=4)
+    pdf = frames.toPandas()
+    # 1 -> N fan-out: more frame rows than media rows, capped per media
+    counts = pdf.groupby("media_id").size()
+    assert counts.max() <= 4
+    assert len(pdf) > 16
+    # frame indices follow the every_n stride
+    assert set(pdf["frame_idx"].unique()) <= {0, 3, 6, 9}
+    # deterministic frame payloads
+    pdf2 = MM.sample_frames(media, every_n=3, max_frames=4).toPandas()
+    a = sorted(map(tuple, pdf[["media_id", "frame_idx"]].values.tolist()))
+    b = sorted(map(tuple, pdf2[["media_id", "frame_idx"]].values.tolist()))
+    assert a == b
