@@ -420,3 +420,99 @@ def q_trigram_freqs(spark, sf_dir):
         .orderBy(F.desc("freq"), F.asc("shingle"))
         .limit(20)
     )
+
+
+QUALITY_GATE = 0.36
+MIN_TOKENS = 10
+
+
+@register(
+    "training_corpus_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, {SQL_SHINGLES} AS s FROM toks WHERE len(t) >= {NGRAM_N}),
+    pairs AS (
+      SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+    near_drop AS (
+      SELECT DISTINCT doc_j AS doc_id FROM pairs
+      WHERE jaccard >= {JACCARD_THRESHOLD}),
+    exact_drop AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents) WHERE doc_id <> keeper),
+    s AS (
+      SELECT doc_id, n_chars,
+             CAST(len({SQL_TOKS}) AS BIGINT) AS tc,
+             CAST(len(list_distinct({SQL_TOKS})) AS BIGINT) AS dt,
+             CAST(len(list_filter({SQL_TOKS}, x -> {SQL_STOPWORDS})) AS BIGINT) AS sw
+      FROM documents),
+    scored AS (
+      SELECT doc_id, tc,
+             (CAST(sw AS DOUBLE) / CAST(tc AS DOUBLE)) * 0.3
+               + (CAST(dt AS DOUBLE) / CAST(tc AS DOUBLE)) * 0.4
+               + LEAST(CAST(tc AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score
+      FROM s WHERE tc > 0)
+    SELECT doc_id, CAST(tc AS BIGINT) AS token_count, quality_score
+    FROM scored
+    WHERE quality_score >= {QUALITY_GATE} AND tc >= {MIN_TOKENS}
+      AND doc_id NOT IN (SELECT doc_id FROM near_drop)
+      AND doc_id NOT IN (SELECT doc_id FROM exact_drop)
+    """,
+    tags=("llm", "pipeline", "dedup", "text"),
+)
+def q_training_corpus_filter(spark, sf_dir):
+    """The end-to-end corpus-cleaning pipeline, composed from the operator
+    tiers: exact-dedup keep-list (min-id keeper per content hash) ∩
+    near-dedup keep-list (drop the greater id of every >=0.8-Jaccard pair)
+    ∩ quality gate (score + token floor). Output is the training-ready
+    doc set — the actual deliverable of an LLM-data pipeline.
+
+    Plan shape: two anti-joins against tiny drop-lists (AQE broadcasts
+    them) over one codegen'd scoring scan; the dedup tiers reuse their
+    audited plans. Thresholds compare bit-identical doubles (identical
+    expression trees both engines), so the gate cannot flip cross-engine."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    keeper_w = Window.partitionBy(F.md5("text"))
+    exact_drop = (
+        docs.withColumn("keeper", F.min("doc_id").over(keeper_w))
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    near_drop = (
+        D.ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+        .select(F.col("doc_j").alias("doc_id"))
+        .distinct()
+    )
+    s = docs.select(
+        "doc_id",
+        "n_chars",
+        T.token_count().alias("tc"),
+        T.distinct_token_count().alias("dt"),
+        T.stopword_count().alias("sw"),
+    ).filter(F.col("tc") > 0)
+    score = (
+        (F.col("sw").cast("double") / F.col("tc").cast("double")) * 0.3
+        + (F.col("dt").cast("double") / F.col("tc").cast("double")) * 0.4
+        + F.least(F.col("tc").cast("double") / 100.0, F.lit(1.0)) * 0.3
+    )
+    scored = s.select(
+        "doc_id",
+        F.col("tc").cast("bigint").alias("token_count"),
+        score.alias("quality_score"),
+    ).filter(
+        (F.col("quality_score") >= QUALITY_GATE)
+        & (F.col("token_count") >= MIN_TOKENS)
+    )
+    return scored.join(
+        F.broadcast(near_drop.unionByName(exact_drop).distinct()),
+        "doc_id",
+        "left_anti",
+    )
