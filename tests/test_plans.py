@@ -1,0 +1,59 @@
+"""Physical-plan regression tests: the PLANS.md audit, enforced.
+
+Each assertion pins a scale-critical plan property — filter pushdown into
+the parquet scan, broadcast build side for small dims, shuffle count for
+the window formulation — so a refactor that silently degrades the plan
+(e.g. loses pushdown behind a cast, or flips a broadcast to a sort-merge
+shuffle) fails CI instead of surfacing at cluster scale.
+"""
+
+from moc_indexer_spark.plans.registry import registry
+
+_SPECS = {s.name: s for s in registry()}
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = _SPECS[name].build(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tx_list_pushes_filters_into_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tx_list")
+    assert "PushedFilters: [" in plan
+    # the address equality must reach the parquet reader, not a post-scan Filter
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "user_id" in pushed, f"address filter not pushed: {pushed}"
+    # top-k page never globally sorts
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tx_enrich_money_broadcasts_dim_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tx_enrich_money")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_latest_per_address_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "latest_per_address")
+    # one exchange for the window partitioning — no self-join formulation
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    # map-side combine: partial+final HashAggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_registered_user_txs_semi_join_no_fact_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "registered_user_txs")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_training_corpus_filter_broadcasts_droplists(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "training_corpus_filter")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
