@@ -261,3 +261,137 @@ def test_dedup_within_watermark_across_batches(spark, workdir):
     assert list(out["k"]) == ["a", "b", "c"]
     # first-seen row wins: the duplicate "a" (v=99) was dropped
     assert int(out[out["k"] == "a"]["v"].iloc[0]) == 1
+
+
+def _has_tws_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+class _FakeValueState:
+    """Driver-side stand-in for the TWS ValueState API (get/update/exists)."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_status_processor_direct_drive():
+    """transformWithState StatefulProcessor logic without the Spark runtime
+    (the TWS wire protocol needs protobuf, absent in this container): drive
+    handleInputRows per micro-batch with a fake ValueState and assert the
+    same transitions the applyInPandasWithState path produces."""
+    from moc_indexer_spark.streaming.status_tws import StatusProcessor
+
+    proc = StatusProcessor()
+    proc._state = _FakeValueState()
+
+    def feed(rows):
+        pdf = pd.DataFrame(rows, columns=OBS_COLS)
+        return pd.concat(list(proc.handleInputRows(("a",), iter([pdf]), None)))
+
+    out1 = feed([_obs("a", 60, "confirmed", 3)])
+    assert list(out1["status"]) == ["confirming"]
+    assert list(out1["confirming_percent"]) == [30]
+
+    out2 = feed([_obs("a", 400, "confirmed", 12)])
+    assert list(out2["status"]) == ["confirmed"]
+    # state persisted across "batches"
+    assert proc._state.get()[1] == "confirmed"
+
+    # terminal state is sticky
+    out3 = feed([_obs("a", 500, "reverted", 0)])
+    assert list(out3["status"]) == ["confirmed"]
+
+    # stale path on a fresh key
+    proc2 = StatusProcessor()
+    proc2._state = _FakeValueState()
+    pdf = pd.DataFrame([_obs("c", 700, None, 0)], columns=OBS_COLS)
+    out4 = pd.concat(list(proc2.handleInputRows(("c",), iter([pdf]), None)))
+    assert list(out4["status"]) == ["failed"]
+    assert list(out4["error_code"]) == ["staleTransaction"]
+
+
+@pytest.mark.skipif(
+    not _has_tws_protobuf(),
+    reason="transformWithState state protocol needs the protobuf package",
+)
+def test_status_machine_transformwithstate_parity(spark, workdir):
+
+    """The same observation slices through BOTH stateful APIs
+    (applyInPandasWithState and transformWithStateInPandas/RocksDB) must
+    produce identical latest-per-tx status rows."""
+    from moc_indexer_spark.streaming import status_tws as TWS
+
+    src = f"{workdir}/obs2"
+    os.makedirs(src)
+    batches = [
+        [
+            _obs("a", 60, "confirmed", 3),
+            _obs("b", 60, "reverted", 0),
+            _obs("c", 60, None, 0),
+        ],
+        [
+            _obs("a", 400, "confirmed", 12),
+            _obs("c", 700, None, 0),
+        ],
+    ]
+    schema = ("tx_hash string, observed_at timestamp, receipt_status string, "
+              "confirmations long, created_at timestamp")
+
+    def run_engine(out_dir, ckpt, wire):
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, OBS_COLS).coalesce(1).write.mode(
+                "overwrite").parquet(f"{workdir}/tws_stage{i}")
+            for f_ in os.listdir(f"{workdir}/tws_stage{i}"):
+                if f_.endswith(".parquet"):
+                    shutil.copy(f"{workdir}/tws_stage{i}/{f_}",
+                                f"{src}/{out_dir.split('/')[-1]}_b{i}.parquet")
+            stream = (spark.readStream.schema(schema).parquet(src)
+                      .filter(F.input_file_name().contains(out_dir.split('/')[-1])))
+            q = (wire(stream)
+                 .writeStream.format("parquet")
+                 .option("path", out_dir)
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("append")
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+        pdf = spark.read.parquet(out_dir).toPandas()
+        latest = pdf.sort_values("last_observed_at").groupby("tx_hash").tail(1)
+        return sorted(
+            map(tuple, latest[["tx_hash", "status", "confirmations",
+                               "confirming_percent", "error_code"]].values)
+        )
+
+    a = run_engine(f"{workdir}/apis_out", f"{workdir}/apis_ckpt",
+                   ST.apply_status_machine)
+
+    default_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   TWS.ROCKSDB_PROVIDER)
+    try:
+        b = run_engine(f"{workdir}/tws_out", f"{workdir}/tws_ckpt",
+                       TWS.apply_status_machine_tws)
+    finally:
+        if default_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", default_provider)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    assert a == b
+    assert [t[0:2] for t in a] == [("a", "confirmed"), ("b", "failed"),
+                                   ("c", "failed")]
