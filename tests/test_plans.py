@@ -57,3 +57,21 @@ def test_training_corpus_filter_broadcasts_droplists(spark, sf_dir):
     plan = _plan(spark, sf_dir, "training_corpus_filter")
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_is_union_window_one_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_join_price_at_click")
+    # distributed as-of: union + last-value window -> exactly one exchange,
+    # never a per-row lookup join
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_interval_joins_are_binned_equi_not_nested_loop(spark, sf_dir):
+    for name in ("settlement_window_activity", "recent_price_enrichment"):
+        plan = _plan(spark, sf_dir, name)
+        # the bin key makes the range join an equi hash join; a theta-only
+        # formulation would appear as BroadcastNestedLoopJoin
+        assert "NestedLoop" not in plan, f"{name} fell back to nested loop"
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
