@@ -516,3 +516,59 @@ def q_training_corpus_filter(spark, sf_dir):
         "doc_id",
         "left_anti",
     )
+
+
+WINNOW_K = 4  # k-gram width
+WINNOW_W = 4  # winnowing window
+
+
+@register(
+    "doc_winnowing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    kg AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - {WINNOW_K} + 2),
+               i -> md5(array_to_string(list_slice(t, i, i + {WINNOW_K} - 1), ' '))) AS h
+      FROM toks WHERE len(t) >= {WINNOW_K}),
+    fp AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(h) - {WINNOW_W} + 1, 1) + 1),
+               j -> list_aggregate(list_slice(h, j, j + {WINNOW_W} - 1), 'min'))) AS fps
+      FROM kg)
+    SELECT doc_id, unnest(fps) AS fingerprint FROM fp
+    """,
+    tags=("llm", "text", "fingerprint", "winnowing"),
+)
+def q_doc_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    k-gram hashes, then the minimum of every w-wide sliding window —
+    guaranteeing any shared substring of length >= k+w-1 yields a shared
+    fingerprint, with ~2/(w+1) selection density. Two docs sharing a
+    fingerprint share a k-gram, so the fingerprint table is a plagiarism/
+    near-dup inverted index that is sublinear in document size.
+
+    Cross-engine trick: the 'hash' is md5-hex (identical bytes in Spark and
+    DuckDB) and winnowing only needs a TOTAL ORDER on hashes, so the
+    lexicographic min of hex strings replaces the usual integer rolling
+    hash bit-for-bit portably. All array ops are Catalyst higher-order
+    functions — one projection, no shuffle until a consumer groups."""
+    d = table(spark, sf_dir, "documents")
+    t = T.tokens("text")
+    toks = d.select("doc_id", t.alias("t")).filter(F.size("t") >= WINNOW_K)
+    kgram_hashes = F.transform(
+        F.sequence(F.lit(1), F.size("t") - WINNOW_K + 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, WINNOW_K))),
+    )
+    kg = toks.select("doc_id", kgram_hashes.alias("h"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("h") - WINNOW_W + 1, F.lit(1))
+            ),
+            lambda j: F.array_min(F.slice(F.col("h"), j, WINNOW_W)),
+        )
+    )
+    return kg.select("doc_id", F.explode(fps).alias("fingerprint"))
