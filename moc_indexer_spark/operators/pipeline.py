@@ -1,0 +1,181 @@
+"""Training-data pipeline operators: profiling, deterministic sampling,
+sequence packing, multi-grain rollups, and text scrubbing.
+
+No reference analog (BASELINE.json north star — large-scale data-pipeline
+ops). Everything here is a pure Catalyst expression plan: one scan, no
+Python UDFs, shuffles only where an aggregation key forces one.
+
+Scale notes per operator:
+- profile_numeric: ONE pass over the table; the distinct counts use Spark's
+  Expand-based multi-distinct (each distinct agg shuffles its own key set).
+  At 100 TB swap `countDistinct` for `approx_count_distinct` (HLL, one
+  shuffle total) — the exact form is the oracle.
+- hash_sample: embarrassingly parallel filter, no shuffle, no RNG state —
+  md5(key) makes the sample reproducible across engines, retries, and
+  cluster sizes (the property that matters for training-data lineage).
+- pack_sequences: one shuffle on the partition key; the running sum is a
+  window inside each partition — no global sort, no single-reducer stage.
+- rollup_grains: ONE scan + ONE shuffle via `rollup()` grouping sets
+  (minute→hour→day hierarchy); the naive form is 3 scans + 3 shuffles.
+- scrub_text: JVM regexp_replace chain inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- column profiler (ANALYZE-style stats, long format) ---------------------
+
+
+def profile_numeric(
+    df: DataFrame, numeric_cols: list[str], categorical_cols: list[str] = ()
+) -> DataFrame:
+    """Per-column stats in one pass: rows / nulls / exact distinct / min /
+    max. Long format (one row per column) so the output schema is stable
+    regardless of the profiled table. Categorical columns report NULL
+    min/max (kept numeric-typed for cross-engine hash parity)."""
+    aggs: list[Column] = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in [*numeric_cols, *categorical_cols]:
+        aggs.append(F.count(c).cast("bigint").alias(f"__cnt_{c}"))
+        aggs.append(F.count_distinct(c).cast("bigint").alias(f"__nd_{c}"))
+    for c in numeric_cols:
+        aggs.append(F.min(c).cast("double").alias(f"__min_{c}"))
+        aggs.append(F.max(c).cast("double").alias(f"__max_{c}"))
+    one = df.agg(*aggs)
+
+    def row(c: str, numeric: bool) -> Column:
+        return F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__cnt_{c}")).cast("bigint").alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            (F.col(f"__min_{c}") if numeric else F.lit(None).cast("double")).alias(
+                "min_d"
+            ),
+            (F.col(f"__max_{c}") if numeric else F.lit(None).cast("double")).alias(
+                "max_d"
+            ),
+        )
+
+    rows = [row(c, True) for c in numeric_cols] + [
+        row(c, False) for c in categorical_cols
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+# --- deterministic hash sampling -------------------------------------------
+
+
+def hash_bucket(key: Column) -> Column:
+    """First 2 hex chars of md5(key-as-string): a uniform bucket in
+    '00'..'ff' (256 buckets). String compare against a hex threshold gives
+    a deterministic Bernoulli sample at k/256 — identical in any engine
+    with md5 (no RNG, no seed plumbing, stable under re-runs)."""
+    return F.substring(F.md5(key.cast("string")), 1, 2)
+
+
+def hash_sample(df: DataFrame, key: Column, threshold_hex: Column) -> DataFrame:
+    """Keep rows whose hash bucket sorts below `threshold_hex` ('14' → keep
+    20/256 ≈ 7.8%). Pass a CASE expression as the threshold for stratified
+    (per-group) rates."""
+    return df.withColumn("bucket_hex", hash_bucket(key)).filter(
+        F.col("bucket_hex") < threshold_hex
+    )
+
+
+# --- sequence packing (concat-and-chunk batching) ---------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    token_col: Column,
+    budget: int,
+) -> DataFrame:
+    """Assign each document a pack id by streaming docs in `order_col` order
+    through a token budget: pack_id = floor(start_offset / budget) where
+    start_offset is the running token total BEFORE the doc. This is the
+    concat-and-chunk packing used to build fixed-length training batches —
+    deterministic, one shuffle (on group_col), windowed cumsum within."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = token_col.cast("bigint")
+    cum = F.sum(toks).over(w)
+    return df.select(
+        group_col,
+        order_col,
+        toks.alias("n_tokens"),
+        F.floor((cum - toks) / F.lit(budget)).cast("bigint").alias("pack_id"),
+    )
+
+
+# --- multi-grain rollup cascade (continuous-aggregate hierarchy) ------------
+
+
+def rollup_grains(
+    df: DataFrame, ts_col: str, group_col: str, value_dec: Column
+) -> DataFrame:
+    """minute/hour/day rollups in ONE scan + ONE shuffle using grouping
+    sets (Spark 4 `DataFrame.groupingSets`): the (day, g), (hour, g) and
+    (minute, g) groupings run in the same aggregation — the naive form is
+    3 scans + 3 shuffles (which is what the DuckDB oracle does; two
+    independent plans, one result). This is the hypertable
+    continuous-aggregate hierarchy; the streaming incremental form is
+    streaming/rollup.py. Grain detection uses GROUPING() indicators, not
+    null checks, so NULL-keyed data stays correct."""
+    base = df.select(
+        F.date_trunc("day", ts_col).alias("__day"),
+        F.date_trunc("hour", ts_col).alias("__hour"),
+        F.date_trunc("minute", ts_col).alias("__minute"),
+        F.col(group_col),
+        value_dec.alias("__v"),
+    )
+    d, h, m, g = F.col("__day"), F.col("__hour"), F.col("__minute"), F.col(group_col)
+    rolled = base.groupingSets(
+        [[d, g], [d, h, g], [d, h, m, g]], d, h, m, g
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("__v").cast("decimal(18,4)").cast("double").alias("total_value"),
+        F.grouping("__minute").alias("__no_min"),
+        F.grouping("__hour").alias("__no_hour"),
+    )
+    grain = (
+        F.when(F.col("__no_min") == 0, "minute")
+        .when(F.col("__no_hour") == 0, "hour")
+        .otherwise("day")
+    )
+    bucket = F.coalesce(F.col("__minute"), F.col("__hour"), F.col("__day"))
+    return rolled.select(
+        grain.alias("grain"),
+        bucket.alias("bucket_start"),
+        F.col(group_col),
+        "n_events",
+        "total_value",
+    )
+
+
+# --- text scrubbing (PII-style masking) -------------------------------------
+
+# Simple char-class patterns only: valid and identical under Java regex
+# (Spark) and RE2 (DuckDB with the 'g' flag).
+SCRUB_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+", "<EMAIL>"),
+    (r"[0-9][0-9 ()+.-]{6,}[0-9]", "<PHONE>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+def scrub_text(text: Column, extra: tuple[tuple[str, str], ...] = ()) -> Column:
+    """Chained global regexp_replace masking emails, phone-number shapes,
+    then any residual digit runs. Order matters (specific → general)."""
+    out = text
+    for pat, repl in (*SCRUB_PATTERNS, *extra):
+        out = F.regexp_replace(out, pat, repl)
+    return out

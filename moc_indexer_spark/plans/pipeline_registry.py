@@ -1,0 +1,181 @@
+"""Registry batch 6: training-data pipeline operators — column profiling,
+deterministic hash sampling, sequence packing, multi-grain rollup cascade,
+text scrubbing (operators/pipeline.py).
+
+Cross-engine determinism notes:
+- md5 of a bigint rendered as a string is byte-identical in Spark and
+  DuckDB (both lowercase hex), so the hash sample is oracle-exact.
+- All SUM() aggregates run in DECIMAL (exact) and cast to double at the
+  edge; window SUM over bigint is CAST to BIGINT on the DuckDB side
+  (hugeint → pandas float otherwise).
+- The rollup cascade is grouping-sets (1 scan) in Spark vs UNION ALL
+  (3 scans) in the oracle — independent plans, same result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import pipeline as P
+from ..tables import table
+from .registry import register
+
+PACK_BUDGET = 512  # tokens per training pack (concat-and-chunk batch size)
+SAMPLE_EN_HEX = "14"  # keep 20/256 ≈ 7.8% of English docs
+SAMPLE_OTHER_HEX = "52"  # keep 82/256 ≈ 32% of everything else
+
+
+@register(
+    "column_profile",
+    """
+    SELECT 'event_id' AS column, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(event_id) AS n_nulls,
+           COUNT(DISTINCT event_id) AS n_distinct,
+           CAST(MIN(event_id) AS DOUBLE) AS min_d,
+           CAST(MAX(event_id) AS DOUBLE) AS max_d
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+           COUNT(DISTINCT user_id),
+           CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+           COUNT(DISTINCT value), MIN(value), MAX(value)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+           COUNT(DISTINCT event_type),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM events
+    """,
+    tags=("pipeline", "profile"),
+)
+def q_column_profile(spark, sf_dir):
+    """ANALYZE-style column stats in ONE table scan (the oracle scans 4×).
+    At 100 TB the exact distinct counts become approx_count_distinct."""
+    return P.profile_numeric(
+        table(spark, sf_dir, "events"),
+        numeric_cols=["event_id", "user_id", "value"],
+        categorical_cols=["event_type"],
+    )
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket_hex
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '{SAMPLE_EN_HEX}' ELSE '{SAMPLE_OTHER_HEX}' END
+    """,
+    tags=("pipeline", "sampling"),
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsample: per-language keep rates driven
+    by an md5 hash bucket — reproducible across engines, retries, and
+    cluster sizes (no RNG/seed state), shuffle-free."""
+    docs = table(spark, sf_dir, "documents")
+    threshold = F.when(F.col("lang") == "en", SAMPLE_EN_HEX).otherwise(
+        SAMPLE_OTHER_HEX
+    )
+    return P.hash_sample(docs, F.col("doc_id"), threshold).select(
+        "doc_id", "lang", "bucket_hex"
+    )
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM toks)
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+    tags=("pipeline", "packing", "window"),
+)
+def q_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk training-batch packing: stream docs per language in
+    doc_id order through a {PACK_BUDGET}-token budget; pack id = starting
+    offset div budget. One shuffle (on lang), windowed cumsum within."""
+    docs = table(spark, sf_dir, "documents")
+    return P.pack_sequences(
+        docs,
+        group_col="lang",
+        order_col="doc_id",
+        token_col=F.size(F.split(F.col("text"), " ")),
+        budget=PACK_BUDGET,
+    )
+
+
+@register(
+    "rollup_cascade",
+    """
+    SELECT 'minute' AS grain, date_trunc('minute', ts) AS bucket_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'hour', date_trunc('hour', ts), event_type, COUNT(*),
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE)
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), event_type, COUNT(*),
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE)
+    FROM events GROUP BY 2, 3
+    """,
+    tags=("pipeline", "rollup", "grouping-sets"),
+    bench=True,
+)
+def q_rollup_cascade(spark, sf_dir):
+    """Hypertable-style continuous-aggregate hierarchy (minute/hour/day) in
+    one grouping-sets pass; streaming incremental form in
+    streaming/rollup.py."""
+    return P.rollup_grains(
+        table(spark, sf_dir, "events"),
+        ts_col="ts",
+        group_col="event_type",
+        value_dec=F.col("value").cast("decimal(18,6)"),
+    )
+
+
+@register(
+    "text_scrub",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),
+               '[0-9][0-9 ()+.-]{6,}[0-9]', '<PHONE>', 'g'),
+             '[0-9]+', '<NUM>', 'g') AS scrubbed,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),
+               '[0-9][0-9 ()+.-]{6,}[0-9]', '<PHONE>', 'g'),
+             '[0-9]+', '<NUM>', 'g') <> text AS changed
+    FROM documents
+    """,
+    tags=("pipeline", "scrub"),
+)
+def q_text_scrub(spark, sf_dir):
+    """PII-style masking (emails → phone shapes → digit runs, specific to
+    general). Chained JVM regexp_replace, whole-stage codegen; patterns are
+    plain char classes valid under both Java regex and RE2."""
+    docs = table(spark, sf_dir, "documents")
+    scrubbed = P.scrub_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (scrubbed != F.col("text")).alias("changed"),
+    )

@@ -65,6 +65,7 @@ def registry() -> list[QuerySpec]:
     from . import (  # noqa: F401
         llm_registry,
         misc_registry,
+        pipeline_registry,
         relational_extra,
         serving_registry,
     )

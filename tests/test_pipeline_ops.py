@@ -1,0 +1,158 @@
+"""Training-data pipeline operators (operators/pipeline.py) + the
+incrementally-maintained rollup (streaming/rollup.py).
+
+Correctness of the batch queries is oracle-gated (plans/pipeline_registry);
+these tests cover the properties the oracle can't see: incremental==batch
+parity, determinism of the hash sample, packing invariants, and the plan
+shapes that matter at scale."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from moc_indexer_spark.operators import pipeline as P
+from moc_indexer_spark.streaming.rollup import IncrementalRollup
+from moc_indexer_spark.streaming.windows import tumbling_agg
+from moc_indexer_spark.tables import table
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def _events(spark, sf_dir):
+    return table(spark, sf_dir, "events")
+
+
+# --- incremental rollup --------------------------------------------------
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_incremental_rollup_equals_batch(spark, sf_dir, workdir):
+    """Folding the table in 3 arbitrary slices must equal the one-shot
+    batch tumbling aggregate — exact types make merge order irrelevant."""
+    events = _events(spark, sf_dir).cache()
+    roll = IncrementalRollup(spark, f"{workdir}/roll", width="1 hour")
+    for i in range(3):
+        roll.update(events.filter(F.col("event_id") % 3 == i))
+    batch = tumbling_agg(events, "1 hour")
+    assert _sorted_rows(roll.serve()) == _sorted_rows(batch)
+
+
+def test_incremental_rollup_under_streaming(spark, sf_dir, workdir):
+    """Same parity through a real availableNow file stream: one slice file
+    per micro-batch (maxFilesPerTrigger=1) driving foreachBatch."""
+    events = _events(spark, sf_dir).cache()
+    src = f"{workdir}/src"
+    os.makedirs(src)
+    for i in range(3):
+        stage = f"{workdir}/stage"
+        (events.filter(F.col("event_id") % 3 == i)
+               .coalesce(1).write.mode("overwrite").parquet(stage))
+        for f_ in os.listdir(stage):
+            if f_.endswith(".parquet"):
+                shutil.copy(f"{stage}/{f_}", f"{src}/slice{i}.parquet")
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    roll = IncrementalRollup(spark, f"{workdir}/roll", width="1 hour")
+    q = roll.attach(stream, checkpoint=f"{workdir}/ckpt")
+    q.awaitTermination(120)
+    batch = tumbling_agg(events, "1 hour")
+    assert _sorted_rows(roll.serve()) == _sorted_rows(batch)
+
+
+# --- hash sampling -------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_stratified(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    thr = F.when(F.col("lang") == "en", "14").otherwise("52")
+    a = P.hash_sample(docs, F.col("doc_id"), thr).select("doc_id")
+    b = P.hash_sample(docs, F.col("doc_id"), thr).select("doc_id")
+    assert _sorted_rows(a) == _sorted_rows(b)  # no RNG state anywhere
+    rates = {
+        r["lang"]: r["rate"]
+        for r in P.hash_sample(docs, F.col("doc_id"), thr)
+        .groupBy("lang").count()
+        .join(docs.groupBy("lang").agg(F.count("*").alias("n")), "lang")
+        .select("lang", (F.col("count") / F.col("n")).alias("rate"))
+        .collect()
+    }
+    # en sampled at 20/256, the rest at 82/256 — loose bounds at sf0.001
+    assert rates.get("en", 0) < 0.25
+    assert all(v > rates.get("en", 0) for k, v in rates.items() if k != "en")
+
+
+# --- sequence packing ----------------------------------------------------
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    budget = 512
+    out = P.pack_sequences(
+        docs, "lang", "doc_id", F.size(F.split(F.col("text"), " ")), budget
+    ).collect()
+    by_group: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["lang"], r["doc_id"])):
+        by_group.setdefault(r["lang"], []).append(r)
+    for rows in by_group.values():
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == cum // budget  # start-offset chunking
+            cum += r["n_tokens"]
+        packs = [r["pack_id"] for r in rows]
+        assert packs == sorted(packs)  # monotone in stream order
+
+
+# --- profiler ------------------------------------------------------------
+
+
+def test_profile_handles_categoricals_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 7.5, None), (3, 7.5, "b")],
+        "id bigint, v double, c string",
+    )
+    rows = {r["column"]: r for r in
+            P.profile_numeric(df, ["id", "v"], ["c"]).collect()}
+    assert rows["id"]["n_rows"] == 4 and rows["id"]["n_distinct"] == 3
+    assert rows["v"]["n_nulls"] == 1 and rows["v"]["max_d"] == 7.5
+    assert rows["c"]["n_nulls"] == 1 and rows["c"]["min_d"] is None
+
+
+# --- plan shapes ---------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rollup_cascade_is_one_scan_one_shuffle(spark, sf_dir):
+    """Grouping sets: 3 grains share one scan and one exchange (the naive
+    UNION-ALL form — the oracle — scans and shuffles 3x)."""
+    df = P.rollup_grains(
+        _events(spark, sf_dir), "ts", "event_type",
+        F.col("value").cast("decimal(18,6)"),
+    )
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Expand" in plan  # grouping-sets expansion, map-side
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    df = P.profile_numeric(
+        _events(spark, sf_dir), ["event_id", "user_id", "value"], ["event_type"]
+    )
+    assert _plan(df).count("Scan parquet") == 1
+
+
+def test_hash_sample_no_shuffle(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    df = P.hash_sample(docs, F.col("doc_id"), F.lit("14"))
+    assert "Exchange" not in _plan(df)
