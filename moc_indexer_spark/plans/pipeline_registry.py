@@ -23,6 +23,7 @@ from .registry import register
 PACK_BUDGET = 512  # tokens per training pack (concat-and-chunk batch size)
 SAMPLE_EN_HEX = "14"  # keep 20/256 ≈ 7.8% of English docs
 SAMPLE_OTHER_HEX = "52"  # keep 82/256 ≈ 32% of everything else
+EMB_DIM = 64  # embeddings.parquet vector width
 
 
 @register(
@@ -178,4 +179,63 @@ def q_text_scrub(spark, sf_dir):
         "doc_id",
         scrubbed.alias("scrubbed"),
         (scrubbed != F.col("text")).alias("changed"),
+    )
+
+
+@register(
+    "label_centroids",
+    f"""
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(18,6)) AS e
+      FROM embeddings)
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(SUM(e) AS DOUBLE) / COUNT(*) AS centroid
+    FROM ex GROUP BY label, pos
+    """,
+    tags=("pipeline", "vector-agg"),
+)
+def q_label_centroids(spark, sf_dir):
+    """Element-wise mean embedding per label — the k-means E-step / class
+    prototype as a pure aggregate. The Spark plan is {EMB_DIM} decimal sums
+    in ONE aggregation (no explode: the oracle explodes to rows×{EMB_DIM}
+    and shuffles them all; here the shuffle carries one {EMB_DIM}-wide row
+    per (label, partition) thanks to map-side combine). Elements are
+    rounded to 6dp then summed in exact DECIMAL so merge order and engine
+    cannot change the result; the mean divides in double at the edge."""
+    e = table(spark, sf_dir, "embeddings")
+    elem = lambda i: F.round(F.col("embedding")[i].cast("double"), 6).cast(
+        "decimal(18,6)"
+    )
+    agg = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        *[F.sum(elem(i)).alias(f"__s{i}") for i in range(EMB_DIM)],
+    )
+    pairs = ", ".join(f"CAST({i + 1} AS BIGINT), __s{i}" for i in range(EMB_DIM))
+    return agg.select(
+        "label",
+        "__n",
+        F.expr(f"stack({EMB_DIM}, {pairs}) AS (pos, __s)"),
+    ).select(
+        "label",
+        "pos",
+        (F.col("__s").cast("double") / F.col("__n")).alias("centroid"),
+    )
+
+
+@register(
+    "approx_value_percentiles",
+    None,
+    tags=("pipeline", "percentile", "sketch"),
+)
+def q_approx_value_percentiles(spark, sf_dir):
+    """The 100 TB path for `value_percentiles`: approx_percentile's
+    mergeable quantile sketch (partial sketches combine associatively — one
+    shuffle of sketch state, never the values). Rows-only; the rank-error
+    bound vs the exact percentiles is pytest-checked."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("p50"),
+        F.expr("approx_percentile(value, 0.95, 1000)").alias("p95"),
+        F.expr("approx_percentile(value, 0.99, 1000)").alias("p99"),
     )

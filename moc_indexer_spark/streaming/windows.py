@@ -43,6 +43,46 @@ def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Batch session windows: per-user sessions closed by a `gap` of
+    inactivity (`session_window` — dynamic-width windows the registry's
+    `user_sessions_native` query cross-checks against a lag-based SQL
+    formulation)."""
+    g = events.groupBy(
+        F.session_window("ts", gap).alias("w"), F.col("user_id")
+    )
+    return _agg(g).select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "user_id",
+        "n_events",
+        "total_value",
+    )
+
+
+def streaming_session_agg(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming session windows. Spark merges overlapping in-progress
+    sessions in the state store; a session finalizes (append mode) once the
+    watermark passes its end + gap — the event-time generalization of the
+    reference's stale-tx timeout (T4): keyed state that closes after
+    inactivity. State per key is bounded by the watermark horizon."""
+    g = (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+    )
+    return _agg(g).select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "user_id",
+        "n_events",
+        "total_value",
+    )
+
+
 def streaming_tumbling_agg(
     events_stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -38,33 +38,41 @@ def test_incremental_rollup_equals_batch(spark, sf_dir, workdir):
     """Folding the table in 3 arbitrary slices must equal the one-shot
     batch tumbling aggregate — exact types make merge order irrelevant."""
     events = _events(spark, sf_dir).cache()
-    roll = IncrementalRollup(spark, f"{workdir}/roll", width="1 hour")
-    for i in range(3):
-        roll.update(events.filter(F.col("event_id") % 3 == i))
-    batch = tumbling_agg(events, "1 hour")
-    assert _sorted_rows(roll.serve()) == _sorted_rows(batch)
+    try:
+        roll = IncrementalRollup(spark, f"{workdir}/roll", width="1 hour")
+        for i in range(3):
+            roll.update(events.filter(F.col("event_id") % 3 == i))
+        batch = tumbling_agg(events, "1 hour")
+        assert _sorted_rows(roll.serve()) == _sorted_rows(batch)
+    finally:
+        # a cached full-table relation would get substituted into later
+        # plan-shape tests (InMemoryTableScan has no PushedFilters)
+        events.unpersist()
 
 
 def test_incremental_rollup_under_streaming(spark, sf_dir, workdir):
     """Same parity through a real availableNow file stream: one slice file
     per micro-batch (maxFilesPerTrigger=1) driving foreachBatch."""
     events = _events(spark, sf_dir).cache()
-    src = f"{workdir}/src"
-    os.makedirs(src)
-    for i in range(3):
-        stage = f"{workdir}/stage"
-        (events.filter(F.col("event_id") % 3 == i)
-               .coalesce(1).write.mode("overwrite").parquet(stage))
-        for f_ in os.listdir(stage):
-            if f_.endswith(".parquet"):
-                shutil.copy(f"{stage}/{f_}", f"{src}/slice{i}.parquet")
-    stream = (spark.readStream.schema(events.schema)
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    roll = IncrementalRollup(spark, f"{workdir}/roll", width="1 hour")
-    q = roll.attach(stream, checkpoint=f"{workdir}/ckpt")
-    q.awaitTermination(120)
-    batch = tumbling_agg(events, "1 hour")
-    assert _sorted_rows(roll.serve()) == _sorted_rows(batch)
+    try:
+        src = f"{workdir}/src"
+        os.makedirs(src)
+        for i in range(3):
+            stage = f"{workdir}/stage"
+            (events.filter(F.col("event_id") % 3 == i)
+                   .coalesce(1).write.mode("overwrite").parquet(stage))
+            for f_ in os.listdir(stage):
+                if f_.endswith(".parquet"):
+                    shutil.copy(f"{stage}/{f_}", f"{src}/slice{i}.parquet")
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        roll = IncrementalRollup(spark, f"{workdir}/roll", width="1 hour")
+        q = roll.attach(stream, checkpoint=f"{workdir}/ckpt")
+        q.awaitTermination(120)
+        batch = tumbling_agg(events, "1 hour")
+        assert _sorted_rows(roll.serve()) == _sorted_rows(batch)
+    finally:
+        events.unpersist()
 
 
 # --- hash sampling -------------------------------------------------------
@@ -156,3 +164,28 @@ def test_hash_sample_no_shuffle(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     df = P.hash_sample(docs, F.col("doc_id"), F.lit("14"))
     assert "Exchange" not in _plan(df)
+
+
+# --- approx percentile sketch bound --------------------------------------
+
+
+def test_approx_percentile_rank_error_bound(spark, sf_dir):
+    """approx_percentile(accuracy=1000) guarantees rank error <= 1/accuracy;
+    assert the realized CDF position of each estimate stays within a loose
+    multiple of that bound."""
+    from moc_indexer_spark.plans.registry import registry
+
+    spec = {s.name: s for s in registry()}["approx_value_percentiles"]
+    approx = {r["event_type"]: r for r in spec.build(spark, sf_dir).collect()}
+    events = _events(spark, sf_dir).select("event_type", "value").cache()
+    try:
+        n_by = {r["event_type"]: r["n"] for r in
+                events.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+        for etype, row in approx.items():
+            for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+                cdf = (events.filter((F.col("event_type") == etype)
+                                     & (F.col("value") <= row[col])).count()
+                       / n_by[etype])
+                assert abs(cdf - q) <= 0.02, (etype, col, cdf)
+    finally:
+        events.unpersist()

@@ -100,3 +100,74 @@ def test_batch_stream_window_parity(spark, tmp_path, sf_dir):
     streamed = {(r.window_start, r.event_type): (r.n_events, r.total_value)
                 for r in spark.sql("select * from win_parity").collect()}
     assert streamed == batch
+
+
+def test_batch_stream_session_parity(spark, tmp_path, sf_dir):
+    """session_window under streaming (state-store session merge) must equal
+    the batch session_window aggregation over the same events."""
+    from moc_indexer_spark.streaming.windows import session_agg, streaming_session_agg
+    from moc_indexer_spark.tables import table
+
+    tmp = str(tmp_path)
+    events = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .limit(500)
+    )
+    src = f"{tmp}/src"
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    key = lambda r: (r.session_start, r.session_end, r.user_id)
+    batch = {key(r): (r.n_events, r.total_value)
+             for r in session_agg(spark.read.parquet(src), "30 minutes").collect()}
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_session_agg(stream, "30 minutes", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sess_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {key(r): (r.n_events, r.total_value)
+                for r in spark.sql("select * from sess_parity").collect()}
+    assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_sessions_merge_across_batches(spark, tmp_path):
+    """Two micro-batches whose events fall inside one inactivity gap must
+    merge into a single session in the state store."""
+    from moc_indexer_spark.streaming.windows import streaming_session_agg
+
+    tmp = str(tmp_path)
+    src = f"{tmp}/src"
+    b1 = [(1, BASE + dt.timedelta(minutes=0), 1, "click", 1.0),
+          (2, BASE + dt.timedelta(minutes=10), 1, "click", 2.0)]
+    b2 = [(3, BASE + dt.timedelta(minutes=20), 1, "click", 4.0)]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    os.makedirs(src, exist_ok=True)
+    for name, rows in (("b1", b1), ("b2", b2)):
+        stage = f"{tmp}/stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(stage)
+        for f_ in os.listdir(stage):
+            if f_.endswith(".parquet"):
+                shutil.copy(f"{stage}/{f_}", f"{src}/{name}.parquet")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (
+        streaming_session_agg(stream, "30 minutes", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sess_merge")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from sess_merge").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_events, r.total_value) == (3, 7.0)
+    assert r.session_start == BASE
+    assert r.session_end == BASE + dt.timedelta(minutes=50)  # last event + gap
