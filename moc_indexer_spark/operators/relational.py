@@ -207,3 +207,34 @@ def confirming_percent(confirmations_col, confirm_blocks: int = 10):
     """
     step = 100 // confirm_blocks
     return F.least(F.lit(100).cast("bigint"), (confirmations_col * step).cast("bigint"))
+
+
+def reconcile(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Keyed table reconciliation: full-outer diff emitting one row per
+    divergent key with status 'only_left' / 'only_right' / 'mismatch'
+    (identical rows produce nothing). The replica-validation op for any
+    sink this engine mirrors (the Mongo serving copy, a migrated table).
+
+    Null-safe: compared columns are packed into one struct per side and
+    checked with <=>, so NULL==NULL counts as equal. At scale this is one
+    sort-merge full-outer shuffle on the key — or ZERO shuffle when both
+    sides are bucketed on the key (tables.write_bucketed_table).
+    """
+    lv = left.select(*keys, F.struct(*compare_cols).alias("__lv"))
+    rv = right.select(*keys, F.struct(*compare_cols).alias("__rv"))
+    j = lv.join(rv, list(keys), "full_outer")
+    status = (
+        F.when(F.col("__rv").isNull() & F.col("__lv").isNotNull(), "only_left")
+        .when(F.col("__lv").isNull() & F.col("__rv").isNotNull(), "only_right")
+        .when(~F.col("__lv").eqNullSafe(F.col("__rv")), "mismatch")
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*keys, "status")
+    )

@@ -224,6 +224,59 @@ def q_label_centroids(spark, sf_dir):
 
 
 @register(
+    "replica_reconciliation",
+    """
+    WITH replica AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0),
+    l AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    j AS (
+      SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+             CASE WHEN r.o_orderkey IS NULL THEN 'only_left'
+                  WHEN l.o_orderkey IS NULL THEN 'only_right'
+                  WHEN l.o_totalprice IS DISTINCT FROM r.o_totalprice
+                    OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+                    THEN 'mismatch' END AS status
+      FROM l FULL OUTER JOIN replica r ON l.o_orderkey = r.o_orderkey)
+    SELECT o_orderkey, status FROM j WHERE status IS NOT NULL
+    """,
+    tags=("pipeline", "reconcile", "full-outer"),
+)
+def q_replica_reconciliation(spark, sf_dir):
+    """Replica/sink validation: full-outer keyed diff of `orders` against a
+    deterministically-degraded copy (dropped keys → only_left, perturbed
+    totals → mismatch, injected keys → only_right). The operator backing
+    the engine's Mongo-serving-copy consistency story; bucketed sides make
+    it shuffle-free."""
+    from ..operators.relational import reconcile
+
+    orders = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    replica = (
+        orders.filter(k % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 89 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            orders.filter(k % 101 == 0).withColumn(
+                "o_orderkey", k + 100000000
+            )
+        )
+    )
+    return reconcile(
+        orders, replica, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+@register(
     "approx_value_percentiles",
     None,
     tags=("pipeline", "percentile", "sketch"),

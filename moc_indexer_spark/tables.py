@@ -121,3 +121,40 @@ def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("amount"),
         F.col("props").alias("payload"),
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files and atomically swap it in. Returns the
+    new file count.
+
+    Streaming upsert sinks accrete small files (every micro-batch writes);
+    at cluster scale small files destroy scan throughput (per-file open
+    cost, starved vectorized reads, metadata pressure). This is the OPTIMIZE
+    /compaction maintenance action a lakehouse format schedules — same
+    rewrite, parquet-only. Run it out-of-band; readers see old or new files,
+    never a mix (directory swap).
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))

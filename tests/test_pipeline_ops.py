@@ -189,3 +189,36 @@ def test_approx_percentile_rank_error_bound(spark, sf_dir):
                 assert abs(cdf - q) <= 0.02, (etype, col, cdf)
     finally:
         events.unpersist()
+
+
+# --- reconciliation & compaction -----------------------------------------
+
+
+def test_reconcile_statuses_and_null_safety(spark):
+    from moc_indexer_spark.operators.relational import reconcile
+
+    left = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k bigint, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 9.9), (5, "e", 5.0)],
+        "k bigint, s string, v double",
+    )
+    got = {r["k"]: r["status"]
+           for r in reconcile(left, right, ["k"], ["s", "v"]).collect()}
+    # k=1 identical, k=2 identical including NULL==NULL -> absent
+    assert got == {3: "mismatch", 4: "only_left", 5: "only_right"}
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from moc_indexer_spark.tables import compact_parquet, table
+
+    path = str(tmp_path / "frag")
+    events = table(spark, sf_dir, "events")
+    events.repartition(40).write.parquet(path)
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before == 40
+    n = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert n < before
+    assert spark.read.parquet(path).count() == events.count()
