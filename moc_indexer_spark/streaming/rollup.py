@@ -73,8 +73,31 @@ class IncrementalRollup:
             )
         )
 
+    def _last_applied(self) -> int:
+        marker = f"{self.path}._batch_id"
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                return int(fh.read().strip())
+        return -1
+
+    def _mark_applied(self, batch_id: int) -> None:
+        marker = f"{self.path}._batch_id"
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, marker)
+
     def update(self, batch: DataFrame, batch_id: int | None = None) -> None:
-        """Fold one micro-batch into the stored totals (foreachBatch body)."""
+        """Fold one micro-batch into the stored totals (foreachBatch body).
+
+        Additive state is NOT naturally idempotent: foreachBatch re-delivers
+        a batch (same batch_id) after a failure, and re-adding would
+        double-count. The applied-batch-id marker makes the fold
+        exactly-once — the parquet analog of Delta's txn-version-in-MERGE
+        idempotent-write pattern. Direct (batch_id=None) callers manage
+        their own replay semantics."""
+        if batch_id is not None and batch_id <= self._last_applied():
+            return
         delta = self._partial(batch)
         state = self.read_state()
         merged = delta if state is None else (
@@ -86,6 +109,8 @@ class IncrementalRollup:
             )
         )
         self._atomic_write(merged)
+        if batch_id is not None:
+            self._mark_applied(batch_id)
 
     def attach(self, events_stream: DataFrame, checkpoint: str):
         """Wire onto a stream: every micro-batch maintains the rollup."""

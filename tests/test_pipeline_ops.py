@@ -222,3 +222,21 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     n = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
     assert n < before
     assert spark.read.parquet(path).count() == events.count()
+
+
+def test_incremental_rollup_replay_is_exactly_once(spark, sf_dir, workdir):
+    """foreachBatch re-delivers a batch after failure; re-applying the same
+    batch_id must be a no-op, while direct calls (batch_id=None) stay
+    additive."""
+    events = _events(spark, sf_dir)
+    roll = IncrementalRollup(spark, f"{workdir}/roll", width="1 hour")
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+    roll.update(b0, batch_id=0)
+    roll.update(b1, batch_id=1)
+    expected = _sorted_rows(roll.serve())
+    roll.update(b1, batch_id=1)  # retry of the last batch
+    roll.update(b0, batch_id=0)  # stale re-delivery
+    assert _sorted_rows(roll.serve()) == expected
+    total = sum(r[2] for r in expected)
+    assert total == events.count()
