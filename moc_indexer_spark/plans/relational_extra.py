@@ -721,3 +721,94 @@ def q_recent_price_enrichment(spark, sf_dir):
         F.col("created_at").alias("price_ts"), F.col("amount").alias("price")
     )
     return join_recent_prices(txs, prices, lookback_seconds=600)
+
+
+@register(
+    "customer_returns_topk",
+    """
+    SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,6))
+                         * CAST(CAST(1.0 AS DOUBLE) - l.l_discount AS DECIMAL(12,6)))
+                AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(24,6))
+                 * CAST(CAST(1.0 AS DOUBLE) - l.l_discount AS DECIMAL(12,6))) DESC,
+             c.c_custkey
+    LIMIT 20
+    """,
+    tags=("J1", "A1", "O1", "tpch"),
+    bench=True,
+)
+def q_customer_returns_topk(spark, sf_dir):
+    """TPC-H Q10 shape: 4-way join (two broadcastable dims, one fact-fact
+    equi-join) + group + top-k. The returnflag filter reaches the lineitem
+    scan; nation broadcasts; order-by runs on the exact decimal before the
+    double edge cast; limit is TakeOrderedAndProject."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    n = table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast(DMUL_L) * (
+        F.lit(1.0).cast("double") - F.col("l_discount")
+    ).cast(DMUL_R)
+    return (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("_rev_dec"))
+        .orderBy(F.desc("_rev_dec"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            F.col("_rev_dec").cast("decimal(18,4)").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "moving_hour_sum",
+    f"""
+    {TX_WITH},
+    s AS (SELECT tx_hash, address, created_at,
+                 CAST(FLOOR(epoch(created_at)) AS BIGINT) AS sec
+          FROM transactions)
+    SELECT tx_hash, address, created_at,
+           CAST(COUNT(*) OVER (
+             PARTITION BY address ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_last_hour
+    FROM s
+    """,
+    tags=("window", "range-frame"),
+)
+def q_moving_hour_sum(spark, sf_dir):
+    """Sliding 1-hour-lookback count per user via a RANGE window frame over
+    epoch seconds (the rate-limit / activity-velocity primitive). RANGE
+    frames bound by VALUE, not row count — ties at the same timestamp all
+    enter the frame, so the result is deterministic without a tiebreaker."""
+    t = transactions(spark, sf_dir)
+    s = t.select(
+        "tx_hash",
+        "address",
+        "created_at",
+        F.floor(F.unix_micros("created_at") / 1_000_000).cast("bigint").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("address")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return s.select(
+        "tx_hash",
+        "address",
+        "created_at",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+    )

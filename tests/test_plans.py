@@ -75,3 +75,18 @@ def test_interval_joins_are_binned_equi_not_nested_loop(spark, sf_dir):
         # formulation would appear as BroadcastNestedLoopJoin
         assert "NestedLoop" not in plan, f"{name} fell back to nested loop"
         assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_customer_returns_topk_plan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "customer_returns_topk")
+    # returnflag filter reaches the lineitem scan; dims broadcast; top-k
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_returnflag" in pushed
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_moving_hour_sum_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "moving_hour_sum")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
