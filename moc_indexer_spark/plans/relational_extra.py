@@ -812,3 +812,100 @@ def q_moving_hour_sum(spark, sf_dir):
         "created_at",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
     )
+
+
+@register(
+    "large_volume_orders",
+    """
+    WITH s AS (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq
+               FROM lineitem GROUP BY l_orderkey
+               HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+    SELECT c.c_custkey AS custkey, c.c_name AS name, o.o_orderkey AS orderkey,
+           o.o_orderdate AS orderdate,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS totalprice,
+           CAST(CAST(s.sq AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty
+    FROM s JOIN orders o ON s.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("A1", "J1", "having", "tpch"),
+)
+def q_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate -> HAVING -> join back to enrich. The
+    HAVING survives as a post-aggregate filter, so the orders/customer joins
+    see only the tiny qualifying set (~0.1% of orders) — at scale the join
+    probe side shrinks by 1000x before any shuffle of the dimension tables;
+    AQE turns both enrichment joins into broadcasts at runtime."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(D186)).alias("_sq"))
+        .filter(F.col("_sq") > F.lit(300).cast(D186))
+    )
+    return (
+        s.join(o, s.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").cast("decimal(18,4)").cast("double").alias("totalprice"),
+            F.col("_sq").cast("decimal(18,4)").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "below_avg_qty_revenue",
+    """
+    WITH g AS (SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq,
+                      COUNT(*) AS c
+               FROM lineitem GROUP BY l_partkey)
+    SELECT l.l_returnflag AS returnflag,
+           COUNT(*) AS n_small,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_extprice
+    FROM lineitem l JOIN g ON l.l_partkey = g.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,6)) * CAST(5 AS DECIMAL(3,0))
+          * CAST(g.c AS DECIMAL(10,0)) < g.sq
+    GROUP BY l.l_returnflag
+    """,
+    tags=("A1", "J1", "subquery-decorrelation", "tpch"),
+)
+def q_below_avg_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: a correlated scalar subquery (qty < 0.2 * per-part
+    AVG) decorrelated into an aggregate + self-join — the only scalable
+    form (the correlated form is O(n) subquery executions). The comparison
+    is cross-multiplied (5*qty*count < sum) so it stays in exact decimal on
+    both engines: no AVG double whose value depends on reduction order.
+    Plan (test-pinned): the aggregate output is one row per partkey — small
+    enough to BROADCAST back onto the fact scan, so lineitem is never
+    shuffled for the join; at cluster scale, where the per-key aggregate
+    outgrows the broadcast threshold, both sides hash-partition on
+    l_partkey and the aggregate's exchange is reused."""
+    l = table(spark, sf_dir, "lineitem")
+    g = (
+        l.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast(D186)).alias("sq"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    lhs = (
+        F.col("l_quantity").cast(D186)
+        * F.lit(5).cast("decimal(3,0)")
+        * F.col("c").cast("decimal(10,0)")
+    )
+    return (
+        l.join(g, "l_partkey")
+        .filter(lhs < F.col("sq"))
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast(D186))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("sum_extprice"),
+        )
+    )

@@ -90,3 +90,20 @@ def test_moving_hour_sum_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "moving_hour_sum")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_large_volume_orders_single_fact_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "large_volume_orders")
+    # lineitem shuffles once for the groupBy; the HAVING-filtered aggregate
+    # (tiny) then broadcasts into both enrichment joins
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_below_avg_qty_decorrelation_broadcasts_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "below_avg_qty_revenue")
+    # the per-partkey aggregate broadcasts back onto the fact scan: the
+    # correlated-subquery shape costs lineitem ONE shuffle (its groupBy),
+    # never a second one for the join
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
