@@ -909,3 +909,64 @@ def q_below_avg_qty_revenue(spark, sf_dir):
             .alias("sum_extprice"),
         )
     )
+
+
+@register(
+    "daily_event_matrix",
+    f"""
+    {TX_WITH}
+    SELECT date_trunc('day', created_at) AS day,
+           CAST(COUNT(*) FILTER (event = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (event = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event = 'view') AS BIGINT) AS view
+    FROM transactions GROUP BY 1
+    """,
+    tags=("A1", "pivot"),
+)
+def q_daily_event_matrix(spark, sf_dir):
+    """PIVOT (crosstab): day x event-type count matrix. The pivot value
+    list is explicit — omitting it costs an extra distinct-scan job to
+    discover the columns and makes the output schema data-dependent, both
+    wrong at 100 TB. Compiles to ONE partial->final hash aggregate over
+    (day) with a 5-slot conditional-count vector; missing combinations are
+    coalesced to 0 to match the SQL conditional-aggregation form."""
+    t = transactions(spark, sf_dir)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    p = (
+        t.groupBy(F.date_trunc("day", F.col("created_at")).alias("day"))
+        .pivot("event", kinds)
+        .count()
+    )
+    return p.select(
+        "day", *[F.coalesce(F.col(k), F.lit(0)).cast("bigint").alias(k) for k in kinds]
+    )
+
+
+@register(
+    "amount_quartiles",
+    f"""
+    {TX_WITH}
+    SELECT tx_hash, event,
+           percent_rank() OVER w AS pr,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM transactions
+    WINDOW w AS (PARTITION BY event ORDER BY amount, tx_hash)
+    """,
+    tags=("window", "rank"),
+)
+def q_amount_quartiles(spark, sf_dir):
+    """percent_rank + ntile over a per-event total order (amount with
+    tx_hash tiebreaker — rank functions over a partial order are
+    nondeterministic, so the tiebreaker is load-bearing). percent_rank is
+    (rank-1)/(n-1): a ratio of small exact ints, bit-identical across
+    engines. One hash shuffle on the partition key serves both functions."""
+    t = transactions(spark, sf_dir)
+    w = Window.partitionBy("event").orderBy("amount", "tx_hash")
+    return t.select(
+        "tx_hash",
+        "event",
+        F.percent_rank().over(w).alias("pr"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
