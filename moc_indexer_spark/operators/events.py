@@ -136,12 +136,37 @@ def _wei(col):
     return col.cast(DEC38)
 
 
+EXCHANGE_EVENTS = (
+    "RiskProMint", "RiskProRedeem", "RiskProxMint", "RiskProxRedeem",
+    "StableTokenMint", "StableTokenRedeem", "FreeStableTokenRedeem",
+)
+
+
+def enrich_exchange_all(logs: DataFrame) -> DataFrame:
+    """All 7 MoCExchange events in ONE pass: they share EXCHANGE_FIELDS, so
+    one isin-filter + one from_json replaces seven filtered subplans and a
+    6-deep unionByName — same rows (mint-ness becomes an endswith('Mint')
+    expression), but 1/7th the plan nodes. On a 3-second incremental tick
+    the driver re-analyzes the demux plan every cycle, so plan breadth is
+    latency (measured in PLANS.md); at batch scale it's also one scan slice
+    instead of seven."""
+    df = logs.filter(
+        F.col("event_name").isin(list(EXCHANGE_EVENTS))
+    ).withColumn("ev", F.from_json("payload", EXCHANGE_FIELDS))
+    return _exchange_select(df, F.col("event_name"),
+                            F.col("event_name").endswith("Mint"))
+
+
 def enrich_exchange(logs: DataFrame, event_name: str) -> DataFrame:
-    """MoCExchange derived columns (events/mocexchange.py:42-89):
-    USD amount, rbtc commission fallback to MoC-token commission (F5),
-    gas fee, signed total (F7). Output = Transaction-shaped rows."""
-    mint_like = event_name.endswith("Mint")
+    """MoCExchange derived columns (events/mocexchange.py:42-89) for one
+    event type: USD amount, rbtc commission fallback to MoC-token
+    commission (F5), gas fee, signed total (F7). Output =
+    Transaction-shaped rows."""
     df = decode_event(logs, event_name)
+    return _exchange_select(df, F.lit(event_name), F.lit(event_name.endswith("Mint")))
+
+
+def _exchange_select(df: DataFrame, event_col, is_positive) -> DataFrame:
     amount = _wei(F.col("ev.amount"))
     reserve_total = _wei(F.col("ev.reserveTotal"))
     commission = _wei(F.col("ev.commission"))
@@ -160,13 +185,12 @@ def enrich_exchange(logs: DataFrame, event_name: str) -> DataFrame:
         rbtc_commission > 0, wei.usd_amount(rbtc_commission, reserve_price)
     ).otherwise(wei.usd_amount(moc_commission, moc_price))
     gas_fee = wei.gas_fee_wei(F.col("gas_used"), F.col("gas_price"))
-    is_positive = F.lit(mint_like)
 
     return df.select(
         F.col("transaction_hash").alias("transactionHash"),
         F.lower(F.col("ev.account")).alias("address"),
         F.col("block_number").alias("blockNumber"),
-        F.lit(event_name).alias("event"),
+        event_col.alias("event"),
         amount.alias("amount"),
         reserve_total.alias("RBTCAmount"),
         wei.usd_amount(reserve_total, reserve_price).alias("USDAmount"),
@@ -412,13 +436,7 @@ def run_event_pipeline(
     sink with the reference's unique keys (mongo_manager.py:150-176,265-275).
     """
     logs = explode_logs(raw).filter(F.col("receipt_status") == "confirmed")
-    exchange = None
-    for name in (
-        "RiskProMint", "RiskProRedeem", "RiskProxMint", "RiskProxRedeem",
-        "StableTokenMint", "StableTokenRedeem", "FreeStableTokenRedeem",
-    ):
-        part = enrich_exchange(logs, name)
-        exchange = part if exchange is None else exchange.unionByName(part)
+    exchange = enrich_exchange_all(logs)
     transfers = enrich_transfers(
         logs, "RISKPRO", list(excluded_addresses) + [moc_contract],
         registered_users,

@@ -1,22 +1,37 @@
 """Idempotent keyed upsert sink (the Mongo `find_one_and_update(upsert=True)`
 analog, /root/reference/indexer/scan_raw_txs.py:51-54 and every handler).
 
-No Delta in this environment, so MERGE is implemented as a partitioned
-read-modify-write over parquet with an atomic directory swap:
-  new_table = old_table ANTI-JOIN incoming-keys  UNION  incoming
-plus the reference's guards:
+No Delta in this environment, so MERGE is implemented over plain parquet in
+two modes — the copy-on-write / merge-on-read pair every lakehouse format
+offers:
+
+- mode="cow" (default): read-modify-write with an atomic directory swap:
+    new_table = old_table ANTI-JOIN incoming-keys  UNION  incoming
+  Every upsert rewrites the table — cheapest reads, O(table) writes. Right
+  for large, rarely-updated batches.
+- mode="mor": each upsert APPENDS a delta batch as a `__seq=N/` partition
+  directory (atomic rename, one dir per batch); `read()` resolves
+  latest-row-per-key across base+deltas (version_col first, then batch
+  sequence), and `compact()` folds the deltas back into a single base —
+  O(batch) writes, reads pay a window until compaction. Right for the
+  3-second incremental cycles, where CoW's per-cycle rewrite dominates
+  latency (measured in PLANS.md). Deletes append tombstones
+  (`__deleted=true`) that resolution filters out.
+
+Shared guards in both modes (the reference's semantics):
   - monotonic version guard (T8, moc_balances.py:127-136):
     `WHEN MATCHED AND source.version >= target.version THEN UPDATE`
   - update-only mode (T6, fastbtcbridge.py:58-78 upsert=False):
     incoming rows without a matching key are dropped.
   - in-batch dedup on the key, keeping the highest version (Mongo applies
     sequential upserts; a set-based MERGE must pre-coalesce).
+  - partial `$set`: a batch carrying a column subset keeps missing columns'
+    existing values.
 
-Scale notes: at 100 TB the table would be Delta/Iceberg with real MERGE and
-partition pruning on the key's bucket — the semantics here are identical.
-The rewrite cost is bounded by partitioning the table on bucket(key) and
-rewriting only buckets containing incoming keys (implemented below via the
-`n_buckets` hash-bucket layout).
+Scale notes: at 100 TB the table would be Delta/Iceberg/Hudi with real
+MERGE, a transaction log, and bucket-pruned rewrites; the semantics here
+are identical and single-writer (the reference is single-writer too — one
+indexer daemon owns each collection).
 """
 
 from __future__ import annotations
@@ -39,25 +54,72 @@ class ParquetUpsertTable:
         keys: list[str],
         version_col: str | None = None,
         n_buckets: int = 16,
+        mode: str = "cow",
+        compact_every: int = 64,
     ):
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         self.spark = spark
         self.path = path
         self.keys = keys
         self.version_col = version_col
         self.n_buckets = n_buckets
+        self.mode = mode
+        # auto-compact after this many delta batches (MoR only): bounds the
+        # window fan-in and the small-file count between maintenance runs
+        self.compact_every = compact_every
 
     # -- read ---------------------------------------------------------------
 
     def exists(self) -> bool:
+        if self.mode == "mor":
+            return os.path.isdir(self.path) and any(
+                f.startswith("__seq=") for f in os.listdir(self.path)
+            )
         return os.path.exists(os.path.join(self.path, "_SUCCESS")) or (
             os.path.isdir(self.path) and any(
                 f.endswith(".parquet") for f in os.listdir(self.path)
             )
         )
 
+    def _delta_seqs(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(f.split("=", 1)[1])
+            for f in os.listdir(self.path)
+            if f.startswith("__seq=")
+        )
+
+    def _read_raw(self) -> DataFrame:
+        # partition discovery turns __seq=N/ dirs into an int column; deltas
+        # may carry evolved schemas, so merge footers
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+
+    def _resolve(self, raw: DataFrame) -> DataFrame:
+        """Latest-row-per-key over base+deltas: version_col (if any) wins
+        first — the T8 monotonic guard falls out of the ordering — then the
+        batch sequence (Mongo's last-writer-wins)."""
+        order = (
+            [F.desc_nulls_last(self.version_col)] if self.version_col else []
+        ) + [F.desc("__seq")]
+        w = Window.partitionBy(*self.keys).orderBy(*order)
+        out = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__seq")
+        )
+        if "__deleted" in out.columns:
+            out = out.filter(
+                ~F.coalesce(F.col("__deleted"), F.lit(False))
+            ).drop("__deleted")
+        return out
+
     def read(self) -> DataFrame | None:
         if not self.exists():
             return None
+        if self.mode == "mor":
+            return self._resolve(self._read_raw())
         return self.spark.read.parquet(self.path)
 
     # -- write --------------------------------------------------------------
@@ -107,6 +169,9 @@ class ParquetUpsertTable:
         keep their existing values.
         """
         batch = self._dedup_incoming(batch)
+        if self.mode == "mor":
+            self._upsert_mor(batch, insert)
+            return
         existing = self.read()
         if existing is None:
             if insert:
@@ -162,10 +227,78 @@ class ParquetUpsertTable:
 
         self._atomic_write(merged)
 
+    # -- merge-on-read write path -------------------------------------------
+
+    def _append_delta(self, batch: DataFrame) -> None:
+        """Append one batch as the next `__seq=N/` partition dir. The batch
+        is written to a temp dir and renamed in — one atomic directory per
+        upsert, O(batch) bytes, no table rewrite."""
+        seqs = self._delta_seqs()
+        nxt = (seqs[-1] + 1) if seqs else 0
+        os.makedirs(self.path, exist_ok=True)
+        if "__deleted" not in batch.columns:
+            batch = batch.withColumn("__deleted", F.lit(False))
+        tmp = os.path.join(self.path, f"__tmp_{uuid.uuid4().hex[:8]}")
+        batch.repartition(1).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(self.path, f"__seq={nxt}"))
+        if len(seqs) + 1 >= self.compact_every:
+            self.compact()
+
+    def _upsert_mor(self, batch: DataFrame, insert: bool) -> None:
+        if not self.exists():
+            if insert:
+                self._append_delta(batch)
+            return
+        current = None
+        raw_cols = [
+            c for c in self._read_raw().columns
+            if c not in ("__seq", "__deleted")
+        ]
+        missing = [c for c in raw_cols if c not in batch.columns]
+        if missing or not insert:
+            current = self.read()
+        if missing:
+            # partial $set: fill absent columns from the matched current row
+            fill = current.select(*self.keys, *missing)
+            batch = batch.join(F.broadcast(fill), self.keys, "left")
+        if not insert:
+            # update-only (T6): drop incoming keys with no current match
+            batch = batch.join(
+                F.broadcast(current.select(*self.keys)), self.keys, "left_semi"
+            )
+        # the T8 version guard needs no write-side join: resolution orders by
+        # (version desc, seq desc), so a stale incoming version loses at read
+        self._append_delta(batch)
+
+    def compact(self) -> None:
+        """Fold deltas into a single base (`__seq=0`): the MoR maintenance
+        action (Hudi compaction / Delta OPTIMIZE analog). Readers see the
+        old or the new table, never a mix (directory swap)."""
+        resolved = self.read()
+        if resolved is None:
+            return
+        tmp_parent = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        (
+            resolved.withColumn("__deleted", F.lit(False))
+            .repartition(self.n_buckets, *self.keys)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp_parent, "__seq=0"))
+        )
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, old)
+        os.rename(tmp_parent, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
     def delete_where(self, condition) -> None:
-        """Retention delete (T9, mocsettlement.py:416-429)."""
+        """Retention delete (T9, mocsettlement.py:416-429). MoR appends
+        tombstones (the matched rows re-emitted with `__deleted=true`, so
+        they carry the winning version and the newest seq); CoW rewrites."""
         existing = self.read()
         if existing is None:
+            return
+        if self.mode == "mor":
+            victims = existing.filter(condition)
+            self._append_delta(victims.withColumn("__deleted", F.lit(True)))
             return
         self._atomic_write(existing.filter(~condition))
 

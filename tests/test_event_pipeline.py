@@ -207,3 +207,26 @@ def test_settlement_retention_trigger(spark, tmp_path, outputs):
     remaining = tbl.read().collect()
     assert all(r.blockNumber > max_completed for r in remaining)
     assert len(remaining) < n_before
+
+
+def test_exchange_single_pass_equals_per_event_union(spark):
+    """enrich_exchange_all (one isin+from_json pass) must emit exactly the
+    union of the 7 per-event enrichments."""
+    from moc_indexer_spark.operators.events import (
+        EXCHANGE_EVENTS, enrich_exchange, enrich_exchange_all, explode_logs,
+    )
+    from moc_indexer_spark.sources.chain import FakeChain, ScanRange, scan_blocks
+    from moc_indexer_spark.app import CONTRACTS, USERS
+
+    raw = scan_blocks(
+        spark, FakeChain(CONTRACTS, USERS, txs_per_block=10),
+        ScanRange(last_indexed=-1, tip=40), set(CONTRACTS),
+    )
+    logs = explode_logs(raw).filter(F.col("receipt_status") == "confirmed")
+    union = None
+    for name in EXCHANGE_EVENTS:
+        part = enrich_exchange(logs, name)
+        union = part if union is None else union.unionByName(part)
+    a = sorted(map(tuple, union.collect()))
+    b = sorted(map(tuple, enrich_exchange_all(logs).collect()))
+    assert a == b and len(a) > 0
