@@ -292,3 +292,38 @@ def q_approx_value_percentiles(spark, sf_dir):
         F.expr("approx_percentile(value, 0.95, 1000)").alias("p95"),
         F.expr("approx_percentile(value, 0.99, 1000)").alias("p99"),
     )
+
+
+@register(
+    "source_quota_sample",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 200
+    """,
+    tags=("sampling", "quota", "window"),
+)
+def q_source_quota_sample(spark, sf_dir):
+    """Per-source quota capping (the domain-balancing curation primitive:
+    no single crawl source may exceed K docs). Deterministic and
+    engine-independent: rank by md5(doc_id) — an unbiased pseudo-random
+    order that is byte-identical across Spark and DuckDB — with doc_id as
+    total-order tiebreaker. One hash shuffle on source. At 100 TB, a giant
+    source would first be pre-pruned with a cheap hash-prefix filter
+    (keep ~2x quota by md5 range, like `hash_sample`) so the per-group
+    sort ranks thousands of survivors, not billions of rows."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 200)
+        .select("doc_id", "source")
+    )
