@@ -117,13 +117,29 @@ class Indexer:
         try:
             if raw.isEmpty():
                 return {}
-            self.tables["raw_transactions"].upsert(raw)
             outs = run_event_pipeline(raw, moc_contract=self.contracts[0])
-            self.tables["transactions"].upsert(outs["transactions"])
-            self.tables["transfers"].upsert(outs["transfers"])
-            self.tables["fastbtc"].upsert(outs["fastbtc_new"])
-            self.tables["fastbtc"].upsert(outs["fastbtc_updates"], insert=False)
-            self.tables["notifications"].upsert(outs["notifications"])
+            # the sinks are independent tables -> submit their merge jobs
+            # concurrently (Spark's scheduler interleaves them; the
+            # reference runs its tasks on a 5-worker pool the same way).
+            # fastbtc's two ops stay ordered: update-only must see the rows
+            # the insert pass created.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _fastbtc():
+                self.tables["fastbtc"].upsert(outs["fastbtc_new"])
+                self.tables["fastbtc"].upsert(outs["fastbtc_updates"], insert=False)
+
+            jobs = [
+                lambda: self.tables["raw_transactions"].upsert(raw),
+                lambda: self.tables["transactions"].upsert(outs["transactions"]),
+                lambda: self.tables["transfers"].upsert(outs["transfers"]),
+                _fastbtc,
+                lambda: self.tables["notifications"].upsert(outs["notifications"]),
+            ]
+            with ThreadPoolExecutor(max_workers=5) as pool:
+                futures = [pool.submit(j) for j in jobs]
+                for f in futures:
+                    f.result()  # surface the first failure
             self.last_indexed = scan.end
             if not report_counts:
                 return {"last_indexed": self.last_indexed}
