@@ -152,16 +152,19 @@ def run_stream_available_now(
     checkpoint_dir: str,
     schema=None,
     coalesce_key: str | None = None,
+    sink_mode: str = "cow",
 ) -> None:
     """Incremental run draining all available input then stopping — the
     deterministic-replay test mode (reference analog: the forced
     from_block/to_block range, scan_raw_txs.py:94-98). In production the
     same query runs with `trigger(processingTime='3 seconds')` (the
-    reference's scan interval)."""
+    reference's scan interval). sink_mode="mor" appends per-batch deltas
+    instead of rewriting the sink each micro-batch — the low-latency
+    choice for short triggers (see PLANS.md)."""
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     raw_stream = spark.readStream.schema(schema).parquet(source_dir)
-    tbl = ParquetUpsertTable(spark, out_path, keys=["tx_hash"])
+    tbl = ParquetUpsertTable(spark, out_path, keys=["tx_hash"], mode=sink_mode)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -83,3 +83,37 @@ def test_mor_auto_compacts_at_threshold(spark, workdir):
     # 3rd upsert triggered compaction into __seq=0; the 4th appended on top
     assert len(mor._delta_seqs()) <= 2
     assert mor.read().count() == 4
+
+
+def test_stream_foreachbatch_into_mor_equals_batch(spark, workdir, sf_dir):
+    """The streaming ingest (foreachBatch + checkpoint) writing through a
+    merge-on-read sink must produce the same resolved table as the one-shot
+    batch run into a copy-on-write sink."""
+    import os
+    import shutil
+
+    from moc_indexer_spark.streaming.pipeline import (
+        run_batch, run_stream_available_now,
+    )
+    from moc_indexer_spark.tables import table
+
+    events = table(spark, sf_dir, "events").orderBy("event_id").limit(200)
+    src = f"{workdir}/src"
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate([(0, 100), (100, 200)]):
+        (events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+               .coalesce(1).write.mode("overwrite").parquet(f"{workdir}/stage"))
+        for f_ in os.listdir(f"{workdir}/stage"):
+            if f_.endswith(".parquet"):
+                shutil.copy(f"{workdir}/stage/{f_}", f"{src}/slice{i}.parquet")
+        run_stream_available_now(
+            spark, src, f"{workdir}/out", f"{workdir}/ckpt",
+            schema=events.schema, sink_mode="mor",
+        )
+    mor = ParquetUpsertTable(spark, f"{workdir}/out", keys=["tx_hash"],
+                             mode="mor")
+    batch = run_batch(spark, src, f"{workdir}/batch_out")
+    cols = ["tx_hash", "address", "event", "created_at", "amount"]
+    a = sorted(map(tuple, mor.read().select(*cols).collect()))
+    b = sorted(map(tuple, batch.read().select(*cols).collect()))
+    assert len(a) == 200 and a == b
