@@ -117,3 +117,15 @@ def test_stream_foreachbatch_into_mor_equals_batch(spark, workdir, sf_dir):
     a = sorted(map(tuple, mor.read().select(*cols).collect()))
     b = sorted(map(tuple, batch.read().select(*cols).collect()))
     assert len(a) == 200 and a == b
+
+
+def test_mor_read_resolution_is_single_shuffle(spark, workdir):
+    """Latest-per-key resolution must cost exactly one hash shuffle on the
+    key (the row_number window) — no joins, no extra exchanges — so MoR
+    read overhead stays bounded between compactions."""
+    mor = ParquetUpsertTable(spark, f"{workdir}/m", keys=["k"], mode="mor")
+    for i in range(4):
+        mor.upsert(spark.createDataFrame([(i % 2, f"v{i}")], ["k", "v"]))
+    plan = mor.read()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
