@@ -327,3 +327,56 @@ def q_source_quota_sample(spark, sf_dir):
         .filter(F.col("rn") <= 200)
         .select("doc_id", "source")
     )
+
+
+@register(
+    "benchmark_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, list_filter(str_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(t) - 2),
+               i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS s
+      FROM toks WHERE len(t) >= 4),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE source = 'src0'),
+    corpus AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh WHERE source <> 'src0')
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+    FROM corpus JOIN bench USING (shingle)
+    GROUP BY doc_id
+    """,
+    tags=("decontamination", "dedup", "semi-join"),
+)
+def q_benchmark_contamination(spark, sf_dir):
+    """Pretraining decontamination: flag corpus documents sharing any
+    4-gram with a held-out benchmark set (here: source='src0' plays the
+    benchmark). The scale shape is the point — the benchmark side is
+    always tiny relative to a 100 TB corpus, so its distinct hashed
+    shingles BROADCAST and the corpus is filtered in its scan stage by a
+    broadcast hash join: zero corpus shuffle before the per-doc count.
+    Shingles are xxhash64'd (8-byte broadcast keys, same trick as
+    ngram_jaccard_pairs)."""
+    from ..functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", T.tokens("text").alias("t")).filter(
+        F.size("t") >= 4
+    )
+    sh = (
+        toks.select(
+            "doc_id", "source",
+            F.explode(T.shingles(F.col("t"), 4)).alias("shingle"),
+        )
+        .select("doc_id", "source", F.xxhash64("shingle").alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+    bench = sh.filter(F.col("source") == "src0").select("h").distinct()
+    corpus = sh.filter(F.col("source") != "src0")
+    return (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+    )

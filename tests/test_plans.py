@@ -107,3 +107,11 @@ def test_below_avg_qty_decorrelation_broadcasts_aggregate(spark, sf_dir):
     # never a second one for the join
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "benchmark_contamination")
+    # the tiny benchmark shingle set must broadcast; the corpus side must
+    # not shuffle before the join (its only exchange is the per-doc count)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
