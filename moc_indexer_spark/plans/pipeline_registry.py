@@ -380,3 +380,44 @@ def q_benchmark_contamination(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
     )
+
+
+@register(
+    "boilerplate_shingles",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2),
+               i -> array_to_string(list_slice(t, i, i + 3), ' ')))) AS shingle
+      FROM toks WHERE len(t) >= 4)
+    SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM sh GROUP BY shingle HAVING COUNT(*) >= 3
+    """,
+    tags=("dedup", "boilerplate", "heavy-hitters"),
+)
+def q_boilerplate_shingles(spark, sf_dir):
+    """Boilerplate / hot-shingle detection: 4-grams appearing in >= 3
+    distinct documents (headers, footers, license blurbs; the threshold is
+    corpus-relative — production uses a document-frequency fraction). This is the
+    feeder for the stop-shingle anti-join the near-dup cascade's scale
+    note calls for (operators/dedup.py `_shingle_df`): removing hot
+    shingles keeps the inverted-index join linear — a shingle in f docs
+    generates C(f,2) candidate pairs, so one boilerplate line in 1% of a
+    100 TB corpus would otherwise dominate the join alone. One partial->
+    final count per shingle; the HAVING prunes before any driver contact."""
+    from ..functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens("text").alias("t")).filter(
+        F.size("t") >= 4
+    )
+    sh = toks.select(
+        "doc_id", F.explode(T.shingles(F.col("t"), 4)).alias("shingle")
+    ).dropDuplicates(["doc_id", "shingle"])
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 3)
+    )
