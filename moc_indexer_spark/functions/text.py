@@ -48,6 +48,19 @@ def shingles(tok_col: Column, n: int) -> Column:
     )
 
 
+def ngrams_all(tok_col: Column, n: int) -> Column:
+    """All word n-gram occurrences (NOT deduped — this is the multiset the
+    repetition filters count over). Empty array when the doc has fewer than
+    n tokens (guards Spark's descending `sequence(1, k)` for k < 1)."""
+    return F.when(
+        F.size(tok_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok_col) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def content_fingerprint(text_col: str = "text") -> Column:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token bag — the batch analog of the reference's idempotent content keys

@@ -179,3 +179,117 @@ def scrub_text(text: Column, extra: tuple[tuple[str, str], ...] = ()) -> Column:
     for pat, repl in (*SCRUB_PATTERNS, *extra):
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+# --- repetition filters (Gopher-style pretraining quality signals) ----------
+
+
+def repetition_stats(docs: DataFrame, n_top: int = 2, n_dup: int = 5) -> DataFrame:
+    """Per-document n-gram repetition signals (the Gopher/MassiveText
+    repetition filters, word-n-gram form):
+
+    - top_ngram_frac: occurrences of the single most frequent n_top-gram as
+      a fraction of all n_top-gram occurrences (high → boilerplate loops).
+    - dup_ngram_frac: fraction of n_dup-gram occurrences whose gram appears
+      more than once in the document (high → copy-paste padding).
+
+    Plan: one scan; both gram sizes ride ONE explode (tagged structs) so the
+    per-(doc, gram) histogram is a single shuffle on (doc_id, n, gram), then
+    a second tiny shuffle on doc_id folds the two grain rows per doc into
+    one output row. Docs too short for a gram size surface NULL for that
+    fraction (explode_outer keeps them alive). No Python UDFs; at 100 TB
+    the (doc_id, n, gram) key is near-unique so the first shuffle is
+    skew-free by construction.
+    """
+    from ..functions import text as T
+
+    toks = T.tokens()
+    tagged = F.concat(
+        F.transform(
+            T.ngrams_all(toks, n_top),
+            lambda g: F.struct(F.lit(n_top).alias("n"), g.alias("gram")),
+        ),
+        F.transform(
+            T.ngrams_all(toks, n_dup),
+            lambda g: F.struct(F.lit(n_dup).alias("n"), g.alias("gram")),
+        ),
+    )
+    ex = docs.select(
+        "doc_id",
+        T.token_count().alias("n_tokens"),
+        F.explode_outer(tagged).alias("g"),
+    )
+    per_gram = ex.groupBy(
+        "doc_id", "n_tokens", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_n = per_gram.groupBy("doc_id", "n_tokens", "n").agg(
+        F.max("cnt").alias("top_cnt"),
+        F.sum("cnt").alias("total"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "dup_cnt"
+        ),
+    )
+
+    def _pick(n, col):
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    return (
+        per_n.groupBy("doc_id", "n_tokens")
+        .agg(
+            _pick(n_top, "top_cnt").alias("_tc"),
+            _pick(n_top, "total").alias("_tt"),
+            _pick(n_dup, "dup_cnt").alias("_dc"),
+            _pick(n_dup, "total").alias("_dt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("_tc").cast("double") / F.col("_tt").cast("double")).alias(
+                "top_ngram_frac"
+            ),
+            (F.col("_dc").cast("double") / F.col("_dt").cast("double")).alias(
+                "dup_ngram_frac"
+            ),
+        )
+    )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-trained unigram language-model score per document: mean
+    ln(count(token)/total_tokens) over the document's tokens — the cheap
+    stand-in for a KenLM perplexity gate (low mean log-prob → rare-token
+    soup, OCR noise, non-language).
+
+    Determinism: each token's log-prob is ONE double expression (identical
+    in the DuckDB oracle), immediately cast to DECIMAL(18,9); the per-doc
+    SUM then runs in exact decimal, so aggregation order cannot change the
+    result (the registry's no-order-dependent-double-aggregation rule).
+
+    Scale: vocab fits driver memory here so the score join broadcasts; at
+    100 TB prune the vocab to counts ≥ k first (the tail is what the score
+    punishes anyway, and the OOV floor handles pruned tokens) or fall back
+    to a shuffle join — the token key is Zipf-skewed, so enable AQE skew
+    splitting for that variant.
+    """
+    from ..functions import text as T
+
+    tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total_tokens"))
+    lp = (
+        F.log(F.col("cnt").cast("double") / F.col("total_tokens").cast("double"))
+        .cast("decimal(18,9)")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # ROUND(…,6) absorbs the 1-ulp wide-decimal→double cast noise
+            # (same absorption the cosine queries use)
+            F.round(
+                F.sum(lp).cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_logprob"),
+        )
+    )

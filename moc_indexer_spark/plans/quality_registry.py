@@ -1,0 +1,84 @@
+"""Registry batch 7: pretraining quality gates (Gopher-style repetition
+filters, corpus unigram LM scoring).
+
+No reference analog (BASELINE.json north star: text analysis for
+training-data pipelines at 100 TB). Both queries are pure Catalyst plans —
+the oracles brute-force the same statistics with DuckDB list/unnest ops.
+"""
+
+from __future__ import annotations
+
+from ..operators import pipeline as P
+from ..tables import table
+from .registry import register
+
+# keep in lockstep with functions/text.py tokens()
+_SQL_TOKS = "list_filter(str_split(text, ' '), x -> x <> '')"
+
+N_TOP = 2  # modal-gram grain (Gopher's top-2-gram char fraction analog)
+N_DUP = 5  # duplicated-gram grain (Gopher's dup-5-gram fraction analog)
+
+
+@register(
+    "repetition_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    g AS (
+      SELECT doc_id, {N_TOP} AS n,
+             unnest(list_transform(range(1, len(t) - {N_TOP - 2}),
+                    i -> array_to_string(list_slice(t, i, i + {N_TOP - 1}), ' '))) AS gram
+      FROM toks
+      UNION ALL
+      SELECT doc_id, {N_DUP} AS n,
+             unnest(list_transform(range(1, len(t) - {N_DUP - 2}),
+                    i -> array_to_string(list_slice(t, i, i + {N_DUP - 1}), ' '))) AS gram
+      FROM toks),
+    per_gram AS (
+      SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, n, gram),
+    per_n AS (
+      SELECT doc_id, n, MAX(cnt) AS top_cnt, SUM(cnt) AS total,
+             SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_cnt
+      FROM per_gram GROUP BY doc_id, n)
+    SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+           CAST(b.top_cnt AS DOUBLE) / CAST(b.total AS DOUBLE) AS top_ngram_frac,
+           CAST(f.dup_cnt AS DOUBLE) / CAST(f.total AS DOUBLE) AS dup_ngram_frac
+    FROM toks d
+    LEFT JOIN per_n b ON b.doc_id = d.doc_id AND b.n = {N_TOP}
+    LEFT JOIN per_n f ON f.doc_id = d.doc_id AND f.n = {N_DUP}
+    """,
+    tags=("llm", "quality", "repetition"),
+    bench=True,
+)
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/MassiveText repetition filters (word-n-gram form): modal-
+    bigram fraction + duplicated-5-gram fraction per document. Both gram
+    grains ride one explode and one near-unique-key shuffle; the fractions
+    are integer ratios (one IEEE division — bit-identical cross-engine)."""
+    return P.repetition_stats(table(spark, sf_dir, "documents"), N_TOP, N_DUP)
+
+
+@register(
+    "unigram_logprob",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS total_tokens FROM vocab)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(
+             CAST(SUM(CAST(ln(CAST(v.cnt AS DOUBLE) / CAST(tot.total_tokens AS DOUBLE))
+                           AS DECIMAL(18,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_logprob
+    FROM tok t JOIN vocab v USING (token) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    tags=("llm", "quality", "langmodel"),
+    bench=True,
+)
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-trained unigram LM score (mean token ln-probability) — the
+    cheap perplexity-gate stand-in. Per-token log-probs are single double
+    expressions frozen to DECIMAL(18,9); the per-doc sum is exact decimal,
+    so shuffle/aggregation order cannot move the result."""
+    return P.unigram_logprob(table(spark, sf_dir, "documents"))

@@ -66,6 +66,7 @@ def registry() -> list[QuerySpec]:
         llm_registry,
         misc_registry,
         pipeline_registry,
+        quality_registry,
         relational_extra,
         serving_registry,
     )

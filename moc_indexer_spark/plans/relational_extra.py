@@ -970,3 +970,135 @@ def q_amount_quartiles(spark, sf_dir):
         F.percent_rank().over(w).alias("pr"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
+
+
+# --- TPC-H decision-support shapes: EXISTS / NOT-IN / scalar-threshold -----
+
+
+@register(
+    "returned_order_priority",
+    """
+    SELECT o.o_orderpriority AS priority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("A1", "semi-join", "tpch"),
+)
+def q_returned_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS rewritten as a LEFT SEMI join (the scalable
+    form — Spark plans correlated EXISTS this way too, but the explicit
+    join keeps the shape visible). The returnflag filter reaches the
+    lineitem scan before the semi-join, and the semi-join needs only
+    l_orderkey from the probe side (ReadSchema is one column); the date
+    filter prunes orders before any shuffle."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    returned = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+@register(
+    "part_supplier_variety",
+    """
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("A1", "anti-join", "distinct", "tpch"),
+)
+def q_part_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: supplier variety per part group, excluding
+    blacklisted suppliers. NOT IN becomes a LEFT ANTI join (safe here:
+    s_suppkey is non-null; a nullable column would need the null-aware
+    form). Both dims broadcast — the blacklist is tiny and the filtered
+    part table is small — so lineitem's only shuffle is the final
+    two-phase distinct aggregate on the group keys."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    dims = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin([1, 4, 9, 16, 25, 36, 49])
+    )
+    return (
+        l.join(F.broadcast(dims), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "idle_customer_balance",
+    """
+    WITH pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS s, COUNT(*) AS c
+      FROM customer WHERE c_acctbal > 0.0),
+    idle AS (
+      SELECT cu.c_nationkey, cu.c_acctbal
+      FROM customer cu CROSS JOIN pos
+      WHERE CAST(cu.c_acctbal AS DECIMAL(18,6)) * CAST(pos.c AS DECIMAL(10,0)) > pos.s
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = cu.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'))
+    SELECT c_nationkey AS nation, COUNT(*) AS numcust,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE)
+             AS total_bal
+    FROM idle GROUP BY c_nationkey
+    """,
+    tags=("A1", "anti-join", "scalar-subquery", "tpch"),
+)
+def q_idle_customer_balance(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, aggregated per nation. The global AVG threshold is a one-row
+    aggregate broadcast back (cross join), and the comparison is
+    cross-multiplied (bal * count > sum) so it stays in exact decimal —
+    no order-dependent double AVG on either engine. NOT EXISTS is a LEFT
+    ANTI join against the date-pruned orders projection."""
+    cu = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    pos = (
+        cu.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast(D186)).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    idle = (
+        cu.crossJoin(F.broadcast(pos))
+        .filter(
+            F.col("c_acctbal").cast(D186) * F.col("c").cast("decimal(10,0)")
+            > F.col("s")
+        )
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return idle.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("numcust"),
+        F.sum(F.col("c_acctbal").cast(D186))
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("total_bal"),
+    )

@@ -115,3 +115,33 @@ def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
     # not shuffle before the join (its only exchange is the per-doc count)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_returned_order_priority_semi_join_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "returned_order_priority")
+    # EXISTS runs as a semi join; both filters reach their parquet scans
+    assert "LeftSemi" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
+
+
+def test_part_supplier_variety_broadcast_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "part_supplier_variety")
+    # NOT IN is an anti join; no sort-merge anywhere (both dims broadcast);
+    # the distinct agg dedups (brand,type,size,suppkey) BEFORE its shuffle
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_idle_customer_balance_anti_join_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "idle_customer_balance")
+    assert "LeftAnti" in plan
+    # the NOT-EXISTS probe side is date-pruned at the scan
+    assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in plan
+
+
+def test_repetition_stats_single_scan(spark, sf_dir):
+    # both gram grains ride ONE scan + ONE explode (tagged structs)
+    plan = _plan(spark, sf_dir, "repetition_stats")
+    assert plan.count("Scan parquet") == 1

@@ -1,0 +1,73 @@
+"""Pretraining quality gates (operators/pipeline.py batch 7).
+
+Oracle parity covers the corpus-scale numbers; these tests pin the
+hand-computable semantics: known repetition fractions, short-doc NULL
+handling, and the unigram LM score on a corpus small enough to verify
+with arithmetic.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from moc_indexer_spark.operators import pipeline as P
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_repetition_stats_known_fractions(spark):
+    # "a b a b a b" → bigrams: [a b, b a, a b, b a, a b] → modal "a b" x3 of 5
+    # 5-grams: [a b a b a, b a b a b] → both unique → dup frac 0
+    df = _docs(spark, [(1, "a b a b a b")])
+    row = P.repetition_stats(df).collect()[0]
+    assert row.n_tokens == 6
+    assert row.top_ngram_frac == pytest.approx(3 / 5)
+    assert row.dup_ngram_frac == 0.0
+
+
+def test_repetition_stats_duplicated_fivegrams(spark):
+    # "x y z w v x y z w v x y z w v" (15 toks) → 11 5-grams; the window
+    # repeats with period 5, so every 5-gram occurs >= 2 times except the
+    # center one ("v x y z w" occurs 2, "x y z w v" occurs 3...). Compute:
+    # grams: positions 1..11 cycling 5 distinct shapes with counts
+    # [3,2,2,2,2] → all counts >= 2 → dup frac = 11/11 = 1.0
+    df = _docs(spark, [(2, "x y z w v x y z w v x y z w v")])
+    row = P.repetition_stats(df).collect()[0]
+    assert row.dup_ngram_frac == 1.0
+
+
+def test_repetition_stats_short_docs_null(spark):
+    # 1 token: no bigrams, no 5-grams → both NULL; 3 tokens: bigrams exist,
+    # 5-grams don't → dup NULL only. Short docs must SURVIVE (explode_outer).
+    df = _docs(spark, [(1, "solo"), (2, "a b c")])
+    out = {r.doc_id: r for r in P.repetition_stats(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].top_ngram_frac is None and out[1].dup_ngram_frac is None
+    assert out[2].top_ngram_frac == pytest.approx(1 / 2)
+    assert out[2].dup_ngram_frac is None
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: "a a b" + "b" → counts a:2 b:2, total 4 → p(a)=p(b)=0.5
+    # doc 1 mean lp = ln(.5); doc 2 mean lp = ln(.5)
+    df = _docs(spark, [(1, "a a b"), (2, "b")])
+    out = {r.doc_id: r for r in P.unigram_logprob(df).collect()}
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 1
+    expect = round(math.log(0.5), 6)
+    assert out[1].mean_logprob == pytest.approx(expect, abs=1e-6)
+    assert out[2].mean_logprob == pytest.approx(expect, abs=1e-6)
+
+
+def test_unigram_logprob_rare_token_scores_lower(spark):
+    # A doc of corpus-rare tokens must score strictly below a doc of
+    # corpus-common tokens (the property the quality gate relies on).
+    common = [(i, "the cat sat on the mat") for i in range(5)]
+    rare = [(99, "zyx qwv unseen glyph")]
+    out = {
+        r.doc_id: r.mean_logprob
+        for r in P.unigram_logprob(_docs(spark, common + rare)).collect()
+    }
+    assert out[99] < out[0]
