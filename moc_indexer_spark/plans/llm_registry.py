@@ -314,6 +314,16 @@ def q_ivf_ann_topk(spark, sf_dir):
     return S.ivf_topk(table(spark, sf_dir, "embeddings"), k=5)
 
 
+@register("pq_ann_topk", None, tags=("llm", "similarity", "ann", "pq"))
+def q_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN (the third scale path — the one that
+    COMPRESSES the index: vectors stored as m one-byte codes, ADC
+    table-lookup scoring, exact re-rank of the shortlist). Approximate,
+    so rows-only here — pytest measures recall vs brute force and checks
+    every returned similarity is the true re-ranked cosine."""
+    return S.pq_topk(table(spark, sf_dir, "embeddings"), k=5)
+
+
 @register(
     "embedding_norms",
     """

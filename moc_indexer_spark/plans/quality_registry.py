@@ -82,3 +82,57 @@ def q_unigram_logprob(spark, sf_dir):
     expressions frozen to DECIMAL(18,9); the per-doc sum is exact decimal,
     so shuffle/aggregation order cannot move the result."""
     return P.unigram_logprob(table(spark, sf_dir, "documents"))
+
+
+_SQL_SHINGLES5 = (
+    "list_distinct(list_transform(range(1, len(t) - 3), "
+    "i -> array_to_string(list_slice(t, i, i + 4), ' ')))"
+)
+
+
+@register(
+    "cross_doc_ngram_frac",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES5}) AS shingle
+      FROM toks WHERE len(t) >= 5),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS shared_shingles,
+           CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS cross_doc_frac
+    FROM sh JOIN freq f USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+    tags=("llm", "quality", "contamination"),
+)
+def q_cross_doc_ngram_frac(spark, sf_dir):
+    """Cross-document duplication rate: the fraction of a doc's distinct
+    5-grams that also occur in at least one OTHER doc (since per-doc
+    shingles are deduped, document frequency >= 2 means another doc shares
+    the gram). The corpus-level complement of the pairwise near-dup tiers:
+    catches diffuse template reuse no single pair-join surfaces. Reuses the
+    inverted-index shingle relation — one explode, one doc-frequency
+    aggregate, one join back; at 100 TB the hot-shingle anti-join
+    (boilerplate_shingles) caps the posting lists first."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _shingle_df
+
+    sh = _shingle_df(table(spark, sf_dir, "documents"), 5, "doc_id", "text")
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    shared = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            shared.cast("bigint").alias("shared_shingles"),
+            (shared.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "cross_doc_frac"
+            ),
+        )
+    )

@@ -1102,3 +1102,50 @@ def q_idle_customer_balance(spark, sf_dir):
         .cast("double")
         .alias("total_bal"),
     )
+
+
+@register(
+    "sole_blame_supplier",
+    """
+    WITH per AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+               AS n_fault,
+             MIN(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS fault_supp
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT s.s_name AS supplier, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per JOIN supplier s ON s.s_suppkey = per.fault_supp
+    WHERE per.n_supp >= 2 AND per.n_fault = 1
+    GROUP BY s.s_name
+    ORDER BY COUNT(*) DESC, s.s_name
+    LIMIT 20
+    """,
+    tags=("A1", "semi-join", "tpch"),
+)
+def q_sole_blame_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: the supplier solely at fault on a multi-supplier
+    order. The reference formulation is EXISTS (another supplier) AND NOT
+    EXISTS (another faulty supplier) — two correlated subqueries; here both
+    decorrelate into ONE pass of per-order aggregates (distinct suppliers,
+    distinct faulty suppliers, and MIN picks the single faulty one exactly
+    when n_fault = 1). One fact shuffle on l_orderkey replaces two
+    correlated probes; the supplier-name join broadcasts; top-k is
+    TakeOrderedAndProject on (numwait desc, name) — a total order, so the
+    LIMIT boundary is deterministic."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    fault_key = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per = l.groupBy("l_orderkey").agg(
+        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+        F.count_distinct(fault_key).alias("n_fault"),
+        F.min(fault_key).alias("fault_supp"),
+    )
+    return (
+        per.filter((F.col("n_supp") >= 2) & (F.col("n_fault") == 1))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("fault_supp"))
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("supplier"))
+        .limit(20)
+    )

