@@ -136,3 +136,38 @@ def q_cross_doc_ngram_frac(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "quality_weighted_sample",
+    """
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN n_chars >= 300 THEN 'g0'
+               WHEN n_chars >= 150 THEN '80'
+               ELSE '40' END
+    """,
+    tags=("llm", "quality", "sampling"),
+)
+def q_quality_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic downsampling: keep probability scales
+    with a per-doc quality signal (here the length tier: 1.0 / 0.5 / 0.25)
+    by comparing the doc's md5 bucket against a PER-ROW hex threshold —
+    the stratified form of hash_sample, so the sample stays reproducible
+    across engines, retries, and cluster sizes with no RNG state. 'g0'
+    sorts above every hex bucket and means keep-all. Embarrassingly
+    parallel: a scan-side filter, zero shuffles."""
+    from pyspark.sql import functions as F
+
+    from ..operators.pipeline import hash_sample
+
+    d = table(spark, sf_dir, "documents")
+    thr = (
+        F.when(F.col("n_chars") >= 300, "g0")
+        .when(F.col("n_chars") >= 150, "80")
+        .otherwise("40")
+    )
+    return hash_sample(d, F.col("doc_id"), thr).select(
+        "doc_id", "source", "lang", "n_chars"
+    )

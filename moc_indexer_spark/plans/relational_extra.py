@@ -1149,3 +1149,63 @@ def q_sole_blame_supplier(spark, sf_dir):
         .orderBy(F.desc("numwait"), F.asc("supplier"))
         .limit(20)
     )
+
+
+@register(
+    "hourly_ohlc",
+    f"""
+    {TX_WITH},
+    b AS (SELECT event, date_trunc('hour', created_at) AS bucket,
+                 created_at, tx_hash, amount
+          FROM transactions),
+    rn AS (SELECT *,
+             row_number() OVER (PARTITION BY event, bucket
+                                ORDER BY created_at, tx_hash) AS rf,
+             row_number() OVER (PARTITION BY event, bucket
+                                ORDER BY created_at DESC, tx_hash DESC) AS rl
+           FROM b),
+    agg AS (SELECT event, bucket, CAST(COUNT(*) AS BIGINT) AS n_trades,
+                   MAX(amount) AS high, MIN(amount) AS low,
+                   CAST(CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS avg_price
+            FROM b GROUP BY event, bucket)
+    SELECT a.event, a.bucket, f.amount AS open, a.high, a.low,
+           l.amount AS close, a.n_trades, a.avg_price
+    FROM agg a
+    JOIN (SELECT event, bucket, amount FROM rn WHERE rf = 1) f
+      ON f.event = a.event AND f.bucket = a.bucket
+    JOIN (SELECT event, bucket, amount FROM rn WHERE rl = 1) l
+      ON l.event = a.event AND l.bucket = a.bucket
+    """,
+    tags=("F10", "A1", "window", "timeseries"),
+)
+def q_hourly_ohlc(spark, sf_dir):
+    """Hourly OHLC candles per event type — the canonical price-history
+    serving query for a price-feed indexer (reference keeps raw price rows;
+    candles are the read-side rollup). Spark computes open/close with the
+    orderable-STRUCT min/max trick — min(struct(ts, tx_hash, amount)) picks
+    the amount of the FIRST row in the (ts, tx_hash) total order — so the
+    whole candle is ONE aggregate pass, one shuffle, no window, no join.
+    The oracle builds the same candle from two row_number windows + two
+    join-backs: two independent algorithms, one result. avg_price divides
+    the exact decimal sum by the count once, identically on both engines."""
+    t = transactions(spark, sf_dir)
+    b = t.select(
+        "event",
+        F.date_trunc("hour", F.col("created_at")).alias("bucket"),
+        "created_at",
+        "tx_hash",
+        "amount",
+    )
+    key = F.struct("created_at", "tx_hash", "amount")
+    return b.groupBy("event", "bucket").agg(
+        F.min(key).getField("amount").alias("open"),
+        F.max("amount").alias("high"),
+        F.min("amount").alias("low"),
+        F.max(key).getField("amount").alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        (
+            F.sum(F.col("amount").cast(D186)).cast("decimal(18,4)").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_price"),
+    )

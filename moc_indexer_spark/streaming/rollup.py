@@ -73,6 +73,15 @@ class IncrementalRollup:
             )
         )
 
+    def _merge_agg(self) -> list:
+        """Combine exprs folding (state ∪ delta) partials — every expr must
+        be associative+commutative over the partial schema, which is what
+        makes fold order (and batch boundaries) irrelevant."""
+        return [
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value").cast("decimal(28,6)").alias("sum_value"),
+        ]
+
     def _last_applied(self) -> int:
         marker = f"{self.path}._batch_id"
         if os.path.exists(marker):
@@ -101,12 +110,7 @@ class IncrementalRollup:
         delta = self._partial(batch)
         state = self.read_state()
         merged = delta if state is None else (
-            state.unionByName(delta)
-            .groupBy(*KEYS)
-            .agg(
-                F.sum("n_events").cast("bigint").alias("n_events"),
-                F.sum("sum_value").cast("decimal(28,6)").alias("sum_value"),
-            )
+            state.unionByName(delta).groupBy(*KEYS).agg(*self._merge_agg())
         )
         self._atomic_write(merged)
         if batch_id is not None:
@@ -143,3 +147,64 @@ class IncrementalRollup:
             os.rename(self.path, old)
         os.rename(tmp, self.path)
         shutil.rmtree(old, ignore_errors=True)
+
+
+class IncrementalCandles(IncrementalRollup):
+    """Streaming OHLC candles — the continuous-aggregate form of the batch
+    `hourly_ohlc` query, and the proof the pattern extends past ADDITIVE
+    state: open/close are not sums, but they ARE mergeable — each partial
+    keeps min/max of the orderable struct (ts, event_id, value), and
+    struct-min/max is associative + commutative, so folding micro-batches
+    in any order (or any slicing) reproduces the batch candle exactly.
+    high/low/count/sum merge the same way; doubles only surface in
+    `serve()`, so state stays exact.
+
+    At scale this is the market-data "bar builder" kept as a serving table:
+    each batch shuffles only its own (bucket, event_type) cells and the
+    combine touches |delta cells| state rows — no stream replay, no
+    watermark eviction, late trades amend their bar forever."""
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+        return (
+            batch.groupBy(
+                F.window("ts", self.width)["start"].alias("window_start"),
+                "event_type",
+            )
+            .agg(
+                F.min(key).alias("open_k"),
+                F.max(key).alias("close_k"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("decimal(28,6)")
+                .alias("sum_value"),
+            )
+        )
+
+    def _merge_agg(self) -> list:
+        return [
+            F.min("open_k").alias("open_k"),
+            F.max("close_k").alias("close_k"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value").cast("decimal(28,6)").alias("sum_value"),
+        ]
+
+    def serve(self) -> DataFrame:
+        s = self.read_state()
+        return s.select(
+            "window_start",
+            "event_type",
+            F.col("open_k").getField("value").alias("open"),
+            "high",
+            "low",
+            F.col("close_k").getField("value").alias("close"),
+            F.col("n_events").alias("n_trades"),
+            (
+                F.col("sum_value").cast("decimal(18,4)").cast("double")
+                / F.col("n_events").cast("double")
+            ).alias("avg_price"),
+        )

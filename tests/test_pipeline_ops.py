@@ -240,3 +240,75 @@ def test_incremental_rollup_replay_is_exactly_once(spark, sf_dir, workdir):
     assert _sorted_rows(roll.serve()) == expected
     total = sum(r[2] for r in expected)
     assert total == events.count()
+
+
+# --- incremental OHLC candles --------------------------------------------
+
+
+def _batch_candles(events, width):
+    key = F.struct("ts", "event_id", "value")
+    return events.groupBy(
+        F.window("ts", width)["start"].alias("window_start"), "event_type"
+    ).agg(
+        F.min(key).getField("value").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(key).getField("value").alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,4)")
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_price"),
+    ).select(
+        "window_start", "event_type", "open", "high", "low", "close",
+        "n_trades", "avg_price",
+    )
+
+
+def test_incremental_candles_equal_batch(spark, sf_dir, workdir):
+    """OHLC state is mergeable (struct-min/max), not additive: folding three
+    arbitrary slices out of order must still equal the one-shot candle."""
+    from moc_indexer_spark.streaming.rollup import IncrementalCandles
+
+    events = _events(spark, sf_dir).cache()
+    try:
+        cand = IncrementalCandles(spark, f"{workdir}/cand_direct", width="1 hour")
+        for i in (2, 0, 1):
+            cand.update(events.filter(F.col("event_id") % 3 == i))
+        assert _sorted_rows(cand.serve()) == _sorted_rows(
+            _batch_candles(events, "1 hour")
+        )
+    finally:
+        events.unpersist()
+
+
+def test_incremental_candles_under_streaming(spark, sf_dir, workdir):
+    """Same parity through a real availableNow file stream (one slice file
+    per micro-batch), including foreachBatch replay idempotence."""
+    from moc_indexer_spark.streaming.rollup import IncrementalCandles
+
+    events = _events(spark, sf_dir).cache()
+    try:
+        src = f"{workdir}/csrc"
+        os.makedirs(src)
+        for i in range(3):
+            stage = f"{workdir}/cstage"
+            (events.filter(F.col("event_id") % 3 == i)
+                   .coalesce(1).write.mode("overwrite").parquet(stage))
+            for f_ in os.listdir(stage):
+                if f_.endswith(".parquet"):
+                    shutil.copy(f"{stage}/{f_}", f"{src}/slice{i}.parquet")
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        cand = IncrementalCandles(spark, f"{workdir}/cand", width="1 hour")
+        q = cand.attach(stream, checkpoint=f"{workdir}/cckpt")
+        q.awaitTermination(120)
+        # replaying an already-applied batch id must be a no-op
+        cand.update(events.limit(50), batch_id=0)
+        assert _sorted_rows(cand.serve()) == _sorted_rows(
+            _batch_candles(events, "1 hour")
+        )
+    finally:
+        events.unpersist()
