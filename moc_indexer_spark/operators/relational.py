@@ -92,10 +92,13 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """Distributed keyed as-of join: for each left row, the latest right row
     with right_ts <= left_ts for the same key (LEFT semantics — unmatched
-    rows keep null values). Spark has no ASOF JOIN; the scalable
+    rows keep null values); `direction="forward"` flips to the EARLIEST
+    right row with right_ts >= left_ts (the next-event lookup — funnel
+    attribution, time-to-fill). Spark has no ASOF JOIN; the scalable
     formulation is the union-tag trick:
 
       union(left, right) -> one hash shuffle on key -> per-key time order ->
@@ -107,8 +110,12 @@ def asof_join(
     one partition per key group.
 
     At equal timestamps the right row is visible to the left row
-    (`<=` semantics) — right rows sort first via the tag.
+    (`<=` / `>=` semantics) — right rows sort first via the tag. The
+    forward form is the SAME running-window scan over the reversed time
+    order, so both directions cost one shuffle.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     lcols = [c for c in left.columns]
     l2 = left.select(
         F.col(key).alias("__k"),
@@ -126,9 +133,10 @@ def asof_join(
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
     # right rows first at equal ts => visible to left rows at the same ts
+    ts_order = F.asc("__ts") if direction == "backward" else F.desc("__ts")
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.asc("__ts"), F.desc("__tag"))
+        .orderBy(ts_order, F.desc("__tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l2.unionByName(r2).select(

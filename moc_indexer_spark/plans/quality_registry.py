@@ -52,9 +52,10 @@ N_DUP = 5  # duplicated-gram grain (Gopher's dup-5-gram fraction analog)
 )
 def q_repetition_stats(spark, sf_dir):
     """Gopher/MassiveText repetition filters (word-n-gram form): modal-
-    bigram fraction + duplicated-5-gram fraction per document. Both gram
-    grains ride one explode and one near-unique-key shuffle; the fractions
-    are integer ratios (one IEEE division — bit-identical cross-engine)."""
+    bigram fraction + duplicated-5-gram fraction per document. Map-only
+    Arrow stage — per-doc stats need no shuffle (plan test pins zero
+    Exchange); the fractions are integer ratios (one IEEE division —
+    bit-identical cross-engine)."""
     return P.repetition_stats(table(spark, sf_dir, "documents"), N_TOP, N_DUP)
 
 

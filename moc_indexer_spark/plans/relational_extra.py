@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators import relational as R2
 from ..tables import TRANSACTIONS_CTE, table, transactions
 from .registry import TX_WITH, register
 
@@ -1208,4 +1209,68 @@ def q_hourly_ohlc(spark, sf_dir):
             F.sum(F.col("amount").cast(D186)).cast("decimal(18,4)").cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("avg_price"),
+    )
+
+
+@register(
+    "signup_purchase_funnel",
+    f"""
+    {TX_WITH},
+    s AS (SELECT tx_hash, address, created_at FROM transactions
+          WHERE event = 'signup'),
+    p AS (SELECT address, created_at FROM transactions
+          WHERE event = 'purchase'),
+    m AS (SELECT s.address, s.created_at,
+                 (SELECT MIN(p.created_at) FROM p
+                  WHERE p.address = s.address
+                    AND p.created_at >= s.created_at) AS nxt
+          FROM s)
+    SELECT CAST(date_trunc('day', created_at) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(SUM(CASE WHEN nxt IS NOT NULL
+                          AND epoch_us(nxt) - epoch_us(created_at) <= 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN nxt IS NOT NULL
+                          AND epoch_us(nxt) - epoch_us(created_at) <= 3600000000
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS conversion_rate
+    FROM m GROUP BY date_trunc('day', created_at)
+    """,
+    tags=("J3", "window", "funnel"),
+)
+def q_signup_purchase_funnel(spark, sf_dir):
+    """Signup→purchase funnel: per day, how many signups converted to a
+    purchase within the hour. The next-purchase lookup is the FORWARD
+    as-of join (asof_join direction='forward' — same union-tag running
+    window over reversed time order, one shuffle); the oracle brute-forces
+    it as a correlated MIN subquery. The conversion window compares
+    integer epoch-microseconds — no double time math."""
+    t = transactions(spark, sf_dir)
+    s = t.filter(F.col("event") == "signup").select(
+        "tx_hash", "address", "created_at"
+    )
+    p = t.filter(F.col("event") == "purchase").select(
+        "address", F.col("created_at").alias("p_ts")
+    )
+    m = R2.asof_join(
+        s, p, key="address", left_ts="created_at", right_ts="p_ts",
+        value_cols=["p_ts"], direction="forward",
+    )
+    converted = (
+        F.col("asof_p_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("asof_p_ts")) - F.unix_micros(F.col("created_at"))
+            <= 3_600_000_000
+        )
+    )
+    return (
+        m.groupBy(F.date_trunc("day", F.col("created_at")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_signups"),
+            F.sum(converted.cast("int")).cast("bigint").alias("n_converted"),
+            (
+                F.sum(converted.cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("conversion_rate"),
+        )
     )

@@ -141,7 +141,9 @@ def test_idle_customer_balance_anti_join_pushdown(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in plan
 
 
-def test_repetition_stats_single_scan(spark, sf_dir):
-    # both gram grains ride ONE scan + ONE explode (tagged structs)
+def test_repetition_stats_map_only(spark, sf_dir):
+    # per-doc stats need no shuffle at all: one scan, zero exchanges
+    # (sorted-array run-length fold, not explode+groupBy)
     plan = _plan(spark, sf_dir, "repetition_stats")
     assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan

@@ -71,3 +71,27 @@ def test_unigram_logprob_rare_token_scores_lower(spark):
         for r in P.unigram_logprob(_docs(spark, common + rare)).collect()
     }
     assert out[99] < out[0]
+
+
+def test_asof_join_forward_semantics(spark):
+    from moc_indexer_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 25, 101), (2, 10, 102), (3, 10, 103)],
+        "k bigint, ts bigint, lid bigint",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7.0), (1, 20, 8.0), (1, 30, 9.0), (2, 5, 1.0)],
+        "k bigint, ts bigint, price double",
+    )
+    out = {
+        r.lid: r.asof_price
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            value_cols=["price"], direction="forward",
+        ).collect()
+    }
+    assert out[100] == 7.0  # equal ts IS visible (>= semantics)
+    assert out[101] == 9.0  # next right at 30
+    assert out[102] is None  # only earlier right rows for k=2
+    assert out[103] is None  # no right rows for k=3
