@@ -421,3 +421,128 @@ def q_boilerplate_shingles(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
         .filter(F.col("doc_freq") >= 3)
     )
+
+
+# --- second-moment statistics (profiler batch 2) ----------------------------
+
+_D186 = "DECIMAL(18,6)"
+_EDGE = "DECIMAL(18,4)"
+
+
+def _sum_edge_sql(expr):
+    """Exact decimal SUM cast to double through the (18,4) bridge — the
+    codebase's standard edge pattern (inputs here carry <= 4 decimals, so
+    the scale reduction is exact)."""
+    return f"CAST(CAST(SUM({expr}) AS {_EDGE}) AS DOUBLE)"
+
+
+@register(
+    "numeric_correlation",
+    f"""
+    SELECT l_returnflag AS returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(
+             (CAST(COUNT(*) AS DOUBLE) * {_sum_edge_sql(f"CAST(l_quantity AS DECIMAL(24,6)) * CAST(l_discount AS DECIMAL(12,6))")}
+              - {_sum_edge_sql(f"CAST(l_quantity AS {_D186})")} * {_sum_edge_sql(f"CAST(l_discount AS {_D186})")})
+             / (sqrt(CAST(COUNT(*) AS DOUBLE) * {_sum_edge_sql(f"CAST(l_quantity AS DECIMAL(24,6)) * CAST(l_quantity AS DECIMAL(12,6))")}
+                     - {_sum_edge_sql(f"CAST(l_quantity AS {_D186})")} * {_sum_edge_sql(f"CAST(l_quantity AS {_D186})")})
+                * sqrt(CAST(COUNT(*) AS DOUBLE) * {_sum_edge_sql(f"CAST(l_discount AS DECIMAL(24,6)) * CAST(l_discount AS DECIMAL(12,6))")}
+                       - {_sum_edge_sql(f"CAST(l_discount AS {_D186})")} * {_sum_edge_sql(f"CAST(l_discount AS {_D186})")})),
+             6) AS pearson_r
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("profiler", "stats"),
+)
+def q_numeric_correlation(spark, sf_dir):
+    """Per-group Pearson correlation from exact second moments: the five
+    sums (Sx, Sy, Sxy, Sxx, Syy) accumulate in DECIMAL — merge-order-proof
+    — and the r formula is ONE double expression applied to their edge
+    casts, identically on both engines (built-in corr() would aggregate
+    doubles in shuffle order and is not cross-engine stable). One scan,
+    one shuffle, map-side partials; ROUND(,6) absorbs last-ulp cast noise.
+    At 100 TB this is the profiler's pairwise-correlation pass — all five
+    moments ride the same partial aggregate."""
+    l = table(spark, sf_dir, "lineitem")
+    d186, dmul_l, dmul_r = "decimal(18,6)", "decimal(24,6)", "decimal(12,6)"
+    qty, disc = F.col("l_quantity"), F.col("l_discount")
+
+    def edge(c):
+        return F.sum(c).cast("decimal(18,4)").cast("double")
+
+    n = F.count(F.lit(1))
+    g = l.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        n.cast("bigint").alias("n"),
+        edge(qty.cast(d186)).alias("_sx"),
+        edge(disc.cast(d186)).alias("_sy"),
+        edge(qty.cast(dmul_l) * disc.cast(dmul_r)).alias("_sxy"),
+        edge(qty.cast(dmul_l) * qty.cast(dmul_r)).alias("_sxx"),
+        edge(disc.cast(dmul_l) * disc.cast(dmul_r)).alias("_syy"),
+    )
+    nd = F.col("n").cast("double")
+    r = (
+        (nd * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        / (
+            F.sqrt(nd * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+            * F.sqrt(nd * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+        )
+    )
+    return g.select("returnflag", "n", F.round(r, 6).alias("pearson_r"))
+
+
+Z_THRESHOLD = 2.5
+
+
+@register(
+    "value_zscore_outliers",
+    f"""
+    WITH tx AS (SELECT event_id AS tx_hash, event_type AS event, value AS amount
+                FROM events),
+    s AS (SELECT event, CAST(COUNT(*) AS BIGINT) AS n,
+                 {_sum_edge_sql(f"CAST(amount AS {_D186})")} AS sx,
+                 {_sum_edge_sql(f"CAST(amount AS DECIMAL(24,6)) * CAST(amount AS DECIMAL(12,6))")} AS sxx
+          FROM tx GROUP BY event)
+    SELECT t.tx_hash, t.event, t.amount,
+           ROUND((t.amount - s.sx / CAST(s.n AS DOUBLE))
+                 / sqrt(s.sxx / CAST(s.n AS DOUBLE)
+                        - (s.sx / CAST(s.n AS DOUBLE)) * (s.sx / CAST(s.n AS DOUBLE))),
+                 6) AS zscore
+    FROM tx t JOIN s USING (event)
+    WHERE ABS(ROUND((t.amount - s.sx / CAST(s.n AS DOUBLE))
+                    / sqrt(s.sxx / CAST(s.n AS DOUBLE)
+                           - (s.sx / CAST(s.n AS DOUBLE)) * (s.sx / CAST(s.n AS DOUBLE))),
+                    6)) >= {Z_THRESHOLD}
+    """,
+    tags=("profiler", "stats", "anomaly"),
+)
+def q_value_zscore_outliers(spark, sf_dir):
+    """Population z-score outlier flagging per event type (the alerting
+    primitive): group mean/variance come from exact decimal first/second
+    moments, broadcast back onto the fact rows; z is one double expression
+    and the threshold compares the ROUNDED z on both engines so boundary
+    rows can't flip on ulp noise. At scale the stats side is tiny (one row
+    per group) — the fact table never shuffles."""
+    t = table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("tx_hash"),
+        F.col("event_type").alias("event"),
+        F.col("value").alias("amount"),
+    )
+    d186, dmul_l, dmul_r = "decimal(18,6)", "decimal(24,6)", "decimal(12,6)"
+    amt = F.col("amount")
+    s = t.groupBy("event").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(amt.cast(d186)).cast("decimal(18,4)").cast("double").alias("sx"),
+        F.sum(amt.cast(dmul_l) * amt.cast(dmul_r))
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sx") / nd
+    z = F.round((amt - mean) / F.sqrt(F.col("sxx") / nd - mean * mean), 6)
+    return (
+        t.join(F.broadcast(s), "event")
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) >= Z_THRESHOLD)
+        .select("tx_hash", "event", "amount", "zscore")
+    )

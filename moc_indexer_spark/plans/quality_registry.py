@@ -172,3 +172,78 @@ def q_quality_weighted_sample(spark, sf_dir):
     return hash_sample(d, F.col("doc_id"), thr).select(
         "doc_id", "source", "lang", "n_chars"
     )
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             ROUND(CAST(tf.tf AS DOUBLE)
+                   * ln((CAST(nd.n_docs AS DOUBLE) + 1.0)
+                        / (CAST(df.df AS DOUBLE) + 1.0)), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN nd),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rank
+      FROM scored)
+    SELECT doc_id, token, tf, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TFIDF_TOP_K}
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-k characteristic terms per document by smoothed TF-IDF — the
+    classic keyword/topic signal (and the retrieval-side complement of the
+    unigram LM score). tf and df are exact integers; the score is ONE
+    double expression ROUND(,6)ed on both engines, and the per-doc top-k
+    orders by (score desc, token) — a total order, so the rank-k boundary
+    is deterministic. Plan: tf is one shuffle on (doc_id, token); df is a
+    tiny aggregate of tf broadcast back; n_docs is a 1-row broadcast; the
+    top-k window shuffles on doc_id. At 100 TB the df relation is the
+    vocab — prune to df >= 2 before broadcasting (rare terms keep
+    tfidf = tf * ln((N+1)/2) and can be scored without the join)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions import text as T
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("n_docs").cast("double") + F.lit(1.0))
+                    / (F.col("df").cast("double") + F.lit(1.0))
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tf", "tfidf", F.col("rank").cast("bigint").alias("rank"))
+    )
