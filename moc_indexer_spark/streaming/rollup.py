@@ -208,3 +208,54 @@ class IncrementalCandles(IncrementalRollup):
                 / F.col("n_events").cast("double")
             ).alias("avg_price"),
         )
+
+
+class IncrementalMoments(IncrementalRollup):
+    """First + second moments as mergeable state: per (window, event_type)
+    keep n / Σx / Σx² in exact types, so streaming mean/stddev — the stats
+    side of the z-score alerting query (q_value_zscore_outliers) — is
+    maintained incrementally with the same fold-order-proof guarantee.
+    Any moment-based statistic (variance, stddev, correlation via Σxy)
+    extends the same way: sums are the universal mergeable form."""
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        v = F.col("value")
+        return (
+            batch.groupBy(
+                F.window("ts", self.width)["start"].alias("window_start"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(v.cast("decimal(18,6)"))
+                .cast("decimal(28,6)")
+                .alias("sum_value"),
+                F.sum(v.cast("decimal(24,6)") * v.cast("decimal(12,6)"))
+                .cast("decimal(38,6)")
+                .alias("sum_sq"),
+            )
+        )
+
+    def _merge_agg(self) -> list:
+        return [
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value").cast("decimal(28,6)").alias("sum_value"),
+            F.sum("sum_sq").cast("decimal(38,6)").alias("sum_sq"),
+        ]
+
+    def serve(self) -> DataFrame:
+        s = self.read_state()
+        nd = F.col("n_events").cast("double")
+        sx = F.col("sum_value").cast("decimal(18,4)").cast("double")
+        sxx = F.col("sum_sq").cast("decimal(18,4)").cast("double")
+        mean = sx / nd
+        # clamp: x²-x̄² computed via two double paths can undershoot zero by
+        # an ulp for singleton cells → sqrt(NaN) without the guard
+        var = F.greatest(sxx / nd - mean * mean, F.lit(0.0))
+        return s.select(
+            "window_start",
+            "event_type",
+            "n_events",
+            mean.alias("mean_value"),
+            F.sqrt(var).alias("std_value"),
+        )

@@ -215,3 +215,39 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: tuple[str, ...],
+    n_files: int = 8,
+    small_row_groups: bool = False,
+) -> None:
+    """Range-clustered layout: sort the data by `cluster_cols` across AND
+    within files (repartitionByRange + sortWithinPartitions) so every
+    parquet row group covers a narrow, near-disjoint key range.
+
+    This is the data-SKIPPING story (the single-dimension form of
+    Z-ordering): parquet readers prune row groups whose column min/max
+    stats exclude the predicate, so a selective filter on the cluster key
+    reads a handful of row groups instead of the table. Complements the
+    other layout tools — bucketing co-locates JOINS, the mirror fixes file
+    granularity, compaction fixes file count; clustering fixes WHERE-clause
+    I/O. At 100 TB this is the difference between a point lookup touching
+    ~1 row group and scanning every file (tests assert the stats are
+    near-disjoint and that an unclustered write is unprunable).
+
+    Range partitioning samples the key distribution, so file sizes stay
+    balanced under skew (hash bucketing would not preserve ranges).
+    """
+    w = df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+    w = w.sortWithinPartitions(*cluster_cols)
+    writer = w.write.mode("overwrite")
+    if small_row_groups:
+        # local knob: force multiple row groups per file so pruning is
+        # visible at test scale (prod uses the 128 MB default)
+        writer = writer.option("parquet.block.size", 64 * 1024).option(
+            "parquet.page.size", 8 * 1024
+        )
+    writer.parquet(path)

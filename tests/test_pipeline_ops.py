@@ -312,3 +312,37 @@ def test_incremental_candles_under_streaming(spark, sf_dir, workdir):
         )
     finally:
         events.unpersist()
+
+
+def test_incremental_moments_equal_batch(spark, sf_dir, workdir):
+    """n/Σx/Σx² merge as sums, so out-of-order slice folds must reproduce
+    the batch mean/std exactly (exact decimal state, double only at serve)."""
+    from moc_indexer_spark.streaming.rollup import IncrementalMoments
+
+    events = _events(spark, sf_dir).cache()
+    try:
+        mom = IncrementalMoments(spark, f"{workdir}/mom", width="1 hour")
+        for i in (1, 2, 0):
+            mom.update(events.filter(F.col("event_id") % 3 == i))
+        v = F.col("value")
+        nd = F.count(F.lit(1)).cast("bigint")
+        sx = (F.sum(v.cast("decimal(18,6)")).cast("decimal(18,4)")
+              .cast("double"))
+        sxx = (F.sum(v.cast("decimal(24,6)") * v.cast("decimal(12,6)"))
+               .cast("decimal(18,4)").cast("double"))
+        batch = events.groupBy(
+            F.window("ts", "1 hour")["start"].alias("window_start"),
+            "event_type",
+        ).agg(nd.alias("n_events"), sx.alias("_sx"), sxx.alias("_sxx"))
+        mean = F.col("_sx") / F.col("n_events").cast("double")
+        batch = batch.select(
+            "window_start", "event_type", "n_events",
+            mean.alias("mean_value"),
+            F.sqrt(F.greatest(
+                F.col("_sxx") / F.col("n_events").cast("double") - mean * mean,
+                F.lit(0.0),
+            )).alias("std_value"),
+        )
+        assert _sorted_rows(mom.serve()) == _sorted_rows(batch)
+    finally:
+        events.unpersist()
