@@ -1274,3 +1274,140 @@ def q_signup_purchase_funnel(spark, sf_dir):
             ).alias("conversion_rate"),
         )
     )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    """
+    WITH g AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price
+               FROM lineitem GROUP BY l_partkey)
+    SELECT p.p_partkey AS partkey, p.p_name AS name,
+           s.s_name AS supplier, l.l_extendedprice AS price
+    FROM lineitem l
+    JOIN g ON l.l_partkey = g.l_partkey AND l.l_extendedprice = g.min_price
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size <= 10
+    """,
+    tags=("J1", "subquery-decorrelation", "tpch"),
+)
+def q_cheapest_supplier_per_part(spark, sf_dir):
+    """TPC-H Q2 shape: the supplier(s) offering the minimum price per part
+    — a correlated equality subquery (price = per-part MIN) decorrelated
+    into an aggregate + equality join-back, the pattern for every
+    "row(s) achieving the group extreme" lookup where latest_per_key's
+    window form would carry the whole row through the shuffle. Ties all
+    qualify (deterministic SET, no arbitrary pick). The size filter prunes
+    parts before their broadcast; the per-part aggregate is small and
+    broadcasts back onto the fact scan."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    g = l.groupBy(F.col("l_partkey").alias("g_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        l.join(
+            F.broadcast(g),
+            (F.col("l_partkey") == F.col("g_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .join(F.broadcast(p.filter(F.col("p_size") <= 10)),
+              F.col("p_partkey") == l["l_partkey"])
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("name"),
+            F.col("s_name").alias("supplier"),
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+
+
+@register(
+    "cumulative_unique_users",
+    f"""
+    {TX_WITH},
+    f AS (SELECT address, MIN(date_trunc('day', created_at)) AS first_day
+          FROM transactions GROUP BY address),
+    d AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+          FROM f GROUP BY first_day)
+    SELECT CAST(day AS TIMESTAMP) AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+             AS cumulative_users
+    FROM d
+    """,
+    tags=("A1", "window", "growth"),
+)
+def q_cumulative_unique_users(spark, sf_dir):
+    """Users-to-date per day — the growth curve. A running COUNT(DISTINCT)
+    is not windowable, but first-seen dates make it additive: min day per
+    user (one shuffle), count per day, cumulative sum. The global-order
+    window runs over ONE ROW PER DAY (thousands of rows at any corpus
+    size), so the single-partition window stage is trivially safe — the
+    heavy lifting happened in the keyed aggregations before it."""
+    t = transactions(spark, sf_dir)
+    f_ = t.groupBy("address").agg(
+        F.min(F.date_trunc("day", F.col("created_at"))).alias("first_day")
+    )
+    d = f_.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "retention_cohorts",
+    f"""
+    {TX_WITH},
+    f AS (SELECT address, date_trunc('week', MIN(created_at)) AS cohort
+          FROM transactions GROUP BY address),
+    a AS (SELECT DISTINCT t.address, f.cohort,
+                 (epoch_us(date_trunc('week', t.created_at))
+                  - epoch_us(f.cohort)) / {WEEK_US} AS week_offset
+          FROM transactions t JOIN f USING (address))
+    SELECT CAST(cohort AS TIMESTAMP) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM a GROUP BY cohort, week_offset
+    """,
+    tags=("A1", "growth", "cohort"),
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle: users active k weeks after their cohort
+    week (signup = first event). Two shuffles — first-seen per user, then
+    the (cohort, offset) distinct count; the cohort join broadcasts at
+    serving scale and co-partitions on address at 100 TB (both sides
+    already hash on address from the first aggregate — the exchange is
+    reused). Week arithmetic is integer epoch-microseconds over
+    week-truncated NTZ timestamps: exact multiples, no double time math."""
+    t = transactions(spark, sf_dir)
+    f_ = t.groupBy("address").agg(
+        F.date_trunc("week", F.min("created_at")).alias("cohort")
+    )
+    a = (
+        t.join(f_, "address")
+        .select(
+            "address",
+            "cohort",
+            (
+                (
+                    F.unix_micros(F.date_trunc("week", F.col("created_at")))
+                    - F.unix_micros(F.col("cohort"))
+                )
+                / F.lit(WEEK_US)
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return a.groupBy(
+        F.col("cohort").alias("cohort_week"), "week_offset"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
