@@ -288,3 +288,32 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+def materialize_corpus(
+    docs: DataFrame,
+    keep: DataFrame,
+    path: str,
+    cluster_cols: tuple[str, ...] = ("source", "doc_id"),
+    n_files: int = 8,
+) -> tuple[int, int]:
+    """The pipeline's last mile: apply a keep-list (any DataFrame with a
+    doc_id column — e.g. the training_corpus_filter output) to the corpus
+    with a semi-join and write the surviving docs range-clustered, so the
+    materialized training set is both deduped/filtered AND laid out for
+    selective reads (source-level slicing, doc_id point lookups prune on
+    row-group stats). Returns (kept, dropped) row counts.
+
+    At 100 TB the semi-join broadcasts when the keep-list is a compact id
+    set, or shuffle-joins on doc_id otherwise; the clustered write is the
+    same rebalancing pass an ingest job would run anyway — filtering and
+    layout cost ONE extra shuffle total."""
+    from ..tables import write_clustered
+
+    total = docs.count()
+    kept_df = docs.join(
+        keep.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
+    write_clustered(kept_df, path, cluster_cols, n_files=n_files)
+    kept = docs.sparkSession.read.parquet(path).count()
+    return kept, total - kept

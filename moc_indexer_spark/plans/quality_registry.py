@@ -247,3 +247,53 @@ def q_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rank") <= TFIDF_TOP_K)
         .select("doc_id", "token", "tf", "tfidf", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+@register(
+    "token_entropy",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    agg AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))
+                           AS DECIMAL(18,9))) AS DOUBLE) AS sum_tlnt
+      FROM tf GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           ROUND(ln(CAST(n_tokens AS DOUBLE))
+                 - sum_tlnt / CAST(n_tokens AS DOUBLE), 6) AS entropy
+    FROM agg
+    """,
+    tags=("llm", "quality", "entropy"),
+)
+def q_token_entropy(spark, sf_dir):
+    """Shannon entropy of each doc's token distribution — low entropy means
+    a few tokens dominate (keyword stuffing, boilerplate), the complement
+    of the n-gram repetition filters. Uses the shuffle-free identity
+    H = ln(n) − (Σ tf·ln tf)/n so the only per-token float work is
+    tf·ln(tf) — ONE double expression frozen to DECIMAL(18,9), summed
+    exactly, so fold order can't move the result (same discipline as
+    unigram_logprob). Two keyed shuffles: (doc, token) histogram, then the
+    per-doc fold — both map-side-combinable."""
+    from pyspark.sql import functions as F
+
+    from ..functions import text as T
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tlnt = (
+        (F.col("tf").cast("double") * F.log(F.col("tf").cast("double")))
+        .cast("decimal(18,9)")
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum(tlnt).cast("double").alias("_sum_tlnt"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.log(nd) - F.col("_sum_tlnt") / nd, 6).alias("entropy"),
+    )

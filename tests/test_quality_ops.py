@@ -95,3 +95,24 @@ def test_asof_join_forward_semantics(spark):
     assert out[101] == 9.0  # next right at 30
     assert out[102] is None  # only earlier right rows for k=2
     assert out[103] is None  # no right rows for k=3
+
+
+def test_materialize_corpus_applies_keeplist_and_clusters(spark, sf_dir, tmp_path):
+    from moc_indexer_spark.plans.registry import registry
+    from moc_indexer_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    keep = {s.name: s for s in registry()}["training_corpus_filter"].build(
+        spark, sf_dir
+    )
+    n_keep = keep.select("doc_id").distinct().count()
+    kept, dropped = P.materialize_corpus(
+        docs, keep, f"{tmp_path}/corpus", n_files=4
+    )
+    assert kept == n_keep
+    assert kept + dropped == docs.count()
+    out = spark.read.parquet(f"{tmp_path}/corpus")
+    assert out.columns == docs.columns
+    # every surviving row is a real corpus row (semi-join, no duplication)
+    assert out.join(docs, "doc_id", "left_anti").count() == 0
+    assert out.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
