@@ -200,6 +200,7 @@ TFIDF_TOP_K = 3
     FROM ranked WHERE rank <= {TFIDF_TOP_K}
     """,
     tags=("llm", "text", "tfidf"),
+    bench=True,
 )
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-k characteristic terms per document by smoothed TF-IDF — the

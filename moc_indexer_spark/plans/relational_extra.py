@@ -1123,6 +1123,7 @@ def q_idle_customer_balance(spark, sf_dir):
     LIMIT 20
     """,
     tags=("A1", "semi-join", "tpch"),
+    bench=True,
 )
 def q_sole_blame_supplier(spark, sf_dir):
     """TPC-H Q21 shape: the supplier solely at fault on a multi-supplier
@@ -1179,6 +1180,7 @@ def q_sole_blame_supplier(spark, sf_dir):
       ON l.event = a.event AND l.bucket = a.bucket
     """,
     tags=("F10", "A1", "window", "timeseries"),
+    bench=True,
 )
 def q_hourly_ohlc(spark, sf_dir):
     """Hourly OHLC candles per event type — the canonical price-history
