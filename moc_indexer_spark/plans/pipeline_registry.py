@@ -546,3 +546,92 @@ def q_value_zscore_outliers(spark, sf_dir):
         .filter(F.abs(F.col("zscore")) >= Z_THRESHOLD)
         .select("tx_hash", "event", "amount", "zscore")
     )
+
+
+# --- context-window chunking (1→N fan-out) ---------------------------------
+
+CHUNK_TOKENS = 32  # tokens per training chunk
+CHUNK_STEP = 24  # stride (CHUNK_TOKENS - 8 token overlap)
+
+
+@register(
+    "doc_chunking",
+    f"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS arr,
+                      len(str_split(text, ' ')) AS n
+               FROM documents)
+    SELECT doc_id, CAST(s // {CHUNK_STEP} AS BIGINT) AS chunk_idx,
+           CAST(LEAST({CHUNK_TOKENS}, n - s) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(
+             list_slice(arr, s + 1, LEAST(s + {CHUNK_TOKENS}, n)), ' ')
+             AS chunk_text
+    FROM t, UNNEST(generate_series(0, GREATEST(n - 1, 0), {CHUNK_STEP})) AS g(s)
+    """,
+    tags=("pipeline", "chunking", "fanout"),
+)
+def q_doc_chunking(spark, sf_dir):
+    """Context-window chunking: split each document into overlapping
+    {CHUNK_TOKENS}-token windows with a {CHUNK_STEP}-token stride (the
+    pretraining concat/chunk primitive, 1→N row fan-out). Pure JVM
+    expressions — split once, `sequence` of window starts, explode, slice;
+    no shuffle at all (map-only) and no Python. At 100 TB this is the shape
+    that matters: output ∝ input x (1 + overlap), all embarrassingly
+    parallel."""
+    docs = table(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    t = docs.select("doc_id", arr.alias("arr"), F.size(arr).alias("n"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(CHUNK_STEP)
+    )
+    return (
+        t.select("doc_id", "arr", "n", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.expr(f"s div {CHUNK_STEP}").cast("bigint").alias("chunk_idx"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("s"))
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("arr"), F.col("s") + 1, CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+# --- temperature-rebalanced source sampling --------------------------------
+
+
+@register(
+    "source_temperature_sample",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    m AS (SELECT MIN(cnt) AS min_cnt FROM c)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN c USING (source) CROSS JOIN m
+    WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+             / 16777216.0)
+          < sqrt(CAST(m.min_cnt AS DOUBLE) / CAST(c.cnt AS DOUBLE))
+    """,
+    tags=("pipeline", "sampling", "domain-mix"),
+)
+def q_source_temperature_sample(spark, sf_dir):
+    """Temperature-rebalanced domain mix (alpha=0.5): keep fraction
+    sqrt(min_cnt/cnt) per source, so over-represented sources are
+    downsampled toward the square-root of their share — the standard
+    multi-corpus rebalance. Deterministic and oracle-exact: the uniform
+    draw is md5(doc_id)'s first 24 bits over 2^24 (exact double, power-of-2
+    denominator) and sqrt/div are correctly-rounded IEEE ops in both
+    engines — no RNG, reproducible under retries at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    cnts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    mn = cnts.agg(F.min("cnt").alias("min_cnt"))
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint") / F.lit(16777216.0)
+    kf = F.sqrt(F.col("min_cnt").cast("double") / F.col("cnt").cast("double"))
+    return (
+        docs.join(F.broadcast(cnts), "source")
+        .crossJoin(F.broadcast(mn))
+        .filter(u < kf)
+        .select("doc_id", "source")
+    )

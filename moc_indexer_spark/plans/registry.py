@@ -69,6 +69,7 @@ def registry() -> list[QuerySpec]:
         quality_registry,
         relational_extra,
         serving_registry,
+        tpch_more,
     )
 
     return list(_REGISTRY)

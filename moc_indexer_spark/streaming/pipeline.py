@@ -35,12 +35,14 @@ def enrich_transactions(raw: DataFrame, tip_ts=None) -> DataFrame:
         F.col("event_id").alias("tx_hash"),
         F.col("user_id").alias("address"),
         F.col("event_type").alias("event"),
-        F.col("ts").alias("created_at"),
+        # streaming file sources infer parquet timestamps as TIMESTAMP_NTZ;
+        # normalize so downstream epoch math (unix_micros) binds either way
+        F.col("ts").cast("timestamp").alias("created_at"),
         F.col("value").alias("amount"),
         F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
     )
     if tip_ts is None:
-        tip = raw.agg(F.max("ts").alias("tip_ts"))
+        tip = raw.agg(F.max(F.col("ts").cast("timestamp")).alias("tip_ts"))
         df = df.crossJoin(F.broadcast(tip))
     else:
         df = df.withColumn("tip_ts", F.lit(tip_ts).cast("timestamp"))

@@ -144,6 +144,11 @@ def _handle_rows(
 
 def apply_status_machine(observations_stream, use_processing_timeout: bool = False):
     """Wire the state machine onto a stream of receipt observations."""
+    from .windows import ensure_event_time
+
+    observations_stream = ensure_event_time(
+        observations_stream, "observed_at", "created_at"
+    )
     return observations_stream.groupBy("tx_hash").applyInPandasWithState(
         make_status_func(use_processing_timeout),
         outputStructType=OUTPUT_SCHEMA,

@@ -20,6 +20,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_event_time(df: DataFrame, *cols: str) -> DataFrame:
+    """Normalize event-time columns to TIMESTAMP (with local time zone).
+
+    Streaming file sources infer parquet timestamps as TIMESTAMP_NTZ, which
+    `withWatermark` rejects; batch reads of the same files may yield LTZ.
+    Casting is a no-op when already LTZ, so every streaming entry point can
+    call this unconditionally for batch/stream parity."""
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def _agg(grouped):
     return grouped.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -71,7 +83,8 @@ def streaming_session_agg(
     reference's stale-tx timeout (T4): keyed state that closes after
     inactivity. State per key is bounded by the watermark horizon."""
     g = (
-        events_stream.withWatermark("ts", watermark)
+        ensure_event_time(events_stream, "ts")
+        .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
     )
     return _agg(g).select(
@@ -89,8 +102,10 @@ def streaming_tumbling_agg(
     """Streaming form: watermarked event-time windows; append-mode output
     emits a window only once its watermark passes (deterministic finals,
     late data beyond `watermark` dropped)."""
-    g = events_stream.withWatermark("ts", watermark).groupBy(
-        F.window("ts", width).alias("w"), F.col("event_type")
+    g = (
+        ensure_event_time(events_stream, "ts")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
     )
     return _agg(g).select(
         F.col("w.start").alias("window_start"),
