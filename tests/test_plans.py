@@ -147,3 +147,35 @@ def test_repetition_stats_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "repetition_stats")
     assert plan.count("Scan parquet") == 1
     assert "Exchange" not in plan
+
+
+def test_sole_blame_supplier_no_expand(spark, sf_dir):
+    # Q21 shape: the two-distinct-aggregate formulation would insert an
+    # Expand (3x shuffle volume); the pair-grain pre-aggregation must not.
+    plan = _plan(spark, sf_dir, "sole_blame_supplier")
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan  # supplier-name join stays broadcast
+
+
+def test_nation_pair_volume_pruned_before_shuffle(spark, sf_dir):
+    # Q7 shape: both fact sides must be pruned through broadcast dim joins
+    # BEFORE the one lineitem<->orders shuffle join; the nation pair filter
+    # must not force extra exchanges.
+    plan = _plan(spark, sf_dir, "nation_pair_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    # shuffle exchanges: the l<->o join (2 sides) + final group-by <= 3
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_doc_chunking_map_only(spark, sf_dir):
+    # chunking is a pure 1->N projection: no exchange anywhere
+    plan = _plan(spark, sf_dir, "doc_chunking")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_source_temperature_sample_broadcasts_stats(spark, sf_dir):
+    # the per-source counts and global min must come back as broadcasts;
+    # the documents scan itself is never hash-shuffled
+    plan = _plan(spark, sf_dir, "source_temperature_sample")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
