@@ -191,6 +191,20 @@ def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every catalog table (plus the `transactions` serving view)
+    as a temp view, making the whole engine queryable through plain
+    `spark.sql(...)` — the same SQL surface the DuckDB oracles use, so any
+    oracle string in the registry also runs verbatim on Spark.
+
+    Views are lazy: no data is read here, and Catalyst sees straight
+    through them (pushdown/pruning reach the parquet scans exactly as with
+    the DataFrame API)."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    transactions(spark, sf_dir).createOrReplaceTempView("transactions")
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
