@@ -308,3 +308,44 @@ def q_approx_distinct_users(spark, sf_dir):
     return t.agg(
         F.approx_count_distinct("address", rsd=0.01).alias("approx_addresses")
     )
+
+
+@register(
+    "api_pegout_list",
+    f"""
+    {TX_WITH},
+    fastbtc AS (
+      SELECT tx_hash AS transfer_id, CAST(address AS VARCHAR) AS rsk_address,
+             CAST(tx_hash % 5 AS INTEGER) AS status, created_at AS updated,
+             amount
+      FROM transactions WHERE event = 'purchase')
+    SELECT transfer_id, rsk_address, status, updated, amount,
+           CASE status WHEN 0 THEN 'NOT_STARTED' WHEN 1 THEN 'SENDING'
+                WHEN 2 THEN 'MINED' WHEN 3 THEN 'REFUNDED'
+                WHEN 4 THEN 'RECLAIMED' END AS status_name
+    FROM fastbtc WHERE rsk_address = '{TX_USER}'
+    """,
+    tags=("api", "F13"),
+)
+def q_api_pegout_list(spark, sf_dir):
+    """GET /fastbtc/pegout (bp_fastbtc_bridge.py:20-40) over a
+    fastbtc-shaped view derived from the events fixture (transferId,
+    rskAddress, status enum, updated): per-address filter + status-name
+    decode via a map literal — the 4th and last API endpoint, oracle-gated
+    like the other three."""
+    t = transactions(spark, sf_dir).filter(F.col("event") == "purchase")
+    fastbtc = t.select(
+        F.col("tx_hash").alias("transfer_id"),
+        F.col("address").cast("string").alias("rsk_address"),
+        (F.col("tx_hash") % 5).cast("int").alias("status"),
+        F.col("created_at").alias("updated"),
+        "amount",
+    )
+    status_names = F.create_map(
+        F.lit(0), F.lit("NOT_STARTED"), F.lit(1), F.lit("SENDING"),
+        F.lit(2), F.lit("MINED"), F.lit(3), F.lit("REFUNDED"),
+        F.lit(4), F.lit("RECLAIMED"),
+    )
+    return fastbtc.filter(F.col("rsk_address") == str(TX_USER)).withColumn(
+        "status_name", F.element_at(status_names, F.col("status"))
+    )

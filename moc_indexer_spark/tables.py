@@ -99,19 +99,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # Under a vanilla session (the driver's), parquet timestamps without
-    # isAdjustedToUTC infer as TIMESTAMP_NTZ, which epoch math (unix_micros)
-    # and streaming watermarks reject. Pin the session to UTC and cast NTZ ->
-    # LTZ: the wall-clock value is reinterpreted as UTC, so rendered values
-    # (and every DuckDB oracle, which reads the same files naively) are
-    # unchanged in any environment.
+    df = _normalize_ntz(spark, df)
+    if _LAYOUT_MIRROR:
+        # normalize again: a mirror written before normalization existed
+        # (or by another session) may itself store NTZ timestamps
+        return _normalize_ntz(spark, _mirror_read(spark, sf_dir, name, df))
+    return df
+
+
+def _normalize_ntz(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (UTC-pinned session).
+
+    Under a vanilla session (the driver's), parquet timestamps without
+    isAdjustedToUTC infer as TIMESTAMP_NTZ, which epoch math (unix_micros)
+    and streaming watermarks reject. Pinning the session to UTC and casting
+    NTZ -> LTZ reinterprets the wall clock as UTC, so rendered values (and
+    every DuckDB oracle, which reads the same files naively) are unchanged
+    in any environment."""
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz_cols:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         for c in ntz_cols:
             df = df.withColumn(c, F.col(c).cast("timestamp"))
-    if _LAYOUT_MIRROR:
-        return _mirror_read(spark, sf_dir, name, df)
     return df
 
 
