@@ -67,6 +67,12 @@ def extract_features(
     Output keeps only metadata + features (bytes are dropped as early as
     possible — the downstream ANN/dedup operators never see blobs).
     """
+    from ..session import ship_package
+
+    # `run` captures module-level decode_image_stub BY REFERENCE: worker
+    # pythons must be able to import the package even when the driver's
+    # cwd isn't the repo root (e.g. the harness driver session)
+    ship_package(media.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -582,3 +582,68 @@ def q_doc_winnowing(spark, sf_dir):
         )
     )
     return kg.select("doc_id", F.explode(fps).alias("fingerprint"))
+
+
+# --- multimodal plumbing, oracle-gated -------------------------------------
+
+
+@register(
+    "media_feature_extract",
+    """
+    SELECT doc_id AS media_id, sha256(text) AS content_hash,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           CAST(('0x' || substr(sha256(text), 1, 2))::INT + 64 AS INTEGER)
+             AS width,
+           CAST(('0x' || substr(sha256(text), 3, 2))::INT + 64 AS INTEGER)
+             AS height
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "arrow"),
+)
+def q_media_feature_extract(spark, sf_dir):
+    """The multimodal decode/feature stage (operators/multimodal.py) driven
+    end-to-end through Arrow mapInPandas on binary columns synthesized from
+    the documents fixture — and still ORACLE-GATED: the deterministic fake
+    decode derives width/height from the sha256 digest, which DuckDB
+    recomputes in SQL. This pins the whole Python-side path (Arrow batch
+    shape, binary transport, schema) to a cross-engine hash match, not just
+    a rows-only count."""
+    from ..operators import multimodal as MM
+
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    feats = MM.extract_features(media, fake_decode=True)
+    return feats.select(
+        "media_id",
+        "content_hash",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "width",
+        "height",
+    )
+
+
+@register(
+    "media_exact_dedup",
+    """
+    SELECT sha256(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def q_media_exact_dedup(spark, sf_dir):
+    """Byte-identical media dedup: content-hash group-by over the feature
+    relation (blobs already dropped) — the media tier of the dedup
+    cascade, one shuffle on a uniform 256-bit key."""
+    from ..operators import multimodal as MM
+
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return MM.exact_media_dedup(MM.extract_features(media, fake_decode=True))
