@@ -70,16 +70,17 @@ def content_fingerprint(text_col: str = "text") -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
-    """k-wide MinHash signature: sig[j] = min over shingles of
-    xxhash64(shingle, j). One JVM expression, no UDF; xxhash64's fixed seed
-    makes the signature deterministic across runs/executors."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda j: F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(s, j))
-        ),
-    )
+def minhash_agg_exprs(hash_col: str = "h", k: int = 32) -> list[Column]:
+    """k MinHash aggregate expressions over an exploded, pre-hashed shingle
+    relation: min(xxhash64(h, j)) for j in 0..k-1.
+
+    The aggregate formulation (vs an array higher-order function) keeps
+    every hash inside whole-stage codegen with map-side partial
+    aggregation — HOF lambdas run interpreted, which made the signature
+    the dominant cost of the LSH operator (measured 6.7x at sf0.1, see
+    operators/dedup.py minhash_lsh_pairs). xxhash64's fixed seed makes the
+    signature deterministic across runs and executors."""
+    return [F.min(F.xxhash64(F.col(hash_col), F.lit(j))) for j in range(k)]
 
 
 def simhash_bit_aggs(hash_col: str = "h") -> list[Column]:

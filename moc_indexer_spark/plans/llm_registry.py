@@ -78,6 +78,7 @@ def q_ngram_dup_pairs(spark, sf_dir):
     "minhash_dup_pairs",
     _JACCARD_ORACLE,
     tags=("llm", "dedup", "minhash", "lsh"),
+    bench=True,
 )
 def q_minhash_dup_pairs(spark, sf_dir):
     """MinHash-LSH candidates + exact verify. Shares the exact-Jaccard
@@ -93,7 +94,7 @@ def q_minhash_dup_pairs(spark, sf_dir):
     )
 
 
-@register("simhash_pairs", None, tags=("llm", "dedup", "simhash"))
+@register("simhash_pairs", None, tags=("llm", "dedup", "simhash"), bench=True)
 def q_simhash_pairs(spark, sf_dir):
     """SimHash hamming<=3 pairs via pigeonhole chunk join (rows-only check:
     signature semantics are engine-specific; pytest cross-checks against
@@ -304,7 +305,7 @@ def q_lsh_ann_topk(spark, sf_dir):
     return S.lsh_bucket_topk(table(spark, sf_dir, "embeddings"), k=5)
 
 
-@register("ivf_ann_topk", None, tags=("llm", "similarity", "ann", "ivf"))
+@register("ivf_ann_topk", None, tags=("llm", "similarity", "ann", "ivf"), bench=True)
 def q_ivf_ann_topk(spark, sf_dir):
     """IVF ANN (the second 100 TB scale path next to LSH): sample-trained
     spherical-k-means cells, n_probe probed cells per query, exact verify.
@@ -314,7 +315,7 @@ def q_ivf_ann_topk(spark, sf_dir):
     return S.ivf_topk(table(spark, sf_dir, "embeddings"), k=5)
 
 
-@register("pq_ann_topk", None, tags=("llm", "similarity", "ann", "pq"))
+@register("pq_ann_topk", None, tags=("llm", "similarity", "ann", "pq"), bench=True)
 def q_pq_ann_topk(spark, sf_dir):
     """Product-quantization ANN (the third scale path — the one that
     COMPRESSES the index: vectors stored as m one-byte codes, ADC
@@ -599,6 +600,7 @@ def q_doc_winnowing(spark, sf_dir):
     FROM documents
     """,
     tags=("llm", "multimodal", "arrow"),
+    bench=True,
 )
 def q_media_feature_extract(spark, sf_dir):
     """The multimodal decode/feature stage (operators/multimodal.py) driven

@@ -102,6 +102,7 @@ def q_stratified_sample(spark, sf_dir):
     FROM c
     """,
     tags=("pipeline", "packing", "window"),
+    bench=True,
 )
 def q_sequence_packing(spark, sf_dir):
     """Concat-and-chunk training-batch packing: stream docs per language in
@@ -349,6 +350,7 @@ def q_source_quota_sample(spark, sf_dir):
     GROUP BY doc_id
     """,
     tags=("decontamination", "dedup", "semi-join"),
+    bench=True,
 )
 def q_benchmark_contamination(spark, sf_dir):
     """Pretraining decontamination: flag corpus documents sharing any
@@ -568,6 +570,7 @@ CHUNK_STEP = 24  # stride (CHUNK_TOKENS - 8 token overlap)
     FROM t, UNNEST(generate_series(0, GREATEST(n - 1, 0), {CHUNK_STEP})) AS g(s)
     """,
     tags=("pipeline", "chunking", "fanout"),
+    bench=True,
 )
 def q_doc_chunking(spark, sf_dir):
     """Context-window chunking: split each document into overlapping
