@@ -1,0 +1,74 @@
+"""Streaming corpus ingestion (streaming/corpus.py): the LLM cleaning
+pipeline under Structured Streaming converges to the batch answer
+regardless of file arrival order, and replays are idempotent."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from moc_indexer_spark.streaming.corpus import (
+    corpus_batch_reference,
+    run_corpus_stream_available_now,
+)
+from moc_indexer_spark.tables import table
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.select(
+            "content_hash", "doc_id", "source", "token_count", "quality_score"
+        ).collect()
+    )
+
+
+def test_corpus_stream_matches_batch_and_is_idempotent(spark, tmp_path, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+
+    # two files, REVERSED id order across them — the keeper rule (min
+    # doc_id per content hash) must not depend on arrival order
+    hi = docs.filter(F.col("doc_id") >= 250)
+    lo = docs.filter(F.col("doc_id") < 250)
+    for name, part in (("a_hi", hi), ("b_lo", lo)):
+        stage = f"{tmp_path}/stage_{name}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        for f_ in os.listdir(stage):
+            if f_.endswith(".parquet"):
+                shutil.copy(f"{stage}/{f_}", f"{src}/{name}.parquet")
+
+    out, ck = f"{tmp_path}/corpus", f"{tmp_path}/ck"
+    tbl = run_corpus_stream_available_now(spark, src, out, ck, schema=docs.schema)
+    got = _rows(tbl.read())
+    want = _rows(corpus_batch_reference(docs))
+    assert got == want and len(got) > 0
+
+    # replay the same input through a FRESH checkpoint: the versioned MERGE
+    # must converge to the identical corpus (no dupes, same keepers)
+    run_corpus_stream_available_now(spark, src, out, f"{tmp_path}/ck2",
+                                    schema=docs.schema)
+    assert _rows(tbl.read()) == want
+
+
+def test_quality_gate_filters_and_scores(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    ref = corpus_batch_reference(docs)
+    # every kept row satisfies the published floors
+    from moc_indexer_spark.streaming.corpus import MIN_QUALITY, MIN_TOKENS
+
+    bad = ref.filter(
+        (F.col("token_count") < MIN_TOKENS)
+        | (F.col("quality_score") < MIN_QUALITY)
+    ).count()
+    assert bad == 0
+    # keeper is the min doc_id of its duplicate group
+    dup = (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("min_id"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    joined = ref.join(dup, "content_hash").filter(
+        F.col("doc_id") != F.col("min_id")
+    )
+    assert joined.count() == 0

@@ -16,6 +16,9 @@ PORTABLE = [
     "local_supplier_volume",
     "shipmode_priority_counts",
     "nation_pair_volume",
+    "nation_market_share",
+    "product_type_profit",
+    "important_part_stock",
     "customer_order_distribution",
     "top_supplier_revenue",
     "disjunctive_revenue",
