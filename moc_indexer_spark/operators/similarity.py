@@ -9,10 +9,11 @@ matching sign-pattern buckets (multi-probe via several independent tables).
 - Brute force is O(Q*N); it remains the right plan when Q is small (point
   lookups) and N is partition-pruned. The query side is broadcast; the
   corpus side streams through codegen — no shuffle at all.
-- LSH: signatures are computed in one pass (deterministic pseudo-random
-  hyperplanes derived from xxhash64 — no stored model), bucket join shuffles
-  only (table, bucket, vec_id); per-bucket verify is brute force within the
-  bucket.
+- LSH: bucket assignment is one Arrow matmul against a fixed-seed broadcast
+  plane matrix (reproducible, no stored model); per-bucket verify is a
+  grouped BLAS self-matmul emitting per-query bucket top-k, so vectors
+  never cross bucket boundaries and the rank stages see id/sim triples
+  only.
 """
 
 from __future__ import annotations
@@ -163,27 +164,6 @@ def brute_force_topk_np(
     )
 
 
-def _hyperplane_sign(vec, table: int, plane: int) -> F.Column:
-    """Sign of <vec, h> for a deterministic pseudo-random hyperplane: each
-    component h[d] = (xxhash64(table, plane, d) % 1001 - 500) / 500.0 —
-    reproducible on any executor with no stored model."""
-    signed = F.aggregate(
-        F.zip_with(
-            vec,
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda x, d: x
-            * (
-                (F.pmod(F.xxhash64(F.lit(table), F.lit(plane), d), F.lit(1001))
-                 - 500)
-                / 500.0
-            ),
-        ),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    return (signed >= 0).cast("int")
-
-
 def lsh_bucket_topk(
     corpus: DataFrame,
     k: int = 5,
@@ -196,48 +176,99 @@ def lsh_bucket_topk(
     """ANN via random-hyperplane LSH: `n_tables` independent tables of
     `n_planes`-bit sign buckets; brute-force verify within buckets; union
     tables; top-k per query. Approximate — recall grows with n_tables.
-    """
-    v = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    for t in range(n_tables):
-        bucket = F.lit(0)
-        for pidx in range(n_planes):
-            bucket = bucket * 2 + _hyperplane_sign(F.col("v"), t, pidx)
-        v = v.withColumn(f"b{t}", bucket)
-    tables = []
-    for t in range(n_tables):
-        tables.append(
-            v.select(
-                F.col(id_col), F.col("v"), F.lit(t).alias("tbl"),
-                F.col(f"b{t}").alias("bucket"),
-            )
-        )
-    buckets = tables[0]
-    for t in tables[1:]:
-        buckets = buckets.unionByName(t)
 
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("query_id"),
-            F.col(f"b.{id_col}").alias("neighbor_id"),
-            F.col("a.v").alias("qv"),
-            F.col("b.v").alias("cv"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+    The plane matrix is a fixed-seed numpy draw broadcast to executors —
+    reproducible everywhere with no stored model (same property as the
+    xxhash-derived planes this replaces, but assignment is ONE matmul per
+    Arrow batch instead of n_tables*n_planes interpreted dot-product
+    expressions per row, which dominated the operator).
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim = len(
+        corpus.select(vec_col).limit(1).collect()[0][0]
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cosine_sim"),
+    rng = np.random.default_rng(12345)
+    H = rng.standard_normal((n_tables * n_planes, dim))
+    spark = corpus.sparkSession
+    bch = spark.sparkContext.broadcast(H)
+    pw2 = np.array([1 << (n_planes - 1 - p) for p in range(n_planes)],
+                   dtype=np.int64)
+    bcp = spark.sparkContext.broadcast(pw2)
+
+    def assign(batches):
+        Hm = bch.value
+        p2 = bcp.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            signs = (M @ Hm.T >= 0).astype(np.int64)
+            signs = signs.reshape(len(ids), n_tables, n_planes)
+            bkt = (signs * p2[None, None, :]).sum(axis=2)  # (n, n_tables)
+            tbl = np.tile(np.arange(n_tables, dtype=np.int32), len(ids))
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_tables),
+                    "v": [row for row in M for _ in range(n_tables)],
+                    "tbl": tbl,
+                    "bucket": bkt.ravel(),
+                }
+            )
+
+    buckets = corpus.select(id_col, vec_col).mapInPandas(
+        assign,
+        schema=f"{id_col} long, v array<double>, tbl int, bucket long",
+    )
+
+    # Score each (table, bucket) group as ONE BLAS self-matmul via grouped
+    # applyInPandas and emit only per-query bucket top-k triples — a
+    # lossless prune under the global total order. The previous self-join
+    # formulation shuffled 64-dim vectors on BOTH sides of every candidate
+    # pair through a dropDuplicates (OOM at sf0.1); now vectors never
+    # leave their bucket group and the dedup/rank stages see only
+    # (query, neighbor, sim) triples. Scoring mirrors brute_force_topk_np
+    # (same rounding, self-mask, tie order).
+    out_schema = "query_id long, neighbor_id long, cosine_sim double"
+
+    def score_bucket(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine_sim": []}
+            )
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        M = np.array(list(pdf["v"]), dtype=np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        sims = np.round((M @ M.T) / (nrm[:, None] * nrm[None, :]), round_digits)
+        np.fill_diagonal(sims, -np.inf)
+        # same-id dupes across rows (shouldn't occur) masked like brute force
+        sims[ids[:, None] == ids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1] - 1)
+        if kk <= 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine_sim": []}
+            )
+        order = np.lexsort((ids[None, :].repeat(len(ids), 0), -sims), axis=1)
+        top = order[:, :kk]
+        qi = np.repeat(ids, kk)
+        ni = ids[top].ravel()
+        sv = np.take_along_axis(sims, top, axis=1).ravel()
+        keep = sv != -np.inf
+        return pd.DataFrame(
+            {"query_id": qi[keep], "neighbor_id": ni[keep], "cosine_sim": sv[keep]}
+        )
+
+    scored = (
+        buckets.groupBy("tbl", "bucket")
+        .applyInPandas(score_bucket, schema=out_schema)
+        # the same pair surfaces from every table it collides in, with an
+        # identical rounded sim — keep one so row_number ranks true top-k
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")

@@ -277,7 +277,7 @@ def q_report_last_transactions(spark, sf_dir):
           FROM p)
     SELECT tx_hash, created_at, amount, prev,
            (amount - prev) / prev AS change_pct
-    FROM l WHERE prev IS NOT NULL
+    FROM l WHERE prev IS NOT NULL AND prev <> 0
     """,
     tags=("window", "F17"),
 )
@@ -291,7 +291,10 @@ def q_price_lag_change(spark, sf_dir):
     w = Window.orderBy("created_at", "tx_hash")
     return (
         p.withColumn("prev", F.lag("amount").over(w))
-        .filter(F.col("prev").isNotNull())
+        # a prev of exactly 0 occurs in the sf0.1 series: ANSI Spark would
+        # throw DIVIDE_BY_ZERO while DuckDB yields inf — exclude the row in
+        # both engines so the delta is defined everywhere
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != 0))
         .withColumn(
             "change_pct", (F.col("amount") - F.col("prev")) / F.col("prev")
         )
