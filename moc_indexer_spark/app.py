@@ -32,13 +32,24 @@ class Indexer:
     """Holds the sink tables + checkpoint cursor for incremental scans."""
 
     def __init__(self, spark: SparkSession, data_dir: str, fetcher: BlockFetcher,
-                 contracts: list[str], sink_mode: str = "cow"):
+                 contracts: list[str] | None = None, sink_mode: str = "cow",
+                 config=None):
         """sink_mode="mor" appends delta batches instead of rewriting the
         sink tables each cycle — the low-latency shape for the 3-second
         incremental tick (measured in PLANS.md); "cow" (default) keeps
-        reads cheapest for batch/serving-heavy use."""
+        reads cheapest for batch/serving-heavy use.
+
+        `config` (moc_indexer_spark.config.IndexerConfig) supplies the scan
+        knobs (blocks_recession / blocks_look_behind, the forced
+        from_block/to_block replay range, scan_raw_txs.py:74-98) and, when
+        `contracts` is omitted, the network's contract address set."""
+        from .config import IndexerConfig
+
         self.spark = spark
         self.fetcher = fetcher
+        self.config = config or IndexerConfig()
+        if contracts is None:
+            contracts = [a for a in self.config.contract_addresses.values()]
         self.contracts = contracts
         self.last_indexed = -1
         m = sink_mode
@@ -110,7 +121,22 @@ class Indexer:
         report_counts runs a full count on every sink table after the cycle
         — diagnostic only (6 extra jobs, ~2 s at demo scale); the production
         tick skips it."""
-        scan = ScanRange(last_indexed=self.last_indexed, tip=tip)
+        cfg = self.config
+        if cfg.from_block or cfg.to_block:
+            # forced replay range ("for testing only", scan_raw_txs.py:94-98):
+            # index exactly [from_block, to_block], ignoring the cursor
+            scan = ScanRange(
+                last_indexed=cfg.from_block - 1,
+                tip=cfg.to_block + cfg.blocks_recession,
+                blocks_recession=cfg.blocks_recession,
+            )
+        else:
+            scan = ScanRange(
+                last_indexed=self.last_indexed,
+                tip=tip,
+                blocks_recession=cfg.blocks_recession,
+                look_behind=cfg.blocks_look_behind,
+            )
         raw = scan_blocks(
             self.spark, self.fetcher, scan, set(self.contracts)
         ).cache()

@@ -44,7 +44,10 @@ class IndexerConfig:
     )
     # scan_moc_blocks knobs (settings-moc-mainnet2.json:19-24)
     confirm_blocks: int = 10
-    blocks_look_behind: int = 1
+    # cold-start look-behind; the reference configures 1 for the raw-block
+    # task and 60 for price snapshots — the engine defaults to the wider
+    # window (ScanRange's historical default) and lets settings narrow it
+    blocks_look_behind: int = 60
     seconds_not_in_chain_error: int = 600
     blocks_recession: int = 1
     from_block: int = 0  # forced-replay range ("for testing only",

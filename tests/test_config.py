@@ -72,3 +72,40 @@ def test_env_beats_file():
     assert cfg.contract_addresses  # resolved via APP_CONFIG_NETWORK
     assert cfg.mongo_uri == "mongodb://envhost:27017/"
     assert cfg.mongo_db == "env_db"
+
+
+def test_forced_replay_range_drives_scan(spark, tmp_path):
+    """from_block/to_block (scan_raw_txs.py:94-98) overrides the cursor."""
+    from moc_indexer_spark.app import CONTRACTS, USERS, Indexer
+    from moc_indexer_spark.config import IndexerConfig
+    from moc_indexer_spark.sources.chain import FakeChain
+
+    cfg = IndexerConfig(from_block=10, to_block=30, blocks_recession=1)
+    chain = FakeChain(CONTRACTS, USERS)
+    idx = Indexer(spark, str(tmp_path), chain, CONTRACTS, config=cfg)
+    idx.run_incremental(tip=100)
+    raw = idx.tables["raw_transactions"].read()
+    got = {r.blockNumber for r in raw.select("blockNumber").distinct().collect()}
+    contracts = {c.lower() for c in CONTRACTS}
+    want = {
+        bn
+        for bn in range(10, 31)
+        if any(
+            (t.get("to") or "").lower() in contracts
+            or (t.get("from") or "").lower() in contracts
+            for t in chain(bn)
+        )
+    }
+    assert got == want and got  # exactly the replay range, nothing else
+
+
+def test_config_supplies_contracts(spark, tmp_path):
+    from moc_indexer_spark.app import Indexer
+    from moc_indexer_spark.config import load_config
+    from moc_indexer_spark.sources.chain import FakeChain
+
+    cfg = load_config(SETTINGS, config_network="mocMainnet2", env={})
+    idx = Indexer(spark, str(tmp_path),
+                  FakeChain(list(cfg.contract_addresses.values()), ["0x" + "1" * 40]),
+                  config=cfg)
+    assert idx.contracts == list(cfg.contract_addresses.values())
