@@ -115,12 +115,28 @@ class ParquetUpsertTable:
             ).drop("__deleted")
         return out
 
-    def read(self) -> DataFrame | None:
+    def read(self, as_of_seq: int | None = None) -> DataFrame | None:
+        """Resolved table state; `as_of_seq` time-travels a MoR table to the
+        state after delta N (inclusive) — the lakehouse VERSION AS OF read.
+        The `__seq` partition column prunes newer delta directories at the
+        scan, so an as-of read costs the same as reading at that point in
+        history, not a replay. CoW tables keep only the latest state (the
+        reference's Mongo collections likewise have no history; MoR deltas
+        ARE the history, until `compact()` folds them)."""
         if not self.exists():
             return None
         if self.mode == "mor":
-            return self._resolve(self._read_raw())
+            raw = self._read_raw()
+            if as_of_seq is not None:
+                raw = raw.filter(F.col("__seq") <= as_of_seq)
+            return self._resolve(raw)
+        if as_of_seq is not None:
+            raise ValueError("time travel requires mode='mor' (delta history)")
         return self.spark.read.parquet(self.path)
+
+    def history(self) -> list[int]:
+        """Available delta sequence numbers (time-travel points)."""
+        return self._delta_seqs() if self.mode == "mor" else []
 
     # -- write --------------------------------------------------------------
 

@@ -129,3 +129,30 @@ def test_mor_read_resolution_is_single_shuffle(spark, workdir):
     plan = mor.read()._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_mor_time_travel_reads_past_states(spark, workdir):
+    tbl = ParquetUpsertTable(spark, f"{workdir}/tt", keys=["k"], mode="mor")
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    tbl.upsert(mk([(1, "a"), (2, "b")]))          # seq 0
+    tbl.upsert(mk([(2, "b2"), (3, "c")]))         # seq 1
+    tbl.delete_where(F.col("k") == 1)             # seq 2 (tombstone)
+    assert tbl.history() == [0, 1, 2]
+
+    def snap(seq=None):
+        return sorted(tuple(r) for r in tbl.read(as_of_seq=seq).collect())
+
+    assert snap(0) == [(1, "a"), (2, "b")]
+    assert snap(1) == [(1, "a"), (2, "b2"), (3, "c")]
+    assert snap(2) == snap() == [(2, "b2"), (3, "c")]
+    # the as-of scan prunes newer delta partitions (PartitionFilters on
+    # __seq), so history reads don't pay for the future
+    plan = tbl.read(as_of_seq=0)._jdf.queryExecution().executedPlan().toString()
+    assert "__seq" in plan
+
+
+def test_time_travel_rejected_on_cow(spark, workdir):
+    tbl = ParquetUpsertTable(spark, f"{workdir}/cow", keys=["k"])
+    tbl.upsert(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    with pytest.raises(ValueError):
+        tbl.read(as_of_seq=0)
