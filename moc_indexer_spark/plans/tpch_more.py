@@ -500,3 +500,46 @@ def q_excess_shipment_suppliers(spark, sf_dir):
             F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name")
         )
     )
+
+
+# --- Q6: pure scan filter-aggregate ----------------------------------------
+
+
+@register(
+    "forecast_revenue",
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))
+                          * CAST(l_discount AS DECIMAL(12,6)))
+                AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.02 AND l_discount <= 0.04
+      AND l_quantity < 24
+    """,
+    tags=("scan", "agg", "pushdown"),
+    bench=True,
+)
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: no join, no group-by — one codegen'd scan with every
+    predicate pushed to parquet (date range reaches PushedFilters; the scan
+    reads 4 columns of 11) and a single partial+final aggregate. This is
+    the pure scan-throughput datapoint of the bench set: at 100 TB it
+    measures storage bandwidth x predicate selectivity, nothing else."""
+    l = table(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (disc >= 0.02)
+            & (disc <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _d18(F.sum(F.col("l_extendedprice").cast(DMUL_L) * disc.cast(DMUL_R)))
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
