@@ -185,3 +185,32 @@ def test_pq_ann_recall_vs_brute_force(spark, sf_dir):
     for r in S.pq_topk(emb, k=3).collect():
         if (r.query_id, r.neighbor_id) in bf:
             assert abs(bf[(r.query_id, r.neighbor_id)] - r.cosine_sim) < 1e-9
+
+
+def test_wei_fuzz_roundtrip_exact(spark):
+    """Seeded fuzz over the full DECIMAL(38,0) wei domain: from_wei is an
+    EXACT rescale (equals Python Decimal shift) and to_wei_trunc inverts it
+    bit-for-bit — one slip in the decimal plumbing breaks hash-match
+    oracles everywhere, so this is load-bearing, not belt-and-braces."""
+    import random
+
+    rng = random.Random(7)
+    edge = [0, 1, 10**18 - 1, 10**18, 10**18 + 1, 10**27, 10**38 - 1]
+    vals = edge + [rng.randrange(10**38) for _ in range(500)]
+    df = spark.createDataFrame(
+        [(str(v),) for v in vals], ["w"]
+    ).select(F.col("w").cast("decimal(38,0)").alias("w"))
+    out = df.select(
+        "w",
+        wei.from_wei("w").alias("eth"),
+        wei.to_wei_trunc(wei.from_wei("w")).alias("back"),
+    ).collect()
+    from decimal import localcontext
+
+    with localcontext() as ctx:
+        # default context precision (28) would round the 38-digit expected
+        # values and mask (or fake) library bugs; the engine itself is exact
+        ctx.prec = 60
+        for v, r in zip(vals, out):
+            assert Decimal(r.eth) == Decimal(v).scaleb(-18), v
+            assert int(r.back) == v, v
