@@ -45,28 +45,33 @@ def main() -> None:
 
     specs = [s for s in registry() if s.bench]
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for spec in specs:
-        df = spec.build(spark, sf_dir)  # build once to amortize analysis
-        # one untimed warm run per query (codegen compile, python-worker
-        # fork, broadcast build), then the timed steady-state run — the
-        # number that scales with data volume rather than session setup
-        df.write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        # one failed query must not lose the whole bench artifact — record
+        # the failure and keep timing the rest
+        try:
+            df = spec.build(spark, sf_dir)  # build once to amortize analysis
+            # one untimed warm run per query (codegen compile, python-worker
+            # fork, broadcast build), then the timed steady-state run — the
+            # number that scales with data volume rather than session setup
+            df.write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[spec.name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[spec.name] = str(e).splitlines()[0][:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -638,3 +638,46 @@ def q_source_temperature_sample(spark, sf_dir):
         .filter(u < kf)
         .select("doc_id", "source")
     )
+
+
+# --- equi-width histogram (profiling primitive) ----------------------------
+
+HIST_BINS = 20
+
+
+@register(
+    "value_histogram",
+    f"""
+    WITH s AS (SELECT l_extendedprice AS x FROM lineitem),
+    b AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM s)
+    SELECT CAST(LEAST({HIST_BINS - 1},
+                      FLOOR((x - lo) / ((hi - lo) / {HIST_BINS}.0))) AS BIGINT)
+             AS bucket,
+           COUNT(*) AS n
+    FROM s CROSS JOIN b GROUP BY 1
+    """,
+    tags=("pipeline", "histogram", "profiling"),
+)
+def q_value_histogram(spark, sf_dir):
+    """Equi-width {HIST_BINS}-bin histogram of a numeric column — the
+    distribution-profiling primitive next to `column_profile`'s moments and
+    `value_percentiles`' quantiles. Min/max come from one tiny aggregate
+    broadcast back; the binning expression is identical single-shot double
+    arithmetic in both engines (floor of one quotient), so bucket
+    boundaries cannot drift cross-engine. Two scans of one column; the
+    bucket group-by is on {HIST_BINS} keys — AQE collapses it to almost
+    nothing."""
+    l = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    b = l.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / float(HIST_BINS)
+    bucket = F.least(
+        F.lit(HIST_BINS - 1),
+        F.floor((F.col("x") - F.col("lo")) / width),
+    ).cast("bigint")
+    return (
+        l.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
