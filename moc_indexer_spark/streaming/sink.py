@@ -254,7 +254,10 @@ class ParquetUpsertTable:
         os.makedirs(self.path, exist_ok=True)
         if "__deleted" not in batch.columns:
             batch = batch.withColumn("__deleted", F.lit(False))
-        tmp = os.path.join(self.path, f"__tmp_{uuid.uuid4().hex[:8]}")
+        # stage OUTSIDE the table dir: a crash between write and rename must
+        # never leave partial files where partition discovery will read them
+        # (a garbage dir inside the path fails EVERY subsequent read)
+        tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
         batch.repartition(1).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, os.path.join(self.path, f"__seq={nxt}"))
         if len(seqs) + 1 >= self.compact_every:

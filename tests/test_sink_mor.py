@@ -156,3 +156,30 @@ def test_time_travel_rejected_on_cow(spark, workdir):
     tbl.upsert(spark.createDataFrame([(1, "a")], ["k", "v"]))
     with pytest.raises(ValueError):
         tbl.read(as_of_seq=0)
+
+
+def test_crashed_append_leaves_table_readable(spark, workdir, monkeypatch):
+    """A crash between the delta write and its rename must not poison the
+    table: staging happens OUTSIDE the table dir, so partition discovery
+    never sees partial files."""
+    import os
+
+    tbl = ParquetUpsertTable(spark, f"{workdir}/crash", keys=["k"], mode="mor")
+    tbl.upsert(spark.createDataFrame([(1, "a")], ["k", "v"]))
+
+    real_rename = os.rename
+
+    def boom(src, dst):
+        if "__seq=1" in str(dst):
+            raise OSError("simulated crash before rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", boom)
+    with pytest.raises(OSError):
+        tbl.upsert(spark.createDataFrame([(2, "b")], ["k", "v"]))
+    monkeypatch.undo()
+
+    # table still fully readable and correct; retry succeeds
+    assert [tuple(r) for r in tbl.read().collect()] == [(1, "a")]
+    tbl.upsert(spark.createDataFrame([(2, "b")], ["k", "v"]))
+    assert sorted(tuple(r) for r in tbl.read().collect()) == [(1, "a"), (2, "b")]
