@@ -102,3 +102,17 @@ def test_api_pegout_list(spark):
     out = api_pegout_list(fastbtc, "0xAa").collect()
     assert [r.transferId for r in out] == ["t2", "t1"]  # newest first
     assert out[0].statusName == "SENDING" and out[1].statusName == "MINED"
+
+
+def test_report_cli_prints_all_reports(spark, sf_dir, capsys):
+    """S9 console sink: the three report CLIs render to stdout
+    (app_run_moc_report.py / app_run_moc_pay_tc_holders_report.py /
+    app_run_report_last_transactions.py analogs)."""
+    from moc_indexer_spark.report_cli import run_report
+
+    run_report(spark, "all", sf_dir, n_rows=5)
+    out = capsys.readouterr().out
+    for header in ("report_summary", "report_pay_tc_holders",
+                   "report_last_transactions"):
+        assert f"== {header} ==" in out
+    assert "+-" in out  # df.show() table borders rendered
