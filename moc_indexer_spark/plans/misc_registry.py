@@ -187,3 +187,54 @@ def q_event_pipeline_demo(spark, sf_dir):
         F.col("RBTCTotal").cast("string").alias("rbtc_total_wei"),
         "isPositive",
     )
+
+
+@register(
+    "abi_decode_roundtrip",
+    """
+    SELECT tx_hash,
+           '0x' || lpad(lower(to_hex(address)), 40, '0') AS from_addr,
+           CAST(address % 97 AS BIGINT) AS nonce,
+           CAST(round(amount * 1000000) AS BIGINT) AS value
+    FROM (SELECT event_id AS tx_hash, user_id AS address, value AS amount
+          FROM events)
+    """,
+    tags=("F2", "abi", "decode"),
+)
+def q_abi_decode_roundtrip(spark, sf_dir):
+    """Raw ABI decode driven end-to-end: encode each event's address and
+    scaled amount into 32-byte hex words exactly as an EVM log would carry
+    them (padded topics, big-endian uint256 data), then decode with the
+    expression-level decoder (functions/abi.py). The oracle is the
+    IDENTITY on the source values — so any bit slip in either direction of
+    the hex plumbing hash-mismatches. Everything stays in whole-stage
+    codegen; no UDF on either leg."""
+    from ..functions import abi
+    from ..tables import table
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("tx_hash"),
+        F.col("user_id").alias("address"),
+        F.col("value").alias("amount"),
+    )
+    # encode: the wire format (64-hex words)
+    addr_topic = F.concat(
+        F.lit("0x"), F.lpad(F.lower(F.hex(F.col("address"))), 64, "0")
+    )
+    value_word = F.lpad(
+        F.lower(F.hex(F.round(F.col("amount") * 1000000).cast("bigint"))), 64, "0"
+    )
+    nonce_word = F.lpad(F.lower(F.hex(F.col("address") % 97)), 64, "0")
+    enc = ev.select(
+        "tx_hash",
+        addr_topic.alias("t1"),
+        value_word.alias("w_value"),
+        nonce_word.alias("w_nonce"),
+    )
+    # decode back with the ABI expressions
+    return enc.select(
+        "tx_hash",
+        abi.topic_address(F.col("t1")).alias("from_addr"),
+        abi.hex_to_decimal(F.col("w_nonce")).cast("bigint").alias("nonce"),
+        abi.hex_to_decimal(F.col("w_value")).cast("bigint").alias("value"),
+    )
