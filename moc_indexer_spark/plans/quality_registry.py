@@ -298,3 +298,83 @@ def q_token_entropy(spark, sf_dir):
         "n_tokens",
         F.round(F.log(nd) - F.col("_sum_tlnt") / nd, 6).alias("entropy"),
     )
+
+
+@register(
+    "constraint_report",
+    """
+    WITH checks AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_orderkey,
+             SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                      THEN 1 ELSE 0 END) AS qty_out_of_range,
+             SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                      THEN 1 ELSE 0 END) AS discount_out_of_range,
+             SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate
+      FROM lineitem),
+    dupes AS (
+      SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS dup_key_rows
+      FROM (SELECT COUNT(*) AS n FROM lineitem
+            GROUP BY l_orderkey, l_linenumber) g),
+    orphans AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS orphan_lineitems
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL)
+    SELECT CAST(c.n_rows AS BIGINT) AS n_rows,
+           CAST(c.null_orderkey AS BIGINT) AS null_orderkey,
+           CAST(c.qty_out_of_range AS BIGINT) AS qty_out_of_range,
+           CAST(c.discount_out_of_range AS BIGINT) AS discount_out_of_range,
+           CAST(c.null_shipdate AS BIGINT) AS null_shipdate,
+           d.dup_key_rows, f.orphan_lineitems
+    FROM checks c CROSS JOIN dupes d CROSS JOIN orphans f
+    """,
+    tags=("quality", "constraints", "validation"),
+)
+def q_constraint_report(spark, sf_dir):
+    """Declarative data-quality constraint report (the Deequ/dbt-tests
+    shape) in THREE bounded passes: all row-local rules (not-null, range)
+    fold into ONE scan of conditional aggregates; key uniqueness is one
+    grouped count over the key columns; referential integrity is one
+    anti-join against the broadcast parent keys. Output is a single row of
+    violation counts — the gate a 100 TB ingest runs before publishing a
+    snapshot, where 'three bounded passes' is the difference between a
+    nightly check and an all-day one."""
+    from pyspark.sql import functions as F
+
+    from ..tables import table
+
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c1 = F.count(F.lit(1)).cast("bigint").alias("n_rows")
+
+    def viol(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    checks = l.agg(
+        c1,
+        viol(F.col("l_orderkey").isNull(), "null_orderkey"),
+        viol(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            "qty_out_of_range",
+        ),
+        viol(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            "discount_out_of_range",
+        ),
+        viol(F.col("l_shipdate").isNull(), "null_shipdate"),
+    )
+    dupes = (
+        l.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("dup_key_rows")
+        )
+    )
+    orphans = l.join(
+        F.broadcast(o.select("o_orderkey")),
+        l.l_orderkey == o.o_orderkey,
+        "left_anti",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("orphan_lineitems"))
+    return checks.crossJoin(F.broadcast(dupes)).crossJoin(F.broadcast(orphans))
