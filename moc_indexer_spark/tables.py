@@ -285,3 +285,66 @@ def write_clustered(
             "parquet.page.size", 8 * 1024
         )
     writer.parquet(path)
+
+
+def zorder_key(
+    a: Column, b: Column, a_min, a_max, b_min, b_max, bits: int = 16
+) -> Column:
+    """Morton (Z-order) key for TWO numeric/timestamp-rank columns: each
+    value is range-binned to `bits` bits against its [min, max] (the
+    sampling-free analog of Delta OPTIMIZE ZORDER's range ids), then the
+    bit strings interleave. Sorting by this key keeps row-group min/max
+    stats narrow on BOTH columns at once — single-column clustering makes
+    the second predicate unprunable; Z-order splits the skipping power.
+
+    Pure codegen expressions (comparisons + shifts), no UDF."""
+    top = (1 << bits) - 1
+
+    def rank(c, lo, hi):
+        lo_l, hi_l = F.lit(lo).cast("double"), F.lit(hi).cast("double")
+        span = F.when(hi_l != lo_l, hi_l - lo_l).otherwise(F.lit(1.0))
+        r = F.floor((c.cast("double") - lo_l) / span * top)
+        return F.least(F.lit(top), F.greatest(F.lit(0), r)).cast("bigint")
+
+    ra, rb = rank(a, a_min, a_max), rank(b, b_min, b_max)
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit_a = F.shiftright(ra, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(rb, i).bitwiseAND(F.lit(1))
+        # Column.__or__ is logical OR — bitwiseOR is the integer op
+        z = z.bitwiseOR(F.shiftleft(bit_a, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    small_row_groups: bool = False,
+) -> None:
+    """Two-dimensional clustered layout: range-partition + sort by the
+    Morton key of (col_a, col_b) so selective predicates on EITHER column
+    prune row groups (write_clustered covers the one-dimension case). The
+    min/max needed for binning come from one tiny aggregate."""
+    stats = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    zk = zorder_key(
+        F.col(col_a), F.col(col_b), stats[0], stats[1], stats[2], stats[3]
+    )
+    w = (
+        df.withColumn("__zkey", zk)
+        .repartitionByRange(n_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    writer = w.write.mode("overwrite")
+    if small_row_groups:
+        writer = writer.option("parquet.block.size", 64 * 1024).option(
+            "parquet.page.size", 8 * 1024
+        )
+    writer.parquet(path)

@@ -88,3 +88,51 @@ def test_clustered_write_enables_row_group_pruning(spark, sf_dir, tmp_path):
     # and the data survives the re-layout intact
     n = spark.read.parquet(f"{tmp_path}/clustered").count()
     assert n == events.count()
+
+
+def test_zordered_write_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order clustering: selective predicates on EITHER interleaved
+    column exclude row groups; single-column clustering would leave the
+    second column unprunable (its stats span the full range in every
+    group)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from moc_indexer_spark.tables import table, write_clustered, write_zordered
+
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    write_zordered(
+        events, f"{tmp_path}/z", "user_id", "value",
+        n_files=4, small_row_groups=True,
+    )
+    write_clustered(
+        events, f"{tmp_path}/one", ("user_id",),
+        n_files=4, small_row_groups=True,
+    )
+
+    def pruned_frac(path, colname, probe):
+        st = []
+        for f_ in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f_).metadata
+            idx = md.schema.names.index(colname)
+            for i in range(md.num_row_groups):
+                c = md.row_group(i).column(idx)
+                st.append((c.statistics.min, c.statistics.max))
+        assert st
+        return sum(1 for a, b in st if probe < a or probe > b) / len(st)
+
+    ulo, uhi, vlo, vhi = events.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    u_probe, v_probe = (ulo + uhi) // 2, (vlo + vhi) / 2
+
+    # z-order prunes on BOTH dimensions
+    assert pruned_frac(f"{tmp_path}/z", "user_id", u_probe) >= 0.5
+    assert pruned_frac(f"{tmp_path}/z", "value", v_probe) >= 0.5
+    # single-column clustering: first column prunes, second doesn't
+    assert pruned_frac(f"{tmp_path}/one", "user_id", u_probe) >= 0.5
+    assert pruned_frac(f"{tmp_path}/one", "value", v_probe) <= 0.1
+    # data intact
+    assert spark.read.parquet(f"{tmp_path}/z").count() == events.count()
