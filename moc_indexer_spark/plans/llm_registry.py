@@ -649,3 +649,57 @@ def q_media_exact_dedup(spark, sf_dir):
         F.col("text").cast("binary").alias("content"),
     )
     return MM.exact_media_dedup(MM.extract_features(media, fake_decode=True))
+
+
+@register(
+    "dedup_report",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, {SQL_SHINGLES} AS s FROM toks WHERE len(t) >= {NGRAM_N}),
+    near AS (
+      SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+            >= {JACCARD_THRESHOLD}),
+    ex AS (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY md5(text))
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM ex)
+             AS exact_dup_rows,
+           (SELECT COUNT(*) FROM near) AS near_dup_pairs,
+           (SELECT COUNT(DISTINCT doc_j) FROM near) AS near_dup_drop_docs
+    """,
+    tags=("llm", "dedup", "observability"),
+)
+def q_dedup_report(spark, sf_dir):
+    """Observability roll-up of the dedup cascade: corpus size, exact
+    duplicate rows (beyond each keeper), verified near-dup pairs, and the
+    docs the near-dup keep-rule would drop — the one-row report a pipeline
+    run logs next to its outputs. Reuses the audited tier operators; the
+    three counts reduce tiny frames, so the cost is the tiers themselves."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    exact = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("exact_dup_rows")
+        )
+    )
+    pairs = D.ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    # both pair counts in ONE aggregate so the jaccard tier runs once
+    # (a .cache() here would leak across registry calls; the Expand the
+    # count_distinct adds is over the tiny pairs frame, not the corpus)
+    near = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("near_dup_pairs"),
+        F.count_distinct(F.col("doc_j")).cast("bigint").alias(
+            "near_dup_drop_docs"
+        ),
+    )
+    return n_docs.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(near))
