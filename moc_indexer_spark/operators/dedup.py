@@ -332,3 +332,57 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def edit1_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 64,
+) -> DataFrame:
+    """Edit-distance-<=1 candidate pairs via deletion neighborhoods (the
+    SymSpell shape): every string maps to itself plus its single-character
+    deletions; two strings within one edit share at least one variant, so
+    an equi-join on the variant finds all candidates — no quadratic
+    comparison, no fuzzy-match UDF.
+
+    The variant expansion is a `sequence`+`transform` expression (length+1
+    variants per string, bounded by `max_len`); the join key is
+    xxhash64(variant) so the shuffle carries 8-byte keys. Exact-verify of
+    candidates (deletions also collide for some distance-2 pairs) is the
+    caller's choice — for dedup keep-lists the collision is usually the
+    wanted behavior. Returns (id_i, id_j, s_i, s_j) with id_i < id_j.
+
+    At 100 TB: shuffle volume is rows x avg_len — linear, the same
+    inverted-index idea as the shingle tiers one level down (chars instead
+    of token n-grams)."""
+    s = F.substring(F.col(text_col), 1, max_len)
+    # deletion i = prefix before position i + suffix after it
+    variants = F.array_union(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+            lambda i: F.concat(
+                F.substr(s, F.lit(1), i - 1),
+                F.substr(s, i + 1, F.length(s) - i),
+            ),
+        ),
+    )
+    ex = df.select(
+        F.col(id_col), s.alias("__s"), F.explode(variants).alias("__v")
+    ).select(F.col(id_col), F.col("__s"), F.xxhash64("__v").alias("__vh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__vh") == F.col("b.__vh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_i"),
+            F.col(f"b.{id_col}").alias("id_j"),
+            F.col("a.__s").alias("s_i"),
+            F.col("b.__s").alias("s_j"),
+        )
+        .distinct()
+    )

@@ -214,3 +214,29 @@ def test_wei_fuzz_roundtrip_exact(spark):
         for v, r in zip(vals, out):
             assert Decimal(r.eth) == Decimal(v).scaleb(-18), v
             assert int(r.back) == v, v
+
+
+def test_edit1_pairs_finds_typo_variants(spark):
+    """SymSpell deletion-neighborhood join: strings within one edit
+    (substitution, deletion, insertion) pair up; unrelated strings don't."""
+    rows = [
+        (1, "transformer"),
+        (2, "transformer"),   # identical
+        (3, "transfomer"),    # deletion
+        (4, "transformer"),   # insertion... same length+1
+        (5, "transformed"),   # substitution of last char
+        (6, "attention"),     # unrelated
+        (7, "atention"),      # deletion of unrelated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_i, r.id_j) for r in D.edit1_pairs(df, max_len=32).collect()
+    }
+    # every true <=1-edit neighbor of "transformer" is found
+    for want in [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (2, 4), (2, 5)]:
+        assert want in pairs, want
+    assert (6, 7) in pairs
+    # no cross-family pairs
+    assert not any(
+        (i in {1, 2, 3, 4, 5}) != (j in {1, 2, 3, 4, 5}) for i, j in pairs
+    )
