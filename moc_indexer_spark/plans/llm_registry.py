@@ -703,3 +703,46 @@ def q_dedup_report(spark, sf_dir):
         ),
     )
     return n_docs.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(near))
+
+
+@register(
+    "typo_pairs",
+    """
+    WITH base AS (
+      SELECT doc_id, CASE WHEN doc_id % 2 = 1
+        THEN substr(s, 1, (doc_id % 8)::INT) || substr(s, (doc_id % 8)::INT + 2)
+        ELSE s END AS s
+      FROM (SELECT doc_id, substr(text, 1, 12) AS s FROM documents)),
+    v AS (
+      SELECT doc_id, s,
+        list_append(list_transform(range(1, len(s) + 1),
+          i -> substr(s, 1, (i-1)::INT) || substr(s, (i+1)::INT)), s) AS vars
+      FROM base)
+    SELECT a.doc_id AS id_i, b.doc_id AS id_j, a.s AS s_i, b.s AS s_j
+    FROM v a JOIN v b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.vars, b.vars)) > 0
+    """,
+    tags=("llm", "dedup", "fuzzy"),
+)
+def q_typo_pairs(spark, sf_dir):
+    """edit1_pairs oracle-gated on a deterministic corruption: odd doc_ids
+    drop one character from a 12-char title; the operator's
+    deletion-neighborhood join recovers every <=1-edit pair. The DuckDB
+    oracle evaluates the SAME neighborhood criterion pairwise (fine at
+    oracle scale; the engine side stays the linear inverted-index join) —
+    two independent algorithms, one answer."""
+    from ..operators.dedup import edit1_pairs
+    from ..tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    s = F.substring(F.col("text"), 1, 12)
+    pos = (F.col("doc_id") % 8).cast("int")
+    corrupted = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(
+            F.substr(s, F.lit(1), pos),
+            F.substr(s, pos + 2, F.length(s)),
+        ),
+    ).otherwise(s)
+    base = docs.select("doc_id", corrupted.alias("text"))
+    return edit1_pairs(base, id_col="doc_id", text_col="text", max_len=12)
