@@ -329,6 +329,7 @@ def q_token_entropy(spark, sf_dir):
     FROM checks c CROSS JOIN dupes d CROSS JOIN orphans f
     """,
     tags=("quality", "constraints", "validation"),
+    bench=True,
 )
 def q_constraint_report(spark, sf_dir):
     """Declarative data-quality constraint report (the Deequ/dbt-tests

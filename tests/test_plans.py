@@ -179,3 +179,22 @@ def test_source_temperature_sample_broadcasts_stats(spark, sf_dir):
     # the documents scan itself is never hash-shuffled
     plan = _plan(spark, sf_dir, "source_temperature_sample")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_forecast_revenue_pushdown_and_pruning(spark, sf_dir):
+    # Q6 shape: the date/discount/quantity predicates reach the parquet
+    # scan and only the needed columns are read
+    plan = _plan(spark, sf_dir, "forecast_revenue")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in schema  # pruned: scan reads 4 of 11 columns
+
+
+def test_constraint_report_bounded_passes(spark, sf_dir):
+    # three bounded passes: no more than the key-uniqueness exchange plus
+    # AQE's tiny single-partition reduces; referential check is broadcast
+    plan = _plan(spark, sf_dir, "constraint_report")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
