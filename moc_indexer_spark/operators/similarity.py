@@ -286,8 +286,8 @@ def lsh_bucket_topk(
 def ivf_topk(
     corpus: DataFrame,
     k: int = 5,
-    n_cells: int = 8,
-    n_probe: int = 3,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
     train_sample: int = 2048,
     lloyd_iters: int = 3,
     id_col: str = "vec_id",
@@ -311,9 +311,26 @@ def ivf_topk(
     partition-pruned scan instead of a shuffle, and the centroid matrix
     (n_cells x dim floats) is a broadcast literal. Approximate — recall grows
     with n_probe (n_probe == n_cells degenerates to exact brute force).
+
+    n_cells defaults to ~sqrt(N) (the FAISS rule of thumb) so candidate
+    work per query stays ~n_probe*sqrt(N) instead of a fixed fraction of
+    the corpus — the property that makes IVF the scale path. n_probe
+    defaults to n_cells/4 (min 3): on clustered real embeddings a ~10%
+    probe fraction suffices, but uniform-random vectors (the synthetic
+    fixture — IVF's worst case, no cluster structure) need the wider
+    probe to hold recall; tune per corpus.
     """
+    import math
+
     import numpy as np
     import pandas as pd
+
+    if n_cells is None:
+        n = corpus.count()
+        n_cells = max(8, int(math.isqrt(max(1, n))))
+    if n_probe is None:
+        n_probe = max(3, n_cells // 4)
+    n_probe = min(n_probe, n_cells)
 
     sample = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
