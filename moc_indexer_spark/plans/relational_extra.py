@@ -1425,3 +1425,60 @@ def q_retention_cohorts(spark, sf_dir):
     return a.groupBy(
         F.col("cohort").alias("cohort_week"), "week_offset"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
+
+
+@register(
+    "ewma_amount",
+    f"""
+    {TX_WITH},
+    w AS (SELECT tx_hash, address, amount,
+            list(amount) OVER (PARTITION BY address ORDER BY created_at, tx_hash
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+          FROM transactions)
+    SELECT tx_hash, address,
+      list_sum(list_transform(range(1, len(arr)+1),
+                i -> arr[i::INT] * pow(0.5, (len(arr)-i)::INT)))
+        / list_sum(list_transform(range(1, len(arr)+1),
+                   i -> pow(0.5, (len(arr)-i)::INT))) AS ewma
+    FROM w
+    """,
+    tags=("window", "timeseries", "ewma"),
+)
+def q_ewma_amount(spark, sf_dir):
+    """Exponentially-weighted moving average over the last 8 observations
+    per address — the smoothing primitive next to `moving_hour_sum` and
+    `hourly_ohlc`. A recursive EWMA doesn't exist in either engine's
+    window algebra; the bounded-frame form collects the frame and folds it
+    with positional weights. Decay 0.5 is deliberate: its powers are exact
+    in binary floating point and both engines fold the frame left-to-right
+    over the same ORDER BY, so the doubles are bit-identical and the query
+    stays hash-gated. One shuffle on address serves the window."""
+    t = transactions(spark, sf_dir)
+    w = (
+        Window.partitionBy("address")
+        .orderBy("created_at", "tx_hash")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    arr = F.collect_list("amount").over(w)
+    n = F.size(F.col("arr"))
+    num = F.aggregate(
+        F.zip_with(
+            F.col("arr"),
+            F.sequence(F.lit(1), n),
+            lambda x, i: x * F.pow(F.lit(0.5), (n - i).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.pow(F.lit(0.5), (n - i).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        t.withColumn("arr", arr)
+        .select("tx_hash", "address", (num / den).alias("ewma"))
+    )
