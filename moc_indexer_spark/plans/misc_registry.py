@@ -5,6 +5,7 @@ constant), F14 string→bool coercion, F18 JSON serialization of results."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..tables import table, transactions
@@ -237,4 +238,40 @@ def q_abi_decode_roundtrip(spark, sf_dir):
         abi.topic_address(F.col("t1")).alias("from_addr"),
         abi.hex_to_decimal(F.col("w_nonce")).cast("bigint").alias("nonce"),
         abi.hex_to_decimal(F.col("w_value")).cast("bigint").alias("value"),
+    )
+
+
+@register(
+    "block_gap_report",
+    f"""
+    {TX_WITH},
+    s AS (SELECT tx_hash AS block_no,
+                 LAG(tx_hash) OVER (ORDER BY tx_hash) AS prev_no
+          FROM transactions WHERE event = 'purchase')
+    SELECT prev_no + 1 AS gap_start, block_no - 1 AS gap_end,
+           CAST(block_no - prev_no - 1 AS BIGINT) AS n_missing
+    FROM s WHERE prev_no IS NOT NULL AND block_no - prev_no > 1
+    """,
+    tags=("T10", "integrity", "window"),
+)
+def q_block_gap_report(spark, sf_dir):
+    """Indexed-sequence gap detection — the integrity sweep behind the
+    reference's liveness watchdog (scan_utils.py:17-58 checks the tip
+    advanced; this finds any hole the checkpoint cursor skipped). One LAG
+    over the ordered id sequence; each gap reports its inclusive range and
+    size. At scale the sort is one range-partitioned shuffle and gaps
+    stream out as a tiny relation — run it per partition-day, not
+    globally."""
+    t = transactions(spark, sf_dir).filter(F.col("event") == "purchase")
+    w = Window.orderBy("tx_hash")
+    s = t.select(
+        F.col("tx_hash").alias("block_no"),
+        F.lag("tx_hash").over(w).alias("prev_no"),
+    )
+    return s.filter(
+        F.col("prev_no").isNotNull() & (F.col("block_no") - F.col("prev_no") > 1)
+    ).select(
+        (F.col("prev_no") + 1).alias("gap_start"),
+        (F.col("block_no") - 1).alias("gap_end"),
+        (F.col("block_no") - F.col("prev_no") - 1).cast("bigint").alias("n_missing"),
     )
