@@ -275,3 +275,38 @@ def q_block_gap_report(spark, sf_dir):
         (F.col("block_no") - 1).alias("gap_end"),
         (F.col("block_no") - F.col("prev_no") - 1).cast("bigint").alias("n_missing"),
     )
+
+
+@register(
+    "top_event_per_address",
+    f"""
+    {TX_WITH},
+    c AS (SELECT address, event, COUNT(*) AS n
+          FROM transactions GROUP BY address, event),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY address
+                                       ORDER BY n DESC, event ASC) AS rn
+          FROM c)
+    SELECT address, event AS top_event, CAST(n AS BIGINT) AS n_events
+    FROM r WHERE rn = 1
+    """,
+    tags=("A1", "window", "mode"),
+)
+def q_top_event_per_address(spark, sf_dir):
+    """Per-key mode (most frequent event per address). max_by would be
+    one aggregate but breaks ties arbitrarily — engine-dependent, so the
+    deterministic form is count + ROW_NUMBER with an explicit (n desc,
+    event asc) total order. Both shuffles are keyed on address (the agg's
+    (address, event) partitioning satisfies the window's address
+    partitioning prefix, so AQE reuses the exchange)."""
+    t = transactions(spark, sf_dir)
+    c = t.groupBy("address", "event").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("address").orderBy(F.desc("n"), F.asc("event"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "address",
+            F.col("event").alias("top_event"),
+            F.col("n").cast("bigint").alias("n_events"),
+        )
+    )
