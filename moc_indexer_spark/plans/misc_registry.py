@@ -310,3 +310,38 @@ def q_top_event_per_address(spark, sf_dir):
             F.col("n").cast("bigint").alias("n_events"),
         )
     )
+
+
+@register(
+    "event_journeys",
+    f"""
+    {TX_WITH}
+    SELECT address,
+           string_agg(event, '>' ORDER BY created_at, tx_hash) AS journey,
+           CAST(COUNT(*) AS BIGINT) AS n_steps
+    FROM transactions WHERE address % 25 = 0
+    GROUP BY address
+    """,
+    tags=("A1", "journey", "ordered-agg"),
+)
+def q_event_journeys(spark, sf_dir):
+    """Per-user event journey (the funnel/path-analysis primitive): the
+    full ordered event sequence as one string per address. Spark has no
+    ORDER BY inside an aggregate — the deterministic idiom is collect
+    structs, array_sort (orders by field order: created_at, tx_hash),
+    project the event, join. One shuffle; the sort is per-group in memory,
+    so at 100 TB you'd bound the group (as here) or window it by day."""
+    t = transactions(spark, sf_dir).filter(F.col("address") % 25 == 0)
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("created_at", "tx_hash", "event"))
+            ),
+            lambda s: s["event"],
+        ),
+        ">",
+    )
+    return t.groupBy("address").agg(
+        seq.alias("journey"),
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+    )
