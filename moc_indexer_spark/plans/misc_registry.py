@@ -345,3 +345,32 @@ def q_event_journeys(spark, sf_dir):
         seq.alias("journey"),
         F.count(F.lit(1)).cast("bigint").alias("n_steps"),
     )
+
+
+@register(
+    "event_transitions",
+    f"""
+    {TX_WITH},
+    s AS (SELECT address, event,
+                 LEAD(event) OVER (PARTITION BY address
+                                   ORDER BY created_at, tx_hash) AS next_event
+          FROM transactions)
+    SELECT event, next_event, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE next_event IS NOT NULL
+    GROUP BY event, next_event
+    """,
+    tags=("window", "journey", "markov"),
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order transition counts over per-user event streams (the
+    Sankey/Markov-chain input and the aggregate view of `event_journeys`).
+    One shuffle on address feeds the LEAD window; the (event, next) pairs
+    then reduce with map-side combine to a vocabulary-sized relation."""
+    t = transactions(spark, sf_dir)
+    w = Window.partitionBy("address").orderBy("created_at", "tx_hash")
+    s = t.select(
+        "event", F.lead("event").over(w).alias("next_event")
+    ).filter(F.col("next_event").isNotNull())
+    return s.groupBy("event", "next_event").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
