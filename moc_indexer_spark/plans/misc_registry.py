@@ -374,3 +374,57 @@ def q_event_transitions(spark, sf_dir):
     return s.groupBy("event", "next_event").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+@register(
+    "first_touch_attribution",
+    f"""
+    {TX_WITH},
+    f AS (SELECT address, event AS first_event,
+                 ROW_NUMBER() OVER (PARTITION BY address
+                                    ORDER BY created_at, tx_hash) AS rn
+          FROM transactions),
+    tot AS (SELECT address,
+                   CAST(CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DECIMAL(18,4))
+                        AS DOUBLE) AS lifetime_amount
+            FROM transactions GROUP BY address)
+    SELECT f.first_event, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(CAST(SUM(CAST(tot.lifetime_amount AS DECIMAL(18,6)))
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_lifetime_amount
+    FROM f JOIN tot ON f.address = tot.address
+    WHERE f.rn = 1
+    GROUP BY f.first_event
+    """,
+    tags=("window", "attribution", "J1"),
+)
+def q_first_touch_attribution(spark, sf_dir):
+    """First-touch attribution: users grouped by their FIRST event, with
+    the cohort's lifetime value. Both inputs shuffle once on address (the
+    first-touch window and the lifetime aggregate share partitioning, so
+    the join is exchange-free); per-address amounts aggregate in exact
+    decimal before the cohort re-sum, so the double edge cast happens on
+    already-rounded values identically in both engines."""
+    t = transactions(spark, sf_dir)
+    w = Window.partitionBy("address").orderBy("created_at", "tx_hash")
+    f = (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("address", F.col("event").alias("first_event"))
+    )
+    tot = t.groupBy("address").agg(
+        F.sum(F.col("amount").cast("decimal(18,6)"))
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("lifetime_amount")
+    )
+    return (
+        f.join(tot, "address")
+        .groupBy("first_event")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.col("lifetime_amount").cast("decimal(18,6)"))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("total_lifetime_amount"),
+        )
+    )
