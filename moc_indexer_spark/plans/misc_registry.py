@@ -428,3 +428,37 @@ def q_first_touch_attribution(spark, sf_dir):
             .alias("total_lifetime_amount"),
         )
     )
+
+
+@register(
+    "activity_heatmap",
+    f"""
+    {TX_WITH}
+    SELECT CAST(dayofweek(created_at) AS INTEGER) AS dow,
+           CAST(EXTRACT(hour FROM created_at) AS INTEGER) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DECIMAL(18,4))
+                AS DOUBLE) AS total_amount
+    FROM transactions GROUP BY 1, 2
+    """,
+    tags=("F10", "A1", "heatmap"),
+)
+def q_activity_heatmap(spark, sf_dir):
+    """Weekday x hour activity heatmap — the ops-dashboard staple. Day
+    numbering differs across engines (Spark dayofweek is 1=Sunday, DuckDB
+    0=Sunday) so the Spark side normalizes to DuckDB's zero-based form;
+    one grouped pass, 168 output cells."""
+    t = transactions(spark, sf_dir)
+    return (
+        t.groupBy(
+            (F.dayofweek("created_at") - 1).cast("int").alias("dow"),
+            F.hour("created_at").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("amount").cast("decimal(18,6)"))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("total_amount"),
+        )
+    )
