@@ -462,3 +462,70 @@ def q_activity_heatmap(spark, sf_dir):
             .alias("total_amount"),
         )
     )
+
+
+@register(
+    "session_duration_stats",
+    f"""
+    {TX_WITH},
+    s AS (SELECT address, created_at, tx_hash,
+            CASE WHEN created_at - LAG(created_at) OVER
+                   (PARTITION BY address ORDER BY created_at, tx_hash)
+                 > INTERVAL 30 MINUTE OR LAG(created_at) OVER
+                   (PARTITION BY address ORDER BY created_at, tx_hash) IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+          FROM transactions),
+    g AS (SELECT address, created_at,
+            SUM(new_session) OVER (PARTITION BY address
+                                   ORDER BY created_at, tx_hash
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM s),
+    d AS (SELECT address, session_id,
+                 CAST(FLOOR(EXTRACT(epoch FROM MAX(created_at) - MIN(created_at)))
+                      AS BIGINT) AS dur_s,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM g GROUP BY address, session_id)
+    SELECT address, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(dur_s) AS BIGINT) AS total_duration_s,
+           CAST(MAX(dur_s) AS BIGINT) AS longest_s,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM d GROUP BY address
+    """,
+    tags=("window", "session", "A1"),
+)
+def q_session_duration_stats(spark, sf_dir):
+    """Per-user session duration summary on top of the lag-based session
+    ids (the 30-min-gap rule of `user_sessions`): durations computed as
+    integer epoch seconds (exact), then counted/summed per address. All
+    three windows and both group-bys share the address partitioning — one
+    shuffle end-to-end."""
+    t = transactions(spark, sf_dir)
+    w = Window.partitionBy("address").orderBy("created_at", "tx_hash")
+    prev = F.lag("created_at").over(w)
+    gap = F.unix_micros(F.col("created_at")) - F.unix_micros(prev)
+    s = t.withColumn(
+        "new_session",
+        F.when(prev.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    g = s.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    d = g.groupBy("address", "session_id").agg(
+        F.floor(
+            (
+                F.unix_micros(F.max("created_at"))
+                - F.unix_micros(F.min("created_at"))
+            )
+            / 1_000_000
+        )
+        .cast("bigint")
+        .alias("dur_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return d.groupBy("address").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("dur_s").cast("bigint").alias("total_duration_s"),
+        F.max("dur_s").cast("bigint").alias("longest_s"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
