@@ -529,3 +529,49 @@ def q_session_duration_stats(spark, sf_dir):
         F.max("dur_s").cast("bigint").alias("longest_s"),
         F.sum("n_events").cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "decile_share",
+    f"""
+    {TX_WITH},
+    p AS (SELECT tx_hash, amount,
+                 NTILE(10) OVER (ORDER BY amount DESC, tx_hash) AS decile
+          FROM transactions WHERE event = 'purchase'),
+    d AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DECIMAL(18,4))
+                      AS DOUBLE) AS decile_amount
+          FROM p GROUP BY decile),
+    t AS (SELECT CAST(CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DECIMAL(18,4))
+                      AS DOUBLE) AS total FROM p)
+    SELECT d.decile, d.n, d.decile_amount,
+           d.decile_amount / t.total AS share
+    FROM d CROSS JOIN t
+    """,
+    tags=("window", "ntile", "pareto"),
+)
+def q_decile_share(spark, sf_dir):
+    """Pareto/concentration analysis: purchases ranked into deciles by
+    amount (total order: amount desc, tx_hash), each decile's share of
+    total spend. The share division is the only double op and runs once
+    per decile on already-rounded decimal sums — identical both engines."""
+    t = transactions(spark, sf_dir).filter(F.col("event") == "purchase")
+    w = Window.orderBy(F.desc("amount"), F.asc("tx_hash"))
+    p = t.select("tx_hash", "amount", F.ntile(10).over(w).alias("decile"))
+    d = p.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("amount").cast("decimal(18,6)"))
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("decile_amount"),
+    )
+    tot = p.agg(
+        F.sum(F.col("amount").cast("decimal(18,6)"))
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("total")
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "decile", "n", "decile_amount",
+        (F.col("decile_amount") / F.col("total")).alias("share"),
+    )
