@@ -575,3 +575,33 @@ def q_decile_share(spark, sf_dir):
         "decile", "n", "decile_amount",
         (F.col("decile_amount") / F.col("total")).alias("share"),
     )
+
+
+@register(
+    "repeat_purchase_rate",
+    f"""
+    {TX_WITH},
+    c AS (SELECT address, COUNT(*) AS n FROM transactions
+          WHERE event = 'purchase' GROUP BY address)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buyers,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS repeat_buyers,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS repeat_rate
+    FROM c
+    """,
+    tags=("A1", "metric"),
+)
+def q_repeat_purchase_rate(spark, sf_dir):
+    """Repeat-purchase rate: one keyed aggregate then a one-row reduce;
+    the rate division runs once on exact integer counts."""
+    t = transactions(spark, sf_dir).filter(F.col("event") == "purchase")
+    c = t.groupBy("address").agg(F.count(F.lit(1)).alias("n"))
+    rep = F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+    return c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buyers"),
+        rep.cast("bigint").alias("repeat_buyers"),
+        (rep.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "repeat_rate"
+        ),
+    )
