@@ -27,12 +27,22 @@ from pyspark.sql import functions as F
 _CHUNKS = [(33, 6), (39, 13), (52, 13)]
 
 
+# lowercase hex of 10^38 - 1, lpad'd to 32 digits: the largest value
+# DECIMAL(38,0) can hold. Equal-length lowercase hex strings compare
+# lexicographically in numeric order, so a plain string <= is an exact
+# range check with no arithmetic (and therefore no ANSI overflow risk).
+_MAX_DEC38_HEX32 = format(10**38 - 1, "x").rjust(32, "0")
+
+
 def hex_to_decimal(col: Column) -> Column:
     """Big-endian hex string (<= 64 digits, value < 10^38) -> DECIMAL(38,0).
 
-    Values with any of the high 32 hex digits set (>= 16^32) are outside
-    the exactly-representable range and return NULL rather than a silently
-    wrong number."""
+    Values >= 10^38 (including everything with a high-32-hex digit set) are
+    outside the exactly-representable range and return NULL rather than a
+    silently wrong number. The range check is a string compare evaluated
+    BEFORE any decimal arithmetic: CaseWhen branches lazily, so out-of-range
+    words never reach the multiply/add and cannot raise ARITHMETIC_OVERFLOW
+    under ANSI mode."""
     h = F.lower(F.regexp_replace(col, "^0x", ""))
     padded = F.lpad(h, 64, "0")
     total = F.lit(0).cast("decimal(38,0)")
@@ -42,8 +52,10 @@ def hex_to_decimal(col: Column) -> Column:
         val = F.conv(chunk, 16, 10).cast("decimal(38,0)")
         # high-chunk weights exceed int64 -> string literal
         total = total + val * F.lit(str(weight)).cast("decimal(38,0)")
-    high_zero = F.substring(padded, 1, 32) == F.lit("0" * 32)
-    return F.when(high_zero, total.cast("decimal(38,0)"))
+    in_range = (F.substring(padded, 1, 32) == F.lit("0" * 32)) & (
+        F.substring(padded, 33, 32) <= F.lit(_MAX_DEC38_HEX32)
+    )
+    return F.when(in_range, total.cast("decimal(38,0)"))
 
 
 def topic_address(col: Column) -> Column:

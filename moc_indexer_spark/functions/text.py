@@ -79,7 +79,12 @@ def minhash_agg_exprs(hash_col: str = "h", k: int = 32) -> list[Column]:
     aggregation — HOF lambdas run interpreted, which made the signature
     the dominant cost of the LSH operator (measured 6.7x at sf0.1, see
     operators/dedup.py minhash_lsh_pairs). xxhash64's fixed seed makes the
-    signature deterministic across runs and executors."""
+    signature deterministic across runs and executors. Note: this hashes
+    xxhash64(pre-hashed shingle, j), whereas the HOF formulation it
+    replaced hashed xxhash64(raw shingle, j) — a DIFFERENT (still valid)
+    MinHash family, so signatures and LSH candidate sets are
+    equivalent-in-distribution, not bit-identical, across versions; the
+    downstream exact-Jaccard verify makes the final pairs identical."""
     return [F.min(F.xxhash64(F.col(hash_col), F.lit(j))) for j in range(k)]
 
 

@@ -265,9 +265,16 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the count above materialized new_labels' cache, so the previous
+        # generation is dead — release it, or iterations accrue executor
+        # storage linearly (the 100 TB leak)
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    # the final labels cache was materialized by the last `changed` count;
+    # the edge relation is no longer needed by the returned plan
+    edges.unpersist()
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

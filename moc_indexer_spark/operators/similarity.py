@@ -98,6 +98,7 @@ def brute_force_topk_np(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """Vectorized brute-force cosine top-k: the query matrix is broadcast to
     every executor; the corpus streams through `mapInPandas` in Arrow
@@ -110,15 +111,26 @@ def brute_force_topk_np(
     per-batch top-k by that total order is lossless for global top-k).
 
     100 TB shape: corpus-side is embarrassingly parallel with zero shuffle;
-    the only reduce is the tiny candidate set. When Q itself is huge, switch
-    to the LSH/IVF path (`lsh_bucket_topk`).
+    the only reduce is the tiny candidate set. The query side is collected
+    to the driver BY CONTRACT (point lookups / small query batches) and the
+    collect is hard-capped at `max_query_rows` — for an unbounded query
+    side (e.g. self-ANN of the whole corpus) use `brute_force_topk_blocked`,
+    which never collects data.
     """
     import numpy as np
     import pandas as pd
 
     if queries is None:
         queries = corpus
-    qrows = queries.select(id_col, vec_col).collect()  # small side by contract
+    # bounded collect: fetch at most cap+1 rows, refuse past the cap
+    qrows = (
+        queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"query side exceeds max_query_rows={max_query_rows}; use "
+            "brute_force_topk_blocked for an unbounded query set"
+        )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1)
@@ -164,6 +176,116 @@ def brute_force_topk_np(
     )
 
 
+def brute_force_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    chunk_rows: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distributed blocked brute-force cosine top-k — NO driver-side data
+    collect, so it holds for an arbitrarily large query side (including the
+    self-ANN case queries == corpus).
+
+    Block-matrix shape: queries hash into NQ chunks and the corpus into NC
+    chunks; each (q_chunk, c_chunk) block cogroups into one Arrow
+    `applyInPandas` call that runs a single BLAS matmul and emits its
+    per-query block top-k under the global total order (sim desc, id asc —
+    a lossless prune). The final window ranks NC*k candidates per query.
+
+    Cost model at scale: compute is the inherent O(Q*N) of exact brute
+    force; shuffle is corpus_bytes*NQ + query_bytes*NC (the classic blocked
+    all-pairs trade — block memory is bounded at chunk_rows^2 sims, ~32 MB
+    at the 2048 default, regardless of table sizes). Only two scalar
+    count() jobs touch the driver. Semantics identical to
+    brute_force_topk_np (same rounding, self-mask, tie order).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if queries is None:
+        queries = corpus
+    n_q = queries.count()
+    n_c = corpus.count()
+    nq_chunks = max(1, math.ceil(n_q / chunk_rows))
+    nc_chunks = max(1, math.ceil(n_c / chunk_rows))
+    spark = corpus.sparkSession
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn(
+            "qc", F.pmod(F.xxhash64("query_id"), F.lit(nq_chunks)).cast("int")
+        )
+        .withColumn(
+            "cc",
+            F.explode(F.sequence(F.lit(0), F.lit(nc_chunks - 1)).cast("array<int>")),
+        )
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .withColumn(
+            "cc", F.pmod(F.xxhash64("neighbor_id"), F.lit(nc_chunks)).cast("int")
+        )
+        .withColumn(
+            "qc",
+            F.explode(F.sequence(F.lit(0), F.lit(nq_chunks - 1)).cast("array<int>")),
+        )
+    )
+
+    out_schema = "query_id long, neighbor_id long, cosine_sim double"
+
+    def score_block(key, qdf, cdf):
+        if len(qdf) == 0 or len(cdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine_sim": []}
+            )
+        q_ids = qdf["query_id"].to_numpy(dtype=np.int64)
+        qm = np.array(list(qdf["qv"]), dtype=np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        c_ids = cdf["neighbor_id"].to_numpy(dtype=np.int64)
+        cm = np.array(list(cdf["cv"]), dtype=np.float64)
+        cn = np.linalg.norm(cm, axis=1)
+        sims = np.round((qm @ cm.T) / (qn[:, None] * cn[None, :]), round_digits)
+        sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        order = np.lexsort((c_ids[None, :].repeat(len(q_ids), 0), -sims), axis=1)
+        top = order[:, :kk]
+        qi = np.repeat(q_ids, kk)
+        ni = c_ids[top].ravel()
+        sv = np.take_along_axis(sims, top, axis=1).ravel()
+        keep = sv != -np.inf
+        return pd.DataFrame(
+            {"query_id": qi[keep], "neighbor_id": ni[keep], "cosine_sim": sv[keep]}
+        )
+
+    scored = (
+        q.groupBy("qc", "cc")
+        .cogroup(c.groupBy("qc", "cc"))
+        .applyInPandas(score_block, schema=out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     k: int = 5,
@@ -186,9 +308,13 @@ def lsh_bucket_topk(
     import numpy as np
     import pandas as pd
 
-    dim = len(
-        corpus.select(vec_col).limit(1).collect()[0][0]
-    )
+    rows = corpus.select(vec_col).limit(1).collect()  # bounded: one row
+    if not rows:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank bigint"
+        )
+    dim = len(rows[0][0])
     rng = np.random.default_rng(12345)
     H = rng.standard_normal((n_tables * n_planes, dim))
     spark = corpus.sparkSession
@@ -445,7 +571,7 @@ def pq_topk(
     k: int = 5,
     m: int = 16,
     n_codes: int = 16,
-    refine: int = 8,
+    refine: int | None = 8,
     train_sample: int = 2048,
     lloyd_iters: int = 5,
     id_col: str = "vec_id",
@@ -542,7 +668,10 @@ def pq_topk(
     q_ids_np = __import__("numpy").array([r[0] for r in qrows], dtype="int64")
     luts_np = __import__("numpy").array([r[1] for r in qrows], dtype="float64")
     bcq = spark.sparkContext.broadcast((q_ids_np, luts_np))
-    kk_short = k * refine
+    # refine=None -> exhaustive shortlist: every candidate survives the ADC
+    # prune, so the exact re-rank degenerates to brute force (the oracle
+    # certification mode; corpus-size-independent, no count() needed)
+    kk_short = (k * refine) if refine is not None else (1 << 31)
 
     def adc_scan(batches):
         import numpy as np

@@ -30,8 +30,8 @@ SQL_SHINGLES = (
     f"i -> array_to_string(list_slice(t, i, i + {NGRAM_N - 1}), ' ')))"
 )
 
-_JACCARD_ORACLE = f"""
-    WITH toks AS (
+_JACCARD_PAIR_CTES = f"""
+    toks AS (
       SELECT doc_id, {SQL_TOKS} AS t FROM documents),
     sh AS (
       SELECT doc_id, {SQL_SHINGLES} AS s FROM toks WHERE len(t) >= {NGRAM_N}),
@@ -40,8 +40,33 @@ _JACCARD_ORACLE = f"""
              CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
                AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"""
+
+_JACCARD_ORACLE = f"""
+    WITH {_JACCARD_PAIR_CTES}
     SELECT doc_i, doc_j, jaccard FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+# Connected components over the near-dup pair graph as a transitive-closure
+# recursive CTE: `walk` enumerates every (vertex, reachable vertex) pair
+# (UNION dedups, so it terminates), then each vertex labels itself with the
+# smallest id it can reach — exactly dedup_clusters' min-label fixpoint.
+# Quadratic in component size, which is fine for an oracle: near-dup
+# components are pairs/triples.
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    hits AS (
+      SELECT doc_i, doc_j FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_i AS src, doc_j AS dst FROM hits
+      UNION ALL
+      SELECT doc_j AS src, doc_i AS dst FROM hits),
+    walk (id, reach) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+    SELECT id AS doc_id, LEAST(id, MIN(reach)) AS cluster_id
+    FROM walk GROUP BY id
     """
 
 
@@ -217,9 +242,10 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", T.content_fingerprint().alias("fingerprint"))
 
 
-@register(
-    "cosine_topk",
-    """
+# Brute-force cosine top-5 of every vector against the corpus — the shared
+# oracle for every exact-by-construction ANN form (cosine_topk itself, IVF
+# with full probing, PQ with exhaustive shortlist + exact re-rank).
+_COSINE_TOPK_ORACLE = """
     WITH scored AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
@@ -229,16 +255,23 @@ def q_doc_fingerprint(spark, sf_dir):
         PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
       FROM scored)
     SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "cosine_topk",
+    _COSINE_TOPK_ORACLE,
     tags=("llm", "similarity", "ann"),
     bench=True,
 )
 def q_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-5 for every vector (the exact-ANN baseline),
-    vectorized: Arrow batches + BLAS matmul + per-batch partial top-k.
+    """Brute-force cosine top-5 for every vector (the exact-ANN baseline)
+    in the BLOCKED all-pairs form: the query side here is the whole corpus,
+    so the plan must not collect it to the driver — block cogroups + BLAS
+    keep both sides distributed (only two scalar counts hit the driver).
     Similarity rounded to 6dp with neighbor_id tiebreak -> stable ordering
     across engines despite last-ulp float noise."""
-    return S.brute_force_topk_np(table(spark, sf_dir, "embeddings"), k=5)
+    return S.brute_force_topk_blocked(table(spark, sf_dir, "embeddings"), k=5)
 
 
 COSINE_DUP_THRESHOLD = 0.35
@@ -326,6 +359,38 @@ def q_pq_ann_topk(spark, sf_dir):
 
 
 @register(
+    "ivf_ann_exact",
+    _COSINE_TOPK_ORACLE,
+    tags=("llm", "similarity", "ann", "ivf", "exact"),
+)
+def q_ivf_ann_exact(spark, sf_dir):
+    """IVF with n_probe == n_cells: every query probes every cell, so the
+    probed-cell search degenerates to exact brute force — which means the
+    brute-force oracle certifies the ENTIRE IVF machinery (sample-trained
+    quantizer, Arrow assign+probe pass, cogrouped per-cell BLAS scoring,
+    lossless per-cell top-k prune, final rank window) end-to-end by hash,
+    not just by a recall bound."""
+    return S.ivf_topk(
+        table(spark, sf_dir, "embeddings"), k=5, n_cells=8, n_probe=8
+    )
+
+
+@register(
+    "pq_ann_exact",
+    _COSINE_TOPK_ORACLE,
+    tags=("llm", "similarity", "ann", "pq", "exact"),
+)
+def q_pq_ann_exact(spark, sf_dir):
+    """PQ with an exhaustive ADC shortlist (refine=None): every candidate
+    survives the ADC prune and the exact-cosine re-rank becomes brute
+    force — so the brute-force oracle certifies the PQ machinery (codebook
+    training, Arrow encode pass, broadcast-LUT ADC scan, re-rank join,
+    rank window) end-to-end by hash. The production form (pq_ann_topk)
+    runs the same plan with a k*refine shortlist."""
+    return S.pq_topk(table(spark, sf_dir, "embeddings"), k=5, refine=None)
+
+
+@register(
     "embedding_norms",
     """
     SELECT vec_id, label,
@@ -349,11 +414,18 @@ def q_embedding_norms(spark, sf_dir):
     )
 
 
-@register("dedup_clusters", None, tags=("llm", "dedup", "iterative"))
+@register(
+    "dedup_clusters",
+    _CLUSTERS_ORACLE,
+    tags=("llm", "dedup", "iterative"),
+)
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clusters via iterative min-label propagation over the
-    exact-Jaccard pair graph (rows-only: iterative, not single-query SQL;
-    pytest checks against a Python transitive-closure reference)."""
+    exact-Jaccard pair graph. Oracle: DuckDB WITH RECURSIVE transitive
+    closure + min-reachable-label — a different algorithm computing the
+    same fixpoint, so the hash compare certifies the distributed label
+    propagation end-to-end (pytest additionally checks a Python
+    transitive-closure reference)."""
     pairs = D.ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), n=NGRAM_N, threshold=JACCARD_THRESHOLD
     )

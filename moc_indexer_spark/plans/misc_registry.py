@@ -170,17 +170,78 @@ def q_validated_sources(spark, sf_dir):
     )
 
 
-@register("event_pipeline_demo", None, tags=("J2", "pipeline", "demo"))
-def q_event_pipeline_demo(spark, sf_dir):
-    """The full decode->demux->enrich pipeline over the deterministic
-    reference-shaped fixture stream (FIXTURES.md §1-2): exchange events ->
-    Transaction rows with wei-decimal derived columns. Rows-only check —
-    the formulas are verified against an arbitrary-precision Decimal
-    reference in tests/test_event_pipeline.py."""
-    from ..operators.events import run_event_pipeline
-    from ..sources.fixtures import RAW_SCHEMA, generate_raw_txs
+# USDAmount mirror of functions/wei.py usd_amount (mocexchange.py:47-50):
+# Spark computes CAST(CAST(a AS DEC(38,0)) / 1e9 AS DEC(19,0)) — a DOUBLE
+# rounding (HALF_UP to 6 dp by decimal division typing, then HALF_UP to
+# integer by the cast). The HUGEINT mirror replicates both steps exactly
+# for non-negative a: half-up to 1e-6 units, then half-up to integer.
+def _sql_gwei(expr: str) -> str:
+    return f"(((({expr}) + 500) // 1000) + 500000) // 1000000"
 
-    raw = spark.createDataFrame(generate_raw_txs(240, seed=11), RAW_SCHEMA)
+
+def _event_pipeline_oracle() -> str:
+    from ..operators.events import EXCHANGE_EVENTS
+    from ..sources.fixtures import ensure_fixture_parquet
+
+    path = ensure_fixture_parquet()
+    names = ", ".join(f"'{e}'" for e in EXCHANGE_EVENTS)
+    j = "json_extract_string(l.payload, '$.{}')"
+    return f"""
+    WITH logs AS (
+      SELECT r.hash AS tx_hash, r.blockNumber AS block_number,
+             CAST(r.gas_used AS HUGEINT) AS gas_used,
+             CAST(r.gasPrice AS HUGEINT) AS gas_price,
+             UNNEST(r.logs) AS l
+      FROM read_parquet('{path}') r
+      WHERE r.status = 'confirmed'),
+    ex AS (
+      SELECT tx_hash, block_number, gas_used, gas_price,
+             l.event_name AS event,
+             lower({j.format('account')}) AS address,
+             CAST({j.format('reserveTotal')} AS HUGEINT) AS reserve_total,
+             CAST({j.format('commission')} AS HUGEINT)
+               + COALESCE(CAST({j.format('btcMarkup')} AS HUGEINT),
+                          CAST({j.format('reserveTokenMarkup')} AS HUGEINT),
+                          0) AS rbtc_commission,
+             CAST({j.format('reservePrice')} AS HUGEINT) AS reserve_price,
+             COALESCE(CAST({j.format('interests')} AS HUGEINT), 0) AS interests
+      FROM logs WHERE l.event_name IN ({names})),
+    derived AS (
+      SELECT *,
+             ({_sql_gwei('reserve_total')}) * ({_sql_gwei('reserve_price')})
+               AS usd_amount,
+             reserve_total + rbtc_commission + interests
+               + gas_used * gas_price AS magnitude,
+             event LIKE '%Mint' AS is_positive
+      FROM ex)
+    SELECT tx_hash AS "transactionHash", address, block_number AS "blockNumber",
+           event,
+           CAST(usd_amount AS VARCHAR) AS usd_amount_wei,
+           CAST(CASE WHEN is_positive THEN magnitude ELSE -magnitude END
+                AS VARCHAR) AS rbtc_total_wei,
+           is_positive AS "isPositive"
+    FROM derived
+    """
+
+
+@register(
+    "event_pipeline_demo",
+    _event_pipeline_oracle(),
+    tags=("J2", "pipeline", "demo"),
+)
+def q_event_pipeline_demo(spark, sf_dir):
+    """The full decode->demux->enrich pipeline (J2) over the deterministic
+    reference-shaped fixture stream (FIXTURES.md §1-2), PERSISTED to
+    parquet so DuckDB re-derives USDAmount / commission-fallback / gas fee
+    / signed RBTCTotal (mocexchange.py:47-89) from the same bytes with
+    independent HUGEINT decimal arithmetic — the J2 driver gate. The
+    formulas are additionally verified against an arbitrary-precision
+    Decimal reference in tests/test_event_pipeline.py."""
+    from ..operators.events import run_event_pipeline
+    from ..sources.fixtures import ensure_fixture_parquet
+    from ..tables import _read_ntz_as_ltz
+
+    raw = _read_ntz_as_ltz(spark, ensure_fixture_parquet())
     tx = run_event_pipeline(raw)["transactions"]
     return tx.select(
         "transactionHash", "address", "blockNumber", "event",

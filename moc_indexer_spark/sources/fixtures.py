@@ -175,3 +175,72 @@ RAW_SCHEMA = (
     "logs array<struct<address:string,logIndex:int,event_name:string,payload:string>>, "
     "status string"
 )
+
+
+# -- persisted fixture parquet (oracle-gating the J2 pipeline) ---------------
+#
+# The DuckDB oracle for the event pipeline needs BOTH engines to read the
+# SAME bytes, so the deterministic fixture stream is persisted once as a
+# single parquet file (committed to the repo; regenerated on demand if
+# missing — generate_raw_txs is seeded, so content is reproducible).
+
+FIXTURE_N_TX = 240
+FIXTURE_SEED = 11
+
+
+def fixture_parquet_path() -> str:
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo_root, "fixtures", "raw_transactions.parquet")
+
+
+def ensure_fixture_parquet() -> str:
+    """Write the fixture stream to its parquet path if absent; return it."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = fixture_parquet_path()
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = generate_raw_txs(FIXTURE_N_TX, seed=FIXTURE_SEED)
+    schema = pa.schema(
+        [
+            ("hash", pa.string()),
+            ("blockNumber", pa.int64()),
+            ("from", pa.string()),
+            ("to", pa.string()),
+            ("value", pa.string()),
+            ("gas", pa.int64()),
+            ("gasPrice", pa.string()),
+            ("input", pa.string()),
+            ("receipt", pa.bool_()),
+            ("processed", pa.bool_()),
+            ("gas_used", pa.int64()),
+            ("confirmations", pa.int32()),
+            ("timestamp", pa.timestamp("us")),
+            (
+                "logs",
+                pa.list_(
+                    pa.struct(
+                        [
+                            ("address", pa.string()),
+                            ("logIndex", pa.int32()),
+                            ("event_name", pa.string()),
+                            ("payload", pa.string()),
+                        ]
+                    )
+                ),
+            ),
+            ("status", pa.string()),
+        ]
+    )
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+    os.replace(tmp, path)
+    return path

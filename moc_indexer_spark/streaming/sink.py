@@ -60,7 +60,10 @@ class ParquetUpsertTable:
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         self.spark = spark
-        self.path = path
+        # normalize: a trailing slash would land staging dirs
+        # (f"{path}__stage_...") back INSIDE the table directory, recreating
+        # the partial-file partition-discovery hazard staging exists to avoid
+        self.path = path.rstrip("/") or path
         self.keys = keys
         self.version_col = version_col
         self.n_buckets = n_buckets
@@ -126,6 +129,17 @@ class ParquetUpsertTable:
         if not self.exists():
             return None
         if self.mode == "mor":
+            if as_of_seq is not None:
+                seqs = self._delta_seqs()
+                if seqs and as_of_seq < seqs[0]:
+                    # compaction folded that point of history into the base;
+                    # answering from post-compaction state would silently
+                    # return FUTURE data for a past seq — refuse instead
+                    raise ValueError(
+                        f"as_of_seq={as_of_seq} predates the oldest surviving "
+                        f"delta (__seq={seqs[0]}); earlier history was folded "
+                        "by compaction"
+                    )
             raw = self._read_raw()
             if as_of_seq is not None:
                 raw = raw.filter(F.col("__seq") <= as_of_seq)
@@ -290,18 +304,22 @@ class ParquetUpsertTable:
         self._append_delta(batch)
 
     def compact(self) -> None:
-        """Fold deltas into a single base (`__seq=0`): the MoR maintenance
-        action (Hudi compaction / Delta OPTIMIZE analog). Readers see the
-        old or the new table, never a mix (directory swap)."""
+        """Fold deltas into a single base: the MoR maintenance action (Hudi
+        compaction / Delta OPTIMIZE analog). Readers see the old or the new
+        table, never a mix (directory swap). The base keeps the HIGHEST
+        folded seq number (not 0), so surviving history points stay
+        truthful: `read(as_of_seq=n)` for n >= base answers correctly and
+        for folded-away n raises instead of silently serving future data."""
         resolved = self.read()
         if resolved is None:
             return
+        base_seq = self._delta_seqs()[-1]
         tmp_parent = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
         (
             resolved.withColumn("__deleted", F.lit(False))
             .repartition(self.n_buckets, *self.keys)
             .write.mode("overwrite")
-            .parquet(os.path.join(tmp_parent, "__seq=0"))
+            .parquet(os.path.join(tmp_parent, f"__seq={base_seq}"))
         )
         old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
         os.rename(self.path, old)

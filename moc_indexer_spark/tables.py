@@ -80,7 +80,9 @@ def _mirror_read(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> 
         except OSError:
             # lost the race to a concurrent builder — its copy is equivalent
             shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(dest)
+    # a mirror written by an older build may itself store NTZ timestamps;
+    # the coercing read is a no-op for LTZ-written mirrors
+    return _read_ntz_as_ltz(spark, dest)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -91,37 +93,63 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reader. Read it as long (nanos since epoch) and truncate to
         # microseconds — identical to DuckDB's ns→us read, so oracles agree.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros() yields TIMESTAMP (ltz); pin the session tz so the
-        # rendered value equals DuckDB's naive-UTC reading in any environment.
+        # Session bootstrap (eager + idempotent, set before any lazy plan is
+        # built): date/time RENDERING functions (date_format, day floors)
+        # follow the session zone; UTC matches DuckDB's naive semantics in
+        # any environment. Instant values themselves never depend on this —
+        # they are read zone-free (see _read_ntz_as_ltz).
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # micros-precision events files infer ts as NTZ -> same coercing
+        # read as every other table; nanos files surface as bigint instead
+        df = _read_ntz_as_ltz(spark, f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    df = _normalize_ntz(spark, df)
+        df = _read_ntz_as_ltz(spark, f"{sf_dir}/{name}.parquet")
     if _LAYOUT_MIRROR:
-        # normalize again: a mirror written before normalization existed
-        # (or by another session) may itself store NTZ timestamps
-        return _normalize_ntz(spark, _mirror_read(spark, sf_dir, name, df))
+        return _mirror_read(spark, sf_dir, name, df)
     return df
 
 
-def _normalize_ntz(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (UTC-pinned session).
+# per-path cache of the LTZ-coerced read schema (footer reads are cheap but
+# table() is called inside every registry query build)
+_LTZ_SCHEMA_CACHE: dict = {}
+
+
+def _read_ntz_as_ltz(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet with TIMESTAMP_NTZ columns coerced to TIMESTAMP at the
+    SCAN, wall clock interpreted as UTC.
 
     Under a vanilla session (the driver's), parquet timestamps without
     isAdjustedToUTC infer as TIMESTAMP_NTZ, which epoch math (unix_micros)
-    and streaming watermarks reject. Pinning the session to UTC and casting
-    NTZ -> LTZ reinterprets the wall clock as UTC, so rendered values (and
-    every DuckDB oracle, which reads the same files naively) are unchanged
-    in any environment."""
-    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
-    if ntz_cols:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        for c in ntz_cols:
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
-    return df
+    and streaming watermarks reject. Supplying an explicit read schema with
+    TimestampType makes the parquet reader decode the stored micros directly
+    as epoch micros — byte-identical to DuckDB's naive read of the same
+    files (verified: unix_micros == duckdb epoch_us) in ANY session
+    timezone. Unlike a post-read cast, this keeps the column a plain scan
+    attribute, so comparison filters still push down to the parquet scan
+    (PushedFilters), and there is no session-conf mutation and no
+    eager/lazy timezone hazard."""
+    import pyspark.sql.types as T
+
+    key = path
+    schema = _LTZ_SCHEMA_CACHE.get(key)
+    if schema is None:
+        base = spark.read.parquet(path).schema
+        schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.TimestampType()
+                    if isinstance(f.dataType, T.TimestampNTZType)
+                    else f.dataType,
+                    f.nullable,
+                )
+                for f in base
+            ]
+        )
+        _LTZ_SCHEMA_CACHE[key] = schema
+    return spark.read.schema(schema).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -71,8 +71,15 @@ def test_mor_compact_preserves_view_and_drops_deltas(spark, workdir):
     before = _snapshot(mor)
     assert len(mor._delta_seqs()) == 5
     mor.compact()
-    assert mor._delta_seqs() == [0]
+    # base keeps the highest folded seq so surviving history stays truthful
+    assert mor._delta_seqs() == [4]
     assert _snapshot(mor) == before
+    # folded-away history points must refuse, not serve future data
+    with pytest.raises(ValueError, match="compaction"):
+        mor.read(as_of_seq=2)
+    assert _snapshot(mor) == sorted(
+        tuple(r) for r in mor.read(as_of_seq=4).collect()
+    )
 
 
 def test_mor_auto_compacts_at_threshold(spark, workdir):
@@ -80,7 +87,7 @@ def test_mor_auto_compacts_at_threshold(spark, workdir):
                              mode="mor", compact_every=3)
     for i in range(4):
         mor.upsert(spark.createDataFrame([(i, "x")], ["k", "v"]))
-    # 3rd upsert triggered compaction into __seq=0; the 4th appended on top
+    # 3rd upsert triggered compaction (base keeps seq 2); the 4th appended on top
     assert len(mor._delta_seqs()) <= 2
     assert mor.read().count() == 4
 
