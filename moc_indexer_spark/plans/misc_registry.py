@@ -252,6 +252,106 @@ def q_event_pipeline_demo(spark, sf_dir):
 
 
 @register(
+    "event_pipeline_raw_hex",
+    _event_pipeline_oracle(),
+    tags=("J2", "F2", "abi", "pipeline"),
+)
+def q_event_pipeline_raw_hex(spark, sf_dir):
+    """The J2 pipeline driven from RAW LOG HEX (F2 full): each fixture
+    exchange payload is first ENCODED into the ABI wire layout (indexed
+    account topic + big-endian uint256 data words — what an EVM node
+    returns, cf. reference `_decode_logs` scan_events_txs.py:144), then
+    DECODED back with the expression-level ABI decoder (functions/abi.py
+    decode_log), and the money enrichment runs on the decoded structs.
+    Encode and decode use disjoint primitives (pmod/divide/hex vs
+    substring/conv), and the DuckDB oracle re-derives the money columns
+    from the original JSON — so a bit slip anywhere in the hex plumbing
+    or a formula drift both hash-mismatch."""
+    from ..functions import abi as A
+    from ..operators.events import (
+        EXCHANGE_FIELDS, _exchange_select, explode_logs,
+    )
+    from ..sources.fixtures import ensure_fixture_parquet
+    from ..tables import _read_ntz_as_ltz
+
+    DEC38 = "decimal(38,0)"
+    raw = _read_ntz_as_ltz(spark, ensure_fixture_parquet())
+    logs = explode_logs(raw).filter(F.col("receipt_status") == "confirmed")
+    parsed = logs.withColumn("ev", F.from_json("payload", EXCHANGE_FIELDS))
+
+    def _enc_cols(prox: bool) -> dict:
+        dec = lambda c: F.col(f"ev.{c}").cast(DEC38)
+        cols = {
+            "account": F.col("ev.account"),
+            "amount": dec("amount"),
+            "reserveTotal": dec("reserveTotal"),
+            "commission": dec("commission"),
+            "reservePrice": dec("reservePrice"),
+            "mocCommissionValue": dec("mocCommissionValue"),
+            "mocPrice": dec("mocPrice"),
+            # wire format has ONE markup slot; the F5 payload variants both
+            # feed it (the enrichment's coalesce does the same)
+            "btcMarkup": F.coalesce(
+                dec("btcMarkup"), dec("reserveTokenMarkup"), F.lit(0).cast(DEC38)
+            ),
+            "mocMarkup": F.coalesce(dec("mocMarkup"), F.lit(0).cast(DEC38)),
+        }
+        if prox:
+            cols["interests"] = F.coalesce(dec("interests"), F.lit(0).cast(DEC38))
+            cols["leverage"] = F.coalesce(dec("leverage"), F.lit(0).cast(DEC38))
+        return cols
+
+    groups = {
+        "RiskProxMint": (("RiskProxMint", "RiskProxRedeem"), True),
+        "RiskProMint": (
+            tuple(e for e in A.EVENT_ABIS if e in (
+                "RiskProMint", "RiskProRedeem", "StableTokenMint",
+                "StableTokenRedeem", "FreeStableTokenRedeem",
+            )),
+            False,
+        ),
+    }
+    null38 = F.lit(None).cast(DEC38)
+    parts = []
+    for abi_name, (names, prox) in groups.items():
+        wire = (
+            parsed.filter(F.col("event_name").isin(list(names)))
+            .withColumn("w", A.encode_log(abi_name, _enc_cols(prox)))
+            .drop("ev")
+        )
+        dec = wire.withColumn(
+            "ev", A.decode_log(abi_name, F.col("w.topics"), F.col("w.data"))
+        )
+        # normalize the decoded struct to the enrichment's field shape
+        dec = dec.withColumn(
+            "ev",
+            F.struct(
+                F.col("ev.account").alias("account"),
+                F.col("ev.amount").alias("amount"),
+                F.col("ev.reserveTotal").alias("reserveTotal"),
+                F.col("ev.commission").alias("commission"),
+                F.col("ev.reservePrice").alias("reservePrice"),
+                F.col("ev.mocCommissionValue").alias("mocCommissionValue"),
+                F.col("ev.mocPrice").alias("mocPrice"),
+                F.col("ev.btcMarkup").alias("btcMarkup"),
+                null38.alias("reserveTokenMarkup"),
+                (F.col("ev.interests") if prox else null38).alias("interests"),
+            ),
+        ).drop("w")
+        parts.append(dec)
+    decoded = parts[0].unionByName(parts[1])
+    tx = _exchange_select(
+        decoded, F.col("event_name"), F.col("event_name").endswith("Mint")
+    )
+    return tx.select(
+        "transactionHash", "address", "blockNumber", "event",
+        F.col("USDAmount").cast("string").alias("usd_amount_wei"),
+        F.col("RBTCTotal").cast("string").alias("rbtc_total_wei"),
+        "isPositive",
+    )
+
+
+@register(
     "abi_decode_roundtrip",
     """
     SELECT tx_hash,

@@ -44,3 +44,90 @@ def test_decode_erc20_transfer_roundtrip(spark):
     assert out["from"] == frm
     assert out["to"] == to
     assert int(out["value"]) == value
+
+
+def test_hex_to_decimal_overflow_returns_null(spark):
+    # values in [10^38, 16^32) passed the old high-32-zero guard but
+    # overflow DECIMAL(38,0); under ANSI they must yield NULL, not throw
+    vals = [10**38, 10**38 + 1, 16**32 - 1, 2**255]
+    rows = [(f"{v:064x}",) for v in vals]
+    df = spark.createDataFrame(rows, ["h"]).select(
+        abi.hex_to_decimal(F.col("h")).alias("d")
+    )
+    assert [r.d for r in df.collect()] == [None] * len(vals)
+
+
+def _roundtrip(spark, event_name, rows, schema, cast_decimal=()):
+    df = spark.createDataFrame(rows, schema)
+    cols = {
+        c: (F.col(c).cast("decimal(38,0)") if c in cast_decimal else F.col(c))
+        for c in df.columns
+    }
+    enc = df.select(abi.encode_log(event_name, cols).alias("w"))
+    dec = enc.select(
+        abi.decode_log(event_name, F.col("w.topics"), F.col("w.data")).alias("ev")
+    )
+    return dec.select("ev.*").collect()
+
+
+def test_decode_log_every_static_type(spark):
+    # RedeemRequestAlter: indexed address + uint256 + bool
+    got = _roundtrip(
+        spark,
+        "RedeemRequestAlter",
+        [("0x" + "ab" * 20, str(7 * 10**21), True),
+         ("0x" + "cd" * 20, "0", False)],
+        "redeemer string, delta string, isAddition boolean",
+        cast_decimal=("delta",),
+    )
+    assert [(r.redeemer, int(r.delta), r.isAddition) for r in got] == [
+        ("0x" + "ab" * 20, 7 * 10**21, True),
+        ("0x" + "cd" * 20, 0, False),
+    ]
+    # SettlementStarted: pure data words, uint64 + uint256 mix
+    got = _roundtrip(
+        spark,
+        "SettlementStarted",
+        [(42, 7, str(10**18), str(3 * 10**22))],
+        "stableTokenRedeemCount long, deleveragingCount long, "
+        "riskProxPrice string, reservePrice string",
+        cast_decimal=("riskProxPrice", "reservePrice"),
+    )
+    r = got[0]
+    assert (r.stableTokenRedeemCount, r.deleveragingCount) == (42, 7)
+    assert (int(r.riskProxPrice), int(r.reservePrice)) == (10**18, 3 * 10**22)
+
+
+def test_decode_log_dynamic_strings(spark):
+    # NewBitcoinTransfer: two dynamic strings (incl. >32-byte and empty),
+    # indexed address, uint64 + uint256 words
+    long_addr = "bc1q" + "x" * 40  # 44 bytes -> spans two words
+    got = _roundtrip(
+        spark,
+        "NewBitcoinTransfer",
+        [("tid-1", long_addr, 3, "12345678901234567890123", "55",
+          "0x" + "ee" * 20),
+         ("", "", 0, "0", "0", "0x" + "00" * 20)],
+        "transferId string, btcAddress string, nonce long, "
+        "amountSatoshi string, feeSatoshi string, rskAddress string",
+        cast_decimal=("amountSatoshi", "feeSatoshi"),
+    )
+    assert [(r.transferId, r.btcAddress, r.nonce, int(r.amountSatoshi)) for r in got] == [
+        ("tid-1", long_addr, 3, 12345678901234567890123),
+        ("", "", 0, 0),
+    ]
+
+
+def test_decode_log_wire_layout_is_canonical_abi(spark):
+    """The encoder must produce the EXACT wire bytes eth_abi would: check
+    a hand-computed RedeemRequestAlter encoding (static layout) so the
+    decoder is proven against the spec, not just against the encoder."""
+    df = spark.createDataFrame([("0x" + "ab" * 20, 5, True)],
+                               "redeemer string, delta long, isAddition boolean")
+    enc = df.select(abi.encode_log("RedeemRequestAlter", {
+        "redeemer": F.col("redeemer"),
+        "delta": F.col("delta").cast("decimal(38,0)"),
+        "isAddition": F.col("isAddition"),
+    }).alias("w")).collect()[0].w
+    assert enc.topics[1] == "0x" + ("ab" * 20).rjust(64, "0")
+    assert enc.data == "0x" + "5".rjust(64, "0") + "1".rjust(64, "0")
