@@ -393,3 +393,68 @@ def edit1_pairs(
         )
         .distinct()
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    lines_col,
+    min_dup_docs: int = 2,
+    sep: str = " ",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RefinedWeb-style exact line deduplication: any line occurring in
+    >= `min_dup_docs` DISTINCT documents is removed from every document,
+    and each document's text is rebuilt from its surviving lines in
+    original order. Returns (doc_id, clean_text, n_lines, n_kept) — docs
+    whose every line was boilerplate still appear, with empty clean_text.
+
+    `lines_col` is an array<string> column expression (the caller chooses
+    the segmentation — '\\n' split for real text; the registry query uses
+    fixed token windows because the synthetic corpus is single-line).
+
+    100 TB shape: one explode + two shuffles — a groupBy on the line
+    (heavy-hitter counting; line values reduce to their xxhash64 before
+    shuffling so the exchange carries 8-byte keys) and the per-doc rebuild
+    groupBy. The duplicated-line relation is broadcast back (it is the
+    small output of the first aggregate — boilerplate lines by
+    construction), so the corpus is never joined shuffle-to-shuffle.
+    """
+    base = docs.select(F.col(id_col), lines_col.alias("__lines"))
+    lines = base.select(
+        F.col(id_col),
+        F.size("__lines").alias("n_lines"),
+        F.posexplode("__lines").alias("pos", "line"),
+    ).withColumn("lh", F.xxhash64("line"))
+    dup = (
+        lines.groupBy("lh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_dup_docs)
+        .select("lh")
+    )
+    kept = lines.join(F.broadcast(dup), "lh", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.first("n_lines").alias("n_lines"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    # docs that lost every line (or had none) re-enter with empty text
+    all_docs = base.select(
+        F.col(id_col), F.size("__lines").cast("bigint").alias("__n")
+    )
+    return (
+        all_docs.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_lines").cast("bigint"), F.col("__n")).alias(
+                "n_lines"
+            ),
+            F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        )
+    )

@@ -358,6 +358,65 @@ def q_pq_ann_topk(spark, sf_dir):
     return S.pq_topk(table(spark, sf_dir, "embeddings"), k=5)
 
 
+LINE_SEG = 8  # tokens per pseudo-line (the synthetic corpus is single-line)
+
+# fixed token windows as "lines", expressed identically in both engines
+_SQL_SEG_LINES = (
+    f"list_transform(range(0, CAST(ceil(len(t) / {LINE_SEG}.0) AS BIGINT)), "
+    f"i -> array_to_string(list_slice(t, i * {LINE_SEG} + 1, i * {LINE_SEG} + {LINE_SEG}), ' '))"
+)
+
+
+@register(
+    "line_dedup_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    segs AS (
+      SELECT doc_id, {_SQL_SEG_LINES} AS lines FROM toks),
+    lines AS (
+      SELECT doc_id, unnest(lines) AS line,
+             generate_subscripts(lines, 1) AS pos
+      FROM segs),
+    dup AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) >= 2),
+    kept AS (
+      SELECT l.* FROM lines l LEFT JOIN dup d ON l.line = d.line
+      WHERE d.line IS NULL),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT s.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           CAST(len(s.lines) AS BIGINT) AS n_lines,
+           COALESCE(r.n_kept, 0) AS n_kept
+    FROM segs s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+    """,
+    tags=("llm", "dedup", "line-dedup"),
+)
+def q_line_dedup_docs(spark, sf_dir):
+    """RefinedWeb-style line-level dedup over the corpus: every pseudo-line
+    (fixed 8-token window — the corpus has no newlines) occurring in >= 2
+    distinct docs is removed everywhere, and documents are rebuilt from
+    their surviving lines in order. The oracle re-derives removal AND
+    reconstruction in SQL, so segmentation, cross-doc counting, and the
+    order-preserving rebuild are all hash-checked."""
+    d = table(spark, sf_dir, "documents")
+    t = T.tokens("text")
+    seg = F.when(
+        F.size(t) > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                (F.ceil(F.size(t) / F.lit(LINE_SEG)) - 1).cast("int"),
+            ),
+            lambda i: F.array_join(F.slice(t, i * LINE_SEG + 1, LINE_SEG), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return D.line_dedup(d, seg, min_dup_docs=2, sep=" ")
+
+
 @register(
     "ivf_ann_exact",
     _COSINE_TOPK_ORACLE,

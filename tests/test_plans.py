@@ -198,3 +198,22 @@ def test_constraint_report_bounded_passes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "constraint_report")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_driver_window_is_all_oracle_gated():
+    """The driver's correctness gate reads the first 50 registered queries;
+    every one of those slots must carry a DuckDB oracle (a no-oracle entry
+    there records an unfixable `err` row) and the registry must stay
+    duplicate-free."""
+    from moc_indexer_spark.plans.registry import _DRIVER_WINDOW, registry
+
+    specs = registry()
+    names = [s.name for s in specs]
+    assert len(names) == len(set(names)), "duplicate registrations"
+    assert len(_DRIVER_WINDOW) == 50
+    assert names[:50] == _DRIVER_WINDOW
+    for s in specs[:50]:
+        assert s.oracle, f"driver-window query {s.name} lacks an oracle"
+    # no-oracle (rows-only) entries must sit at the very end
+    tail_flags = [bool(s.oracle) for s in specs[50:]]
+    assert tail_flags == sorted(tail_flags, reverse=True)
