@@ -653,56 +653,83 @@ def pq_topk(
 
     encoded = corpus.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
 
-    # ADC scan: queries' lookup tables broadcast (the ANN query-side
-    # contract — LUTs are m*n_codes doubles per query); the codes relation
-    # streams through one Arrow pass that scores a whole batch against all
-    # queries with m vectorized gather-adds and emits only each batch's
-    # per-query ADC top (k*refine) under the total order (adc desc, id
-    # asc) — a lossless prune, exactly like brute_force_topk_np's
-    # per-batch top-k. The previous formulation (broadcast join + a JVM
-    # `aggregate` lookup-sum per pair) ran the HOF interpreted per
-    # candidate pair and dominated the operator (8.3 s -> ~1 s at sf0.1);
-    # the codes-only scan property is unchanged — float vectors still
-    # never enter the scoring join.
-    qrows = encoded.select(id_col, "lut").collect()
-    q_ids_np = __import__("numpy").array([r[0] for r in qrows], dtype="int64")
-    luts_np = __import__("numpy").array([r[1] for r in qrows], dtype="float64")
-    bcq = spark.sparkContext.broadcast((q_ids_np, luts_np))
+    # ADC scan, blocked: the query LUT relation (m*n_codes doubles/query)
+    # is the whole corpus in the self-ANN registered form, so it must NOT
+    # be collected to the driver. Same 2-D block cogroup as
+    # brute_force_topk_blocked: LUTs hash into NQ chunks, codes into NC
+    # chunks; each (q_chunk, c_chunk) block is one Arrow call doing m
+    # vectorized gather-adds and emitting its per-query ADC top (k*refine)
+    # under the total order (adc desc, id asc) — a lossless prune for the
+    # global shortlist. Codes-only scan property unchanged: float vectors
+    # never enter the scoring join; the codes side shuffled NQ times is
+    # ~3% of vector bytes per replication. (An earlier broadcast-join +
+    # interpreted HOF lookup-sum per pair dominated the operator: 8.3 s ->
+    # ~1 s at sf0.1.)
+    import math
+
     # refine=None -> exhaustive shortlist: every candidate survives the ADC
     # prune, so the exact re-rank degenerates to brute force (the oracle
-    # certification mode; corpus-size-independent, no count() needed)
+    # certification mode; corpus-size-independent)
     kk_short = (k * refine) if refine is not None else (1 << 31)
+    chunk_rows = 2048
+    n_rows = corpus.count()
+    nq_chunks = max(1, math.ceil(n_rows / chunk_rows))
+    nc_chunks = nq_chunks
 
-    def adc_scan(batches):
+    qside = (
+        encoded.select(F.col(id_col).alias("query_id"), "lut")
+        .withColumn(
+            "qc", F.pmod(F.xxhash64("query_id"), F.lit(nq_chunks)).cast("int")
+        )
+        .withColumn(
+            "cc",
+            F.explode(F.sequence(F.lit(0), F.lit(nc_chunks - 1)).cast("array<int>")),
+        )
+    )
+    cside = (
+        encoded.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .withColumn(
+            "cc", F.pmod(F.xxhash64("neighbor_id"), F.lit(nc_chunks)).cast("int")
+        )
+        .withColumn(
+            "qc",
+            F.explode(F.sequence(F.lit(0), F.lit(nq_chunks - 1)).cast("array<int>")),
+        )
+    )
+
+    def adc_block(key, qdf, cdf):
         import numpy as np
         import pandas as pd
 
-        q_ids_, LUT = bcq.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            codes = np.array(list(pdf["codes"]), dtype=np.int64)
-            scores = np.zeros((len(q_ids_), len(c_ids)), dtype=np.float64)
-            for j in range(m):
-                scores += LUT[:, j * n_codes + codes[:, j]]
-            scores[q_ids_[:, None] == c_ids[None, :]] = -np.inf
-            kk = min(kk_short, scores.shape[1])
-            order = np.lexsort(
-                (c_ids[None, :].repeat(len(q_ids_), 0), -scores), axis=1
-            )
-            top = order[:, :kk]
-            qi = np.repeat(q_ids_, kk)
-            ni = c_ids[top].ravel()
-            sv = np.take_along_axis(scores, top, axis=1).ravel()
-            keep = sv != -np.inf
-            yield pd.DataFrame(
-                {"query_id": qi[keep], "neighbor_id": ni[keep], "adc": sv[keep]}
-            )
+        if len(qdf) == 0 or len(cdf) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "adc": []})
+        q_ids_ = qdf["query_id"].to_numpy(dtype=np.int64)
+        LUT = np.array(list(qdf["lut"]), dtype=np.float64)
+        c_ids = cdf["neighbor_id"].to_numpy(dtype=np.int64)
+        codes = np.array(list(cdf["codes"]), dtype=np.int64)
+        scores = np.zeros((len(q_ids_), len(c_ids)), dtype=np.float64)
+        for j in range(m):
+            scores += LUT[:, j * n_codes + codes[:, j]]
+        scores[q_ids_[:, None] == c_ids[None, :]] = -np.inf
+        kk = min(kk_short, scores.shape[1])
+        order = np.lexsort(
+            (c_ids[None, :].repeat(len(q_ids_), 0), -scores), axis=1
+        )
+        top = order[:, :kk]
+        qi = np.repeat(q_ids_, kk)
+        ni = c_ids[top].ravel()
+        sv = np.take_along_axis(scores, top, axis=1).ravel()
+        keep = sv != -np.inf
+        return pd.DataFrame(
+            {"query_id": qi[keep], "neighbor_id": ni[keep], "adc": sv[keep]}
+        )
 
-    cands = encoded.select(id_col, "codes")
-    shortcand = cands.mapInPandas(
-        adc_scan, schema="query_id long, neighbor_id long, adc double"
+    shortcand = (
+        qside.groupBy("qc", "cc")
+        .cogroup(cside.groupBy("qc", "cc"))
+        .applyInPandas(
+            adc_block, schema="query_id long, neighbor_id long, adc double"
+        )
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")

@@ -394,6 +394,7 @@ _SQL_SEG_LINES = (
     FROM segs s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
     """,
     tags=("llm", "dedup", "line-dedup"),
+    bench=True,
 )
 def q_line_dedup_docs(spark, sf_dir):
     """RefinedWeb-style line-level dedup over the corpus: every pseudo-line
