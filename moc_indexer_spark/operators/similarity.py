@@ -651,7 +651,17 @@ def pq_topk(
                 {id_col: ids, "v": list(M), "codes": list(codes), "lut": list(luts)}
             )
 
-    encoded = corpus.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
+    # The encoded relation is the PQ INDEX (codes + per-row LUT + vector);
+    # four consumers read it (ADC query side, ADC code side, re-rank query
+    # vectors, re-rank neighbor vectors). Without persistence the Arrow
+    # encode pass re-executes once per consumer — at 100 TB the index is
+    # materialized to storage exactly once by construction, so the local
+    # analog is a cache (storage-level default; spills to disk if needed).
+    encoded = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(encode, schema=out_schema)
+        .persist()
+    )
 
     # ADC scan, blocked: the query LUT relation (m*n_codes doubles/query)
     # is the whole corpus in the self-ANN registered form, so it must NOT
@@ -671,7 +681,12 @@ def pq_topk(
     # prune, so the exact re-rank degenerates to brute force (the oracle
     # certification mode; corpus-size-independent)
     kk_short = (k * refine) if refine is not None else (1 << 31)
-    chunk_rows = 2048
+    # block granularity: scores matrix per block is chunk_rows^2 doubles
+    # (~512 MB at 8192 — sized for the 100-200 MB/task sweet spot after
+    # the -inf self-mask; smaller chunks cost extra python-worker rounds,
+    # which dominated at local scale: 9 blocks of 2048 ran 1.5x slower
+    # than 1 block of 8192 on the sf0.1 corpus)
+    chunk_rows = 8192
     n_rows = corpus.count()
     nq_chunks = max(1, math.ceil(n_rows / chunk_rows))
     nc_chunks = nq_chunks

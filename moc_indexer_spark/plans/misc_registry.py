@@ -766,3 +766,42 @@ def q_repeat_purchase_rate(spark, sf_dir):
             "repeat_rate"
         ),
     )
+
+
+@register(
+    "salted_hot_key_join",
+    f"""
+    {TX_WITH}
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_tx,
+           CAST(CAST(SUM(CAST(t.amount AS DECIMAL(18,6))) AS DECIMAL(18,4))
+                AS DOUBLE) AS total_amount
+    FROM transactions t JOIN customer c ON t.address = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("J1", "skew", "salting"),
+)
+def q_salted_hot_key_join(spark, sf_dir):
+    """Hot-key join through explicit salting (operators/skew.py): the fact
+    side's join key is widened with a content-derived salt and the
+    dimension side replicated n_salts ways, so one exchange partition
+    never carries a whole hot address (exchanges/routers own double-digit
+    percents of chain rows). The oracle is the PLAIN join — salting must
+    be result-invariant, and the hash compare proves it on real data, not
+    just the unit fixture. (AQE skew-split covers sort-merge joins
+    automatically; this is the explicit form for broadcast-ineligible
+    build sides.)"""
+    from ..operators.skew import salted_join
+
+    t = transactions(spark, sf_dir).select("tx_hash", "address", "amount")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("address"), "c_mktsegment"
+    )
+    joined = salted_join(t, c, "address", n_salts=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tx"),
+        F.sum(F.col("amount").cast("decimal(18,6)"))
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("total_amount"),
+    )

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Full-registry scale sweep: execute EVERY registered query end-to-end at
+a bigger SF than the correctness gate runs (default sf0.1) and record
+rows + wall time per query.
+
+This is the OOM / ANSI-error catcher: correctness is proven at sf0.01 by
+the DuckDB oracles; this sweep proves every plan also *executes* at 10x
+that, where row-group parallelism, shuffle sizes, and data-dependent edge
+values (zero lags, overflow-adjacent amounts) differ. Round-1 caught an
+executor OOM and a DIVIDE_BY_ZERO this way.
+
+Usage: [SPARK_GRAFT_SF_DIR=...] python scripts/scale_sweep.py [--mirror]
+Writes one JSON line per query to stdout and a summary to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from moc_indexer_spark.plans.registry import registry  # noqa: E402
+from moc_indexer_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scale-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--mirror" in sys.argv:
+        from moc_indexer_spark.tables import enable_layout_mirror
+
+        enable_layout_mirror()
+    failures = []
+    total = 0.0
+    for spec in registry():
+        t0 = time.perf_counter()
+        try:
+            df = spec.build(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            total += dt
+            print(json.dumps({"q": spec.name, "sec": round(dt, 2)}), flush=True)
+        except Exception as e:
+            failures.append(spec.name)
+            print(
+                json.dumps({"q": spec.name, "error": str(e)[:300]}), flush=True
+            )
+    print(
+        f"swept {len(registry())} queries at {sf_dir}: "
+        f"{len(failures)} failures {failures}, total {total:.1f}s",
+        file=sys.stderr,
+    )
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
