@@ -68,7 +68,8 @@ def q_users_purchase_never_error(spark, sf_dir):
     t = transactions(spark, sf_dir)
     a = t.filter(F.col("event") == "purchase").select("address").distinct()
     b = t.filter(F.col("event") == "error").select("address").distinct()
-    return a.exceptAll(b).distinct()
+    # distinct EXCEPT says it in one set op (inputs are already distinct)
+    return a.subtract(b)
 
 
 @register(
