@@ -778,3 +778,64 @@ def pq_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    cluster_col: str = "label",
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each cluster, a vector
+    is a duplicate of the SMALLEST-id earlier vector whose cosine clears
+    `threshold`; cluster keepers have dup_of NULL. Returns
+    (vec_id, cluster, dup_of).
+
+    The cluster column bounds the quadratic pair work to O(sum c_i^2)
+    instead of O(n^2) — the whole point of clustering before semantic
+    dedup. Here the corpus's own cluster assignment is used (at 100 TB the
+    IVF coarse quantizer's `cell` column from `ivf_topk`'s index pass is
+    the natural input, and the corpus is STORED partitioned by it, so the
+    self-join below is partition-local with no shuffle beyond the one on
+    the cluster key). Cosine is the same 6dp-rounded JVM expression as
+    `embedding_dup_pairs` — no Python in the hot path.
+    """
+    e = corpus.select(
+        F.col(id_col),
+        F.col(cluster_col).alias("cluster"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
+    a = e.select(
+        F.col(id_col).alias("vec_id_a"),
+        "cluster",
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = e.select(
+        F.col(id_col).alias("vec_id_b"),
+        F.col("cluster").alias("cluster_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("cluster_b"))
+            & (F.col("vec_id_b") < F.col("vec_id_a")),
+            "left",
+        )
+        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), round_digits))
+        .withColumn(
+            "cand", F.when(F.col("cos") >= threshold, F.col("vec_id_b"))
+        )
+    )
+    return pairs.groupBy(
+        F.col("vec_id_a").alias(id_col), "cluster"
+    ).agg(F.min("cand").alias("dup_of"))

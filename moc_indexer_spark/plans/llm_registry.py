@@ -878,3 +878,34 @@ def q_typo_pairs(spark, sf_dir):
     ).otherwise(s)
     base = docs.select("doc_id", corrupted.alias("text"))
     return edit1_pairs(base, id_col="doc_id", text_col="text", max_len=12)
+
+
+@register(
+    "semantic_dedup_report",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id, a.label,
+             MIN(CASE WHEN ROUND(list_cosine_similarity(a.v, b.v), 6)
+                           >= {COSINE_DUP_THRESHOLD}
+                      THEN b.vec_id END) AS dup_of
+      FROM e a LEFT JOIN e b
+        ON a.label = b.label AND b.vec_id < a.vec_id
+      GROUP BY a.vec_id, a.label)
+    SELECT vec_id, label AS cluster, dup_of FROM p
+    """,
+    tags=("llm", "dedup", "similarity", "semdedup"),
+)
+def q_semantic_dedup_report(spark, sf_dir):
+    """SemDeDup-style semantic dedup: within each cluster (here the
+    corpus's label column; at 100 TB the IVF cell assignment), every
+    vector maps to the smallest-id earlier vector whose cosine clears the
+    near-dup threshold — keepers have dup_of NULL. Clustering bounds the
+    pair work to O(sum c_i^2); the oracle brute-forces the same criterion
+    per cluster in SQL."""
+    return S.semantic_dedup(
+        table(spark, sf_dir, "embeddings"),
+        cluster_col="label",
+        threshold=COSINE_DUP_THRESHOLD,
+    )
