@@ -240,3 +240,50 @@ def test_edit1_pairs_finds_typo_variants(spark):
     assert not any(
         (i in {1, 2, 3, 4, 5}) != (j in {1, 2, 3, 4, 5}) for i, j in pairs
     )
+
+
+def test_line_dedup_edges(spark):
+    """Docs losing EVERY line must survive with empty text; unique lines
+    keep original order; a line repeated within ONE doc is not removed
+    (the criterion is distinct-doc count)."""
+    from pyspark.sql import functions as F
+
+    from moc_indexer_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["shared", "only in one", "shared2"]),
+            (2, ["shared", "shared2"]),          # loses everything
+            (3, ["alpha", "alpha", "beta"]),     # in-doc repeat survives
+            (4, []),                              # empty doc
+        ],
+        "doc_id long, lines array<string>",
+    )
+    out = {
+        r.doc_id: r
+        for r in line_dedup(docs, F.col("lines"), min_dup_docs=2).collect()
+    }
+    assert out[1].clean_text == "only in one" and out[1].n_kept == 1
+    assert out[2].clean_text == "" and out[2].n_kept == 0 and out[2].n_lines == 2
+    assert out[3].clean_text == "alpha alpha beta" and out[3].n_kept == 3
+    assert out[4].clean_text == "" and out[4].n_lines == 0
+
+
+def test_semantic_dedup_keeper_chains(spark):
+    """Within a cluster the dup maps to the SMALLEST qualifying earlier id
+    (not just any); cross-cluster near-dups are ignored by design."""
+    from moc_indexer_spark.operators.similarity import semantic_dedup
+
+    v = [1.0, 0.0]
+    w = [0.0, 1.0]
+    rows = [
+        (1, 0, v), (2, 0, v), (3, 0, v),   # 2,3 both dup_of 1
+        (4, 0, w),                          # orthogonal -> keeper
+        (5, 1, v),                          # same vector, other cluster -> keeper
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {
+        r.vec_id: r.dup_of
+        for r in semantic_dedup(df, "label", threshold=0.9).collect()
+    }
+    assert got == {1: None, 2: 1, 3: 1, 4: None, 5: None}
