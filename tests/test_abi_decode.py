@@ -131,3 +131,48 @@ def test_decode_log_wire_layout_is_canonical_abi(spark):
     }).alias("w")).collect()[0].w
     assert enc.topics[1] == "0x" + ("ab" * 20).rjust(64, "0")
     assert enc.data == "0x" + "5".rjust(64, "0") + "1".rjust(64, "0")
+
+
+def test_abi_roundtrip_property(spark):
+    """Property fuzz: encode->decode identity over random uint256 values
+    (full DECIMAL(38) range incl. boundaries), random-length strings, and
+    random addresses — one batched Spark job for the whole sample set."""
+    import random
+
+    rng = random.Random(20260814)
+    values = [0, 1, 10**38 - 1, 2**63 - 1, 2**64, 16**13 - 1, 16**13,
+              16**26 - 1, 16**26] + [rng.randrange(0, 10**38) for _ in range(40)]
+    strings = ["", "a", "x" * 31, "y" * 32, "z" * 33, "mixed-0123_~"] + [
+        "".join(rng.choices("abcdefghijklmnop-_.:/", k=rng.randrange(0, 90)))
+        for _ in range(20)
+    ]
+    n = max(len(values), len(strings))
+    rows = [
+        (
+            strings[i % len(strings)],
+            strings[(i * 7 + 3) % len(strings)],
+            i,
+            str(values[i % len(values)]),
+            str(values[(i * 13 + 5) % len(values)]),
+            "0x" + f"{rng.randrange(0, 2**160):040x}",
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "transferId string, btcAddress string, nonce long, "
+        "amountSatoshi string, feeSatoshi string, rskAddress string",
+    )
+    got = _roundtrip(
+        spark, "NewBitcoinTransfer", rows,
+        "transferId string, btcAddress string, nonce long, "
+        "amountSatoshi string, feeSatoshi string, rskAddress string",
+        cast_decimal=("amountSatoshi", "feeSatoshi"),
+    )
+    # decode_log returns fields in ABI order; compare as dicts keyed by nonce
+    by_nonce = {r.nonce: r for r in got}
+    for (tid, btc, nonce, amt, fee, rsk) in rows:
+        r = by_nonce[nonce]
+        assert (r.transferId, r.btcAddress) == (tid, btc)
+        assert (int(r.amountSatoshi), int(r.feeSatoshi)) == (int(amt), int(fee))
+        assert r.rskAddress == rsk.lower()
