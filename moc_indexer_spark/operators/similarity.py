@@ -630,7 +630,7 @@ def pq_topk(
 
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(B)
-    out_schema = f"{id_col} long, v array<double>, codes array<int>, lut array<double>"
+    out_schema = f"{id_col} long, v array<double>, codes array<int>"
 
     def encode(batches):
         B_ = bc.value
@@ -641,33 +641,34 @@ def pq_topk(
             M = np.array(list(pdf[vec_col]), dtype=np.float64)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
             codes = np.empty((len(ids), m), dtype=np.int32)
-            luts = np.empty((len(ids), m * n_codes), dtype=np.float64)
             for j in range(m):
                 S_ = Mn[:, j * d_sub : (j + 1) * d_sub]
                 d2 = ((S_[:, None, :] - B_[j][None, :, :]) ** 2).sum(axis=2)
                 codes[:, j] = np.argmin(d2, axis=1)
-                luts[:, j * n_codes : (j + 1) * n_codes] = S_ @ B_[j].T
             yield pd.DataFrame(
-                {id_col: ids, "v": list(M), "codes": list(codes), "lut": list(luts)}
+                {id_col: ids, "v": list(M), "codes": list(codes)}
             )
 
-    # The encoded relation is the PQ INDEX (codes + per-row LUT + vector);
-    # four consumers read it (ADC query side, ADC code side, re-rank query
-    # vectors, re-rank neighbor vectors). Without persistence the Arrow
-    # encode pass re-executes once per consumer — at 100 TB the index is
-    # materialized to storage exactly once by construction, so the local
-    # analog is a cache (storage-level default; spills to disk if needed).
+    # The encoded relation is the PQ INDEX (codes + vector; LUTs are NOT
+    # stored — each ADC block rebuilds them from the broadcast codebook,
+    # so the index and every shuffle ship 64 doubles/row instead of
+    # 64+256). Four consumers read it (ADC query side, ADC code side,
+    # re-rank query vectors, re-rank neighbor vectors); without
+    # persistence the Arrow encode pass re-executes once per consumer —
+    # at 100 TB the index is materialized to storage exactly once by
+    # construction, so the local analog is a cache.
     encoded = (
         corpus.select(id_col, vec_col)
         .mapInPandas(encode, schema=out_schema)
         .persist()
     )
 
-    # ADC scan, blocked: the query LUT relation (m*n_codes doubles/query)
-    # is the whole corpus in the self-ANN registered form, so it must NOT
-    # be collected to the driver. Same 2-D block cogroup as
-    # brute_force_topk_blocked: LUTs hash into NQ chunks, codes into NC
-    # chunks; each (q_chunk, c_chunk) block is one Arrow call doing m
+    # ADC scan, blocked: the query side is the whole corpus in the
+    # self-ANN registered form, so it must NOT be collected to the
+    # driver. Same 2-D block cogroup as brute_force_topk_blocked:
+    # query VECTORS hash into NQ chunks (LUTs are rebuilt in-block from
+    # the broadcast codebook — 4x fewer shuffle bytes than shipping
+    # precomputed LUTs), codes into NC chunks; each (q_chunk, c_chunk) block is one Arrow call doing m
     # vectorized gather-adds and emitting its per-query ADC top (k*refine)
     # under the total order (adc desc, id asc) — a lossless prune for the
     # global shortlist. Codes-only scan property unchanged: float vectors
@@ -692,7 +693,7 @@ def pq_topk(
     nc_chunks = nq_chunks
 
     qside = (
-        encoded.select(F.col(id_col).alias("query_id"), "lut")
+        encoded.select(F.col(id_col).alias("query_id"), "v")
         .withColumn(
             "qc", F.pmod(F.xxhash64("query_id"), F.lit(nq_chunks)).cast("int")
         )
@@ -719,7 +720,14 @@ def pq_topk(
         if len(qdf) == 0 or len(cdf) == 0:
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "adc": []})
         q_ids_ = qdf["query_id"].to_numpy(dtype=np.int64)
-        LUT = np.array(list(qdf["lut"]), dtype=np.float64)
+        B_ = bc.value
+        Q = np.array(list(qdf["v"]), dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        LUT = np.empty((len(q_ids_), m * n_codes), dtype=np.float64)
+        for j in range(m):
+            LUT[:, j * n_codes : (j + 1) * n_codes] = (
+                Qn[:, j * d_sub : (j + 1) * d_sub] @ B_[j].T
+            )
         c_ids = cdf["neighbor_id"].to_numpy(dtype=np.int64)
         codes = np.array(list(cdf["codes"]), dtype=np.int64)
         scores = np.zeros((len(q_ids_), len(c_ids)), dtype=np.float64)
