@@ -215,7 +215,7 @@ def minhash_lsh_pairs(
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id)
     with cluster_id = min doc_id in the component (the keeper).
 
@@ -223,7 +223,12 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     label among itself and its neighbors; converges in O(component
     diameter) rounds — near-dup clusters are tiny (pairs/triples), so 2-3
     rounds in practice. Each round is one join + one groupBy (shuffles on
-    vertex id); `max_iter` bounds the worst case.
+    vertex id). The output is hash-certified against an exhaustive
+    transitive-closure oracle, so a silent early exit would be a WRONG
+    answer, not a degraded one: if `max_iter` rounds pass without
+    convergence (a component of diameter > max_iter — pathological for
+    near-dup graphs) the operator RAISES instead of returning
+    partially-propagated labels.
 
     An iterative algorithm has no single-query SQL oracle — the driver's
     rows-only check applies; pytest verifies against a Python
@@ -272,6 +277,13 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:  # exhausted max_iter without a changed==0 round
+        edges.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     # the final labels cache was materialized by the last `changed` count;
     # the edge relation is no longer needed by the returned plan
     edges.unpersist()

@@ -209,11 +209,11 @@ def brute_force_topk_blocked(
 
     if queries is None:
         queries = corpus
-    n_q = queries.count()
     n_c = corpus.count()
+    # self-ANN: one scan sizes both grid dimensions
+    n_q = n_c if queries is corpus else queries.count()
     nq_chunks = max(1, math.ceil(n_q / chunk_rows))
     nc_chunks = max(1, math.ceil(n_c / chunk_rows))
-    spark = corpus.sparkSession
 
     q = (
         queries.select(
@@ -656,7 +656,11 @@ def pq_topk(
     # re-rank query vectors, re-rank neighbor vectors); without
     # persistence the Arrow encode pass re-executes once per consumer —
     # at 100 TB the index is materialized to storage exactly once by
-    # construction, so the local analog is a cache.
+    # construction, so the local analog is a cache. Re-invocations do NOT
+    # accrue copies: Spark's CacheManager keys cached data by canonicalized
+    # plan, so rebuilding the same index (same corpus/params) reuses the
+    # existing entry; the session holds at most one cache per distinct
+    # corpus until it ends.
     encoded = (
         corpus.select(id_col, vec_col)
         .mapInPandas(encode, schema=out_schema)
@@ -688,7 +692,9 @@ def pq_topk(
     # which dominated at local scale: 9 blocks of 2048 ran 1.5x slower
     # than 1 block of 8192 on the sf0.1 corpus)
     chunk_rows = 8192
-    n_rows = corpus.count()
+    # counting the persisted index (not the raw corpus) sizes the chunk
+    # grid AND materializes the cache in the same single pass
+    n_rows = encoded.count()
     nq_chunks = max(1, math.ceil(n_rows / chunk_rows))
     nc_chunks = nq_chunks
 
@@ -757,11 +763,16 @@ def pq_topk(
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")
     )
+    # Re-rank joins are plain shuffle joins: qvec/nvec are the CORPUS
+    # vector relation in the self-ANN form, so a broadcast hint here would
+    # re-introduce the unbounded driver materialization the blocked ADC
+    # scan exists to avoid (AQE still downgrades to broadcast on its own
+    # when the relation is genuinely small).
     qvec = encoded.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
     short = (
         shortcand.withColumn("arank", F.row_number().over(w_adc))
         .filter(F.col("arank") <= kk_short)
-        .join(F.broadcast(qvec), "query_id")
+        .join(qvec, "query_id")
         .select("query_id", "qv", "neighbor_id")
     )
     nvec = encoded.select(

@@ -304,10 +304,8 @@ def q_event_pipeline_raw_hex(spark, sf_dir):
     groups = {
         "RiskProxMint": (("RiskProxMint", "RiskProxRedeem"), True),
         "RiskProMint": (
-            tuple(e for e in A.EVENT_ABIS if e in (
-                "RiskProMint", "RiskProRedeem", "StableTokenMint",
-                "StableTokenRedeem", "FreeStableTokenRedeem",
-            )),
+            ("RiskProMint", "RiskProRedeem", "StableTokenMint",
+             "StableTokenRedeem", "FreeStableTokenRedeem"),
             False,
         ),
     }

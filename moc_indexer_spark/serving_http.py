@@ -82,8 +82,10 @@ class ApiServer:
         from .tables import transactions
 
         address = int(params["address"][0])
-        skip = int(params.get("skip", ["0"])[0])
-        limit = min(int(params.get("limit", [str(self.pagination)])[0]), 500)
+        skip = max(0, int(params.get("skip", ["0"])[0]))
+        limit = min(
+            max(0, int(params.get("limit", [str(self.pagination)])[0])), 500
+        )
         t = transactions(self.spark, self.sf_dir)
         page = api_tx_list(t, address, EXCLUDED_EVENTS, skip, limit)
         return {"transactions": df_to_payload(page), "skip": skip, "limit": limit}
@@ -146,8 +148,10 @@ class ApiServer:
                 try:
                     payload = fn(api, parse_qs(parsed.query))
                     self._send(200, payload)
-                except KeyError as e:
-                    self._send(400, {"error": f"missing parameter {e}"})
+                except (KeyError, ValueError) as e:
+                    # client errors (missing/malformed params) are 400s —
+                    # monitoring must distinguish them from server faults
+                    self._send(400, {"error": f"bad request: {e}"})
                 except Exception as e:  # mirror app.py's 500 handler
                     self._send(500, {"error": str(e)[:500]})
 

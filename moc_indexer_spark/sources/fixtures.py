@@ -198,15 +198,23 @@ def fixture_parquet_path() -> str:
 
 
 def ensure_fixture_parquet() -> str:
-    """Write the fixture stream to its parquet path if absent; return it."""
-    import os
+    """Write the fixture stream to its parquet path if absent; return it.
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    The file is committed to the repo, so the common path is a bare
+    os.path.exists — pyarrow is only imported (and the filesystem only
+    written) when regenerating a deleted fixture. Called at registry
+    import time (the oracle SQL embeds the path), so keeping this cheap
+    and side-effect-free in the normal case matters."""
+    import os
+    import uuid
 
     path = fixture_parquet_path()
     if os.path.exists(path):
         return path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     os.makedirs(os.path.dirname(path), exist_ok=True)
     rows = generate_raw_txs(FIXTURE_N_TX, seed=FIXTURE_SEED)
     schema = pa.schema(
@@ -240,7 +248,9 @@ def ensure_fixture_parquet() -> str:
             ("status", pa.string()),
         ]
     )
-    tmp = path + ".tmp"
+    # unique staging name: two concurrent first-run processes must not
+    # interleave writes into the same tmp file
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
-    os.replace(tmp, path)
+    os.replace(tmp, path)  # atomic publish; losers overwrite with equal bytes
     return path

@@ -80,3 +80,11 @@ def test_pegout_filters_by_address(spark, sf_dir, server):
 def test_errors_are_http_not_crashes(server):
     assert "error" in _get(server, "/nope", expect=404)
     assert "error" in _get(server, "/transactions/list", expect=400)
+    # malformed (not just missing) params are client errors, not 500s
+    assert "error" in _get(server, "/transactions/list?address=abc", expect=400)
+    assert "error" in _get(
+        server, "/transactions/last?address=1e3", expect=400
+    )
+    # negative paging clamps instead of crashing
+    got = _get(server, "/transactions/list?address=7&limit=-5&skip=-1")
+    assert got["transactions"] == [] and got["limit"] == 0
