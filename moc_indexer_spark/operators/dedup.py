@@ -470,3 +470,81 @@ def line_dedup(
             F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
         )
     )
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_span_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact repeated-substring detection between documents (the
+    suffix-array-dedup result, computed relationally): for every doc pair
+    sharing at least one token n-gram, the length in TOKENS of their
+    longest common contiguous token run; pairs below `min_span_tokens` are
+    dropped. Returns (doc_i, doc_j, max_shared_span).
+
+    Algorithm — diagonal islands over positional shingles:
+    1. (doc, pos, h): every n-gram occurrence with its start position,
+       hashed to 8 bytes.
+    2. Inverted-index self-join on h (posting-list-size>=2 prune shares
+       the join's exchange, as in ngram_jaccard_pairs) -> matches
+       (doc_i, doc_j, pos_i, pos_j).
+    3. A shared token run of length L contributes L-n+1 consecutive
+       matches along one DIAGONAL (pos_i - pos_j constant). Islands:
+       within (pair, diag), consecutive pos_i values satisfy
+       pos_i - row_number() = const -> group, count, span = count + n - 1.
+    4. Max island span per pair, thresholded.
+
+    100 TB shape: two keyed shuffles (n-gram hash; then (pair, diag)
+    carries only int tuples). Hot n-grams need the same stop-shingle
+    guard as the Jaccard index (boilerplate_shingles feeds it). This
+    subsumes fixed-threshold near-dup for contamination use: a 50-token
+    verbatim quote inside two otherwise-different documents is invisible
+    to whole-doc Jaccard but is exactly what this surfaces.
+    """
+    toks = docs.select(
+        F.col(id_col), T.tokens(text_col).alias("t")
+    ).filter(F.size("t") >= n)
+    sh = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), i, n))),
+            )
+        ).alias("pos", "h"),
+    )
+    pw = Window.partitionBy("h")
+    sh = (
+        sh.withColumn("__pc", F.count(F.lit(1)).over(pw))
+        .filter(F.col("__pc") >= 2)
+        .drop("__pc")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_i"),
+        F.col(f"b.{id_col}").alias("doc_j"),
+        F.col("a.pos").alias("pos_i"),
+        F.col("b.pos").alias("pos_j"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    iw = Window.partitionBy("doc_i", "doc_j", "diag").orderBy("pos_i")
+    islands = matches.withColumn(
+        "island", F.col("pos_i") - F.row_number().over(iw)
+    )
+    spans = (
+        islands.groupBy("doc_i", "doc_j", "diag", "island")
+        .agg((F.count(F.lit(1)) + F.lit(n - 1)).alias("span"))
+    )
+    return (
+        spans.groupBy("doc_i", "doc_j")
+        .agg(F.max("span").cast("bigint").alias("max_shared_span"))
+        .filter(F.col("max_shared_span") >= min_span_tokens)
+    )

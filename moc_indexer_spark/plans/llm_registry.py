@@ -909,3 +909,48 @@ def q_semantic_dedup_report(spark, sf_dir):
         cluster_col="label",
         threshold=COSINE_DUP_THRESHOLD,
     )
+
+
+SPAN_MIN_TOKENS = 8
+
+@register(
+    "shared_span_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    pos_sh AS (
+      SELECT doc_id, generate_subscripts(sh, 1) AS pos, unnest(sh) AS g
+      FROM (SELECT doc_id,
+                   list_transform(range(1, len(t) - {NGRAM_N - 2}),
+                                  i -> array_to_string(list_slice(t, i, i + {NGRAM_N - 1}), ' ')) AS sh
+            FROM toks WHERE len(t) >= {NGRAM_N})),
+    m AS (
+      SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, a.pos AS pos_i,
+             a.pos - b.pos AS diag
+      FROM pos_sh a JOIN pos_sh b ON a.g = b.g AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT doc_i, doc_j, diag,
+             pos_i - ROW_NUMBER() OVER (
+               PARTITION BY doc_i, doc_j, diag ORDER BY pos_i) AS island
+      FROM m),
+    sp AS (
+      SELECT doc_i, doc_j, COUNT(*) + {NGRAM_N - 1} AS span
+      FROM isl GROUP BY doc_i, doc_j, diag, island)
+    SELECT doc_i, doc_j, CAST(MAX(span) AS BIGINT) AS max_shared_span
+    FROM sp GROUP BY doc_i, doc_j
+    HAVING MAX(span) >= {SPAN_MIN_TOKENS}
+    """,
+    tags=("llm", "dedup", "substring", "contamination"),
+)
+def q_shared_span_pairs(spark, sf_dir):
+    """Exact repeated-substring pairs (the suffix-array-dedup result,
+    relationally): longest common contiguous token run per doc pair via
+    diagonal islands over positional n-grams — catches a verbatim
+    50-token quote shared by otherwise-different documents, which
+    whole-document Jaccard cannot see. Oracle re-derives the identical
+    islands construction in SQL."""
+    return D.shared_span_pairs(
+        table(spark, sf_dir, "documents"),
+        n=NGRAM_N,
+        min_span_tokens=SPAN_MIN_TOKENS,
+    )

@@ -287,3 +287,34 @@ def test_semantic_dedup_keeper_chains(spark):
         for r in semantic_dedup(df, "label", threshold=0.9).collect()
     }
     assert got == {1: None, 2: 1, 3: 1, 4: None, 5: None}
+
+
+def test_shared_span_pairs_exact_lengths(spark):
+    """Hand-built docs with known longest-common-token-runs: the overlap
+    detector must report the exact span length, ignore scattered (non-
+    contiguous) shared tokens, and respect the threshold."""
+    from moc_indexer_spark.operators.dedup import shared_span_pairs
+
+    quote = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, f"aa bb cc {quote} dd ee"),
+            (2, f"xx yy {quote} zz"),               # shares the 10-token quote
+            (3, "one two three pq rs tu four five six"),  # only 3-token runs
+            (4, "unrelated words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_i, r.doc_j): r.max_shared_span
+        for r in shared_span_pairs(docs, n=3, min_span_tokens=5).collect()
+    }
+    assert got == {(1, 2): 10}
+    # lowering the threshold surfaces the short scattered runs too
+    got3 = {
+        (r.doc_i, r.doc_j): r.max_shared_span
+        for r in shared_span_pairs(docs, n=3, min_span_tokens=3).collect()
+    }
+    assert got3[(1, 2)] == 10
+    assert got3[(1, 3)] == 3 and got3[(2, 3)] == 3
+    assert (1, 4) not in got3
