@@ -681,3 +681,42 @@ def q_value_histogram(spark, sf_dir):
         .groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+N_SHARDS = 64
+
+@register(
+    "training_shards",
+    f"""
+    WITH s AS (
+      SELECT CAST(doc_id % {N_SHARDS} AS BIGINT) AS shard_id, doc_id, n_chars
+      FROM documents)
+    SELECT shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM s GROUP BY shard_id
+    """,
+    tags=("pipeline", "sharding", "manifest"),
+)
+def q_training_shards(spark, sf_dir):
+    """Deterministic training-shard manifest: every document maps to one
+    of N_SHARDS shards with per-shard doc counts, byte totals, and id
+    ranges — what a dataloader consumes to plan epochs. The shard key is
+    plain modulo of doc_id (engine-neutral and deterministic; Spark's
+    hash() and DuckDB's hash() differ, so a hashed key could not be
+    oracle-gated — for skewed real id spaces substitute xxhash64 and
+    drop the oracle to the mirror). At 100 TB the write path is
+    `df.repartition(N, shard_id).write` with this manifest emitted in
+    the same job."""
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        F.pmod(F.col("doc_id"), F.lit(N_SHARDS)).cast("bigint").alias("shard_id"),
+        "doc_id",
+        "n_chars",
+    )
+    return s.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
