@@ -286,34 +286,24 @@ def brute_force_topk_blocked(
     )
 
 
-def lsh_bucket_topk(
+def _lsh_buckets(
     corpus: DataFrame,
-    k: int = 5,
-    n_tables: int = 16,
-    n_planes: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_digits: int = 6,
-) -> DataFrame:
-    """ANN via random-hyperplane LSH: `n_tables` independent tables of
-    `n_planes`-bit sign buckets; brute-force verify within buckets; union
-    tables; top-k per query. Approximate — recall grows with n_tables.
-
-    The plane matrix is a fixed-seed numpy draw broadcast to executors —
-    reproducible everywhere with no stored model (same property as the
-    xxhash-derived planes this replaces, but assignment is ONE matmul per
-    Arrow batch instead of n_tables*n_planes interpreted dot-product
-    expressions per row, which dominated the operator).
-    """
+    n_tables: int,
+    n_planes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame | None:
+    """Shared LSH bucket assignment: every vector lands in one
+    `n_planes`-bit sign bucket per table (fixed-seed hyperplanes broadcast
+    to executors; one Arrow matmul per batch). Returns
+    (id, v, tbl, bucket) rows — n_tables per input row — or None for an
+    empty corpus."""
     import numpy as np
     import pandas as pd
 
     rows = corpus.select(vec_col).limit(1).collect()  # bounded: one row
     if not rows:
-        spark = corpus.sparkSession
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine_sim double, rank bigint"
-        )
+        return None
     dim = len(rows[0][0])
     rng = np.random.default_rng(12345)
     H = rng.standard_normal((n_tables * n_planes, dim))
@@ -344,10 +334,89 @@ def lsh_bucket_topk(
                 }
             )
 
-    buckets = corpus.select(id_col, vec_col).mapInPandas(
+    return corpus.select(id_col, vec_col).mapInPandas(
         assign,
         schema=f"{id_col} long, v array<double>, tbl int, bucket long",
     )
+
+
+def lsh_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    n_tables: int = 16,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: LSH bucket candidates +
+    exact cosine threshold — the production sibling of the exact
+    all-pairs `embedding_dup_pairs` oracle form. Returns
+    (vec_i, vec_j, cosine_sim), vec_i < vec_j. Approximate only in
+    RECALL (a pair missed by every table); every emitted pair carries its
+    true exact cosine, so precision is exact.
+
+    100 TB shape: candidates exist only within (table, bucket) groups —
+    the quadratic work is bounded per bucket; vectors never cross bucket
+    boundaries (grouped BLAS self-matmul); the cross-table dedup sees
+    only (i, j, sim) triples."""
+    import numpy as np
+    import pandas as pd
+
+    buckets = _lsh_buckets(corpus, n_tables, n_planes, id_col, vec_col)
+    if buckets is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "vec_i long, vec_j long, cosine_sim double"
+        )
+
+    out_schema = "vec_i long, vec_j long, cosine_sim double"
+
+    def pairs_in_bucket(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_i": [], "vec_j": [], "cosine_sim": []})
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        M = np.array(list(pdf["v"]), dtype=np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        sims = np.round((M @ M.T) / (nrm[:, None] * nrm[None, :]), round_digits)
+        ii, jj = np.where(
+            (sims >= threshold) & (ids[:, None] < ids[None, :])
+        )
+        return pd.DataFrame(
+            {"vec_i": ids[ii], "vec_j": ids[jj], "cosine_sim": sims[ii, jj]}
+        )
+
+    cand = (
+        buckets.groupBy("tbl", "bucket")
+        .applyInPandas(pairs_in_bucket, schema=out_schema)
+    )
+    # a pair can collide in several tables — one row wins (sims identical)
+    return cand.dropDuplicates(["vec_i", "vec_j"])
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_tables: int = 16,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN via random-hyperplane LSH: `n_tables` independent tables of
+    `n_planes`-bit sign buckets; brute-force verify within buckets; union
+    tables; top-k per query. Approximate — recall grows with n_tables.
+
+    The plane matrix is a fixed-seed numpy draw broadcast to executors —
+    reproducible everywhere with no stored model (same property as the
+    xxhash-derived planes this replaces, but assignment is ONE matmul per
+    Arrow batch instead of n_tables*n_planes interpreted dot-product
+    expressions per row, which dominated the operator).
+    """
+    buckets = _lsh_buckets(corpus, n_tables, n_planes, id_col, vec_col)
+    if buckets is None:  # empty corpus
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank bigint"
+        )
 
     # Score each (table, bucket) group as ONE BLAS self-matmul via grouped
     # applyInPandas and emit only per-query bucket top-k triples — a

@@ -954,3 +954,19 @@ def q_shared_span_pairs(spark, sf_dir):
         n=NGRAM_N,
         min_span_tokens=SPAN_MIN_TOKENS,
     )
+
+
+@register(
+    "embedding_dup_pairs_lsh",
+    None,
+    tags=("llm", "dedup", "similarity", "lsh", "scale-path"),
+)
+def q_embedding_dup_pairs_lsh(spark, sf_dir):
+    """The SCALE form of embedding_dup_pairs: LSH bucket candidates +
+    exact cosine threshold (precision exact; recall measured vs the
+    all-pairs form in pytest). Rows-only here — hyperplane buckets have
+    no cross-engine oracle; the exact all-pairs query IS the sf-scale
+    oracle for this operator's output contract."""
+    return S.lsh_dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=COSINE_DUP_THRESHOLD
+    )

@@ -318,3 +318,32 @@ def test_shared_span_pairs_exact_lengths(spark):
     assert got3[(1, 2)] == 10
     assert got3[(1, 3)] == 3 and got3[(2, 3)] == 3
     assert (1, 4) not in got3
+
+
+def test_lsh_dup_pairs_recall_and_precision(spark, sf_dir):
+    """The LSH scale form of embedding near-dup must emit ONLY true pairs
+    (precision exact: every emitted cosine equals the all-pairs value and
+    clears the threshold) at high recall vs the exact form."""
+    from moc_indexer_spark.operators.similarity import lsh_dup_pairs
+    from moc_indexer_spark.plans.llm_registry import (
+        COSINE_DUP_THRESHOLD, q_embedding_dup_pairs,
+    )
+    from moc_indexer_spark.tables import table
+
+    exact = {
+        (r.vec_i, r.vec_j): r.cosine_sim
+        for r in q_embedding_dup_pairs(spark, sf_dir).collect()
+    }
+    got = {
+        (r.vec_i, r.vec_j): r.cosine_sim
+        for r in lsh_dup_pairs(
+            table(spark, sf_dir, "embeddings"), threshold=COSINE_DUP_THRESHOLD
+        ).collect()
+    }
+    # precision: every emitted pair is a true pair with the exact cosine
+    for pair, sim in got.items():
+        assert pair in exact and abs(sim - exact[pair]) < 1e-9
+    # recall: the 16x4 tables recover the overwhelming majority
+    assert exact, "fixture should contain near-dup pairs"
+    recall = len(got) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f}"
