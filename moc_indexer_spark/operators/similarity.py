@@ -927,3 +927,133 @@ def semantic_dedup(
     return pairs.groupBy(
         F.col("vec_id_a").alias(id_col), "cluster"
     ).agg(F.min("cand").alias("dup_of"))
+
+
+# --- persisted IVF index: cell-partitioned storage + pruned probes ---------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    train_sample: int = 2048,
+    lloyd_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index the `ivf_topk` docstring promises: the
+    corpus written to parquet PARTITIONED BY its coarse-quantizer cell,
+    with the (tiny) centroid matrix stored alongside as JSON. A probe
+    then reads only its cells' directories — partition pruning at the
+    scan, no shuffle — which is the property that makes IVF the serving
+    path at 100 TB.
+
+    Training matches `ivf_topk` (deterministic sample, spherical Lloyd);
+    assignment is one Arrow pass; the write is one `partitionBy("cell")`.
+    """
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    sample = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    )
+    X = np.array([r[1] for r in sample], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    C = X[:n_cells].copy()
+    for _ in range(lloyd_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign_cells(batches):
+        C_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            pdf = pdf.copy()
+            pdf["cell"] = np.argmax(Mn @ C_.T, axis=1).astype("int32")
+            yield pdf
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign_cells, schema=f"{id_col} long, {vec_col} array<double>, cell int"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(C.tolist(), f)
+
+
+def ivf_probe_topk(
+    spark,
+    index_path: str,
+    query_vectors: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Point-lookup search over a persisted IVF index: for each query
+    vector pick its `n_probe` nearest centroids (driver-side — the
+    centroid matrix is n_cells x dim floats, KBs), then scan ONLY those
+    cells' partitions (the `cell` filter reaches the parquet scan as a
+    PartitionFilter — verified in tests) and rank exact cosines.
+
+    The query set is an explicit small list BY CONTRACT (this is the
+    serving-path API: a user query, a dedup probe); corpus-sized query
+    sets belong to the batch operators (`ivf_topk`,
+    `brute_force_topk_blocked`)."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(index_path, "_centroids.json")) as f:
+        C = np.array(json.load(f), dtype=np.float64)
+    qids = np.array([q[0] for q in query_vectors], dtype=np.int64)
+    Q = np.array([q[1] for q in query_vectors], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    order = np.argsort(-(Qn @ C.T), axis=1, kind="stable")
+    probes = order[:, :n_probe]
+    cells = sorted({int(c) for row in probes for c in row})
+
+    idx = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in v], [int(c) for c in p])
+         for i, v, p in zip(qids, Q, probes)],
+        f"query_id long, qv array<double>, probe_cells array<int>",
+    )
+    scored = (
+        F.broadcast(qdf)  # genuinely small by contract
+        .join(idx, F.array_contains(F.col("probe_cells"), idx["cell"]))
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine(F.col("qv"), F.col(vec_col).cast("array<double>")),
+                round_digits,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -347,3 +347,52 @@ def test_lsh_dup_pairs_recall_and_precision(spark, sf_dir):
     assert exact, "fixture should contain near-dup pairs"
     recall = len(got) / len(exact)
     assert recall >= 0.8, f"recall {recall:.2f}"
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """build_ivf_index writes the corpus partitioned by quantizer cell;
+    a probe must (a) reach the parquet scan as a partition filter — the
+    un-probed cells' directories are never read — and (b) return exactly
+    the brute-force ranking restricted to the probed cells."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from moc_indexer_spark.operators.similarity import (
+        build_ivf_index, ivf_probe_topk,
+    )
+    from moc_indexer_spark.tables import table
+
+    corpus = table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(corpus, path, n_cells=8)
+
+    qrows = corpus.orderBy("vec_id").limit(3).collect()
+    queries = [(int(r.vec_id), list(r.embedding)) for r in qrows]
+    got = ivf_probe_topk(spark, path, queries, k=5, n_probe=3)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    # reference: exact cosine over ONLY the probed cells' members
+    import json as _json
+    import os as _os
+    with open(_os.path.join(path, "_centroids.json")) as f:
+        C = np.array(_json.load(f))
+    idx = spark.read.parquet(path).collect()
+    by_cell = {}
+    for r in idx:
+        by_cell.setdefault(r.cell, []).append((r.vec_id, np.array(r.embedding)))
+    got_rows = {(r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+                for r in got.collect()}
+    for qid, qv in queries:
+        qn = np.array(qv) / np.linalg.norm(qv)
+        probes = np.argsort(-(qn @ C.T), kind="stable")[:3]
+        cands = [(nid, vec) for c in probes for (nid, vec) in by_cell.get(int(c), [])
+                 if nid != qid]
+        sims = sorted(
+            ((round(float(np.dot(qv, vec) / (np.linalg.norm(qv) * np.linalg.norm(vec))), 6), nid)
+             for nid, vec in cands),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        for rank, (sim, nid) in enumerate(sims, start=1):
+            assert got_rows[(qid, rank)] == (nid, sim)
