@@ -115,3 +115,182 @@ def corpus_batch_reference(docs: DataFrame) -> DataFrame:
         .drop("rn")
         .withColumn("neg_id", -F.col("doc_id"))
     )
+
+
+# --- incremental near-duplicate detection (MinHash-LSH under streaming) -----
+
+NEAR_N = 3
+NEAR_K = 32
+NEAR_BANDS = 16
+NEAR_THRESHOLD = 0.8
+
+
+def _doc_features(batch: DataFrame) -> DataFrame:
+    """(doc_id, sh, sig): distinct shingle hashes + MinHash signature —
+    the same codegen'd aggregate formulation as the batch operator
+    (functions/text.py minhash_agg_exprs), so stream and batch see
+    identical signatures."""
+    toks = batch.select(
+        F.col("doc_id"), T.tokens("text").alias("t")
+    ).filter(F.size("t") >= NEAR_N)
+    ex = toks.select(
+        F.col("doc_id"), F.explode(T.shingles(F.col("t"), NEAR_N)).alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    return ex.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("h")).alias("sh"),
+        F.array(*T.minhash_agg_exprs("h", NEAR_K)).alias("sig"),
+    )
+
+
+def _band_rows(feats: DataFrame) -> DataFrame:
+    r = NEAR_K // NEAR_BANDS
+    return feats.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(NEAR_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _verify_pairs(cands: DataFrame, feats_all: DataFrame) -> DataFrame:
+    """Exact-Jaccard verify over distinct candidate pairs, using the
+    stored shingle-hash sets; same threshold semantics as the batch
+    operator (hash-set counts equal string-set counts)."""
+    si = feats_all.select(F.col("doc_id").alias("doc_i"), F.col("sh").alias("sh_i"))
+    sj = feats_all.select(F.col("doc_id").alias("doc_j"), F.col("sh").alias("sh_j"))
+    v = (
+        cands.join(si, "doc_i")
+        .join(sj, "doc_j")
+        .withColumn("inter", F.size(F.array_intersect("sh_i", "sh_j")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_i") + F.size("sh_j") - F.col("inter")).cast("double"),
+        )
+    )
+    return v.filter(F.col("jaccard") >= NEAR_THRESHOLD).select(
+        "doc_i", "doc_j", "jaccard"
+    )
+
+
+def run_near_dedup_stream_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+) -> ParquetUpsertTable:
+    """Incremental MinHash-LSH near-dedup: documents stream in; each batch
+    computes signatures ONCE, collides its band buckets against the
+    persisted bucket index (docs seen in any earlier batch) and within
+    itself, exact-verifies the candidates, and MERGEs the confirmed pairs.
+    Returns the pairs table; state tables live under `state_dir`.
+
+    Equivalences that make this correct (and tested):
+    - signatures/buckets are the identical codegen'd expressions as the
+      batch operator — a (new, old) pair collides in the stream iff it
+      collides in batch mode;
+    - every cross-batch pair meets exactly once (new batch x stored
+      index), every in-batch pair once (bucket grouping), and the pairs
+      MERGE is keyed (doc_i, doc_j) — so replays and slice reorderings
+      converge to the batch answer (idempotent, order-free);
+    - state grows as O(docs x bands) 16-byte rows + one shingle-hash set
+      per doc (the stored doc-feature table any 100 TB pipeline keeps
+      anyway); no unbounded executor streaming state is used.
+    """
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    bands_tbl = ParquetUpsertTable(
+        spark, f"{state_dir}/bands", keys=["band", "bucket", "doc_id"]
+    )
+    feats_tbl = ParquetUpsertTable(spark, f"{state_dir}/feats", keys=["doc_id"])
+    pairs_tbl = ParquetUpsertTable(
+        spark, f"{state_dir}/pairs", keys=["doc_i", "doc_j"]
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        feats = _doc_features(batch_df)
+        # one action per batch over the expensive aggregate: materialize
+        feats.persist()
+        try:
+            new_bands = _band_rows(feats)
+            stored_bands = bands_tbl.read()
+            # cross-batch candidates: new docs vs the persisted index
+            cand = None
+            if stored_bands is not None:
+                nb = new_bands.alias("n")
+                sb = stored_bands.alias("o")
+                cross = (
+                    nb.join(
+                        sb,
+                        (F.col("n.band") == F.col("o.band"))
+                        & (F.col("n.bucket") == F.col("o.bucket"))
+                        & (F.col("n.doc_id") != F.col("o.doc_id")),
+                    )
+                    .select(
+                        F.least("n.doc_id", "o.doc_id").alias("doc_i"),
+                        F.greatest("n.doc_id", "o.doc_id").alias("doc_j"),
+                    )
+                )
+                cand = cross
+            # in-batch candidates: same-bucket grouping
+            within = (
+                new_bands.groupBy("band", "bucket")
+                .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+                .filter(F.size("ids") >= 2)
+                .select(
+                    F.explode(
+                        F.filter(
+                            F.flatten(
+                                F.transform(
+                                    F.col("ids"),
+                                    lambda x: F.transform(
+                                        F.col("ids"),
+                                        lambda y: F.struct(
+                                            x.alias("doc_i"), y.alias("doc_j")
+                                        ),
+                                    ),
+                                )
+                            ),
+                            lambda p: p["doc_i"] < p["doc_j"],
+                        )
+                    ).alias("p")
+                )
+                .select(F.col("p.doc_i").alias("doc_i"), F.col("p.doc_j").alias("doc_j"))
+            )
+            cand = within if cand is None else cand.unionByName(within)
+            cand = cand.dropDuplicates(["doc_i", "doc_j"])
+            stored_feats = feats_tbl.read()
+            feats_all = (
+                feats.select("doc_id", "sh")
+                if stored_feats is None
+                else feats.select("doc_id", "sh").unionByName(
+                    stored_feats.select("doc_id", "sh")
+                ).dropDuplicates(["doc_id"])
+            )
+            hits = _verify_pairs(cand, feats_all)
+            pairs_tbl.upsert(hits)
+            bands_tbl.upsert(new_bands)
+            feats_tbl.upsert(feats)
+        finally:
+            feats.unpersist()
+
+    (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return pairs_tbl

@@ -72,3 +72,48 @@ def test_quality_gate_filters_and_scores(spark, sf_dir):
         F.col("doc_id") != F.col("min_id")
     )
     assert joined.count() == 0
+
+
+def test_near_dedup_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Incremental MinHash-LSH near-dedup: streaming the corpus in two
+    arbitrary slices must yield EXACTLY the batch operator's verified
+    pair set, and a fresh-checkpoint replay must not change it."""
+    from moc_indexer_spark.operators.dedup import minhash_lsh_pairs
+    from moc_indexer_spark.streaming.corpus import (
+        NEAR_N, NEAR_THRESHOLD, run_near_dedup_stream_available_now,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    hi = docs.filter(F.col("doc_id") % 2 == 0)
+    lo = docs.filter(F.col("doc_id") % 2 == 1)
+    for name, part in (("a_even", hi), ("b_odd", lo)):
+        stage = f"{tmp_path}/stage_{name}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        for f_ in os.listdir(stage):
+            if f_.endswith(".parquet"):
+                shutil.copy(f"{stage}/{f_}", f"{src}/{name}.parquet")
+
+    tbl = run_near_dedup_stream_available_now(
+        spark, src, f"{tmp_path}/state", f"{tmp_path}/ck", schema=docs.schema
+    )
+    got = sorted(
+        (r.doc_i, r.doc_j, round(r.jaccard, 9)) for r in tbl.read().collect()
+    )
+    want = sorted(
+        (r.doc_i, r.doc_j, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(
+            docs, n=NEAR_N, threshold=NEAR_THRESHOLD
+        ).collect()
+    )
+    assert len(want) > 0 and got == want
+
+    # fresh-checkpoint replay over the same state converges (idempotent)
+    run_near_dedup_stream_available_now(
+        spark, src, f"{tmp_path}/state", f"{tmp_path}/ck2", schema=docs.schema
+    )
+    got2 = sorted(
+        (r.doc_i, r.doc_j, round(r.jaccard, 9)) for r in tbl.read().collect()
+    )
+    assert got2 == want
