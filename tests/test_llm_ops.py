@@ -396,3 +396,42 @@ def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
         )[:5]
         for rank, (sim, nid) in enumerate(sims, start=1):
             assert got_rows[(qid, rank)] == (nid, sim)
+
+
+def test_line_dedup_property_vs_python_reference(spark):
+    """Randomized docs vs a direct Python reference of the removal rule
+    (drop every line occurring in >= 2 distinct docs; rebuild in order)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from moc_indexer_spark.operators.dedup import line_dedup
+
+    rng = random.Random(99)
+    vocab = [f"L{i}" for i in range(12)]
+    for trial in range(3):
+        docs = [
+            (d, [rng.choice(vocab) for _ in range(rng.randrange(0, 9))])
+            for d in range(1, 16)
+        ]
+        # python reference
+        from collections import defaultdict
+        seen = defaultdict(set)
+        for d, lines in docs:
+            for ln in lines:
+                seen[ln].add(d)
+        dup = {ln for ln, ds in seen.items() if len(ds) >= 2}
+        want = {
+            d: (
+                " ".join(l for l in lines if l not in dup),
+                len(lines),
+                sum(1 for l in lines if l not in dup),
+            )
+            for d, lines in docs
+        }
+        df = spark.createDataFrame(docs, "doc_id long, lines array<string>")
+        got = {
+            r.doc_id: (r.clean_text, r.n_lines, r.n_kept)
+            for r in line_dedup(df, F.col("lines"), min_dup_docs=2).collect()
+        }
+        assert got == want, f"trial {trial}"
