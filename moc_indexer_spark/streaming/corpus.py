@@ -294,3 +294,152 @@ def run_near_dedup_stream_available_now(
         .awaitTermination()
     )
     return pairs_tbl
+
+
+# --- incremental line-level dedup (with retroactive re-cleaning) ------------
+
+LINE_SEG_TOKENS = 8
+LINE_MIN_DUP_DOCS = 2
+
+
+def _doc_lines(batch: DataFrame) -> DataFrame:
+    """(doc_id, pos, line, lh, n_lines): fixed-token-window pseudo-lines,
+    the same segmentation as the batch query (plans/llm_registry.py
+    line_dedup_docs)."""
+    t = T.tokens("text")
+    seg = F.when(
+        F.size(t) > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                (F.ceil(F.size(t) / F.lit(LINE_SEG_TOKENS)) - 1).cast("int"),
+            ),
+            lambda i: F.array_join(
+                F.slice(t, i * LINE_SEG_TOKENS + 1, LINE_SEG_TOKENS), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = batch.select(F.col("doc_id"), seg.alias("__lines"))
+    return base.select(
+        "doc_id",
+        F.size("__lines").cast("bigint").alias("n_lines"),
+        F.posexplode("__lines").alias("pos", "line"),
+    ).withColumn("lh", F.xxhash64("line"))
+
+
+def run_line_dedup_stream_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+) -> ParquetUpsertTable:
+    """Incrementally-maintained line-dedup view: as documents stream in,
+    any line reaching LINE_MIN_DUP_DOCS distinct docs becomes boilerplate
+    EVERYWHERE — including documents cleaned in EARLIER batches, which are
+    retroactively re-rebuilt (the materialized-view invalidation a batch
+    pipeline gets for free and a streaming one must do explicitly).
+
+    Per batch: upsert the batch's (doc, pos, line) rows into the lines
+    table, find lines whose distinct-doc count crosses the threshold, and
+    rebuild ONLY the affected documents (docs containing a newly-dup line)
+    plus the batch's own docs — never the whole corpus. Returns the clean
+    docs table (doc_id, clean_text, n_lines, n_kept).
+
+    State = the lines table itself (the inverted index any line-dedup
+    needs) — keyed, replay-idempotent MERGEs throughout, so slice order
+    and restarts converge to the batch `line_dedup` answer (tested).
+    """
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    lines_tbl = ParquetUpsertTable(
+        spark, f"{state_dir}/lines", keys=["doc_id", "pos"]
+    )
+    clean_tbl = ParquetUpsertTable(spark, f"{state_dir}/clean", keys=["doc_id"])
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_lines = _doc_lines(batch_df).persist()
+        try:
+            stored = lines_tbl.read()
+            # dup set BEFORE this batch (for retro detection)
+            if stored is not None:
+                old_dup = (
+                    stored.groupBy("lh")
+                    .agg(F.countDistinct("doc_id").alias("nd"))
+                    .filter(F.col("nd") >= LINE_MIN_DUP_DOCS)
+                    .select("lh")
+                )
+            else:
+                old_dup = None
+            lines_tbl.upsert(new_lines.select("doc_id", "pos", "line", "lh", "n_lines"))
+            all_lines = lines_tbl.read()
+            dup = (
+                all_lines.groupBy("lh")
+                .agg(F.countDistinct("doc_id").alias("nd"))
+                .filter(F.col("nd") >= LINE_MIN_DUP_DOCS)
+                .select("lh")
+            )
+            # lines that JUST crossed the threshold invalidate old docs
+            newly_dup = dup if old_dup is None else dup.join(
+                old_dup, "lh", "left_anti"
+            )
+            affected = (
+                all_lines.join(F.broadcast(newly_dup), "lh")
+                .select("doc_id")
+                .unionByName(new_lines.select("doc_id"))
+                .distinct()
+            )
+            todo = all_lines.join(F.broadcast(affected), "doc_id")
+            kept = todo.join(F.broadcast(dup), "lh", "left_anti")
+            rebuilt = kept.groupBy("doc_id").agg(
+                F.first("n_lines").alias("n_lines"),
+                F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda x: x["line"],
+                    ),
+                    " ",
+                ).alias("clean_text"),
+            )
+            emptied = (
+                todo.select("doc_id", "n_lines").distinct()
+                .join(rebuilt.select("doc_id"), "doc_id", "left_anti")
+                .select(
+                    "doc_id",
+                    F.lit("").alias("clean_text"),
+                    F.col("n_lines"),
+                    F.lit(0).cast("bigint").alias("n_kept"),
+                )
+            )
+            # tokenless docs never enter the lines table but must still
+            # appear in the view (batch parity: n_lines = 0)
+            no_lines = (
+                batch_df.select("doc_id").distinct()
+                .join(new_lines.select("doc_id").distinct(), "doc_id", "left_anti")
+                .select(
+                    "doc_id",
+                    F.lit("").alias("clean_text"),
+                    F.lit(0).cast("bigint").alias("n_lines"),
+                    F.lit(0).cast("bigint").alias("n_kept"),
+                )
+            )
+            clean_tbl.upsert(
+                rebuilt.select("doc_id", "clean_text", "n_lines", "n_kept")
+                .unionByName(emptied)
+                .unionByName(no_lines)
+            )
+        finally:
+            new_lines.unpersist()
+
+    (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return clean_tbl

@@ -117,3 +117,46 @@ def test_near_dedup_stream_matches_batch(spark, tmp_path, sf_dir):
         (r.doc_i, r.doc_j, round(r.jaccard, 9)) for r in tbl.read().collect()
     )
     assert got2 == want
+
+
+def test_line_dedup_stream_matches_batch_with_retro_invalidation(
+    spark, tmp_path, sf_dir
+):
+    """Incremental line-dedup: a line that becomes boilerplate only when a
+    LATER batch arrives must retroactively re-clean earlier documents; the
+    final view equals the batch operator's output over the full corpus."""
+    from pyspark.sql import functions as F2
+
+    from moc_indexer_spark.plans.llm_registry import q_line_dedup_docs
+    from moc_indexer_spark.streaming.corpus import (
+        run_line_dedup_stream_available_now,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    # split so near-dup partners land in DIFFERENT slices: every shared
+    # line crosses the threshold only at slice 2 -> retro path exercised
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    for name, part in (("s1", a), ("s2", b)):
+        stage = f"{tmp_path}/stage_{name}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        for f_ in os.listdir(stage):
+            if f_.endswith(".parquet"):
+                shutil.copy(f"{stage}/{f_}", f"{src}/{name}.parquet")
+
+    tbl = run_line_dedup_stream_available_now(
+        spark, src, f"{tmp_path}/state", f"{tmp_path}/ck", schema=docs.schema
+    )
+    got = sorted(
+        (r.doc_id, r.clean_text, r.n_lines, r.n_kept)
+        for r in tbl.read().collect()
+    )
+    want = sorted(
+        (r.doc_id, r.clean_text, r.n_lines, r.n_kept)
+        for r in q_line_dedup_docs(spark, sf_dir).collect()
+    )
+    assert len(want) > 0 and got == want
+    # some doc must actually have lost lines (the dedup is non-trivial)
+    assert any(k < n for (_, _, n, k) in got)
