@@ -219,3 +219,106 @@ def sample_frames(
     return media.select("media_id", "content").mapInPandas(
         run, schema=FRAME_SCHEMA
     )
+
+
+# --- REAL decode for uncompressed formats (pure numpy, no codec libs) -------
+
+
+def decode_image(content: bytes):
+    """Actually decode an image: PPM (P6) and uncompressed 24-bit BMP are
+    parsed in pure numpy — a genuine byte->pixel path with no external
+    codec library. Compressed formats (JPEG/PNG/...) still raise
+    NotImplementedError (PIL belongs in that branch; this container has
+    none). Returns (width, height, HxWx3 uint8 array).
+    """
+    import numpy as np
+
+    if content[:2] == b"P6":
+        # header: magic, width, height, maxval — ASCII tokens separated by
+        # whitespace, '#' comments legal between tokens
+        pos = 2
+        vals = []
+        while len(vals) < 3:
+            while pos < len(content) and content[pos : pos + 1].isspace():
+                pos += 1
+            if content[pos : pos + 1] == b"#":
+                while content[pos : pos + 1] not in (b"\n", b""):
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(content[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = vals
+        if maxval != 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        px = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return w, h, px.reshape(h, w, 3)
+
+    if content[:2] == b"BM":
+        off = int.from_bytes(content[10:14], "little")
+        w = int.from_bytes(content[18:22], "little", signed=True)
+        h = int.from_bytes(content[22:26], "little", signed=True)
+        bpp = int.from_bytes(content[28:30], "little")
+        comp = int.from_bytes(content[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError("only uncompressed 24-bit BMP")
+        bottom_up = h > 0
+        h = abs(h)
+        row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+        rows = np.frombuffer(
+            content, dtype=np.uint8, count=row_bytes * h, offset=off
+        ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        return w, h, rows[:, :, ::-1]  # BGR -> RGB
+
+    raise NotImplementedError(
+        "compressed formats need a codec library (PIL/ffmpeg) — plug it "
+        "into this branch"
+    )
+
+
+def image_histogram_feature(px, bins: int = 16):
+    """Deterministic 3*bins feature: per-channel normalized histograms."""
+    import numpy as np
+
+    feats = []
+    for c in range(3):
+        hist, _ = np.histogram(px[:, :, c], bins=bins, range=(0, 256))
+        feats.append(hist / max(1, px.shape[0] * px.shape[1]))
+    return np.concatenate(feats).astype("float32")
+
+
+def extract_features_real(media: DataFrame, bins: int = 16) -> DataFrame:
+    """The real-decode variant of `extract_features`: PPM/BMP bytes decode
+    to pixels in-executor (pure numpy) and featurize as channel
+    histograms. Same Arrow mapInPandas shape, same output schema —
+    proving the stub boundary is exactly one function swap."""
+    from ..session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "content_hash": [], "n_bytes": [],
+                "width": [], "height": [], "feature": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                w, h, px = decode_image(raw)
+                out["media_id"].append(mid)
+                out["content_hash"].append(hashlib.sha256(raw).hexdigest())
+                out["n_bytes"].append(len(raw))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["feature"].append(
+                    [float(x) for x in image_histogram_feature(px, bins)]
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )

@@ -190,3 +190,70 @@ def test_multimodal_frame_sampling_fanout(spark):
     a = sorted(map(tuple, pdf[["media_id", "frame_idx"]].values.tolist()))
     b = sorted(map(tuple, pdf2[["media_id", "frame_idx"]].values.tolist()))
     assert a == b
+
+
+def _make_ppm(w, h, rgb):
+    header = f"P6\n# test\n{w} {h}\n255\n".encode()
+    import numpy as np
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:, :] = rgb
+    return header + px.tobytes(), px
+
+
+def _make_bmp(w, h, rgb):
+    """Minimal bottom-up uncompressed 24-bit BMP."""
+    import numpy as np
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:, :] = rgb
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = px[r, :, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (row_bytes - len(row))
+    off = 14 + 40
+    size = off + len(body)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header) + bytes(body), px
+
+
+def test_real_decode_ppm_and_bmp_through_arrow_stage(spark):
+    """The real decoder parses PPM and BMP bytes to the SAME pixels
+    (format-independent), and the Arrow feature stage reports true
+    dimensions + channel histograms; compressed bytes raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from moc_indexer_spark.operators.multimodal import (
+        decode_image, extract_features_real,
+    )
+
+    ppm, px1 = _make_ppm(5, 3, (200, 10, 60))
+    bmp, px2 = _make_bmp(5, 3, (200, 10, 60))
+    for blob in (ppm, bmp):
+        w, h, px = decode_image(blob)
+        assert (w, h) == (5, 3)
+        assert np.array_equal(px, px1)
+
+    media = spark.createDataFrame(
+        [(1, "image", ppm, None), (2, "image", bmp, None)],
+        "media_id long, modality string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    rows = {r.media_id: r for r in extract_features_real(media).collect()}
+    assert rows[1].width == 5 and rows[1].height == 3
+    # identical pixels -> identical features regardless of container format
+    assert rows[1].feature == rows[2].feature
+    # red channel (=200) lands in bin 12 of 16 with weight 1.0
+    assert abs(rows[1].feature[12] - 1.0) < 1e-6
+
+    with _pytest.raises(Exception, match="codec"):
+        decode_image(b"\x89PNG\r\n\x1a\nfakedata")
