@@ -257,3 +257,39 @@ def test_real_decode_ppm_and_bmp_through_arrow_stage(spark):
 
     with _pytest.raises(Exception, match="codec"):
         decode_image(b"\x89PNG\r\n\x1a\nfakedata")
+
+
+def test_real_wav_decode_and_features(spark):
+    """A synthesized 16-bit PCM sine wav decodes to known sample count,
+    duration, RMS (~0.707 * amplitude) and zero-cross rate (2f/sr)."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from moc_indexer_spark.operators.multimodal import (
+        decode_audio_wav, extract_audio_features,
+    )
+
+    sr, freq, dur_s, amp = 8000, 440, 0.5, 0.5
+    n = int(sr * dur_s)
+    samples = [int(amp * 32767 * math.sin(2 * math.pi * freq * i / sr)) for i in range(n)]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    wav = (
+        b"RIFF" + (4 + 8 + len(fmt) + 8 + len(data)).to_bytes(4, "little")
+        + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    got_sr, nch, x = decode_audio_wav(wav)
+    assert (got_sr, nch, len(x)) == (sr, 1, n)
+
+    media = spark.createDataFrame(
+        [(1, "audio", wav, None)],
+        "media_id long, modality string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    r = extract_audio_features(media).collect()[0]
+    assert r.sample_rate == sr and r.n_samples == n and r.duration_ms == 500
+    assert abs(r.rms - amp / math.sqrt(2)) < 0.01
+    assert abs(r.zero_cross_rate - 2 * freq / sr) < 0.01
