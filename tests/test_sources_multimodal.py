@@ -293,3 +293,42 @@ def test_real_wav_decode_and_features(spark):
     assert r.sample_rate == sr and r.n_samples == n and r.duration_ms == 500
     assert abs(r.rms - amp / math.sqrt(2)) < 0.01
     assert abs(r.zero_cross_rate - 2 * freq / sr) < 0.01
+
+
+def test_real_y4m_frame_sampling(spark):
+    """A synthesized 12-frame Y4M clip with per-frame constant luma:
+    sampling every 5th frame must yield frames 0,5,10 with exact luma
+    values, and identical frames must share a frame hash."""
+    import numpy as np
+
+    from moc_indexer_spark.operators.multimodal import (
+        parse_y4m_header, sample_y4m_frames,
+    )
+
+    w, h = 8, 6
+    header = b"YUV4MPEG2 W8 H6 F25:1 Ip A1:1 C420jpeg\n"
+    frames = b""
+    for i in range(12):
+        luma = 10 * i
+        y = bytes([luma]) * (w * h)
+        uv = bytes([128]) * (w * h // 2)
+        frames += b"FRAME\n" + y + uv
+    clip = header + frames
+    assert parse_y4m_header(clip)[:2] == (w, h)
+
+    media = spark.createDataFrame(
+        [(1, "video", clip, None), (2, "video", clip, None)],
+        "media_id long, modality string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    rows = sample_y4m_frames(media, every_k=5).collect()
+    by_clip = {}
+    for r in rows:
+        by_clip.setdefault(r.media_id, {})[r.frame_idx] = r
+    for mid in (1, 2):
+        assert sorted(by_clip[mid]) == [0, 5, 10]
+        for idx in (0, 5, 10):
+            assert abs(by_clip[mid][idx].mean_luma - 10 * idx) < 1e-9
+            assert (by_clip[mid][idx].width, by_clip[mid][idx].height) == (w, h)
+    # identical clips -> identical frame hashes (dedup-ready)
+    assert by_clip[1][5].frame_hash == by_clip[2][5].frame_hash
