@@ -548,3 +548,103 @@ def shared_span_pairs(
         .agg(F.max("span").cast("bigint").alias("max_shared_span"))
         .filter(F.col("max_shared_span") >= min_span_tokens)
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT: |A∩B| / min(|A|,|B|).
+
+    Jaccard misses subsumption — a document quoted whole inside a much
+    larger one scores |A|/|B| ≈ 0 Jaccard but 1.0 containment of the
+    smaller side. This is the Broder containment measure the "quote /
+    wrapper page" dedup tier keys on; RefinedWeb-style cascades run it
+    beside Jaccard because each catches pairs the other can't.
+
+    Returns (doc_i, doc_j, containment, jaccard) for doc_i < doc_j and
+    containment >= threshold. Same inverted-index physics as
+    `ngram_jaccard_pairs` (shared-shingle candidates are lossless for any
+    threshold > 0; posting-list-1 pruning; 8-byte hashed shingle keys),
+    so the candidate join stays linear in posting-list mass at 100 TB.
+    """
+    sh = _shingle_df(docs, n, id_col, text_col).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    pw = Window.partitionBy("shingle")
+    sh = (
+        sh.withColumn("__pc", F.count(F.lit(1)).over(pw))
+        .filter(F.col("__pc") >= 2)
+        .drop("__pc")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_i"), F.col(f"b.{id_col}").alias("doc_j")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_i"), F.col("n_sh").alias("n_i"))
+    sb = sizes.select(F.col(id_col).alias("doc_j"), F.col("n_sh").alias("n_j"))
+    scored = (
+        inter.join(sa, "doc_i")
+        .join(sb, "doc_j")
+        .withColumn(
+            "containment",
+            F.col("inter").cast("double")
+            / F.least("n_i", "n_j").cast("double"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_i") + F.col("n_j") - F.col("inter")).cast("double"),
+        )
+    )
+    return scored.filter(F.col("containment") >= threshold).select(
+        "doc_i", "doc_j", "containment", "jaccard"
+    )
+
+
+def novel_ngram_rate(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct n-grams whose
+    FIRST corpus occurrence (by ascending id — ingest order) is this
+    document. The streaming-ingest freshness/memorization signal: a feed
+    that re-crawls the same boilerplate trends toward 0, genuinely new
+    text toward 1 (dashboards alert on the corpus-level drop).
+
+    One explode + one min-per-shingle aggregate + one join back — the
+    first-seen relation shuffles 8-byte shingle hashes, and at 100 TB the
+    min(doc_id) aggregate is map-side partial like any min. Returns
+    (doc_id, n_shingles, novel_shingles, novel_frac).
+    """
+    sh = _shingle_df(docs, n, id_col, text_col).select(
+        F.col(id_col), F.xxhash64("shingle").alias("h")
+    )
+    first_seen = sh.groupBy("h").agg(F.min(id_col).alias("first_id"))
+    novel = F.sum(
+        F.when(F.col("first_id") == F.col(id_col), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        sh.join(first_seen, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            novel.alias("novel_shingles"),
+        )
+        .withColumn(
+            "novel_frac",
+            F.col("novel_shingles").cast("double")
+            / F.col("n_shingles").cast("double"),
+        )
+    )

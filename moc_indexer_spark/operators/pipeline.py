@@ -317,3 +317,70 @@ def materialize_corpus(
     write_clustered(kept_df, path, cluster_cols, n_files=n_files)
     kept = docs.sparkSession.read.parquet(path).count()
     return kept, total - kept
+
+
+def bigram_logprob(docs: DataFrame, lam: float = 0.8) -> DataFrame:
+    """Interpolated bigram language-model score per document: mean
+    ln(λ·P_ML(w2|w1) + (1−λ)·P_uni(w2)) over the document's adjacent token
+    pairs. One rung up the perplexity-gate ladder from `unigram_logprob` —
+    the unigram mix floor keeps unseen-in-context pairs finite without
+    explicit smoothing tables, which is exactly Jelinek–Mercer
+    interpolation with a fixed λ.
+
+    Determinism: the probability is ONE double expression with fixed
+    operand order (identical text in the DuckDB oracle), its ln frozen to
+    DECIMAL(18,9); per-doc aggregation is exact decimal (registry rule:
+    no order-dependent double aggregation).
+
+    Scale: the bigram count relation is the big one (vocab²-bounded but
+    Zipf-concentrated); it is built with one map-side-combining shuffle
+    and joined back by (w1, w2) — at corpus scale that join stays
+    shuffle-side (skew handled by AQE) while the unigram vocab and total
+    broadcast. Pruning bigrams with count < k converts the long tail to
+    pure unigram backoff and caps the relation size.
+    """
+    from ..functions import text as T
+
+    toks = docs.select("doc_id", T.tokens().alias("t")).filter(F.size("t") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    uni = docs.select(F.explode(T.tokens()).alias("token"))
+    vocab = uni.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total_tokens"))
+    bigc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    p = (
+        F.lit(lam)
+        * (F.col("c12").cast("double") / F.col("c1").cast("double"))
+        + F.lit(1.0 - lam)
+        * (F.col("c2").cast("double") / F.col("total_tokens").cast("double"))
+    )
+    lp = F.log(p).cast("decimal(18,9)")
+    return (
+        big.join(bigc, ["w1", "w2"])
+        .join(
+            F.broadcast(vocab.select(F.col("token").alias("w1"), F.col("cnt").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("token").alias("w2"), F.col("cnt").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(lp).cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_logprob"),
+        )
+    )

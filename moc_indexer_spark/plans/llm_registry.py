@@ -970,3 +970,60 @@ def q_embedding_dup_pairs_lsh(spark, sf_dir):
     return S.lsh_dup_pairs(
         table(spark, sf_dir, "embeddings"), threshold=COSINE_DUP_THRESHOLD
     )
+
+
+@register(
+    "containment_dup_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, {SQL_SHINGLES} AS s FROM toks WHERE len(t) >= {NGRAM_N}),
+    pairs AS (
+      SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(LEAST(len(a.s), len(b.s)) AS DOUBLE) AS containment,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT doc_i, doc_j, containment, jaccard
+    FROM pairs WHERE containment >= 0.5
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def q_containment_dup_pairs(spark, sf_dir):
+    """Asymmetric (Broder containment) near-dup tier: catches a small doc
+    quoted whole inside a large one, which Jaccard scores near 0. Spark
+    runs the shingle inverted index; the oracle brute-forces all pairs."""
+    return D.ngram_containment_pairs(
+        table(spark, sf_dir, "documents"), n=NGRAM_N, threshold=0.5
+    )
+
+
+@register(
+    "novel_ngram_rate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest({SQL_SHINGLES}) AS shingle
+      FROM toks WHERE len(t) >= {NGRAM_N}),
+    first_seen AS (
+      SELECT shingle, MIN(doc_id) AS first_id FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel_shingles,
+           CAST(SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novel_frac
+    FROM sh JOIN first_seen f USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+    tags=("llm", "quality", "novelty"),
+)
+def q_novel_ngram_rate(spark, sf_dir):
+    """Ingest-order novelty rate per document (fraction of its distinct
+    3-grams first seen in this doc) — the corpus-freshness /
+    recrawl-detection signal a streaming training-data feed monitors."""
+    return D.novel_ngram_rate(table(spark, sf_dir, "documents"), n=NGRAM_N)

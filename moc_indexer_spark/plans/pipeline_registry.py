@@ -720,3 +720,78 @@ def q_training_shards(spark, sf_dir):
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+_CONTAM_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, source, list_filter(str_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(t) - 2),
+               i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS s
+      FROM toks WHERE len(t) >= 4),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE source = 'src0'),
+    corpus AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh WHERE source <> 'src0')
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+    FROM corpus JOIN bench USING (shingle)
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "bloom_decontamination",
+    _CONTAM_ORACLE,
+    tags=("decontamination", "bloom", "scale-path"),
+    bench=True,
+)
+def q_bloom_decontamination(spark, sf_dir):
+    """`benchmark_contamination` through the Bloom-filter scale path:
+    identical output (the oracle IS the exact form — the hash compare
+    proves the accelerator result-invariant), different physics.
+
+    The broadcast-semi-join form assumes the benchmark's distinct shingle
+    set fits every executor as exact 8-byte keys. Real decontamination
+    sets (all eval benchmarks x 13-gram shingles) run to billions of keys
+    — too big to broadcast, and shuffling a 100 TB corpus against them is
+    the worst join in the pipeline. The Bloom path (operators/bloom.py):
+
+      1. build the filter FROM the bench shingles with one
+         bit_or-per-word aggregation (filter-sized shuffle, no driver
+         funnel),
+      2. broadcast the ~m/8-byte word table and pre-filter the corpus
+         shingle relation in its scan stage (no false negatives, so the
+         prune is lossless),
+      3. exact-confirm only the surviving candidates against the true key
+         set — the confirm join's probe side is now ~fpp of the corpus
+         instead of all of it.
+
+    m = 1<<20 bits / k = 5 covers the sf bench sets at <1% fpp; size m at
+    ~10 bits per expected distinct bench shingle in production.
+    """
+    from ..functions import text as T
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", T.tokens("text").alias("t")).filter(
+        F.size("t") >= 4
+    )
+    sh = (
+        toks.select(
+            "doc_id", "source",
+            F.explode(T.shingles(F.col("t"), 4)).alias("shingle"),
+        )
+        .select("doc_id", "source", F.xxhash64("shingle").alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+    bench = sh.filter(F.col("source") == "src0").select("h").distinct()
+    corpus = sh.filter(F.col("source") != "src0").select("doc_id", "h")
+    bloom = bloom_build(bench, "h")
+    candidates = bloom_probe(corpus, "h", bloom)  # (doc_id, h) distinct
+    return (
+        candidates.join(bench.hint("shuffle_hash"), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+    )

@@ -379,3 +379,102 @@ def q_constraint_report(spark, sf_dir):
         "left_anti",
     ).agg(F.count(F.lit(1)).cast("bigint").alias("orphan_lineitems"))
     return checks.crossJoin(F.broadcast(dupes)).crossJoin(F.broadcast(orphans))
+
+
+@register(
+    "bigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS total_tokens FROM vocab),
+    bigidx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+               FROM toks WHERE len(t) >= 2),
+    big AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+            FROM bigidx),
+    bigc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2)
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(
+             CAST(SUM(CAST(ln(
+                 0.8 * (CAST(bc.c12 AS DOUBLE) / CAST(v1.cnt AS DOUBLE))
+                 + (1.0 - 0.8) * (CAST(v2.cnt AS DOUBLE)
+                                  / CAST(tot.total_tokens AS DOUBLE))
+               ) AS DECIMAL(18,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_logprob
+    FROM big b
+    JOIN bigc bc USING (w1, w2)
+    JOIN vocab v1 ON v1.token = b.w1
+    JOIN vocab v2 ON v2.token = b.w2
+    CROSS JOIN tot
+    GROUP BY b.doc_id
+    """,
+    tags=("llm", "quality", "langmodel"),
+)
+def q_bigram_logprob(spark, sf_dir):
+    """Jelinek-Mercer-interpolated bigram LM score (λ=0.8) — the next rung
+    of the perplexity gate after `unigram_logprob`. λ and (1.0−0.8) are
+    evaluated as the same IEEE doubles in both engines (Sterbenz-exact
+    subtraction), so the single-expression probability is bit-identical."""
+    return P.bigram_logprob(table(spark, sf_dir, "documents"), lam=0.8)
+
+
+VOCAB_TOP = 100
+
+
+@register(
+    "vocab_coverage",
+    f"""
+    WITH tok AS (
+      SELECT unnest({_SQL_TOKS}) AS token FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    ranked AS (
+      SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM vocab)
+    SELECT rank, token, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cum AS DOUBLE) / CAST(tot.total AS DOUBLE) AS cum_share
+    FROM ranked CROSS JOIN tot
+    WHERE rank <= {VOCAB_TOP}
+    """,
+    tags=("llm", "tokenizer", "vocab"),
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary-building statistic: the top-{100} corpus tokens by
+    frequency with cumulative corpus-coverage share — what a tokenizer
+    trainer reads to size its vocab (the knee of cum_share vs rank) and
+    what a drift monitor compares across snapshots.
+
+    The global ordered prefix-sum window runs over the AGGREGATED vocab
+    relation, not the corpus: the token-count groupBy reduces 100 TB of
+    text to |vocab| rows (~10^7 even web-scale — MBs), so the
+    single-partition window is bounded by vocabulary size by construction.
+    The total and the share division are exact bigint / one double
+    expression (identical in the oracle)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(T.tokens()).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = vocab.select(
+        "token",
+        "cnt",
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ).filter(F.col("rank") <= VOCAB_TOP)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "token",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+            "cum_share"
+        ),
+    )
