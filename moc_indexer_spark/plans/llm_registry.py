@@ -1027,3 +1027,65 @@ def q_novel_ngram_rate(spark, sf_dir):
     3-grams first seen in this doc) — the corpus-freshness /
     recrawl-detection signal a streaming training-data feed monitors."""
     return D.novel_ngram_rate(table(spark, sf_dir, "documents"), n=NGRAM_N)
+
+
+@register(
+    "dedup_keeper_selection",
+    f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    hits AS (
+      SELECT doc_i, doc_j FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_i AS src, doc_j AS dst FROM hits
+      UNION ALL
+      SELECT doc_j AS src, doc_i AS dst FROM hits),
+    walk (id, reach) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+    , clusters AS (
+      SELECT id AS doc_id, LEAST(id, MIN(reach)) AS cluster_id
+      FROM walk GROUP BY id),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+             FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id ASC) AS keeper
+      FROM clusters c JOIN documents d USING (doc_id))
+    SELECT doc_id, cluster_id, keeper AS keeper_doc_id, (rn = 1) AS keep
+    FROM ranked
+    """,
+    tags=("llm", "dedup", "keeper"),
+)
+def q_dedup_keeper_selection(spark, sf_dir):
+    """The policy stage that turns near-dup clusters into a training-set
+    decision: per cluster keep the LONGEST member (tiebreak lowest id —
+    the RefinedWeb/C4 convention of preferring the most complete copy),
+    mark the rest for drop. Output is the per-doc verdict relation the
+    corpus materializer anti-joins on.
+
+    Spark side: the distributed min-label clusters + one broadcast-joined
+    n_chars lookup + one per-cluster window (clusters are pairs/triples,
+    so the window partition is tiny by construction). Oracle re-derives
+    clusters via WITH RECURSIVE transitive closure and applies the same
+    window."""
+    from pyspark.sql import Window
+
+    pairs = D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+    clusters = D.dedup_clusters(pairs)
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = clusters.join(d, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        F.row_number().over(w).alias("rn"),
+        F.first("doc_id").over(w).alias("keeper_doc_id"),
+    )
+    return ranked.select(
+        "doc_id", "cluster_id", "keeper_doc_id", (F.col("rn") == 1).alias("keep")
+    )

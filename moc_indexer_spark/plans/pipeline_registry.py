@@ -795,3 +795,35 @@ def q_bloom_decontamination(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _kmeans_oracle() -> str:
+    from ..operators.clustering import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(k=KMEANS_K, iters=KMEANS_ITERS, dim=EMB_DIM)
+
+
+@register(
+    "kmeans_clusters",
+    _kmeans_oracle(),
+    tags=("pipeline", "clustering", "iterative"),
+)
+def q_kmeans_clusters(spark, sf_dir):
+    """Fully-distributed Lloyd's k-means (k=8, 2 unrolled iterations) over
+    the embeddings table, certified by a DuckDB oracle replaying the SAME
+    deterministic algorithm (lowest-id init, decimal-frozen distances,
+    total-order argmin — operators/clustering.py). Unlike the IVF coarse
+    quantizer's bounded driver-side sample training, every E/M step here
+    is a distributed broadcast-join + aggregate, so the loop itself scales
+    with the cluster. Output: the per-point assignment after the final
+    E-step."""
+    from ..operators.clustering import kmeans_assign
+
+    return kmeans_assign(
+        table(spark, sf_dir, "embeddings"), k=KMEANS_K, iters=KMEANS_ITERS,
+        dim=EMB_DIM,
+    )
