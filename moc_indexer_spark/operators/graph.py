@@ -1,0 +1,173 @@
+"""Distributed PageRank over a relational graph, exact-replayable.
+
+No reference analog (BASELINE.json north star) — graph centrality over
+entity-interaction edges (customer<->supplier trade here; address<->contract
+transfer graphs in the chain domain) is a standard curation signal for
+training-data pipelines (domain authority weighting) and the second
+iterative-algorithm certification next to `operators/clustering.py`.
+
+Spark-first shape: each power iteration is
+  edges ⋈ ranks (shuffle on src) -> groupBy dst partial-sum -> left join
+  back onto the node list
+so per-iteration cost is one edge-sized shuffle with map-side combine —
+the textbook Pregel-equivalent dataflow. Iterations unroll into a single
+Catalyst plan (only the plan visits the driver). The node and degree
+relations are |V|-sized; the rank relation is 16 bytes/node. At 100 TB of
+edges the shuffle key is the 8-ish-byte node id, AQE handles hub skew,
+and a production loop would checkpoint ranks every ~5 rounds to reset
+lineage — none of which changes per-round physics.
+
+Exact cross-engine determinism (same discipline as kmeans): ranks are
+DECIMAL(20,12); the only IEEE-double steps are the contribution division
+rank/outdeg (rounded to 12 and frozen back to decimal — integer-divisor
+quotients have no mass near decimal rounding boundaries) and the one
+teleport scalar 0.15/N. The damping update itself runs in EXACT decimal:
+0.85 (DECIMAL(3,2)) times an exact 12-digit inflow lands on a "..50"
+half-way digit about 1 in 10 times, so doing it in binary and rounding
+lets last-ulp noise pick the direction per engine — measured divergence
+at sf0.01, node c:6, true product ...060499999986 (Spark's
+BigDecimal-of-shortest-repr rounds down, DuckDB's multiply-by-1e12 rounds
+up). Decimal HALF_UP is identical in both engines, so the exact-decimal
+form is replayable by construction. Dangling nodes cannot exist here
+(edges are emitted in both directions), so the redistribution term is
+exactly the uniform teleport.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+TELEPORT = 0.15
+ITERS = 3
+
+
+def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Directed edge list of the customer<->supplier trade graph: one edge
+    pair per distinct (customer, supplier) trading relationship."""
+    pairs = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_suppkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("cnode"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("snode"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+    rev = pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    return fwd.unionAll(rev)
+
+
+def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
+    """`iters` damped power iterations from the uniform vector.
+
+    Returns (node string, rank double). Every node appears as a src (the
+    edge builder emits both directions), so outdeg >= 1 and no dangling
+    mass correction is needed.
+    """
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg")
+    )
+    counts = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+
+    ranks = nodes.crossJoin(F.broadcast(counts)).select(
+        "node",
+        "n_nodes",
+        F.round(F.lit(1.0) / F.col("n_nodes").cast("double"), 12)
+        .cast("decimal(20,12)")
+        .alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.select("node", "rank"),
+                       edges.src == F.col("node"))
+            .join(F.broadcast(outdeg), "src")
+            .select(
+                "dst",
+                F.round(
+                    F.col("rank").cast("double")
+                    / F.col("outdeg").cast("double"),
+                    12,
+                ).cast("decimal(20,12)").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        teleport = F.round(
+            F.lit(TELEPORT) / F.col("n_nodes").cast("double"), 12
+        ).cast("decimal(20,12)")
+        damped = F.lit("0.85").cast("decimal(3,2)") * F.coalesce(
+            F.col("inflow"), F.lit(0).cast("decimal(20,12)")
+        )
+        ranks = (
+            ranks.select("node", "n_nodes")
+            .join(inflow, ranks.node == inflow.dst, "left")
+            .select(
+                "node",
+                "n_nodes",
+                F.round(teleport + damped, 12)
+                .cast("decimal(20,12)")
+                .alias("rank"),
+            )
+        )
+    return ranks.select("node", F.col("rank").cast("double").alias("rank"))
+
+
+def pagerank_oracle_sql(iters: int = ITERS) -> str:
+    """The same damped power iteration as DuckDB SQL (generated CTE per
+    iteration; identical expression shapes)."""
+    parts = [
+        """edges AS (
+          SELECT src, dst FROM (
+            SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1, 2)
+          UNION ALL
+          SELECT src, dst FROM (
+            SELECT 's:' || l_suppkey AS src, 'c:' || o_custkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1, 2))""",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg "
+        "FROM edges GROUP BY src)",
+        "counts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)",
+        "r0 AS (SELECT node, n_nodes, CAST(ROUND(1.0 / CAST(n_nodes AS "
+        "DOUBLE), 12) AS DECIMAL(20,12)) AS rank FROM nodes CROSS JOIN "
+        "counts)",
+    ]
+    prev = "r0"
+    for i in range(iters):
+        parts.append(
+            f"""c{i} AS (
+              SELECT e.dst,
+                     CAST(ROUND(CAST(r.rank AS DOUBLE)
+                                / CAST(o.outdeg AS DOUBLE), 12)
+                          AS DECIMAL(20,12)) AS c
+              FROM edges e
+              JOIN {prev} r ON r.node = e.src
+              JOIN outdeg o ON o.src = e.src)"""
+        )
+        parts.append(
+            f"i{i} AS (SELECT dst, SUM(c) AS inflow FROM c{i} GROUP BY dst)"
+        )
+        parts.append(
+            f"""r{i + 1} AS (
+              SELECT r.node, r.n_nodes,
+                     CAST(ROUND(
+                       CAST(ROUND(CAST({TELEPORT} AS DOUBLE)
+                                  / CAST(r.n_nodes AS DOUBLE), 12)
+                            AS DECIMAL(20,12))
+                       + CAST(0.85 AS DECIMAL(3,2))
+                         * COALESCE(i.inflow, CAST(0 AS DECIMAL(20,12))),
+                       12) AS DECIMAL(20,12)) AS rank
+              FROM {prev} r LEFT JOIN i{i} i ON i.dst = r.node)"""
+        )
+        prev = f"r{i + 1}"
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node, CAST(rank AS DOUBLE) AS rank FROM {prev}"
+    )

@@ -1,0 +1,324 @@
+"""Model-based curation operators: DSIR importance weights and a
+fully-distributed logistic-regression quality classifier.
+
+No reference analog (BASELINE.json north star) — these are the two
+standard "model in the loop" stages of a training-data pipeline that the
+purely rule-based filters (quality_registry) feed into:
+
+* DSIR (Data Selection via Importance Resampling, Xie et al. 2023):
+  score every raw document by the log-likelihood ratio of a hashed
+  n-gram bag model fitted on a target domain vs the raw pool, then
+  resample proportionally. Here the target is the lang='en' slice and
+  the weight is the per-doc sum of per-bucket log ratios.
+* Logistic regression: batch gradient descent on cheap text features
+  against a deterministic label, unrolled into one Catalyst plan —
+  the linear-probe quality classifier (fastText-style pipelines) whose
+  trained weights then score arbitrarily large corpora map-only.
+
+Spark-first shapes:
+
+* DSIR: one explode+groupBy builds the 4096-bucket hash LM (map-side
+  combine; bucket keys are 3-hex-char strings). The bucket table
+  broadcasts back onto the per-doc bigram relation, so the corpus is
+  shuffled exactly once (the per-doc sum groupBy). Hash buckets are
+  `substr(md5(bigram), 1, 3)` — engine-portable by construction.
+* LogReg: each GD iteration is ONE map-side-combining aggregate to a
+  single gradient row that broadcasts back as the next weight vector —
+  the classic "parameter server in the plan" shape; per-iteration
+  shuffle traffic is (n_features+1) decimals per partition.
+
+Cross-engine determinism (driver hash-compare vs DuckDB): all sums run
+over round-frozen DECIMALs (order-independent); ln()/exp() appear only
+inside `round(.., 9)` single expressions with identical operand order
+(the bigram_logprob pattern); GD weights are DECIMAL(18,9) and the dot
+product is exact decimal arithmetic, so the sigmoid input is the same
+IEEE double in both engines.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+N_BUCKETS = 4096  # 16^3: bucket key is the first 3 hex chars of md5
+
+SQL_TOKS = "list_filter(str_split(text, ' '), x -> x <> '')"
+
+
+def _bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket) — one row per bigram OCCURRENCE, bucketed."""
+    toks = docs.select("doc_id", "lang", T.tokens().alias("t"))
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(T.ngrams_all(F.col("t"), 2)).alias("bg"),
+    )
+    return bg.select(
+        "doc_id", "lang", F.substring(F.md5("bg"), 1, 3).alias("bucket")
+    )
+
+
+def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
+    """Per-document DSIR importance log-weight.
+
+    weight(d) = sum over bigram occurrences b in d of
+      ln((cnt_target(b)+1)/(tot_target+B)) - ln((cnt_raw(b)+1)/(tot_raw+B))
+    with B = 4096 hashed buckets and add-one smoothing. Returns
+    (doc_id, n_bigrams bigint, logw double); docs with no bigrams are
+    excluded (their weight is vacuously 0 and they carry no signal).
+    """
+    bg = _bigrams(docs)
+    buckets = bg.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_raw"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("cnt_t"),
+    )
+    totals = buckets.agg(
+        F.sum("cnt_raw").cast("bigint").alias("tot_raw"),
+        F.sum("cnt_t").cast("bigint").alias("tot_t"),
+    )
+    nb = F.lit(float(N_BUCKETS))
+    lr = (
+        F.round(
+            F.log(
+                (F.col("cnt_t").cast("double") + F.lit(1.0))
+                / (F.col("tot_t").cast("double") + nb)
+            ),
+            9,
+        ).cast("decimal(18,9)")
+        - F.round(
+            F.log(
+                (F.col("cnt_raw").cast("double") + F.lit(1.0))
+                / (F.col("tot_raw").cast("double") + nb)
+            ),
+            9,
+        ).cast("decimal(18,9)")
+    )
+    bucket_lr = buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket", lr.alias("lr")
+    )
+    return (
+        bg.join(F.broadcast(bucket_lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("lr").cast("double").alias("logw"),
+        )
+    )
+
+
+def dsir_oracle_sql(target_lang: str = "en") -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, {SQL_TOKS} AS t FROM documents),
+    bgidx AS (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+              FROM toks WHERE len(t) >= 2),
+    bg AS (SELECT doc_id, lang,
+                  substr(md5(t[CAST(i AS INT)] || ' ' ||
+                             t[CAST(i + 1 AS INT)]), 1, 3) AS bucket
+           FROM bgidx),
+    buckets AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt_raw,
+             CAST(SUM(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_t
+      FROM bg GROUP BY bucket),
+    totals AS (
+      SELECT CAST(SUM(cnt_raw) AS BIGINT) AS tot_raw,
+             CAST(SUM(cnt_t) AS BIGINT) AS tot_t FROM buckets),
+    blr AS (
+      SELECT bucket,
+             CAST(ROUND(ln((CAST(cnt_t AS DOUBLE) + 1.0)
+                           / (CAST(tot_t AS DOUBLE) + {float(N_BUCKETS)})),
+                        9) AS DECIMAL(18,9))
+             - CAST(ROUND(ln((CAST(cnt_raw AS DOUBLE) + 1.0)
+                             / (CAST(tot_raw AS DOUBLE) + {float(N_BUCKETS)})),
+                          9) AS DECIMAL(18,9)) AS lr
+      FROM buckets CROSS JOIN totals)
+    SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(blr.lr) AS DOUBLE) AS logw
+    FROM bg JOIN blr USING (bucket)
+    GROUP BY bg.doc_id
+    """
+
+
+# --- logistic regression ----------------------------------------------------
+
+LR_ITERS = 3
+LR_RATE = 1.0
+N_FEATURES = 4  # bias, token_count/100, distinct ratio, stopword ratio
+
+
+def _features(docs: DataFrame) -> DataFrame:
+    """(doc_id, y, x0..x3) with x_j DECIMAL(18,6) round-frozen doubles.
+    Docs with zero tokens are excluded (ratios undefined)."""
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        T.token_count().alias("tc"),
+        T.distinct_token_count().alias("dc"),
+        T.stopword_count().alias("sc"),
+    ).filter(F.col("tc") > 0)
+    tc_d = F.col("tc").cast("double")
+    return toks.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("y"),
+        F.lit(1).cast("decimal(18,6)").alias("x0"),
+        F.round(tc_d / F.lit(100.0), 6).cast("decimal(18,6)").alias("x1"),
+        F.round(F.col("dc").cast("double") / tc_d, 6)
+        .cast("decimal(18,6)").alias("x2"),
+        F.round(F.col("sc").cast("double") / tc_d, 6)
+        .cast("decimal(18,6)").alias("x3"),
+    )
+
+
+def _sigmoid(z_dec):
+    """round(1/(1+exp(-z)), 9) as DECIMAL(18,9) — z is exact decimal, so
+    the double input to exp is identical in both engines."""
+    zd = z_dec.cast("double")
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zd)), 9).cast(
+        "decimal(18,9)"
+    )
+
+
+def logreg_predictions(
+    docs: DataFrame, iters: int = LR_ITERS, rate: float = LR_RATE
+) -> DataFrame:
+    """Train `iters` full-batch GD steps from w=0, then score every doc
+    with the final weights. Returns (doc_id, y int, p_hat double,
+    predicted int)."""
+    feats = _features(docs)
+    fx = [f"x{j}" for j in range(N_FEATURES)]
+    # weights live as one broadcastable row (w0..w3 DECIMAL(18,9))
+    spark = docs.sparkSession
+    weights = spark.createDataFrame(
+        [tuple([0.0] * N_FEATURES)],
+        ", ".join(f"w{j} double" for j in range(N_FEATURES)),
+    ).select(
+        *[F.col(f"w{j}").cast("decimal(18,9)").alias(f"w{j}") for j in
+          range(N_FEATURES)]
+    )
+    n_docs = feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    for _ in range(iters):
+        z = reduce(
+            lambda a, b: a + b,
+            [F.col(f"w{j}") * F.col(f"x{j}") for j in range(N_FEATURES)],
+        )
+        scored = feats.crossJoin(F.broadcast(weights)).withColumn(
+            "p", _sigmoid(z)
+        )
+        err_d = (F.col("p") - F.col("y").cast("decimal(18,9)")).cast("double")
+        grads = scored.agg(
+            *[
+                F.sum(
+                    F.round(err_d * F.col(f"x{j}").cast("double"), 10).cast(
+                        "decimal(20,10)"
+                    )
+                ).alias(f"g{j}")
+                for j in range(N_FEATURES)
+            ],
+            *[F.first(f"w{j}").alias(f"w{j}") for j in range(N_FEATURES)],
+        )
+        weights = grads.crossJoin(F.broadcast(n_docs)).select(
+            *[
+                F.round(
+                    F.col(f"w{j}").cast("double")
+                    - F.lit(rate)
+                    * (
+                        F.col(f"g{j}").cast("double")
+                        / F.col("n_docs").cast("double")
+                    ),
+                    9,
+                ).cast("decimal(18,9)").alias(f"w{j}")
+                for j in range(N_FEATURES)
+            ]
+        )
+    z = reduce(
+        lambda a, b: a + b,
+        [F.col(f"w{j}") * F.col(f"x{j}") for j in range(N_FEATURES)],
+    )
+    return (
+        feats.crossJoin(F.broadcast(weights))
+        .withColumn("p", _sigmoid(z))
+        .select(
+            "doc_id",
+            "y",
+            F.col("p").cast("double").alias("p_hat"),
+            F.when(F.col("p") >= F.lit("0.5").cast("decimal(18,9)"), 1)
+            .otherwise(0).cast("int").alias("predicted"),
+        )
+    )
+
+
+def logreg_oracle_sql(iters: int = LR_ITERS, rate: float = LR_RATE) -> str:
+    """Generated DuckDB replay of the same GD loop (one CTE pair per
+    iteration)."""
+    fx = range(N_FEATURES)
+    stop_in = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+    parts = [
+        f"""feats AS (
+          SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 CAST(1 AS DECIMAL(18,6)) AS x0,
+                 CAST(ROUND(CAST(len(t) AS DOUBLE) / 100.0, 6)
+                      AS DECIMAL(18,6)) AS x1,
+                 CAST(ROUND(CAST(len(list_distinct(t)) AS DOUBLE)
+                            / CAST(len(t) AS DOUBLE), 6)
+                      AS DECIMAL(18,6)) AS x2,
+                 CAST(ROUND(CAST(len(list_filter(t, x -> x IN ({stop_in})))
+                                 AS DOUBLE)
+                            / CAST(len(t) AS DOUBLE), 6)
+                      AS DECIMAL(18,6)) AS x3
+          FROM (SELECT doc_id, lang, {SQL_TOKS} AS t FROM documents)
+          WHERE len(t) > 0)""",
+        "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM feats)",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS DECIMAL(18,9)) AS w{j}" for j in fx)
+        + ")",
+    ]
+    prev = "w0"
+    for i in range(iters):
+        dot = " + ".join(f"w.w{j} * f.x{j}" for j in fx)
+        gsums = ", ".join(
+            "SUM(CAST(ROUND(CAST(p - CAST(y AS DECIMAL(18,9)) AS DOUBLE)"
+            f" * CAST(x{j} AS DOUBLE), 10) AS DECIMAL(20,10))) AS g{j}"
+            for j in fx
+        )
+        keep_w = ", ".join(f"MIN(w{j}) AS w{j}" for j in fx)
+        parts.append(
+            f"""s{i} AS (
+              SELECT f.*, w.*,
+                     CAST(ROUND(1.0 / (1.0 + exp(-CAST({dot} AS DOUBLE))), 9)
+                          AS DECIMAL(18,9)) AS p
+              FROM feats f CROSS JOIN {prev} w)"""
+        )
+        parts.append(f"g{i} AS (SELECT {gsums}, {keep_w} FROM s{i})")
+        upd = ", ".join(
+            f"CAST(ROUND(CAST(w{j} AS DOUBLE) - CAST({rate} AS DOUBLE)"
+            f" * (CAST(g{j} AS DOUBLE) / CAST(n_docs AS DOUBLE)), 9)"
+            f" AS DECIMAL(18,9)) AS w{j}"
+            for j in fx
+        )
+        parts.append(
+            f"w{i + 1} AS (SELECT {upd} FROM g{i} CROSS JOIN nd)"
+        )
+        prev = f"w{i + 1}"
+    dot = " + ".join(f"w.w{j} * f.x{j}" for j in fx)
+    body = ",\n".join(parts)
+    return f"""
+    WITH {body}
+    SELECT f.doc_id, f.y,
+           CAST(CAST(ROUND(1.0 / (1.0 + exp(-CAST({dot} AS DOUBLE))), 9)
+                     AS DECIMAL(18,9)) AS DOUBLE) AS p_hat,
+           CAST(CASE WHEN CAST(ROUND(1.0 / (1.0 + exp(-CAST({dot} AS
+                  DOUBLE))), 9) AS DECIMAL(18,9))
+                  >= CAST(0.5 AS DECIMAL(18,9))
+                THEN 1 ELSE 0 END AS INT) AS predicted
+    FROM feats f CROSS JOIN {prev} w
+    """

@@ -1,0 +1,185 @@
+"""BM25 full-text retrieval over the documents corpus.
+
+No reference analog (BASELINE.json north star: the text-side complement of
+the embedding ANN family in operators/similarity.py) — a training-data
+pipeline needs lexical retrieval for benchmark-decontamination lookups,
+quality-probe queries, and hard-negative mining next to its vector index.
+
+Spark-first shape (all Catalyst expressions, zero Python):
+
+* postings: explode tokens -> one map-side-combining groupBy into
+  (doc_id, term, tf). The ONLY corpus-sized shuffle; it is the inverted
+  index build, linear in corpus tokens with 8-byte-ish keys.
+* document-frequency + length stats reduce to |vocab| and 1-row
+  relations; they and the query term set broadcast to the probe join,
+  so scoring never reshuffles the corpus.
+* Scoring touches only postings rows whose term appears in a query —
+  the broadcast semi-join prunes the other ~100% of the index before
+  any arithmetic runs.
+
+Cross-engine determinism (driver hash-compare vs DuckDB): the BM25
+term score is ONE double expression with identical operand order in both
+engines, rounded to DECIMAL(18,9) before the per-(query,doc) sum — the
+exact-decimal aggregation makes the sum order-independent, and ln()'s
+last-ulp risk is absorbed by the round (same pattern as bigram_logprob).
+Top-k ranks under the total order (score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+K1 = 1.2
+B = 0.75
+TOP_K = 10
+
+# fixed probe queries over the synthetic corpus vocabulary; real
+# deployments pass any (query_id, query_text) relation
+QUERIES = [
+    (0, "hash join merge"),
+    (1, "table scan fast"),
+    (2, "spark window sort"),
+    (3, "batch row value"),
+]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]] | None = None,
+    k: int = TOP_K,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k docs per query under BM25 (Robertson/Okapi, Lucene idf form
+    ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Returns (query_id int, rank int, doc_id bigint, score double).
+    """
+    spark = docs.sparkSession
+    queries = QUERIES if queries is None else queries
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, qtext in queries for t in qtext.split(" ")],
+        "query_id int, term string",
+    ).distinct()
+
+    toks = docs.select("doc_id", T.tokens().alias("t")).filter(F.size("t") > 0)
+    lengths = toks.select("doc_id", F.size("t").cast("bigint").alias("dl"))
+    postings = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    stats = lengths.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+
+    # probe: broadcast the query terms (tiny) and the per-term df rows that
+    # survive the semi-join; corpus postings never reshuffle
+    probe = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(qterms.join(dfreq, "term")).select("term", "df").distinct(), "term")
+        .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    n_d = F.col("n_docs").cast("double")
+    df_d = F.col("df").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n_d
+    idf = F.round(
+        F.log((n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5)) + F.lit(1.0)), 9
+    ).cast("decimal(18,9)")
+    tf_norm = (tf_d * F.lit(k1 + 1.0)) / (
+        tf_d + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dl_d / avgdl)
+    )
+    term_score = F.round(idf.cast("double") * tf_norm, 9).cast("decimal(18,9)")
+
+    scored = probe.select("query_id", "doc_id", term_score.alias("s")).groupBy(
+        "query_id", "doc_id"
+    ).agg(F.sum("s").alias("score_dec"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_dec"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            "doc_id",
+            F.col("score_dec").cast("double").alias("score"),
+        )
+    )
+
+
+def bm25_oracle_sql(
+    queries: list[tuple[int, str]] | None = None,
+    k: int = TOP_K,
+    k1: float = K1,
+    b: float = B,
+    sql_toks: str = "list_filter(str_split(text, ' '), x -> x <> '')",
+) -> str:
+    """The same BM25 computation as DuckDB SQL (identical expression
+    shapes; see module docstring for the determinism argument)."""
+    queries = QUERIES if queries is None else queries
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, qtext in queries
+        for t in sorted(set(qtext.split(" ")))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_toks} AS t FROM documents),
+    nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+    lengths AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM nz),
+    postings AS (
+      SELECT doc_id, unnest(t) AS term FROM nz),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM postings GROUP BY doc_id, term),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl FROM lengths),
+    qterms AS (SELECT * FROM (VALUES {qvals}) AS q(query_id, term)),
+    scoredterms AS (
+      SELECT q.query_id, f.doc_id,
+             CAST(ROUND(
+               CAST(CAST(ROUND(ln(
+                   (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                   / (CAST(d.df AS DOUBLE) + 0.5) + 1.0
+                 ), 9) AS DECIMAL(18,9)) AS DOUBLE)
+               * ((CAST(f.tf AS DOUBLE) * CAST({k1 + 1.0} AS DOUBLE))
+                  / (CAST(f.tf AS DOUBLE)
+                     + CAST({k1} AS DOUBLE)
+                       * (1.0 - CAST({b} AS DOUBLE)
+                          + CAST({b} AS DOUBLE) * CAST(l.dl AS DOUBLE)
+                            / (CAST(s.sum_dl AS DOUBLE)
+                               / CAST(s.n_docs AS DOUBLE))))),
+               9) AS DECIMAL(18,9)) AS s
+      FROM tf f
+      JOIN qterms q ON q.term = f.term
+      JOIN dfreq d ON d.term = f.term
+      JOIN lengths l ON l.doc_id = f.doc_id
+      CROSS JOIN stats s),
+    agg AS (
+      SELECT query_id, doc_id, SUM(s) AS score_dec
+      FROM scoredterms GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, score_dec,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY score_dec DESC, doc_id ASC) AS rank
+      FROM agg)
+    SELECT CAST(query_id AS INT) AS query_id, CAST(rank AS INT) AS rank,
+           doc_id, CAST(score_dec AS DOUBLE) AS score
+    FROM ranked WHERE rank <= {k}
+    """

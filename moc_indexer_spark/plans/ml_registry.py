@@ -1,0 +1,72 @@
+"""Registry entries for the model-in-the-loop curation operators
+(operators/ml.py, operators/retrieval.py, operators/graph.py).
+
+No reference analog (BASELINE.json north star: LLM-training-data
+pipeline). All four are oracle-gated — including the two iterative
+algorithms, which follow the clustering.py pattern of exact-decimal
+arithmetic so a generated DuckDB oracle replays the identical loop.
+"""
+
+from __future__ import annotations
+
+from ..operators import graph as G
+from ..operators import ml as M
+from ..operators import retrieval as RT
+from ..tables import table
+from .registry import register
+
+
+@register(
+    "bm25_topk",
+    RT.bm25_oracle_sql(),
+    tags=("llm", "retrieval", "bm25", "topk"),
+    bench=True,
+)
+def q_bm25_topk(spark, sf_dir):
+    """Lexical retrieval: BM25 top-10 per probe query over the inverted
+    index. One corpus-sized shuffle (the postings build); scoring prunes
+    to query-term postings via broadcast semi-join."""
+    return RT.bm25_topk(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pagerank_trade_graph",
+    G.pagerank_oracle_sql(),
+    tags=("graph", "pagerank", "iterative"),
+    bench=True,
+)
+def q_pagerank(spark, sf_dir):
+    """3 damped power iterations over the customer<->supplier trade graph
+    (edge-sized shuffle per iteration, broadcast degree table), unrolled
+    into one plan; exact-decimal update rule -> replayable oracle."""
+    return G.pagerank(
+        G.trade_edges(
+            table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+        )
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    M.dsir_oracle_sql(),
+    tags=("llm", "sampling", "dsir"),
+    bench=True,
+)
+def q_dsir(spark, sf_dir):
+    """DSIR (Xie et al. 2023) importance log-weights for target=lang-en
+    under a 4096-bucket hashed-bigram LM; one corpus shuffle + one
+    broadcast join."""
+    return M.dsir_weights(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "logreg_quality_scores",
+    M.logreg_oracle_sql(),
+    tags=("llm", "classifier", "iterative"),
+    bench=True,
+)
+def q_logreg(spark, sf_dir):
+    """Distributed full-batch logistic regression (3 GD steps unrolled in
+    the plan, one gradient row per step) + final per-doc scores; the
+    model-based quality gate next to the rule-based filters."""
+    return M.logreg_predictions(table(spark, sf_dir, "documents"))

@@ -107,6 +107,7 @@ def registry() -> list[QuerySpec]:
     from . import (  # noqa: F401
         llm_registry,
         misc_registry,
+        ml_registry,
         pipeline_registry,
         quality_registry,
         relational_extra,

@@ -1,0 +1,93 @@
+"""Semantic properties of the model-in-the-loop curation operators —
+cross-engine parity is covered by test_oracle_parity; these check the
+algorithms do what the math says."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from moc_indexer_spark.operators import graph as G
+from moc_indexer_spark.operators import ml as M
+from moc_indexer_spark.operators import retrieval as RT
+from moc_indexer_spark.tables import table
+
+
+def test_bm25_rank_is_dense_and_bounded(spark, sf_dir):
+    out = RT.bm25_topk(table(spark, sf_dir, "documents")).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= RT.TOP_K
+        # scores non-increasing with rank
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.score > 0 for r in rows)
+
+
+def test_bm25_finds_exact_term_doc(spark, sf_dir):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha alpha"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    out = RT.bm25_topk(docs, queries=[(0, "alpha")], k=2).collect()
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)][0] == 2
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    e = G.trade_edges(
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    )
+    ranks = G.pagerank(e)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    # teleport+damping keeps total mass ~1 (rounding drift only)
+    assert abs(total - 1.0) < 1e-6
+    assert ranks.filter(F.col("rank") <= 0).count() == 0
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    # star graph: hub h connected to 3 leaves (both directions)
+    edges = spark.createDataFrame(
+        [("h", x) for x in "abc"] + [(x, "h") for x in "abc"],
+        "src string, dst string",
+    )
+    r = {row.node: row.rank for row in G.pagerank(edges).collect()}
+    assert r["h"] > r["a"] == r["b"] == r["c"]
+
+
+def test_dsir_target_docs_score_higher(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    w = M.dsir_weights(d).join(d.select("doc_id", "lang"), "doc_id")
+    means = dict(
+        w.groupBy(F.col("lang") == "en")
+        .agg(F.avg(F.col("logw") / F.col("n_bigrams")))
+        .collect()
+    )
+    # per-bigram importance must be higher for the target slice
+    assert means[True] > means[False]
+
+
+def test_logreg_beats_majority_class(spark, sf_dir):
+    out = M.logreg_predictions(table(spark, sf_dir, "documents"))
+    agg = out.agg(
+        F.avg(F.when(F.col("predicted") == F.col("y"), 1.0).otherwise(0.0)),
+        F.avg(F.col("y").cast("double")),
+    ).collect()[0]
+    acc, pos_rate = agg[0], agg[1]
+    majority = max(pos_rate, 1.0 - pos_rate)
+    # 3 GD steps on weak features: all we demand is better-than-constant
+    assert acc >= majority - 1e-9
+    # probabilities are proper
+    bounds = out.agg(F.min("p_hat"), F.max("p_hat")).collect()[0]
+    assert 0.0 < bounds[0] and bounds[1] < 1.0
+
+
+def test_logreg_separable_toy(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr",
+             ("the a of and in " * 5) if i % 2 == 0 else "zz yy xx ww vv")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = M.logreg_predictions(docs, iters=6).collect()
+    acc = sum(1 for r in out if r.predicted == r.y) / len(out)
+    assert acc == 1.0
