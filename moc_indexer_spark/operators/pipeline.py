@@ -384,3 +384,45 @@ def bigram_logprob(docs: DataFrame, lam: float = 0.8) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+def compression_ratio(docs: DataFrame) -> DataFrame:
+    """Per-document zlib compression ratio — the classic "too repetitive /
+    too random" quality gate that complements the n-gram repetition
+    filters (boilerplate compresses far below natural text; encrypted or
+    garbled bytes barely compress at all).
+
+    Plan shape: map-only Arrow `mapInPandas` (zero exchanges), same
+    rationale as `repetition_stats` — a DEFLATE pass over each text is
+    inherently per-row imperative work no Catalyst builtin expresses, so
+    the Arrow batch path IS the fast path. zlib level is pinned (6) so
+    the output is deterministic across runs and executors; not
+    SQL-expressible, hence rows-only at the driver gate with a pytest
+    reference check against direct zlib.
+    """
+
+    def ratios(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            n = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "compressed_bytes": comp.astype("int64"),
+                    "compression_ratio": (
+                        comp / n.where(n > 0)
+                    ).astype("float64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        ratios,
+        "doc_id bigint, n_bytes bigint, compressed_bytes bigint, "
+        "compression_ratio double",
+    )

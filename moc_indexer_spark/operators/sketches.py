@@ -1,0 +1,129 @@
+"""KMV (k-minimum-values) distinct-count sketch, cross-engine certified.
+
+No reference analog (BASELINE.json north star) — the cardinality-sketch
+rung of the approximate family next to `approx_distinct_users` (HLL++)
+and `approx_value_percentiles` (quantile sketch). Unlike HLL, whose
+register layout is engine-private, KMV is *certifiable*: the sketch is
+"the k smallest hash values of the distinct set", a deterministic
+relational statement both engines can evaluate exactly, so the driver's
+hash-compare can gate the whole estimate path (Beyer et al., SIGMOD'07
+unbiased estimator (k-1)/h_(k)).
+
+Spark-first scale shape: the k-smallest selection runs in two phases —
+per-(group, salt) windows over ~1/64th slices of the distinct relation,
+then a final window over the <= 64*k surviving candidates per group.
+That is exactly how a mergeable KMV behaves (partial sketches -> union ->
+re-truncate), expressed relationally so Catalyst plans it; and because
+exact k-smallest is salting-invariant, the DuckDB oracle can use a plain
+single window and still match bit-for-bit.
+
+Determinism: the hash is the first 15 hex chars of md5 (60 bits) parsed
+to BIGINT — identical in Spark (conv(h,16,10)) and DuckDB ('0x'||h cast).
+The estimator is one double expression; groups with fewer than k distinct
+members short-circuit to the exact count (the KMV "sketch is exact below
+k" rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K = 32
+N_SALTS = 64
+_SCALE = float(16**15)  # 2^60, exactly representable as a double
+
+
+def _h60(col):
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = K
+) -> DataFrame:
+    """Per-group exact count, KMV estimate, and relative error.
+
+    Returns (group_col, n_exact bigint, kmv_estimate double,
+    rel_err double).
+    """
+    du = df.select(group_col, value_col).distinct()
+    hashed = du.select(
+        group_col,
+        F.col(value_col).alias("v"),
+        _h60(F.col(value_col)).alias("h"),
+    )
+    # phase 1: k smallest within each of 64 salt slices (bounded windows)
+    w1 = Window.partitionBy(group_col, F.col("h") % N_SALTS).orderBy("h", "v")
+    cand = hashed.withColumn("rn", F.row_number().over(w1)).filter(
+        F.col("rn") <= k
+    )
+    # phase 2: global k smallest among <= 64k candidates per group
+    w2 = Window.partitionBy(group_col).orderBy("h", "v")
+    kth = (
+        cand.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") == k)
+        .select(group_col, F.col("h").alias("hk"))
+    )
+    exact = du.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_exact") < k, F.col("n_exact").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(_SCALE) / F.col("hk").cast("double"),
+            4,
+        )
+    )
+    return (
+        exact.join(F.broadcast(kth), group_col, "left")
+        .select(
+            group_col,
+            "n_exact",
+            est.alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def kmv_oracle_sql(
+    table: str, group_col: str, value_col: str, k: int = K
+) -> str:
+    return f"""
+    WITH du AS (
+      SELECT DISTINCT {group_col}, {value_col} AS v FROM {table}),
+    hashed AS (
+      SELECT {group_col}, v,
+             CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15) AS BIGINT)
+               AS h
+      FROM du),
+    kth AS (
+      SELECT {group_col}, h AS hk FROM (
+        SELECT {group_col}, h,
+               ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                  ORDER BY h, v) AS rn
+        FROM hashed) t
+      WHERE rn = {k}),
+    exact AS (
+      SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM du GROUP BY {group_col})
+    SELECT e.{group_col}, e.n_exact,
+           CASE WHEN e.n_exact < {k} THEN CAST(e.n_exact AS DOUBLE)
+                ELSE ROUND(CAST({float(k - 1)} AS DOUBLE)
+                           * CAST({_SCALE} AS DOUBLE)
+                           / CAST(t.hk AS DOUBLE), 4)
+           END AS kmv_estimate,
+           ROUND(ABS(CASE WHEN e.n_exact < {k} THEN CAST(e.n_exact AS DOUBLE)
+                          ELSE ROUND(CAST({float(k - 1)} AS DOUBLE)
+                                     * CAST({_SCALE} AS DOUBLE)
+                                     / CAST(t.hk AS DOUBLE), 4)
+                     END - CAST(e.n_exact AS DOUBLE))
+                 / CAST(e.n_exact AS DOUBLE), 6) AS rel_err
+    FROM exact e LEFT JOIN kth t USING ({group_col})
+    """

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import pipeline as P
+from ..operators.sketches import kmv_distinct, kmv_oracle_sql
 from ..tables import table
 from .registry import register
 
@@ -275,6 +276,32 @@ def q_replica_reconciliation(spark, sf_dir):
     return reconcile(
         orders, replica, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
     )
+
+
+@register(
+    "kmv_distinct_sketch",
+    kmv_oracle_sql("events", "event_type", "user_id"),
+    tags=("pipeline", "sketch", "cardinality"),
+)
+def q_kmv_distinct_sketch(spark, sf_dir):
+    """KMV distinct-count sketch per event_type (k=32 minimum md5-60bit
+    hashes; salted two-phase k-smallest = the mergeable-partial-sketch
+    dataflow). Oracle-gated — the certifiable cardinality sketch next to
+    the rows-only HLL++ (`approx_distinct_users`); see operators/
+    sketches.py for why the estimate is bit-replayable."""
+    return kmv_distinct(table(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+@register(
+    "compression_ratio_signal",
+    None,
+    tags=("llm", "quality", "map-only"),
+)
+def q_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality gate (map-only Arrow stage; zero
+    exchanges). Rows-only at the driver — DEFLATE is not SQL-expressible;
+    pytest checks byte-exactness against direct zlib."""
+    return P.compression_ratio(table(spark, sf_dir, "documents"))
 
 
 @register(

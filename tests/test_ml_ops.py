@@ -91,3 +91,40 @@ def test_logreg_separable_toy(spark):
     out = M.logreg_predictions(docs, iters=6).collect()
     acc = sum(1 for r in out if r.predicted == r.y) / len(out)
     assert acc == 1.0
+
+
+def test_kmv_sketch_error_and_exact_below_k(spark, sf_dir):
+    from moc_indexer_spark.operators.sketches import kmv_distinct
+
+    e = table(spark, sf_dir, "events")
+    out = kmv_distinct(e, "event_type", "user_id").collect()
+    assert out
+    for r in out:
+        if r.n_exact < 32:
+            assert r.kmv_estimate == float(r.n_exact)
+        else:
+            # KMV with k=32 has ~1/sqrt(k-2) ≈ 18% std err; allow 4 sigma
+            assert r.rel_err < 0.75
+
+
+def test_compression_ratio_matches_zlib_and_orders_quality(spark, sf_dir):
+    import zlib
+
+    from moc_indexer_spark.operators.pipeline import compression_ratio
+
+    d = table(spark, sf_dir, "documents")
+    out = {r.doc_id: r for r in compression_ratio(d).collect()}
+    sample = d.orderBy("doc_id").limit(20).collect()
+    for row in sample:
+        b = row.text.encode("utf-8")
+        r = out[row.doc_id]
+        assert r.n_bytes == len(b)
+        assert r.compressed_bytes == len(zlib.compress(b, 6))
+    # highly repetitive text compresses harder than the corpus median
+    docs = spark.createDataFrame(
+        [(10**9, "spam ham " * 200), (10**9 + 1, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    reps = {r.doc_id: r.compression_ratio
+            for r in compression_ratio(docs).collect()}
+    assert reps[10**9] < 0.05 < reps[10**9 + 1]
