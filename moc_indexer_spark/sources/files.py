@@ -1,0 +1,126 @@
+"""File-based corpus ingestion: JSONL / CSV readers with corrupt-record
+quarantine, plus JSONL export.
+
+No reference analog (the reference ingests from JSON-RPC;
+BASELINE.json north star) — JSONL is the interchange format every
+LLM-corpus pipeline ingests (one JSON document per line, usually
+gzip-partitioned), and at 100 TB the non-negotiables are: explicit
+schema (no inference pass over the whole corpus), PERMISSIVE parsing
+(one mangled line must not kill a 1000-executor job), and a quarantine
+relation so bad lines are counted and kept, never silently dropped.
+
+Spark-first: read the file as splittable text lines and parse with
+`from_json`/`from_csv` under PERMISSIVE mode — the corrupt capture is the
+parser's native `_corrupt_record` field. Parsing as an expression (rather
+than `spark.read.json`) sidesteps Spark's
+QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction (no cache needed to read the
+quarantine side) and keeps the raw line available for the quarantine
+relation verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType = DOCUMENTS_SCHEMA
+) -> tuple[DataFrame, DataFrame]:
+    """Read line-delimited JSON under an explicit schema.
+
+    Returns (good, quarantine): `good` has exactly `schema`'s columns and
+    only fully-parsed rows; `quarantine` is (raw_line string) for every
+    line that failed to parse. PERMISSIVE mode nulls unparsable rows into
+    the corrupt column instead of failing the task — required posture for
+    web-scale ingest where a single executor hitting one bad line must
+    not kill the job (DROPMALFORMED would silently lose data;
+    FAILFAST would lose the job)."""
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
+    parsed = spark.read.text(path).select(
+        F.col("value").alias("raw_line"),
+        F.from_json(F.col("value"), _with_corrupt(schema), opts).alias("r"),
+    )
+    good = parsed.filter(F.col(f"r.{CORRUPT_COL}").isNull()).select(
+        *[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    bad = parsed.filter(F.col(f"r.{CORRUPT_COL}").isNotNull()).select(
+        "raw_line"
+    )
+    return good, bad
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV variant of `read_jsonl` with the same good/quarantine contract.
+    The header line (matched textually, not positionally — text scans give
+    no stable row order) is excluded before parsing."""
+    opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": CORRUPT_COL,
+        "delimiter": delimiter,
+    }
+    lines = spark.read.text(path).select(F.col("value").alias("raw_line"))
+    if header:
+        header_line = delimiter.join(f.name for f in schema.fields)
+        lines = lines.filter(F.col("raw_line") != header_line)
+    parsed = lines.select(
+        "raw_line",
+        F.from_csv(F.col("raw_line"), _with_corrupt(schema).simpleString(),
+                   opts).alias("r"),
+    )
+    good = parsed.filter(F.col(f"r.{CORRUPT_COL}").isNull()).select(
+        *[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    bad = parsed.filter(F.col(f"r.{CORRUPT_COL}").isNotNull()).select(
+        "raw_line"
+    )
+    return good, bad
+
+
+def write_jsonl(df: DataFrame, path: str, n_files: int | None = None) -> None:
+    """Export as line-delimited JSON (the corpus interchange format).
+    `n_files` controls output parallelism/file sizing; gzip keeps the
+    files splittable-enough for re-ingest because partitioning happened
+    at write time."""
+    w = df.repartition(n_files) if n_files else df
+    w.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
+def ingest_report(good: DataFrame, bad: DataFrame) -> DataFrame:
+    """One-row ingest observability summary (counts + bad fraction)."""
+    g = good.agg(F.count(F.lit(1)).alias("good_rows"))
+    b = bad.agg(F.count(F.lit(1)).alias("bad_rows"))
+    return g.crossJoin(b).select(
+        "good_rows",
+        "bad_rows",
+        F.round(
+            F.col("bad_rows").cast("double")
+            / (F.col("good_rows") + F.col("bad_rows")).cast("double"),
+            6,
+        ).alias("bad_fraction"),
+    )
