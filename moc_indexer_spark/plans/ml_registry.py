@@ -33,12 +33,15 @@ def q_bm25_topk(spark, sf_dir):
     "pagerank_trade_graph",
     G.pagerank_oracle_sql(),
     tags=("graph", "pagerank", "iterative"),
-    bench=True,
 )
 def q_pagerank(spark, sf_dir):
     """3 damped power iterations over the customer<->supplier trade graph
-    (edge-sized shuffle per iteration, broadcast degree table), unrolled
-    into one plan; exact-decimal update rule -> replayable oracle."""
+    (broadcast rank state by default; co-partitioned shuffle form for
+    billion-node graphs), unrolled into one plan; exact-decimal update
+    rule -> replayable oracle. Like `kmeans_clusters`, this is a
+    certification query (multi-superstep latency floor ~5 s at sf0.1 is
+    scheduling overhead, not data volume), so it runs in the sweep and
+    the correctness gate but not the headline bench."""
     return G.pagerank(
         G.trade_edges(
             table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
