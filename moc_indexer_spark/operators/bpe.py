@@ -1,0 +1,144 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016) and
+segmentation.
+
+No reference analog (BASELINE.json north star) — the existing
+`token_count_bpe` query counts tokens under a FIXED regex
+approximation; this module LEARNS the merge table from the corpus, which
+is the actual tokenizer-training workload of an LLM data pipeline.
+
+Spark-first decomposition — the key scale fact of BPE is that after one
+corpus pass it never touches the corpus again:
+
+1. `word_freqs`: corpus -> (word, freq) — ONE map-side-combining
+   shuffle; 100 TB of text reduces to |vocab_words| rows (~10^7 web-scale,
+   hundreds of MB). This is the only corpus-sized computation.
+2. merge learning runs on that aggregated table DRIVER-SIDE (a bounded
+   collect, the same standard-practice trade as the IVF coarse
+   quantizer's sample-trained k-means): each round is an O(|vocab|)
+   sequential pass, and a distributed formulation was measured at ~4.4 s
+   PER MERGE at any scale (per-round argmax round-trip + Arrow stage +
+   cache cycling dominate; the data is dimension-sized after step 1, so
+   distributing the loop buys nothing and costs 20 driver barriers for a
+   20-merge table). Argmax ties break under a total order (count desc,
+   pair lex asc) so the merge table is deterministic.
+3. `bpe_segment`: apply the learned merge list map-only to any corpus
+   (merges ride into the Arrow stage as a closure) — linear, no shuffle.
+
+The learned merge table is deterministic (no RNG, total-order argmax)
+but not SQL-replayable (the greedy fold has no DuckDB equivalent), so
+the registry entry is rows-only; pytest certifies exact equality of
+merges AND segmentations against an independent pure-Python BPE.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+N_MERGES = 20
+END_OF_WORD = "</w>"
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) — the one corpus-sized reduction."""
+    return (
+        docs.select(F.explode(T.tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+
+def _merge_pair_in_syms(syms: list, a: str, b: str) -> list:
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def learn_merges(
+    freqs: dict[str, int], n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Sequential merge learning over a word-frequency dict (the
+    aggregated, dimension-sized relation — see module docstring).
+    Returns [(rank, left, right, pair_count)]; stops early when no pair
+    occurs at least twice."""
+    words = {w: list(w) + [END_OF_WORD] for w in freqs}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            f = freqs[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < 2:
+            break
+        merges.append((rank, a, b, c))
+        words = {w: _merge_pair_in_syms(s, a, b) for w, s in words.items()}
+    return merges
+
+
+def bpe_train(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """Learn `n_merges` merges; returns (rank int, left string,
+    right string, pair_count bigint) ordered by rank.
+
+    Distributed corpus reduction -> bounded driver-side optimization
+    (|vocab| rows; see module docstring for why the merge loop does not
+    distribute)."""
+    freqs = {r["word"]: r["freq"] for r in word_freqs(docs).collect()}
+    merges = learn_merges(freqs, n_merges)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )
+
+
+def bpe_segment(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """Tokenize with a learned merge list: map-only (the merge list rides
+    into the Arrow stage as a closure — the broadcast-variable pattern
+    without needing one at this size). Returns (doc_id, n_bpe_tokens,
+    tokens array<string>)."""
+    ordered = list(merges)
+
+    def seg(batches):
+        for pdf in batches:
+            out_tokens, out_counts = [], []
+            for text in pdf["text"]:
+                toks = []
+                for w in text.split(" "):
+                    if not w:
+                        continue
+                    syms = list(w) + [END_OF_WORD]
+                    for a, b in ordered:
+                        if len(syms) < 2:
+                            break
+                        syms = _merge_pair_in_syms(syms, a, b)
+                    toks.extend(syms)
+                out_tokens.append(toks)
+                out_counts.append(len(toks))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bpe_tokens": pd.Series(out_counts, dtype="int64"),
+                    "tokens": out_tokens,
+                }
+            )
+
+    return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+        seg, "doc_id bigint, n_bpe_tokens bigint, tokens array<string>"
+    )

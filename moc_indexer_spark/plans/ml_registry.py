@@ -73,3 +73,33 @@ def q_logreg(spark, sf_dir):
     the plan, one gradient row per step) + final per-doc scores; the
     model-based quality gate next to the rule-based filters."""
     return M.logreg_predictions(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "bpe_merges",
+    None,
+    tags=("llm", "tokenizer", "bpe"),
+)
+def q_bpe_merges(spark, sf_dir):
+    """Learned BPE merge table (20 merges) — distributed word-frequency
+    reduction + bounded driver-side merge loop. Rows-only (the greedy
+    merge fold has no SQL equivalent); pytest certifies exact equality
+    vs an independent pure-Python BPE."""
+    from ..operators import bpe as B
+
+    return B.bpe_train(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "bpe_token_counts",
+    None,
+    tags=("llm", "tokenizer", "bpe", "map-only"),
+)
+def q_bpe_token_counts(spark, sf_dir):
+    """Train-then-apply: segment the corpus with the learned merge table
+    (map-only Arrow stage) and report per-doc BPE token counts."""
+    from ..operators import bpe as B
+
+    docs = table(spark, sf_dir, "documents")
+    merges = [(r.left, r.right) for r in B.bpe_train(docs).collect()]
+    return B.bpe_segment(docs, merges).select("doc_id", "n_bpe_tokens")
