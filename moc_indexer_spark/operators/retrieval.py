@@ -46,25 +46,8 @@ QUERIES = [
 ]
 
 
-def bm25_topk(
-    docs: DataFrame,
-    queries: list[tuple[int, str]] | None = None,
-    k: int = TOP_K,
-    k1: float = K1,
-    b: float = B,
-) -> DataFrame:
-    """Top-k docs per query under BM25 (Robertson/Okapi, Lucene idf form
-    ln(1 + (N - df + 0.5)/(df + 0.5))).
-
-    Returns (query_id int, rank int, doc_id bigint, score double).
-    """
-    spark = docs.sparkSession
-    queries = QUERIES if queries is None else queries
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, qtext in queries for t in qtext.split(" ")],
-        "query_id int, term string",
-    ).distinct()
-
+def _index_relations(docs: DataFrame):
+    """(postings, lengths, dfreq, stats) — the four index relations."""
     toks = docs.select("doc_id", T.tokens().alias("t")).filter(F.size("t") > 0)
     lengths = toks.select("doc_id", F.size("t").cast("bigint").alias("dl"))
     postings = (
@@ -79,12 +62,36 @@ def bm25_topk(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
     )
+    return postings, lengths, dfreq, stats
 
-    # probe: broadcast the query terms (tiny) and the per-term df rows that
-    # survive the semi-join; corpus postings never reshuffle
+
+def _qterms(spark, queries: list[tuple[int, str]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(qid, t) for qid, qtext in queries for t in qtext.split(" ")],
+        "query_id int, term string",
+    ).distinct()
+
+
+def _score_probe(
+    postings: DataFrame,
+    lengths: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    # probe: broadcast the query terms (tiny) and the per-term df rows
+    # that survive the semi-join; corpus postings never reshuffle
     probe = (
         postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(qterms.join(dfreq, "term")).select("term", "df").distinct(), "term")
+        .join(
+            F.broadcast(qterms.join(dfreq, "term"))
+            .select("term", "df")
+            .distinct(),
+            "term",
+        )
         .join(lengths, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
@@ -116,6 +123,70 @@ def bm25_topk(
             "doc_id",
             F.col("score_dec").cast("double").alias("score"),
         )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]] | None = None,
+    k: int = TOP_K,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k docs per query under BM25 (Robertson/Okapi, Lucene idf form
+    ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Returns (query_id int, rank int, doc_id bigint, score double).
+    """
+    queries = QUERIES if queries is None else queries
+    postings, lengths, dfreq, stats = _index_relations(docs)
+    return _score_probe(
+        postings, lengths, dfreq, stats,
+        _qterms(docs.sparkSession, queries), k, k1, b,
+    )
+
+
+def build_bm25_index(docs: DataFrame, path: str, n_files: int = 8) -> None:
+    """Materialize the inverted index: postings range-clustered by term
+    (every parquet row group covers a narrow term range, so a probe's
+    term-IN filter prunes row groups at the scan — the data-skipping
+    property that makes a persisted text index a point-lookup at 100 TB),
+    plus the lengths / dfreq / stats side relations."""
+    from ..tables import write_clustered
+
+    postings, lengths, dfreq, stats = _index_relations(docs)
+    write_clustered(
+        postings, f"{path}/postings", ("term",), n_files=n_files,
+        small_row_groups=True,
+    )
+    lengths.write.mode("overwrite").parquet(f"{path}/lengths")
+    dfreq.write.mode("overwrite").parquet(f"{path}/dfreq")
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    queries: list[tuple[int, str]] | None = None,
+    k: int = TOP_K,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Probe a persisted index: identical results to `bm25_topk` over the
+    same corpus (certified in tests); the postings scan carries a pushed
+    `term IN (...)` filter against the term-clustered layout."""
+    queries = QUERIES if queries is None else queries
+    terms = sorted({t for _, qtext in queries for t in qtext.split(" ")})
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("term").isin(terms)
+    )
+    return _score_probe(
+        postings,
+        spark.read.parquet(f"{path}/lengths"),
+        spark.read.parquet(f"{path}/dfreq"),
+        spark.read.parquet(f"{path}/stats"),
+        _qterms(spark, queries),
+        k, k1, b,
     )
 
 

@@ -128,3 +128,29 @@ def test_compression_ratio_matches_zlib_and_orders_quality(spark, sf_dir):
     reps = {r.doc_id: r.compression_ratio
             for r in compression_ratio(docs).collect()}
     assert reps[10**9] < 0.05 < reps[10**9 + 1]
+
+
+def test_bm25_persisted_index_matches_inmemory(spark, sf_dir, tmp_path):
+    from moc_indexer_spark.operators.retrieval import (
+        bm25_topk, bm25_topk_from_index, build_bm25_index,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    path = str(tmp_path / "bm25_index")
+    build_bm25_index(docs, path)
+
+    live = {(r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk(docs).collect()}
+    persisted = {(r.query_id, r.rank): (r.doc_id, r.score)
+                 for r in bm25_topk_from_index(spark, path).collect()}
+    assert live == persisted
+
+    # the probe's term filter reaches the parquet scan (data skipping)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bm25_topk_from_index(spark, path).explain("formatted")
+    plan = buf.getvalue()
+    assert "In(term, [" in plan, plan[:2000]
