@@ -127,3 +127,72 @@ def kmv_oracle_sql(
                  / CAST(e.n_exact AS DOUBLE), 6) AS rel_err
     FROM exact e LEFT JOIN kth t USING ({group_col})
     """
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col,
+    k: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Efraimidis-Spirakis (A-ES) weighted sampling WITHOUT replacement:
+    a fixed-size sample where inclusion probability scales with weight —
+    the fixed-k counterpart of the Bernoulli `quality_weighted_sample`.
+
+    Each row gets an exponential race key ln(u)/w with u uniform in (0,1]
+    derived from the 60-bit md5 hash (no RNG — reproducible across
+    engines, retries, and cluster sizes); the k LARGEST keys win. Same
+    salted two-phase k-largest as `kmv_distinct` (per-(h%64) windows,
+    then a final window over <= 64k candidates), and exact k-largest is
+    salting-invariant so the DuckDB oracle's plain window hash-matches.
+
+    Determinism: u and w enter ONE double expression ln(u)/w rounded to
+    DECIMAL(18,9); ties (astronomically unlikely) break on id.
+    Returns (rank int, id_col, weight double, sample_key double).
+    """
+    h = _h60(F.col(id_col))
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(_SCALE)
+    key = F.round(F.log(u) / weight_col, 9).cast("decimal(18,9)")
+    scored = df.select(
+        F.col(id_col),
+        weight_col.cast("double").alias("weight"),
+        key.alias("k_dec"),
+        (h % N_SALTS).alias("salt"),
+    )
+    w1 = Window.partitionBy("salt").orderBy(F.desc("k_dec"), F.asc(id_col))
+    cand = scored.withColumn("rn", F.row_number().over(w1)).filter(
+        F.col("rn") <= k
+    )
+    w2 = Window.orderBy(F.desc("k_dec"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("int"),
+            id_col,
+            "weight",
+            F.col("k_dec").cast("double").alias("sample_key"),
+        )
+    )
+
+
+def weighted_sample_oracle_sql(
+    table: str, weight_sql: str, k: int = 100, id_col: str = "doc_id"
+) -> str:
+    return f"""
+    WITH scored AS (
+      SELECT {id_col}, CAST({weight_sql} AS DOUBLE) AS weight,
+             CAST(ROUND(
+               ln((CAST(CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)),
+                               1, 15) AS BIGINT) AS DOUBLE) + 1.0)
+                  / CAST({_SCALE} AS DOUBLE))
+               / CAST({weight_sql} AS DOUBLE), 9) AS DECIMAL(18,9)) AS k_dec
+      FROM {table}),
+    ranked AS (
+      SELECT {id_col}, weight, k_dec,
+             ROW_NUMBER() OVER (ORDER BY k_dec DESC, {id_col} ASC) AS rank
+      FROM scored)
+    SELECT CAST(rank AS INT) AS rank, {id_col}, weight,
+           CAST(k_dec AS DOUBLE) AS sample_key
+    FROM ranked WHERE rank <= {k}
+    """

@@ -478,3 +478,41 @@ def q_vocab_coverage(spark, sf_dir):
             "cum_share"
         ),
     )
+
+
+_AES_WEIGHT_SQL = (
+    "CASE WHEN n_chars >= 300 THEN 1.0 "
+    "WHEN n_chars >= 150 THEN 0.5 ELSE 0.25 END"
+)
+
+
+def _aes_weight_col():
+    from pyspark.sql import functions as F
+
+    return (
+        F.when(F.col("n_chars") >= 300, F.lit(1.0))
+        .when(F.col("n_chars") >= 150, F.lit(0.5))
+        .otherwise(F.lit(0.25))
+        .cast("double")
+    )
+
+
+from ..operators.sketches import weighted_sample_oracle_sql  # noqa: E402
+
+
+@register(
+    "weighted_reservoir_sample",
+    weighted_sample_oracle_sql("documents", _AES_WEIGHT_SQL, k=100),
+    tags=("sampling", "weighted", "reservoir"),
+)
+def q_weighted_reservoir_sample(spark, sf_dir):
+    """Fixed-size weighted sample (Efraimidis-Spirakis exponential race,
+    md5-derived — no RNG) — the fixed-k counterpart of the Bernoulli
+    `quality_weighted_sample`; salted two-phase k-largest (see
+    operators/sketches.py)."""
+    from ..operators.sketches import weighted_sample_topk
+
+    return weighted_sample_topk(
+        table(spark, sf_dir, "documents"), _aes_weight_col(), k=100
+    )
+
