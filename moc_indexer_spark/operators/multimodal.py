@@ -495,3 +495,62 @@ def sample_y4m_frames(media: DataFrame, every_k: int = 5) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         run, schema=VIDEO_FRAME_SCHEMA
     )
+
+
+def encode_ppm(px) -> bytes:
+    """Re-encode an HxWx3 uint8 array as binary PPM (P6, maxval 255)."""
+    h, w = px.shape[0], px.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def resize_nearest(px, out_w: int, out_h: int):
+    """Nearest-neighbor resample in pure numpy (the same index math every
+    codec library's NEAREST filter uses: src = floor((dst+0.5)*scale))."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * (h / out_h)).astype(int), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * (w / out_w)).astype(int), w - 1)
+    return px[ys][:, xs]
+
+
+def resize_images_real(
+    media: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """The real-decode variant of `resize_images`: PPM/BMP bytes decode to
+    pixels in-executor, nearest-neighbor resample, and re-encode as PPM —
+    a genuine byte->pixel->byte path with no codec library. Same Arrow
+    mapInPandas shape as the stub form (one function swap at the decode
+    boundary); undecodable formats surface as ok=false rows rather than
+    failing the batch (the PERMISSIVE posture of sources/files.py).
+    Returns (media_id, ok boolean, out_bytes bigint, content binary).
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids, oks, sizes, blobs = [], [], [], []
+            for media_id, raw in zip(pdf["media_id"], pdf["content"]):
+                ids.append(media_id)
+                try:
+                    _, _, px = decode_image(bytes(raw))
+                    out = encode_ppm(resize_nearest(px, out_w, out_h))
+                    oks.append(True)
+                    sizes.append(len(out))
+                    blobs.append(out)
+                except NotImplementedError:
+                    oks.append(False)
+                    sizes.append(0)
+                    blobs.append(b"")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "ok": oks,
+                    "out_bytes": pd.Series(sizes, dtype="int64"),
+                    "content": blobs,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, "media_id bigint, ok boolean, out_bytes bigint, content binary"
+    )

@@ -854,3 +854,42 @@ def q_kmeans_clusters(spark, sf_dir):
         table(spark, sf_dir, "embeddings"), k=KMEANS_K, iters=KMEANS_ITERS,
         dim=EMB_DIM,
     )
+
+
+@register(
+    "doc_chunking_udtf",
+    f"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS arr,
+                      len(str_split(text, ' ')) AS n
+               FROM documents)
+    SELECT doc_id, CAST(s // {CHUNK_STEP} AS BIGINT) AS chunk_idx,
+           CAST(LEAST({CHUNK_TOKENS}, n - s) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(
+             list_slice(arr, s + 1, LEAST(s + {CHUNK_TOKENS}, n)), ' ')
+             AS chunk_text
+    FROM t, UNNEST(generate_series(0, GREATEST(n - 1, 0), {CHUNK_STEP})) AS g(s)
+    """,
+    tags=("pipeline", "chunking", "udtf"),
+)
+def q_doc_chunking_udtf(spark, sf_dir):
+    """The SAME chunking semantics as `doc_chunking`, but through a real
+    Python `@udtf` + LATERAL join — certifying the UDTF execution lane
+    (§2.10's third fan-out surface, next to explode and mapInPandas)
+    under the identical DuckDB oracle. The expression form remains the
+    production path; this entry exists so the UDTF lane itself is
+    hash-gated, not just unit-tested."""
+    from ..functions.udtfs import make_chunk_udtf
+
+    spark.udtf.register(
+        "chunk_doc_udtf", make_chunk_udtf(CHUNK_TOKENS, CHUNK_STEP)
+    )
+    table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__docs_for_chunk_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_chunk_tokens, c.chunk_text
+        FROM __docs_for_chunk_udtf d,
+             LATERAL chunk_doc_udtf(d.text) c
+        """
+    )

@@ -332,3 +332,34 @@ def test_real_y4m_frame_sampling(spark):
             assert (by_clip[mid][idx].width, by_clip[mid][idx].height) == (w, h)
     # identical clips -> identical frame hashes (dedup-ready)
     assert by_clip[1][5].frame_hash == by_clip[2][5].frame_hash
+
+
+def test_real_resize_roundtrip_and_permissive(spark):
+    import numpy as np
+
+    # 6x4 gradient PPM: resize to 3x2 must equal numpy fancy-indexing
+    w, h = 6, 4
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+    rows = [
+        (0, "image", bytearray(ppm), {"mime": "image/ppm", "width": None,
+                                      "height": None, "duration_ms": None}),
+        (1, "image", bytearray(b"\x89PNG garbage"),
+         {"mime": "image/png", "width": None, "height": None,
+          "duration_ms": None}),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           MM.resize_images_real(media, out_w=3, out_h=2).collect()}
+
+    assert out[1].ok is False and out[1].out_bytes == 0
+    assert out[0].ok is True
+    got_w, got_h, got_px = MM.decode_image(bytes(out[0].content))
+    assert (got_w, got_h) == (3, 2)
+    expect = MM.resize_nearest(px, 3, 2)
+    assert (got_px == expect).all()
+    # identity resize reproduces the source pixels exactly
+    same = {r.media_id: r for r in
+            MM.resize_images_real(media, out_w=6, out_h=4).collect()}
+    _, _, same_px = MM.decode_image(bytes(same[0].content))
+    assert (same_px == px).all()
