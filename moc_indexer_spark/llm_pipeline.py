@@ -1,0 +1,184 @@
+"""End-to-end training-corpus pipeline: the LLM-data analog of `app.py`'s
+indexer loop — one process entry that chains the curation operators into
+a shard-ready corpus with an auditable manifest.
+
+No reference analog (BASELINE.json north star). Stages (each is an
+already-certified operator; this module only sequences them):
+
+  ingest (JSONL w/ quarantine | parquet) -> quality gate (corpus.py's
+  stateless expressions) -> exact dedup (min-doc_id keeper) -> benchmark
+  decontamination (broadcast 4-gram semi-join) -> DSIR importance
+  weights -> A-ES weighted fixed-size sampling (optional cap) ->
+  sequence packing -> sharded parquet write + manifest + stage-count
+  funnel report.
+
+Scale notes: every stage is shuffle-bounded as documented at its
+operator (gate: map-only; dedup: one md5 shuffle; decontamination: zero
+corpus shuffle; DSIR: one shuffle + broadcast; sample: salted two-phase
+top-k; pack: one shuffle on the pack group). The final write is
+`repartition(shard_id)` so file count == shard count regardless of
+upstream parallelism.
+
+Run: python -m moc_indexer_spark.llm_pipeline <in> <out_dir> [--jsonl]
+          [--sample-k K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .operators.ml import dsir_weights
+from .operators.pipeline import pack_sequences
+from .operators.sketches import weighted_sample_topk
+from .streaming.corpus import quality_gate
+
+N_SHARDS = 8
+NGRAM_N = 4
+PACK_BUDGET = 512
+
+
+def _read(spark: SparkSession, path: str, jsonl: bool) -> tuple[DataFrame, DataFrame | None]:
+    if jsonl:
+        from .sources.files import read_jsonl
+
+        return read_jsonl(spark, path)
+    return spark.read.parquet(path), None
+
+
+def _decontaminate(docs: DataFrame, bench_source: str) -> DataFrame:
+    """Drop docs sharing any 4-gram with the benchmark slice (broadcast
+    semi-join on hashed shingles — zero corpus shuffle)."""
+    toks = docs.select(
+        "doc_id", "source", T.tokens("text").alias("t")
+    ).filter(F.size("t") >= NGRAM_N)
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode(T.shingles(F.col("t"), NGRAM_N)).alias("shingle"),
+    ).select("doc_id", "source", F.xxhash64("shingle").alias("h"))
+    bench = sh.filter(F.col("source") == bench_source).select("h").distinct()
+    contaminated = (
+        sh.filter(F.col("source") != bench_source)
+        .join(F.broadcast(bench), "h")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.filter(F.col("source") != bench_source).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    jsonl: bool = False,
+    bench_source: str = "src0",
+    sample_k: int | None = None,
+) -> dict:
+    """Execute the full curation funnel; returns the funnel counts."""
+    raw, quarantine = _read(spark, in_path, jsonl)
+    funnel = {"raw": raw.count()}
+    if quarantine is not None:
+        funnel["quarantined_lines"] = quarantine.count()
+
+    gated_keys = quality_gate(raw)  # doc_id, content_hash, quality_score...
+    gated = raw.join(gated_keys.select("doc_id"), "doc_id")
+    funnel["after_quality_gate"] = gated.count()
+
+    w = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    deduped = gated.withColumn("__rn", w).filter(F.col("__rn") == 1).drop("__rn")
+    funnel["after_exact_dedup"] = deduped.count()
+
+    clean = _decontaminate(deduped, bench_source)
+    funnel["after_decontamination"] = clean.count()
+
+    weights = dsir_weights(clean)
+    scored = clean.join(weights.select("doc_id", "logw"), "doc_id", "left")
+
+    if sample_k is not None:
+        # A-ES fixed-size sample weighted by exp-normalized DSIR weight
+        # tiers (positive weights required; tier by logw sign)
+        wcol = (
+            F.when(F.col("logw") > 0, F.lit(1.0))
+            .when(F.col("logw") > -1.0, F.lit(0.5))
+            .otherwise(F.lit(0.25))
+            .cast("double")
+        )
+        keep = weighted_sample_topk(
+            scored.select("doc_id", "logw"), wcol, k=sample_k
+        ).select("doc_id")
+        scored = scored.join(keep, "doc_id")
+        funnel["after_sampling"] = scored.count()
+
+    packed = pack_sequences(
+        scored,
+        group_col="lang",
+        order_col="doc_id",
+        token_col=F.size(T.tokens("text")),
+        budget=PACK_BUDGET,
+    )
+    final = scored.join(packed.select("doc_id", "pack_id"), "doc_id").select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "logw",
+        "pack_id",
+        F.pmod(F.col("doc_id"), F.lit(N_SHARDS)).cast("bigint").alias("shard_id"),
+    )
+    funnel["final_docs"] = final.count()
+
+    (
+        final.repartition(N_SHARDS, "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(f"{out_dir}/corpus")
+    )
+    manifest = (
+        spark.read.parquet(f"{out_dir}/corpus")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/manifest"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/funnel.json", "w") as fh:
+        json.dump(funnel, fh, indent=2, sort_keys=True)
+    return funnel
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("in_path")
+    ap.add_argument("out_dir")
+    ap.add_argument("--jsonl", action="store_true")
+    ap.add_argument("--sample-k", type=int, default=None)
+    args = ap.parse_args()
+    from .session import get_spark
+
+    spark = get_spark(app_name="llm-pipeline")
+    funnel = run_pipeline(
+        spark, args.in_path, args.out_dir, jsonl=args.jsonl,
+        sample_k=args.sample_k,
+    )
+    print(json.dumps(funnel, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
