@@ -426,3 +426,101 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
         "doc_id bigint, n_bytes bigint, compressed_bytes bigint, "
         "compression_ratio double",
     )
+
+
+def bigram_heldout_logprob(
+    train: DataFrame, test: DataFrame, lam: float = 0.8
+) -> DataFrame:
+    """Held-out evaluation of the Jelinek-Mercer bigram LM: counts come
+    from `train`, scoring runs over `test` — the actual LM-data workflow
+    (`bigram_logprob` scores in-sample). Unseen events are finite by
+    construction: the ML term drops to 0 when the context w1 is unseen,
+    and the unigram floor is add-one smoothed over the train vocab
+    ((c2+1)/(total+V+1)), so OOV w2 still yields a finite probability.
+
+    Same scale shape as `bigram_logprob` (one shuffle for the train
+    bigram relation, joined back shuffle-side; vocab + scalars
+    broadcast); same determinism rules (one double expression, ln frozen
+    to DECIMAL(18,9), exact-decimal per-doc sums). Output adds
+    perplexity = exp(-mean_logprob)."""
+    from ..functions import text as T
+
+    t_toks = train.select(T.tokens().alias("t")).filter(F.size("t") >= 2)
+    t_big = t_toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bigc = t_big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = (
+        train.select(F.explode(T.tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    scalars = vocab.agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.count(F.lit(1)).alias("v_size"),
+    )
+
+    s_toks = test.select("doc_id", T.tokens().alias("t")).filter(
+        F.size("t") >= 2
+    )
+    s_big = s_toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+
+    joined = (
+        s_big.join(bigc, ["w1", "w2"], "left")
+        .join(
+            F.broadcast(
+                vocab.select(F.col("token").alias("w1"), F.col("cnt").alias("c1"))
+            ),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                vocab.select(F.col("token").alias("w2"), F.col("cnt").alias("c2"))
+            ),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(scalars))
+    )
+    ml_term = F.when(
+        F.col("c1").isNotNull() & F.col("c12").isNotNull(),
+        F.lit(lam)
+        * (F.col("c12").cast("double") / F.col("c1").cast("double")),
+    ).otherwise(F.lit(0.0))
+    uni_term = F.lit(1.0 - lam) * (
+        (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (
+            F.col("total_tokens").cast("double")
+            + F.col("v_size").cast("double")
+            + F.lit(1.0)
+        )
+    )
+    lp = F.log(ml_term + uni_term).cast("decimal(18,9)")
+    mean_lp = F.round(
+        F.sum(lp).cast("double") / F.count(F.lit(1)).cast("double"), 6
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        mean_lp.alias("mean_logprob"),
+        F.round(F.exp(-mean_lp), 6).alias("perplexity"),
+    )

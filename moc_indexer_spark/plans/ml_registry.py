@@ -103,3 +103,53 @@ def q_bpe_token_counts(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     merges = [(r.left, r.right) for r in B.bpe_train(docs).collect()]
     return B.bpe_segment(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
+def _calibration_oracle() -> str:
+    inner = M.logreg_oracle_sql()
+    return f"""
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(p_dec) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_predicted,
+           ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS frac_positive
+    FROM (
+      SELECT CAST(LEAST(FLOOR(CAST(ROUND(p_hat, 9) AS DECIMAL(18,9)) * 10),
+                        9) AS INT) AS bin,
+             CAST(ROUND(p_hat, 9) AS DECIMAL(18,9)) AS p_dec, y
+      FROM ({inner}) t) b
+    GROUP BY bin
+    """
+
+
+@register(
+    "logreg_calibration",
+    _calibration_oracle(),
+    tags=("llm", "classifier", "evaluation"),
+)
+def q_logreg_calibration(spark, sf_dir):
+    """Reliability diagram for the trained classifier: decile bins of
+    predicted probability vs observed positive rate (the ECE input).
+    Certifies the evaluation stage on top of the training loop — bin
+    membership is exact-decimal arithmetic so both engines bin
+    identically."""
+    from pyspark.sql import functions as F
+
+    preds = M.logreg_predictions(table(spark, sf_dir, "documents"))
+    p_dec = F.round(F.col("p_hat"), 9).cast("decimal(18,9)")
+    binned = preds.select(
+        F.least(F.floor(p_dec * 10), F.lit(9)).cast("int").alias("bin"),
+        p_dec.alias("p_dec"),
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("p_dec").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_predicted"),
+        F.round(
+            F.sum("y").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("frac_positive"),
+    )

@@ -516,3 +516,68 @@ def q_weighted_reservoir_sample(spark, sf_dir):
         table(spark, sf_dir, "documents"), _aes_weight_col(), k=100
     )
 
+
+
+_HOLDOUT_LAM = 0.8
+_SQL_TOKS_Q = "list_filter(str_split(text, ' '), x -> x <> '')"
+
+
+@register(
+    "heldout_perplexity",
+    f"""
+    WITH tr AS (SELECT {_SQL_TOKS_Q} AS t FROM documents
+                WHERE doc_id % 2 = 0),
+    trbig AS (
+      SELECT t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tr
+            WHERE len(t) >= 2)),
+    bigc AS (SELECT w1, w2, COUNT(*) AS c12 FROM trbig GROUP BY w1, w2),
+    vocab AS (
+      SELECT unnest(t) AS token FROM tr),
+    vc AS (SELECT token, COUNT(*) AS cnt FROM vocab GROUP BY token),
+    scalars AS (SELECT SUM(cnt) AS total_tokens, COUNT(*) AS v_size FROM vc),
+    te AS (SELECT doc_id, {_SQL_TOKS_Q} AS t FROM documents
+           WHERE doc_id % 2 = 1),
+    tebig AS (
+      SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM te
+            WHERE len(t) >= 2)),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(ln(
+               CASE WHEN v1.cnt IS NOT NULL AND bc.c12 IS NOT NULL
+                    THEN {_HOLDOUT_LAM} * (CAST(bc.c12 AS DOUBLE)
+                                           / CAST(v1.cnt AS DOUBLE))
+                    ELSE 0.0 END
+               + {1.0 - _HOLDOUT_LAM} * ((CAST(COALESCE(v2.cnt, 0) AS DOUBLE) + 1.0)
+                          / (CAST(s.total_tokens AS DOUBLE)
+                             + CAST(s.v_size AS DOUBLE) + 1.0))
+             ) AS DECIMAL(18,9)) AS lp
+      FROM tebig b
+      LEFT JOIN bigc bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+      LEFT JOIN vc v1 ON v1.token = b.w1
+      LEFT JOIN vc v2 ON v2.token = b.w2
+      CROSS JOIN scalars s)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_logprob,
+           ROUND(exp(-ROUND(CAST(SUM(lp) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE), 6)), 6) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "langmodel", "heldout"),
+)
+def q_heldout_perplexity(spark, sf_dir):
+    """Held-out LM evaluation: bigram JM model fitted on even doc_ids,
+    perplexity scored over odd doc_ids (the train/validation workflow of
+    a perplexity data gate — `bigram_logprob` is the in-sample form).
+    OOV-safe by add-one unigram flooring; see
+    operators/pipeline.py:bigram_heldout_logprob."""
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    return P.bigram_heldout_logprob(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        lam=_HOLDOUT_LAM,
+    )
