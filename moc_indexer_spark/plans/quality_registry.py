@@ -581,3 +581,68 @@ def q_heldout_perplexity(spark, sf_dir):
         d.filter(F.col("doc_id") % 2 == 1),
         lam=_HOLDOUT_LAM,
     )
+
+
+_MAD_K = 0.6745  # Phi^-1(0.75): scales MAD to sigma-equivalent
+_MAD_CUT = 3.5  # Iglewicz-Hoaglin modified z-score cutoff
+
+
+@register(
+    "robust_outliers_mad",
+    f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type),
+    z AS (
+      SELECT d.event_id, d.event_type, d.value,
+             CAST(ROUND({_MAD_K} * (d.value - d.med) / m.mad, 6)
+                  AS DECIMAL(18,6)) AS rz
+      FROM dev d JOIN mad m USING (event_type)
+      WHERE m.mad > 0)
+    SELECT event_id, event_type, value, CAST(rz AS DOUBLE) AS robust_z
+    FROM z WHERE ABS(rz) > {_MAD_CUT}
+    """,
+    tags=("quality", "outliers", "robust-stats"),
+)
+def q_robust_outliers_mad(spark, sf_dir):
+    """Median/MAD modified z-score outlier flagging (Iglewicz-Hoaglin
+    |z*| > 3.5) — the robust sibling of `value_zscore_outliers` (mean/std
+    break under the heavy tails they are supposed to flag). Two exact
+    percentile aggregations (group-wise medians broadcast back; at 100 TB
+    both swap to approx_percentile sketches); the decision compares the
+    ROUNDED decimal z in both engines so the flag boundary is identical."""
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    rz = F.round(
+        F.lit(_MAD_K) * (F.col("value") - F.col("med")) / F.col("mad"), 6
+    ).cast("decimal(18,6)")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select(
+            "event_id", "event_type", "value", rz.alias("rz")
+        )
+        .filter(F.abs(F.col("rz")) > _MAD_CUT)
+        .select(
+            "event_id", "event_type", "value",
+            F.col("rz").cast("double").alias("robust_z"),
+        )
+    )
