@@ -95,10 +95,16 @@ def run_pipeline(
     w = F.row_number().over(
         Window.partitionBy(F.md5("text")).orderBy("doc_id")
     )
-    deduped = gated.withColumn("__rn", w).filter(F.col("__rn") == 1).drop("__rn")
+    # persist the narrow waists: each funnel count is an action, and the
+    # final write replays the lineage once more — without these caches the
+    # gate/dedup/decontamination/DSIR chain re-executes from the raw scan
+    # for every stage (measured-quadratic total work in stage count)
+    deduped = (
+        gated.withColumn("__rn", w).filter(F.col("__rn") == 1).drop("__rn")
+    ).persist()
     funnel["after_exact_dedup"] = deduped.count()
 
-    clean = _decontaminate(deduped, bench_source)
+    clean = _decontaminate(deduped, bench_source).persist()
     funnel["after_decontamination"] = clean.count()
 
     weights = dsir_weights(clean)
@@ -118,6 +124,7 @@ def run_pipeline(
         ).select("doc_id")
         scored = scored.join(keep, "doc_id")
         funnel["after_sampling"] = scored.count()
+    scored = scored.persist()
 
     packed = pack_sequences(
         scored,
@@ -151,7 +158,9 @@ def run_pipeline(
             F.sum(F.length("text")).cast("bigint").alias("total_chars"),
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
-            F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
+            # pack identity is (lang, pack_id): pack_sequences restarts
+            # pack_id at 0 within each lang group
+            F.countDistinct("lang", "pack_id").cast("bigint").alias("n_packs"),
         )
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(
@@ -160,6 +169,8 @@ def run_pipeline(
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/funnel.json", "w") as fh:
         json.dump(funnel, fh, indent=2, sort_keys=True)
+    for df in (deduped, clean, scored):
+        df.unpersist()
     return funnel
 
 

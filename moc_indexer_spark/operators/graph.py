@@ -137,7 +137,18 @@ def pagerank(
                 .alias("rank"),
             )
         )
-    return ranks.select("node", F.col("rank").cast("double").alias("rank"))
+    # Materialize the (|V|-sized) result and release the iteration caches:
+    # a long-lived session running many queries must not accrete pinned
+    # edge/node blocks per pagerank call (review finding — the caches were
+    # session-lifetime before). The result DataFrame stays cached; callers
+    # holding it long-term own its unpersist.
+    out = ranks.select(
+        "node", F.col("rank").cast("double").alias("rank")
+    ).persist()
+    out.count()
+    edges.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def pagerank_oracle_sql(iters: int = ITERS) -> str:

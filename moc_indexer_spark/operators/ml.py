@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -192,7 +192,6 @@ def logreg_predictions(
     with the final weights. Returns (doc_id, y int, p_hat double,
     predicted int)."""
     feats = _features(docs)
-    fx = [f"x{j}" for j in range(N_FEATURES)]
     # weights live as one broadcastable row (w0..w3 DECIMAL(18,9))
     spark = docs.sparkSession
     weights = spark.createDataFrame(

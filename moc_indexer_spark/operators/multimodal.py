@@ -538,7 +538,10 @@ def resize_images_real(
                     oks.append(True)
                     sizes.append(len(out))
                     blobs.append(out)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, IndexError):
+                    # unknown format OR malformed bytes of a known format
+                    # (truncated pixel buffer, garbage header tokens) —
+                    # one bad blob must not fail the batch
                     oks.append(False)
                     sizes.append(0)
                     blobs.append(b"")

@@ -27,7 +27,7 @@ Top-k ranks under the total order (score desc, doc_id asc).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T

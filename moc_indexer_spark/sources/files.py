@@ -60,12 +60,14 @@ def read_jsonl(
         F.col("value").alias("raw_line"),
         F.from_json(F.col("value"), _with_corrupt(schema), opts).alias("r"),
     )
-    good = parsed.filter(F.col(f"r.{CORRUPT_COL}").isNull()).select(
+    # from_json yields a NULL struct (not a corrupt-record row) for blank
+    # lines and literal `null` — those are quarantined too, so no input
+    # line is ever silently dropped
+    is_good = F.col("r").isNotNull() & F.col(f"r.{CORRUPT_COL}").isNull()
+    good = parsed.filter(is_good).select(
         *[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields]
     )
-    bad = parsed.filter(F.col(f"r.{CORRUPT_COL}").isNotNull()).select(
-        "raw_line"
-    )
+    bad = parsed.filter(~is_good).select("raw_line")
     return good, bad
 
 
@@ -93,12 +95,11 @@ def read_csv(
         F.from_csv(F.col("raw_line"), _with_corrupt(schema).simpleString(),
                    opts).alias("r"),
     )
-    good = parsed.filter(F.col(f"r.{CORRUPT_COL}").isNull()).select(
+    is_good = F.col("r").isNotNull() & F.col(f"r.{CORRUPT_COL}").isNull()
+    good = parsed.filter(is_good).select(
         *[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields]
     )
-    bad = parsed.filter(F.col(f"r.{CORRUPT_COL}").isNotNull()).select(
-        "raw_line"
-    )
+    bad = parsed.filter(~is_good).select("raw_line")
     return good, bad
 
 

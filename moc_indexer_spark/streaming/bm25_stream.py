@@ -5,46 +5,49 @@ No reference analog (BASELINE.json north star) — the streaming sibling of
 `operators/retrieval.py`: documents arrive as files and the four index
 relations are maintained incrementally, so a probe never rescans the
 corpus. This is the text-index counterpart of the streaming near-dedup
-and incremental-rollup maintainers (same exactly-once discipline).
+and incremental-rollup maintainers.
 
-Incremental shape per micro-batch (new docs only — batch work is
-O(batch), never O(corpus)):
+Exactly-once design — every write is an idempotent overwrite of a
+batch-stamped directory, so ANY crash/replay prefix converges:
 
-* `postings` / `lengths`: written to a `batch=N` partition directory with
-  overwrite — replays of a failed batch overwrite the same directory, so
-  appends are idempotent WITHOUT a transaction log (the
-  partition-per-batch trick). New-doc detection anti-joins the batch
-  against lengths partitions from EARLIER batches only, so a replay
-  recomputes the identical delta even after its own partial writes.
-* `dfreq` / `stats`: additive aggregates folded state∪delta with an
-  atomic directory swap and an applied-batch-id marker
-  (IncrementalRollup's exactly-once pattern) — folds are the only
-  non-idempotent step, so the marker is checked first and advanced last.
-* probe: `bm25_from_index()` hands the four maintained relations to the
-  SAME `_score_probe` the batch operator uses — parity is by
-  construction, and the test certifies stream-built == batch-built
-  exactly.
+* `postings/batch=N`, `lengths/batch=N`: the batch delta, recomputed
+  identically on replay (new-doc detection anti-joins lengths partitions
+  from batches < N only, so a replay is blind to its own partial
+  writes).
+* `dfreq/batch=N`, `stats/batch=N`: full SNAPSHOTS (prior snapshot ∪
+  delta, re-aggregated) — vocab-sized and 1-row respectively, so
+  rewriting them per batch is cheap, and an overwrite of the same
+  directory is idempotent where a fold into mutable state would
+  double-count on replay.
+* `stats/batch=N` is written LAST and is the COMMIT RECORD: a batch is
+  applied iff its stats snapshot exists. Probes resolve the latest
+  committed batch from stats/ and read every relation AS OF that batch
+  (postings/lengths partitions <= N, the dfreq/stats snapshots = N), so
+  a half-written batch is invisible. No marker files, no directory
+  swaps, no crash window.
+
+The single-writer contract every Structured Streaming sink has still
+applies (one owning stream/checkpoint; batch ids must not restart
+against an existing index). Old snapshots are pruned opportunistically
+(keep the committed one plus the in-flight one).
 """
 
 from __future__ import annotations
 
 import os
+import re
 import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import retrieval as RT
 
+_BATCH_RE = re.compile(r"^batch=(\d+)$")
+
 
 class IncrementalBm25Index:
-    """Parquet-backed BM25 index maintained one micro-batch at a time.
-
-    The applied-batch-id marker assumes ONE owning stream/checkpoint for
-    the index's lifetime (batch ids restart at 0 under a fresh
-    checkpoint, which the marker would read as already-applied) — the
-    same single-writer contract every Structured Streaming sink has."""
+    """Parquet-backed BM25 index maintained one micro-batch at a time."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -56,64 +59,66 @@ class IncrementalBm25Index:
     def _dir(self, name: str) -> str:
         return f"{self.path}/{name}"
 
-    def _has(self, name: str) -> bool:
+    def _batches(self, name: str) -> list[int]:
         d = self._dir(name)
-        return os.path.isdir(d) and any(
-            not f.startswith(("_", ".")) for f in os.listdir(d)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in os.listdir(d):
+            m = _BATCH_RE.match(f)
+            # only COMPLETE partition writes count (Spark's _SUCCESS)
+            if m and os.path.exists(os.path.join(d, f, "_SUCCESS")):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def committed_batch(self) -> int:
+        """Highest batch whose commit record (stats snapshot) exists."""
+        b = self._batches("stats")
+        return b[-1] if b else -1
+
+    def _read_upto(self, name: str, upto: int) -> DataFrame | None:
+        batches = [b for b in self._batches(name) if b <= upto]
+        if not batches:
+            return None
+        return self.spark.read.parquet(
+            *[f"{self._dir(name)}/batch={b}" for b in batches]
         )
 
-    def _last_applied(self) -> int:
-        marker = f"{self.path}/_batch_id"
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                return int(fh.read().strip())
-        return -1
-
-    def _mark_applied(self, batch_id: int) -> None:
-        marker = f"{self.path}/_batch_id"
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(batch_id))
-        os.replace(tmp, marker)
-
-    def _atomic_swap(self, df: DataFrame, name: str) -> None:
-        dst = self._dir(name)
-        tmp = f"{dst}__new_{uuid.uuid4().hex[:8]}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(dst):
-            os.replace(dst, old)
-        os.replace(tmp, dst)
-        if os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
-
-    def _read_partitioned(self, name: str, before_batch: int | None = None) -> DataFrame | None:
-        if not self._has(name):
+    def _read_snapshot(self, name: str, batch: int) -> DataFrame | None:
+        if batch < 0 or batch not in self._batches(name):
             return None
-        df = self.spark.read.parquet(self._dir(name))
-        if before_batch is not None:
-            df = df.filter(F.col("batch") < before_batch)
-        return df.drop("batch")
+        return self.spark.read.parquet(f"{self._dir(name)}/batch={batch}")
+
+    def _prune_snapshots(self, name: str, keep_from: int) -> None:
+        d = self._dir(name)
+        if not os.path.isdir(d):
+            return
+        for f in os.listdir(d):
+            m = _BATCH_RE.match(f)
+            if m and int(m.group(1)) < keep_from:
+                shutil.rmtree(os.path.join(d, f), ignore_errors=True)
 
     # -- maintenance ---------------------------------------------------------
 
     def update(self, batch_docs: DataFrame, batch_id: int) -> None:
         """Fold one micro-batch of documents into the index (foreachBatch
-        body). Safe under replay of any prefix of its steps."""
-        if batch_id <= self._last_applied():
+        body). Idempotent under replay of any prefix of its steps."""
+        committed = self.committed_batch()
+        if batch_id <= committed:
             return
-        w = Window.partitionBy("doc_id").orderBy("doc_id")
+        # keeper for in-batch doc_id duplicates must be deterministic so a
+        # replay rebuilds the identical delta: order by content, not by
+        # the partition key
+        w = Window.partitionBy("doc_id").orderBy("text")
         batch = (
             batch_docs.select("doc_id", "text")
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        seen = self._read_partitioned("lengths", before_batch=batch_id)
+        seen = self._read_upto("lengths", batch_id - 1)
         if seen is not None:
-            batch = batch.join(
-                seen.select("doc_id"), "doc_id", "left_anti"
-            )
+            batch = batch.join(seen.select("doc_id"), "doc_id", "left_anti")
         postings, lengths, dfreq_delta, stats_delta = RT._index_relations(
             batch
         )
@@ -124,31 +129,29 @@ class IncrementalBm25Index:
             f"{self._dir('postings')}/batch={batch_id}"
         )
 
-        dfreq_state = (
-            self.spark.read.parquet(self._dir("dfreq"))
-            if self._has("dfreq")
-            else None
-        )
-        dfreq = dfreq_delta if dfreq_state is None else (
-            dfreq_state.unionByName(dfreq_delta)
+        prev_dfreq = self._read_snapshot("dfreq", committed)
+        dfreq = dfreq_delta if prev_dfreq is None else (
+            prev_dfreq.unionByName(dfreq_delta)
             .groupBy("term")
             .agg(F.sum("df").cast("bigint").alias("df"))
         )
-        self._atomic_swap(dfreq, "dfreq")
-
-        stats_state = (
-            self.spark.read.parquet(self._dir("stats"))
-            if self._has("stats")
-            else None
+        dfreq.coalesce(1).write.mode("overwrite").parquet(
+            f"{self._dir('dfreq')}/batch={batch_id}"
         )
-        stats = stats_delta if stats_state is None else (
-            stats_state.unionByName(stats_delta).agg(
+
+        prev_stats = self._read_snapshot("stats", committed)
+        stats = stats_delta if prev_stats is None else (
+            prev_stats.unionByName(stats_delta).agg(
                 F.sum("n_docs").cast("bigint").alias("n_docs"),
                 F.sum("sum_dl").cast("bigint").alias("sum_dl"),
             )
         )
-        self._atomic_swap(stats, "stats")
-        self._mark_applied(batch_id)
+        # the commit record — written last
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            f"{self._dir('stats')}/batch={batch_id}"
+        )
+        for name in ("dfreq", "stats"):
+            self._prune_snapshots(name, keep_from=batch_id)
 
     # -- probe ---------------------------------------------------------------
 
@@ -159,16 +162,24 @@ class IncrementalBm25Index:
         k1: float = RT.K1,
         b: float = RT.B,
     ) -> DataFrame:
+        """Search the latest COMMITTED index state; empty result on a
+        fresh index."""
         queries = RT.QUERIES if queries is None else queries
+        committed = self.committed_batch()
+        empty_schema = (
+            "query_id int, rank int, doc_id bigint, score double"
+        )
+        if committed < 0:
+            return self.spark.createDataFrame([], empty_schema)
         terms = sorted({t for _, q in queries for t in q.split(" ")})
-        postings = self._read_partitioned("postings").filter(
+        postings = self._read_upto("postings", committed).filter(
             F.col("term").isin(terms)
         )
         return RT._score_probe(
             postings,
-            self._read_partitioned("lengths"),
-            self.spark.read.parquet(self._dir("dfreq")),
-            self.spark.read.parquet(self._dir("stats")),
+            self._read_upto("lengths", committed),
+            self._read_snapshot("dfreq", committed),
+            self._read_snapshot("stats", committed),
             RT._qterms(self.spark, queries),
             k, k1, b,
         )

@@ -56,3 +56,25 @@ def test_duplicate_and_replayed_batches_are_idempotent(spark, tmp_path):
     assert _rows(got) == _rows(expect)
     stats = spark.read.parquet(str(tmp_path / "idx/stats")).collect()[0]
     assert stats.n_docs == 20
+
+
+def test_probe_on_fresh_index_is_empty(spark, tmp_path):
+    idx = IncrementalBm25Index(spark, str(tmp_path / "empty_idx"))
+    out = idx.probe()
+    assert out.count() == 0
+    assert out.columns == ["query_id", "rank", "doc_id", "score"]
+
+
+def test_in_batch_duplicate_doc_ids_pick_deterministic_keeper(spark, tmp_path):
+    rows = [(7, "zz yy"), (7, "aa bb"), (8, "cc dd")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = IncrementalBm25Index(spark, str(tmp_path / "a"))
+    b = IncrementalBm25Index(spark, str(tmp_path / "b"))
+    a.update(docs, 0)
+    b.update(spark.createDataFrame(list(reversed(rows)),
+                                   "doc_id long, text string"), 0)
+    pa = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "a/postings")).drop("batch").collect()))
+    pb = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "b/postings")).drop("batch").collect()))
+    assert pa == pb  # arrival order cannot change the indexed content

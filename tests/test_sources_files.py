@@ -86,3 +86,19 @@ def test_csv_quarantine(spark, tmp_path):
     assert good.count() == 3
     assert bad.count() == 1
     assert "oops" in bad.collect()[0].raw_line
+
+
+def test_blank_and_null_lines_are_quarantined(spark, tmp_path):
+    import json as _json
+
+    p = str(tmp_path / "docs.jsonl")
+    good = _json.dumps({"doc_id": 1, "text": "ok", "lang": "en",
+                        "source": "s", "n_chars": 2})
+    with open(p, "w") as f:
+        f.write(good + "\n\nnull\n   \n")
+    g, b = FS.read_jsonl(spark, p)
+    assert g.count() == 1
+    # blank, 'null', and whitespace-only lines all land in quarantine —
+    # nothing is silently dropped
+    assert b.count() == 3
+    assert g.filter(g.doc_id.isNull()).count() == 0

@@ -363,3 +363,19 @@ def test_real_resize_roundtrip_and_permissive(spark):
             MM.resize_images_real(media, out_w=6, out_h=4).collect()}
     _, _, same_px = MM.decode_image(bytes(same[0].content))
     assert (same_px == px).all()
+
+
+def test_truncated_known_format_is_permissive(spark):
+    # P6 header promising 100x100 but body truncated; and garbage header
+    rows = [
+        (0, "image", bytearray(b"P6\n100 100\n255\n\x00\x01"), {
+            "mime": "image/ppm", "width": None, "height": None,
+            "duration_ms": None}),
+        (1, "image", bytearray(b"P6\nxx yy\n255\n"), {
+            "mime": "image/ppm", "width": None, "height": None,
+            "duration_ms": None}),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r.media_id: r.ok for r in
+           MM.resize_images_real(media, 2, 2).collect()}
+    assert out == {0: False, 1: False}
