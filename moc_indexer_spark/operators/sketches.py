@@ -196,3 +196,109 @@ def weighted_sample_oracle_sql(
            CAST(k_dec AS DOUBLE) AS sample_key
     FROM ranked WHERE rank <= {k}
     """
+
+
+CMS_ROWS = 4
+CMS_WIDTH = 4096  # buckets per row: 3 hex chars
+
+
+def cms_trigram_estimates(
+    docs: DataFrame, top_k: int = 20, ngram_n: int = 3
+) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan) over corpus word
+    n-grams, certified end-to-end: build a 4x4096 CMS from one pass over
+    n-gram occurrences, then point-query it for the exact top-`top_k`
+    n-grams and report estimate vs truth.
+
+    CMS is THE mergeable frequency sketch of streaming aggregation (each
+    cell is an additive counter, so partial sketches union by cell sum —
+    here expressed as one map-side-combining groupBy over (row, bucket)).
+    Engine-portable by construction: row i's bucket is 3 hex chars of
+    md5(i || ':' || gram), and the estimate is min over rows — all
+    deterministic relational algebra, so the DuckDB oracle replays the
+    identical sketch and the driver hash-gates it (the same certification
+    KMV gets, for the frequency side). The overestimate property
+    (estimate >= truth, tight for heavy hitters) is pytest-checked.
+
+    Returns (ngram string, exact_count bigint, cms_estimate bigint).
+    """
+    from ..functions import text as T
+
+    toks = docs.select(T.tokens().alias("t")).filter(
+        F.size("t") >= ngram_n
+    )
+    grams = toks.select(
+        F.explode(T.ngrams_all(F.col("t"), ngram_n)).alias("g")
+    )
+    exact = grams.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    top = exact.orderBy(F.desc("exact_count"), F.asc("g")).limit(top_k)
+
+    # sketch build: one (row, bucket) shuffle, CMS_ROWS rows per gram occ.
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(CMS_ROWS)])
+    ).alias("r")
+    cells = (
+        grams.select("g", rows)
+        .select(
+            "r",
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("r"), F.col("g"))), 1, 3
+            ).alias("bucket"),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    # probe: the top-k grams' buckets join the (<= 4*4096-cell) sketch,
+    # estimate = min cell over rows
+    probes = top.select(
+        "g",
+        "exact_count",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_ROWS)])).alias("r"),
+    ).select(
+        "g",
+        "exact_count",
+        "r",
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("r"), F.col("g"))), 1, 3
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("g", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            F.col("g").alias("ngram"), "exact_count", "cms_estimate"
+        )
+    )
+
+
+def cms_oracle_sql(top_k: int = 20, ngram_n: int = 3) -> str:
+    sql_toks = "list_filter(str_split(text, ' '), x -> x <> '')"
+    shingle = (
+        f"list_transform(range(1, len(t) - {ngram_n - 2}), "
+        f"i -> array_to_string(list_slice(t, i, i + {ngram_n - 1}), ' '))"
+    )
+    rows = ", ".join(f"({i})" for i in range(CMS_ROWS))
+    return f"""
+    WITH toks AS (SELECT {sql_toks} AS t FROM documents),
+    grams AS (SELECT unnest({shingle}) AS g FROM toks
+              WHERE len(t) >= {ngram_n}),
+    exact AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS exact_count
+              FROM grams GROUP BY g),
+    top AS (SELECT g, exact_count FROM exact
+            ORDER BY exact_count DESC, g ASC LIMIT {top_k}),
+    rws AS (SELECT * FROM (VALUES {rows}) AS v(r)),
+    cells AS (
+      SELECT r, substr(md5(r || ':' || g), 1, 3) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams CROSS JOIN rws GROUP BY r, bucket),
+    probes AS (
+      SELECT t.g, t.exact_count, w.r,
+             substr(md5(w.r || ':' || t.g), 1, 3) AS bucket
+      FROM top t CROSS JOIN rws w)
+    SELECT p.g AS ngram, p.exact_count, MIN(c.c) AS cms_estimate
+    FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+    GROUP BY p.g, p.exact_count
+    """

@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import pipeline as P
-from ..operators.sketches import kmv_distinct, kmv_oracle_sql
+from ..operators.sketches import (
+    cms_oracle_sql,
+    cms_trigram_estimates,
+    kmv_distinct,
+    kmv_oracle_sql,
+)
 from ..tables import table
 from .registry import register
 
@@ -893,3 +898,15 @@ def q_doc_chunking_udtf(spark, sf_dir):
              LATERAL chunk_doc_udtf(d.text) c
         """
     )
+
+
+@register(
+    "cms_trigram_estimates",
+    cms_oracle_sql(),
+    tags=("pipeline", "sketch", "frequency", "cms"),
+)
+def q_cms_trigram_estimates(spark, sf_dir):
+    """Count-min sketch frequency estimates for the top-20 corpus
+    trigrams — the certifiable mergeable frequency sketch next to KMV
+    (cardinality) and bloom (membership); see operators/sketches.py."""
+    return cms_trigram_estimates(table(spark, sf_dir, "documents"))

@@ -154,3 +154,28 @@ def test_bm25_persisted_index_matches_inmemory(spark, sf_dir, tmp_path):
         bm25_topk_from_index(spark, path).explain("formatted")
     plan = buf.getvalue()
     assert "In(term, [" in plan, plan[:2000]
+
+
+def test_cms_overestimates_and_is_tight_for_heavy_hitters(spark, sf_dir):
+    from moc_indexer_spark.operators.sketches import cms_trigram_estimates
+
+    from pyspark.sql import functions as F
+
+    from moc_indexer_spark.functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    out = cms_trigram_estimates(d).collect()
+    assert out
+    n_total = (
+        d.select(T.tokens().alias("t"))
+        .filter(F.size("t") >= 3)
+        .agg(F.sum(F.size("t") - 2))
+        .collect()[0][0]
+    )
+    # CMS guarantees: never underestimates; overestimate bounded by
+    # ~eps*N per row (eps = e/width), far tighter after the min over 4
+    # independent rows — allow the single-row bound with slack
+    bound = 2.0 * 2.718 / 4096 * n_total
+    for r in out:
+        assert r.cms_estimate >= r.exact_count
+        assert r.cms_estimate - r.exact_count <= bound
