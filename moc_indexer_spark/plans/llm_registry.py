@@ -1089,3 +1089,46 @@ def q_dedup_keeper_selection(spark, sf_dir):
     return ranked.select(
         "doc_id", "cluster_id", "keeper_doc_id", (F.col("rn") == 1).alias("keep")
     )
+
+
+@register(
+    "ann_recall_report",
+    None,
+    tags=("llm", "similarity", "ann", "evaluation"),
+)
+def q_ann_recall_report(spark, sf_dir):
+    """Recall@5 of each approximate ANN method against the exact
+    brute-force baseline, as a QUERY (the pytest recall checks, promoted
+    to a driver-visible observability row per method). Rows-only — the
+    approximate methods have no cross-engine oracle by design; what this
+    certifies operationally is the evaluation harness a production
+    pipeline runs after every index rebuild. One exact-baseline pass is
+    shared across all three methods."""
+    emb = table(spark, sf_dir, "embeddings")
+    exact = S.brute_force_topk_blocked(emb, k=5).select(
+        F.col("query_id"), F.col("neighbor_id")
+    ).persist()
+    n_pairs = exact.count()  # materialize once; |Q|*5 rows
+
+    reports = []
+    for method, df in (
+        ("lsh", S.lsh_bucket_topk(emb, k=5)),
+        ("ivf", S.ivf_topk(emb, k=5)),
+        ("pq", S.pq_topk(emb, k=5)),
+    ):
+        hits = df.select("query_id", "neighbor_id").join(
+            exact, ["query_id", "neighbor_id"]
+        )
+        reports.append(
+            hits.agg(
+                F.lit(method).alias("method"),
+                F.round(
+                    F.count(F.lit(1)).cast("double") / F.lit(float(n_pairs)),
+                    4,
+                ).alias("recall_at_5"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
