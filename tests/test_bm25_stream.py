@@ -78,3 +78,85 @@ def test_in_batch_duplicate_doc_ids_pick_deterministic_keeper(spark, tmp_path):
     pb = sorted(map(tuple, spark.read.parquet(
         str(tmp_path / "b/postings")).drop("batch").collect()))
     assert pa == pb  # arrival order cannot change the indexed content
+
+
+def _postings_rows(spark, path):
+    return sorted(map(tuple, spark.read.parquet(
+        f"{path}/postings").drop("batch").collect()))
+
+
+def _state_tuple(spark, idx):
+    c = idx.committed_batch()
+    dfreq = sorted(map(tuple, idx._read_snapshot("dfreq", c).collect()))
+    stats = sorted(map(tuple, idx._read_snapshot("stats", c).collect()))
+    return c, dfreq, stats
+
+
+def test_crash_before_commit_record_converges(spark, tmp_path):
+    """Fault injection: batch 1 'crashes' after the delta partitions and
+    the dfreq snapshot are written but BEFORE the stats commit record.
+    The replay must converge to exactly the clean twin's state — the
+    double-count this design eliminates would show up as doubled df."""
+    import shutil
+
+    b0 = spark.createDataFrame(
+        [(i, f"alpha common{i} beta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(i, f"gamma common{i} delta") for i in range(10, 25)],
+        "doc_id long, text string",
+    )
+    clean = IncrementalBm25Index(spark, str(tmp_path / "clean"))
+    crashy = IncrementalBm25Index(spark, str(tmp_path / "crashy"))
+    for idx in (clean, crashy):
+        idx.update(b0, 0)
+
+    clean.update(b1, 1)
+    # simulate the crash: run the update with pruning disabled (pruning
+    # only ever runs AFTER the commit write, so the crashed state keeps
+    # the prior snapshots), then delete the commit record — state now
+    # looks exactly like a failure between the dfreq snapshot write and
+    # the commit
+    prune, crashy._prune_snapshots = crashy._prune_snapshots, lambda *a, **k: None
+    crashy.update(b1, 1)
+    crashy._prune_snapshots = prune
+    shutil.rmtree(str(tmp_path / "crashy/stats/batch=1"))
+    assert crashy.committed_batch() == 0  # batch 1 invisible
+
+    # a probe BEFORE recovery must still serve the batch-0 view
+    pre = crashy.probe(queries=[(0, "alpha")], k=30)
+    assert {r.doc_id for r in pre.collect()} <= set(range(10))
+
+    # Structured Streaming re-delivers batch 1 → replay overwrites the
+    # same directories; no fold happens twice
+    crashy.update(b1, 1)
+    assert _state_tuple(spark, crashy) == _state_tuple(spark, clean)
+    assert _postings_rows(spark, str(tmp_path / "crashy")) == \
+        _postings_rows(spark, str(tmp_path / "clean"))
+
+
+def test_crash_after_partition_writes_only(spark, tmp_path):
+    """Crash even earlier: lengths/postings partitions written, neither
+    aggregate snapshot. Replay converges identically."""
+    import shutil
+
+    docs0 = spark.createDataFrame(
+        [(1, "aa bb"), (2, "bb cc")], "doc_id long, text string"
+    )
+    docs1 = spark.createDataFrame(
+        [(3, "cc dd"), (4, "dd ee")], "doc_id long, text string"
+    )
+    clean = IncrementalBm25Index(spark, str(tmp_path / "clean"))
+    crashy = IncrementalBm25Index(spark, str(tmp_path / "crashy"))
+    for idx in (clean, crashy):
+        idx.update(docs0, 0)
+    clean.update(docs1, 1)
+
+    prune, crashy._prune_snapshots = crashy._prune_snapshots, lambda *a, **k: None
+    crashy.update(docs1, 1)
+    crashy._prune_snapshots = prune
+    shutil.rmtree(str(tmp_path / "crashy/stats/batch=1"))
+    shutil.rmtree(str(tmp_path / "crashy/dfreq/batch=1"))
+    crashy.update(docs1, 1)
+    assert _state_tuple(spark, crashy) == _state_tuple(spark, clean)
