@@ -217,3 +217,48 @@ def test_driver_window_is_all_oracle_gated():
     # no-oracle (rows-only) entries must sit at the very end
     tail_flags = [bool(s.oracle) for s in specs[50:]]
     assert tail_flags == sorted(tail_flags, reverse=True)
+
+
+def test_bm25_probe_broadcasts_and_prunes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bm25_topk")
+    # query terms + df + stats all broadcast; postings never sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # per-query top-k never globally sorts the scored relation
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+
+
+def test_dsir_bucket_table_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_logreg_gradient_is_single_aggregate_per_step(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "logreg_quality_scores")
+    # every GD step reduces through partial HashAggregates to ONE row —
+    # a feature shuffle would appear as hashpartitioning on doc columns
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row weight cross-joins
+    # 3 steps + final scoring: no per-step exchange of the corpus
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_kmv_two_phase_windows(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "kmv_distinct_sketch")
+    # phase 1 partitions by (group, salt), phase 2 by group alone —
+    # never a single global window over the distinct relation
+    assert plan.count("WindowGroupLimit") >= 1 or "Window" in plan
+    assert "pmod" in plan or "%" in plan  # the salt is in the plan
+
+
+def test_weighted_sample_salted_not_global(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "weighted_reservoir_sample")
+    # the corpus-sized window partitions by salt; only the <=64k
+    # candidate relation sees the global single-partition window
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_cms_probe_broadcasts_sketch(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cms_trigram_estimates")
+    assert "BroadcastHashJoin" in plan
