@@ -72,7 +72,7 @@ def register(name, oracle, tags=(), bench=False):
 _DRIVER_WINDOW = [
     # tx-list / relational core (P2-P5, O1-O3, A1-A2, J3-J4, J7, F10-F11,
     # F15, T2)
-    "tx_list", "tx_list_count", "tx_list_with_total", "tx_latest",
+    "tx_list", "tx_list_with_total", "tx_latest",
     "latest_per_address", "asof_price", "price_variation_24h",
     "active_address_counts", "distinct_active_addresses", "confirming_status",
     # money math + joins + serving (F3-F7, J1, P1/P8, J5/F17, J6, F12/S8,
@@ -87,16 +87,20 @@ _DRIVER_WINDOW = [
     "hourly_window_agg", "user_sessions_native", "block_gap_report",
     "top_event_per_address", "value_percentiles",
     # dedup cascade (exact, inverted-index Jaccard, MinHash-LSH, clusters,
-    # line-level, fuzzy, observability)
+    # line-level, fuzzy; dedup_report/tx_list_count/embedding_norms ceded
+    # their slots to the round-2 families below — still mirror-gated)
     "dedup_exact", "ngram_dup_pairs", "minhash_dup_pairs", "dedup_clusters",
-    "line_dedup_docs", "typo_pairs", "dedup_report",
+    "line_dedup_docs", "typo_pairs",
     # text analysis
     "text_stats", "text_quality", "lang_id_heuristic", "doc_fingerprint",
     "token_count_bpe", "trigram_freqs", "doc_winnowing",
     "training_corpus_filter",
     # similarity / ANN (brute-force baseline + exact-mode IVF & PQ)
-    "cosine_topk", "embedding_dup_pairs", "embedding_norms",
+    "cosine_topk", "embedding_dup_pairs",
     "ivf_ann_exact", "pq_ann_exact",
+    # round-2 families: lexical retrieval, iterative graph/ML
+    # certification, certifiable cardinality sketch
+    "bm25_topk", "pagerank_trade_graph", "kmv_distinct_sketch",
     # multimodal plumbing
     "media_feature_extract", "media_exact_dedup",
 ]
