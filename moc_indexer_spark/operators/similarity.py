@@ -1057,3 +1057,102 @@ def ivf_probe_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# --- scalar quantization (SQ8) ---------------------------------------------
+
+
+def sq8_dequantized(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension 8-bit scalar quantization, immediately dequantized:
+    x -> mn_i + round((x - mn_i)/(mx_i - mn_i) * 255) * (mx_i - mn_i)/255.
+
+    The fourth index-compression family next to PQ (FAISS SQ8): 4x
+    smaller vectors with near-exact recall on most embedding
+    distributions, and — unlike PQ/LSH/IVF — the whole transform is a
+    deterministic closed-form expression, so the DOWNSTREAM similarity
+    search is cross-engine certifiable end-to-end (the driver gate runs
+    it, not just a recall bound).
+
+    The per-dim min/max relation is dim-sized; it is collected to the
+    driver (bounded, like the IVF/PQ training samples) and applied as
+    literal arrays inside one `transform` expression — the alternative
+    (join stats back + rebuild arrays by position) costs a corpus-sized
+    shuffle for identical values.
+    """
+    dim_stats = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    mn = {r.pos: r.mn for r in dim_stats}
+    mx = {r.pos: r.mx for r in dim_stats}
+    dim = len(dim_stats)
+    mn_arr = F.array(*[F.lit(mn[i]) for i in range(dim)])
+    mx_arr = F.array(*[F.lit(mx[i]) for i in range(dim)])
+    deq = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(
+            F.element_at(mx_arr, i + 1) > F.element_at(mn_arr, i + 1),
+            F.element_at(mn_arr, i + 1)
+            + F.round(
+                (x.cast("double") - F.element_at(mn_arr, i + 1))
+                / (F.element_at(mx_arr, i + 1) - F.element_at(mn_arr, i + 1))
+                * F.lit(255.0),
+                0,
+            )
+            * (F.element_at(mx_arr, i + 1) - F.element_at(mn_arr, i + 1))
+            / F.lit(255.0),
+        ).otherwise(x.cast("double")),
+    )
+    return corpus.select(F.col(id_col), deq.alias(vec_col))
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exhaustive cosine top-k over SQ8-dequantized vectors — the same
+    blocked no-collect dataflow as the exact baseline, running on the
+    compressed representation (the serving shape: codes scan 4x less).
+    Fully oracle-gated because the quantizer is closed-form."""
+    return brute_force_topk_blocked(
+        sq8_dequantized(corpus, id_col, vec_col), k=k,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def sq8_oracle_sql(k: int = 5) -> str:
+    return f"""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos),
+    dq AS (
+      SELECT vec_id, pos,
+             CASE WHEN mx > mn
+                  THEN mn + ROUND((x - mn) / (mx - mn) * 255.0, 0)
+                           * (mx - mn) / 255.0
+                  ELSE x END AS xq
+      FROM ex JOIN st USING (pos)),
+    vecs AS (
+      SELECT vec_id, list(xq ORDER BY pos) AS v FROM dq GROUP BY vec_id),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+      FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM ranked WHERE rank <= {k}
+    """

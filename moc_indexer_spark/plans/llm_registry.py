@@ -1115,6 +1115,7 @@ def q_ann_recall_report(spark, sf_dir):
         ("lsh", S.lsh_bucket_topk(emb, k=5)),
         ("ivf", S.ivf_topk(emb, k=5)),
         ("pq", S.pq_topk(emb, k=5)),
+        ("sq8", S.sq8_topk(emb, k=5)),
     ):
         hits = df.select("query_id", "neighbor_id").join(
             exact, ["query_id", "neighbor_id"]
@@ -1132,3 +1133,16 @@ def q_ann_recall_report(spark, sf_dir):
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "sq8_ann_topk",
+    S.sq8_oracle_sql(),
+    tags=("llm", "similarity", "ann", "sq8"),
+)
+def q_sq8_ann_topk(spark, sf_dir):
+    """Cosine top-5 over 8-bit scalar-quantized vectors — the fourth
+    compression family (FAISS SQ8 shape) and the only one whose whole
+    search path is cross-engine certified (the quantizer is closed-form,
+    so the driver hash-gates the results instead of a recall bound)."""
+    return S.sq8_topk(table(spark, sf_dir, "embeddings"), k=5)

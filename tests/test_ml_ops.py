@@ -179,3 +179,16 @@ def test_cms_overestimates_and_is_tight_for_heavy_hitters(spark, sf_dir):
     for r in out:
         assert r.cms_estimate >= r.exact_count
         assert r.cms_estimate - r.exact_count <= bound
+
+
+def test_sq8_recall_near_exact(spark, sf_dir):
+    from moc_indexer_spark.operators import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.brute_force_topk_blocked(emb, k=5).collect()}
+    sq8 = {(r.query_id, r.neighbor_id)
+           for r in S.sq8_topk(emb, k=5).collect()}
+    recall = len(sq8 & exact) / len(exact)
+    # 8 bits/dim on these vectors is near-lossless
+    assert recall > 0.9
