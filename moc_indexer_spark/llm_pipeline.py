@@ -92,85 +92,97 @@ def run_pipeline(
     gated = raw.join(gated_keys.select("doc_id"), "doc_id")
     funnel["after_quality_gate"] = gated.count()
 
-    w = F.row_number().over(
-        Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    )
     # persist the narrow waists: each funnel count is an action, and the
     # final write replays the lineage once more — without these caches the
     # gate/dedup/decontamination/DSIR chain re-executes from the raw scan
-    # for every stage (measured-quadratic total work in stage count)
-    deduped = (
-        gated.withColumn("__rn", w).filter(F.col("__rn") == 1).drop("__rn")
-    ).persist()
-    funnel["after_exact_dedup"] = deduped.count()
-
-    clean = _decontaminate(deduped, bench_source).persist()
-    funnel["after_decontamination"] = clean.count()
-
-    weights = dsir_weights(clean)
-    scored = clean.join(weights.select("doc_id", "logw"), "doc_id", "left")
-
-    if sample_k is not None:
-        # A-ES fixed-size sample weighted by exp-normalized DSIR weight
-        # tiers (positive weights required; tier by logw sign)
-        wcol = (
-            F.when(F.col("logw") > 0, F.lit(1.0))
-            .when(F.col("logw") > -1.0, F.lit(0.5))
-            .otherwise(F.lit(0.25))
-            .cast("double")
+    # for every stage (measured-quadratic total work in stage count). The
+    # finally-block releases them even when a stage fails mid-funnel.
+    caches: list[DataFrame] = []
+    try:
+        w = F.row_number().over(
+            Window.partitionBy(F.md5("text")).orderBy("doc_id")
         )
-        keep = weighted_sample_topk(
-            scored.select("doc_id", "logw"), wcol, k=sample_k
-        ).select("doc_id")
-        scored = scored.join(keep, "doc_id")
-        funnel["after_sampling"] = scored.count()
-    scored = scored.persist()
+        deduped = (
+            gated.withColumn("__rn", w).filter(F.col("__rn") == 1).drop("__rn")
+        ).persist()
+        caches.append(deduped)
+        funnel["after_exact_dedup"] = deduped.count()
 
-    packed = pack_sequences(
-        scored,
-        group_col="lang",
-        order_col="doc_id",
-        token_col=F.size(T.tokens("text")),
-        budget=PACK_BUDGET,
-    )
-    final = scored.join(packed.select("doc_id", "pack_id"), "doc_id").select(
-        "doc_id",
-        "text",
-        "lang",
-        "source",
-        "logw",
-        "pack_id",
-        F.pmod(F.col("doc_id"), F.lit(N_SHARDS)).cast("bigint").alias("shard_id"),
-    )
-    funnel["final_docs"] = final.count()
+        clean = _decontaminate(deduped, bench_source).persist()
+        caches.append(clean)
+        funnel["after_decontamination"] = clean.count()
 
-    (
-        final.repartition(N_SHARDS, "shard_id")
-        .write.mode("overwrite")
-        .partitionBy("shard_id")
-        .parquet(f"{out_dir}/corpus")
-    )
-    manifest = (
-        spark.read.parquet(f"{out_dir}/corpus")
-        .groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
-            F.min("doc_id").alias("min_doc_id"),
-            F.max("doc_id").alias("max_doc_id"),
-            # pack identity is (lang, pack_id): pack_sequences restarts
-            # pack_id at 0 within each lang group
-            F.countDistinct("lang", "pack_id").cast("bigint").alias("n_packs"),
+        weights = dsir_weights(clean)
+        scored = clean.join(weights.select("doc_id", "logw"), "doc_id", "left")
+
+        if sample_k is not None:
+            # A-ES fixed-size sample weighted by exp-normalized DSIR weight
+            # tiers (positive weights required; tier by logw sign)
+            wcol = (
+                F.when(F.col("logw") > 0, F.lit(1.0))
+                .when(F.col("logw") > -1.0, F.lit(0.5))
+                .otherwise(F.lit(0.25))
+                .cast("double")
+            )
+            keep = weighted_sample_topk(
+                scored.select("doc_id", "logw"), wcol, k=sample_k
+            ).select("doc_id")
+            scored = scored.join(keep, "doc_id")
+            funnel["after_sampling"] = scored.count()
+        scored = scored.persist()
+        caches.append(scored)
+
+        packed = pack_sequences(
+            scored,
+            group_col="lang",
+            order_col="doc_id",
+            token_col=F.size(T.tokens("text")),
+            budget=PACK_BUDGET,
         )
-    )
-    manifest.coalesce(1).write.mode("overwrite").parquet(
-        f"{out_dir}/manifest"
-    )
-    os.makedirs(out_dir, exist_ok=True)
-    with open(f"{out_dir}/funnel.json", "w") as fh:
-        json.dump(funnel, fh, indent=2, sort_keys=True)
-    for df in (deduped, clean, scored):
-        df.unpersist()
+        final = scored.join(
+            packed.select("doc_id", "pack_id"), "doc_id"
+        ).select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            "logw",
+            "pack_id",
+            F.pmod(F.col("doc_id"), F.lit(N_SHARDS)).cast("bigint")
+            .alias("shard_id"),
+        )
+        funnel["final_docs"] = final.count()
+
+        (
+            final.repartition(N_SHARDS, "shard_id")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(f"{out_dir}/corpus")
+        )
+        manifest = (
+            spark.read.parquet(f"{out_dir}/corpus")
+            .groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+                # pack identity is (lang, pack_id): pack_sequences restarts
+                # pack_id at 0 within each lang group; the struct key is
+                # null-safe (COUNT DISTINCT a, b would drop null-lang rows)
+                F.countDistinct(F.struct("lang", "pack_id"))
+                .cast("bigint").alias("n_packs"),
+            )
+        )
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/manifest"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        with open(f"{out_dir}/funnel.json", "w") as fh:
+            json.dump(funnel, fh, indent=2, sort_keys=True)
+    finally:
+        for df in caches:
+            df.unpersist()
     return funnel
 
 

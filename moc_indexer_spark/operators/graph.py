@@ -42,6 +42,13 @@ DAMPING = 0.85
 TELEPORT = 0.15
 ITERS = 3
 
+# the most recent materialized result: each pagerank() call releases the
+# previous call's cache, so a session running the correctness gate or the
+# sweep repeatedly holds AT MOST ONE |V|-sized rank cache (the
+# dedup_clusters precedent: the result itself stays cached, superseded
+# generations are freed)
+_LAST_RESULT: list = []
+
 
 def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Directed edge list of the customer<->supplier trade graph: one edge
@@ -140,14 +147,18 @@ def pagerank(
     # Materialize the (|V|-sized) result and release the iteration caches:
     # a long-lived session running many queries must not accrete pinned
     # edge/node blocks per pagerank call (review finding — the caches were
-    # session-lifetime before). The result DataFrame stays cached; callers
-    # holding it long-term own its unpersist.
+    # session-lifetime before). The result stays cached so consumers read
+    # it without recomputing the loop; the NEXT call frees it (bounded at
+    # one live cache per session).
     out = ranks.select(
         "node", F.col("rank").cast("double").alias("rank")
     ).persist()
     out.count()
     edges.unpersist()
     nodes.unpersist()
+    while _LAST_RESULT:
+        _LAST_RESULT.pop().unpersist()
+    _LAST_RESULT.append(out)
     return out
 
 

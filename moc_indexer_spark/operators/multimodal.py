@@ -533,6 +533,8 @@ def resize_images_real(
             for media_id, raw in zip(pdf["media_id"], pdf["content"]):
                 ids.append(media_id)
                 try:
+                    if raw is None:
+                        raise ValueError("null content blob")
                     _, _, px = decode_image(bytes(raw))
                     out = encode_ppm(resize_nearest(px, out_w, out_h))
                     oks.append(True)

@@ -199,7 +199,8 @@ def weighted_sample_oracle_sql(
 
 
 CMS_ROWS = 4
-CMS_WIDTH = 4096  # buckets per row: 3 hex chars
+CMS_HEX_CHARS = 3  # bucket key length; width = 16**CMS_HEX_CHARS
+CMS_WIDTH = 16 ** CMS_HEX_CHARS
 
 
 def cms_trigram_estimates(
@@ -244,7 +245,8 @@ def cms_trigram_estimates(
         .select(
             "r",
             F.substring(
-                F.md5(F.concat_ws(":", F.col("r"), F.col("g"))), 1, 3
+                F.md5(F.concat_ws(":", F.col("r"), F.col("g"))),
+                1, CMS_HEX_CHARS,
             ).alias("bucket"),
         )
         .groupBy("r", "bucket")
@@ -261,7 +263,8 @@ def cms_trigram_estimates(
         "exact_count",
         "r",
         F.substring(
-            F.md5(F.concat_ws(":", F.col("r"), F.col("g"))), 1, 3
+            F.md5(F.concat_ws(":", F.col("r"), F.col("g"))),
+            1, CMS_HEX_CHARS,
         ).alias("bucket"),
     )
     return (
@@ -291,12 +294,12 @@ def cms_oracle_sql(top_k: int = 20, ngram_n: int = 3) -> str:
             ORDER BY exact_count DESC, g ASC LIMIT {top_k}),
     rws AS (SELECT * FROM (VALUES {rows}) AS v(r)),
     cells AS (
-      SELECT r, substr(md5(r || ':' || g), 1, 3) AS bucket,
+      SELECT r, substr(md5(r || ':' || g), 1, {CMS_HEX_CHARS}) AS bucket,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM grams CROSS JOIN rws GROUP BY r, bucket),
     probes AS (
       SELECT t.g, t.exact_count, w.r,
-             substr(md5(w.r || ':' || t.g), 1, 3) AS bucket
+             substr(md5(w.r || ':' || t.g), 1, {CMS_HEX_CHARS}) AS bucket
       FROM top t CROSS JOIN rws w)
     SELECT p.g AS ngram, p.exact_count, MIN(c.c) AS cms_estimate
     FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket

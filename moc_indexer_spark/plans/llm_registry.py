@@ -1108,31 +1108,24 @@ def q_ann_recall_report(spark, sf_dir):
     exact = S.brute_force_topk_blocked(emb, k=5).select(
         F.col("query_id"), F.col("neighbor_id")
     ).persist()
-    n_pairs = exact.count()  # materialize once; |Q|*5 rows
-
-    reports = []
-    for method, df in (
-        ("lsh", S.lsh_bucket_topk(emb, k=5)),
-        ("ivf", S.ivf_topk(emb, k=5)),
-        ("pq", S.pq_topk(emb, k=5)),
-        ("sq8", S.sq8_topk(emb, k=5)),
-    ):
-        hits = df.select("query_id", "neighbor_id").join(
-            exact, ["query_id", "neighbor_id"]
-        )
-        reports.append(
-            hits.agg(
-                F.lit(method).alias("method"),
-                F.round(
-                    F.count(F.lit(1)).cast("double") / F.lit(float(n_pairs)),
-                    4,
-                ).alias("recall_at_5"),
-            )
-        )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out
+    try:
+        n_pairs = exact.count()  # materialize once; |Q|*5 rows
+        rows = []
+        for method, df in (
+            ("lsh", S.lsh_bucket_topk(emb, k=5)),
+            ("ivf", S.ivf_topk(emb, k=5)),
+            ("pq", S.pq_topk(emb, k=5)),
+            ("sq8", S.sq8_topk(emb, k=5)),
+        ):
+            hits = df.select("query_id", "neighbor_id").join(
+                exact, ["query_id", "neighbor_id"]
+            ).count()
+            rows.append((method, round(hits / n_pairs, 4)))
+    finally:
+        exact.unpersist()
+    # eager by design (an observability report): the baseline cache lives
+    # only for the duration of this build — no session-lifetime pins
+    return spark.createDataFrame(rows, "method string, recall_at_5 double")
 
 
 @register(

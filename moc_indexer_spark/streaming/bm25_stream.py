@@ -119,6 +119,15 @@ class IncrementalBm25Index:
         seen = self._read_upto("lengths", batch_id - 1)
         if seen is not None:
             batch = batch.join(seen.select("doc_id"), "doc_id", "left_anti")
+        # four write actions consume the delta — cache it for the update's
+        # duration so the dedup window + full-history anti-join run once
+        batch = batch.persist()
+        try:
+            self._write_generation(batch, batch_id, committed)
+        finally:
+            batch.unpersist()
+
+    def _write_generation(self, batch, batch_id: int, committed: int) -> None:
         postings, lengths, dfreq_delta, stats_delta = RT._index_relations(
             batch
         )
@@ -150,8 +159,10 @@ class IncrementalBm25Index:
         stats.coalesce(1).write.mode("overwrite").parquet(
             f"{self._dir('stats')}/batch={batch_id}"
         )
+        # keep the PREVIOUS committed generation too: a lazy probe plan
+        # built before this commit may still reference its snapshot paths
         for name in ("dfreq", "stats"):
-            self._prune_snapshots(name, keep_from=batch_id)
+            self._prune_snapshots(name, keep_from=max(committed, 0))
 
     # -- probe ---------------------------------------------------------------
 

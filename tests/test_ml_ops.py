@@ -175,7 +175,9 @@ def test_cms_overestimates_and_is_tight_for_heavy_hitters(spark, sf_dir):
     # CMS guarantees: never underestimates; overestimate bounded by
     # ~eps*N per row (eps = e/width), far tighter after the min over 4
     # independent rows — allow the single-row bound with slack
-    bound = 2.0 * 2.718 / 4096 * n_total
+    from moc_indexer_spark.operators import sketches as SK
+
+    bound = 2.0 * 2.718 / SK.CMS_WIDTH * n_total
     for r in out:
         assert r.cms_estimate >= r.exact_count
         assert r.cms_estimate - r.exact_count <= bound
