@@ -379,3 +379,15 @@ def test_truncated_known_format_is_permissive(spark):
     out = {r.media_id: r.ok for r in
            MM.resize_images_real(media, 2, 2).collect()}
     assert out == {0: False, 1: False}
+
+
+def test_real_decode_pgm_grayscale(spark):
+    import numpy as np
+
+    w, h = 4, 3
+    gray = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    pgm = b"P5\n# c\n%d %d\n255\n" % (w, h) + gray.tobytes()
+    got_w, got_h, px = MM.decode_image(pgm)
+    assert (got_w, got_h) == (w, h)
+    assert px.shape == (h, w, 3)
+    assert (px[:, :, 0] == gray).all() and (px[:, :, 2] == gray).all()
