@@ -223,3 +223,43 @@ def run_bm25_index_stream_available_now(
         .awaitTermination()
     )
     return idx
+
+
+def compact_index(idx: IncrementalBm25Index) -> int:
+    """Fold all committed postings/lengths batch partitions into a single
+    partition at the committed batch id — the OPTIMIZE/compaction
+    maintenance action for the streaming index (every micro-batch adds a
+    directory; at cluster scale thousands of tiny partitions destroy
+    probe scan throughput the same way small files do, see
+    tables.compact_parquet).
+
+    Runs OUT-OF-BAND of the owning stream (single-writer contract: do not
+    run concurrently with update()). Crash-safe by the same
+    idempotent-overwrite argument as update(): the fold target is the
+    already-committed batch directory, rewritten with identical content
+    (rows merely change partition homes), and older partitions are
+    removed only after both rewrites land. Returns the number of batch
+    partitions removed."""
+    committed = idx.committed_batch()
+    if committed < 0:
+        return 0
+    removed = 0
+    for name in ("lengths", "postings"):
+        batches = [b for b in idx._batches(name) if b <= committed]
+        if len(batches) <= 1:
+            continue
+        merged = idx._read_upto(name, committed)
+        tmp = f"{idx._dir(name)}/__compact_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = idx.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(
+            f"{idx._dir(name)}/batch={committed}"
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        for b in batches:
+            if b != committed:
+                shutil.rmtree(
+                    f"{idx._dir(name)}/batch={b}", ignore_errors=True
+                )
+                removed += 1
+    return removed

@@ -160,3 +160,30 @@ def test_crash_after_partition_writes_only(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "crashy/dfreq/batch=1"))
     crashy.update(docs1, 1)
     assert _state_tuple(spark, crashy) == _state_tuple(spark, clean)
+
+
+def test_compaction_preserves_probe_results(spark, sf_dir, tmp_path):
+    from moc_indexer_spark.streaming.bm25_stream import compact_index
+
+    from moc_indexer_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    idx = IncrementalBm25Index(spark, str(tmp_path / "idx"))
+    for i, lo in enumerate([0, 200, 400]):
+        idx.update(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 200)),
+            i,
+        )
+    before = _rows(idx.probe())
+    import os
+
+    n_parts_before = len(os.listdir(str(tmp_path / "idx/postings")))
+    removed = compact_index(idx)
+    assert removed == 4  # 2 older partitions x 2 relations
+    n_parts_after = len(
+        [d for d in os.listdir(str(tmp_path / "idx/postings"))
+         if d.startswith("batch=")]
+    )
+    assert n_parts_after == 1 and n_parts_before >= 3
+    assert _rows(idx.probe()) == before
+    assert before == _rows(bm25_topk(docs.filter(F.col("doc_id") < 600)))
