@@ -648,3 +648,131 @@ def novel_ngram_rate(
             / F.col("n_shingles").cast("double"),
         )
     )
+
+
+def simhash_pairs_portable(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs on a 60-bit md5-derived token hash — the
+    CERTIFIABLE sibling of `simhash_pairs`: xxhash64 has no DuckDB
+    equivalent, so the production operator is rows-only at the driver
+    gate; this variant swaps the hash family for the engine-portable
+    60-bit md5 prefix (same trick as the KMV/A-ES sketches) so the whole
+    pigeonhole+verify pipeline is DuckDB-replayable and hash-gated.
+    Identical dataflow and cost shape (the hash is computed once per
+    token either way); same pigeonhole guarantee with 4 x 15-bit chunks.
+    """
+    n_bits = 60
+    chunks = max_hamming + 1
+    width = n_bits // chunks  # 15
+    h = F.conv(
+        F.substring(F.md5(F.col("tok")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashes = docs.select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("tok")
+    ).select(F.col(id_col), h.alias("h"))
+    # Spark side uses JVM bit ops (shiftright/AND — exact on bigints);
+    # the oracle uses the mathematically-identical (h // 2^b) % 2
+    # arithmetic. A double-division formulation here would corrupt bits:
+    # 60-bit values exceed the 53-bit double mantissa.
+    bit_aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
+        .alias(f"b{b}")
+        for b in range(n_bits)
+    ]
+    sig_expr = None
+    for b in range(n_bits):
+        term = F.when(
+            F.col(f"b{b}") * 2 >= F.col("n"), F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sig = (
+        hashes.groupBy(id_col)
+        .agg(*bit_aggs)
+        .select(F.col(id_col), sig_expr.alias("sig"))
+    )
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftright(F.col("sig"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk_val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    chunked = sig.select(
+        F.col(id_col), F.col("sig"), F.explode(chunk_structs).alias("ch")
+    ).select(
+        F.col(id_col), F.col("sig"),
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.chunk_val").alias("chunk_val"),
+    )
+    a, b_ = chunked.alias("a"), chunked.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b_,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_i"),
+            F.col(f"b.{id_col}").alias("doc_j"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_portable_oracle_sql(max_hamming: int = 3) -> str:
+    n_bits = 60
+    chunks = max_hamming + 1
+    width = n_bits // chunks
+    bit_sums = ", ".join(
+        f"SUM((h // {1 << b}) % 2) AS b{b}" for b in range(n_bits)
+    )
+    sig_terms = " + ".join(
+        f"CASE WHEN b{b} * 2 >= n THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE 0 END"
+        for b in range(n_bits)
+    )
+    chunk_vals = ", ".join(
+        f"({c}, CAST({1 << (c * width)} AS BIGINT))" for c in range(chunks)
+    )
+    ham_terms = " + ".join(
+        f"CASE WHEN (sig_a // {1 << b}) % 2 <> (sig_b // {1 << b}) % 2 "
+        f"THEN 1 ELSE 0 END"
+        for b in range(n_bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+          FROM toks),
+    bits AS (SELECT doc_id, COUNT(*) AS n, {bit_sums}
+             FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS sig FROM bits),
+    ch AS (
+      SELECT doc_id, sig, c, (sig // dv) % {1 << width} AS cv
+      FROM sig CROSS JOIN (VALUES {chunk_vals}) t(c, dv)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM ch a JOIN ch b
+        ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT doc_i, doc_j, CAST({ham_terms} AS BIGINT) AS hamming
+      FROM cand)
+    SELECT doc_i, doc_j, hamming FROM scored
+    WHERE hamming <= {max_hamming}
+    """

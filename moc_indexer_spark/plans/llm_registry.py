@@ -1139,3 +1139,16 @@ def q_sq8_ann_topk(spark, sf_dir):
     search path is cross-engine certified (the quantizer is closed-form,
     so the driver hash-gates the results instead of a recall bound)."""
     return S.sq8_topk(table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "simhash_pairs_certified",
+    D.simhash_portable_oracle_sql(),
+    tags=("llm", "dedup", "simhash"),
+)
+def q_simhash_pairs_certified(spark, sf_dir):
+    """SimHash near-dup pairs on the engine-portable md5-60bit hash — the
+    oracle-gated certification of the pigeonhole+verify pipeline
+    (`simhash_pairs` keeps xxhash64 as the production hash and stays
+    rows-only; this variant proves the machinery end-to-end)."""
+    return D.simhash_pairs_portable(table(spark, sf_dir, "documents"))
