@@ -1152,3 +1152,20 @@ def q_simhash_pairs_certified(spark, sf_dir):
     (`simhash_pairs` keeps xxhash64 as the production hash and stays
     rows-only; this variant proves the machinery end-to-end)."""
     return D.simhash_pairs_portable(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "lsh_ann_exact",
+    _COSINE_TOPK_ORACLE,
+    tags=("llm", "similarity", "ann", "lsh", "exact-mode"),
+)
+def q_lsh_ann_exact(spark, sf_dir):
+    """LSH in its degenerate exact mode (one table, zero planes -> a
+    single bucket): the grouped-BLAS bucket scorer must reproduce brute
+    force bit-for-bit, certifying the LSH machinery end-to-end the same
+    way `ivf_ann_exact`/`pq_ann_exact` certify theirs. Every ANN family
+    now has an oracle-gated leg (the probabilistic legs stay rows-only
+    with recall bounds)."""
+    return S.lsh_bucket_topk(
+        table(spark, sf_dir, "embeddings"), k=5, n_tables=1, n_planes=0
+    )
