@@ -72,3 +72,12 @@ def test_pipeline_jsonl_ingest_with_quarantine(spark, sf_dir, tmp_path):
     assert funnel["raw"] == 120
     assert funnel["quarantined_lines"] == 1
     assert funnel["final_docs"] > 0
+
+
+def test_pipeline_rerun_is_idempotent(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "out")
+    f1 = run_pipeline(spark, f"{sf_dir}/documents.parquet", out)
+    m1 = sorted(map(tuple, spark.read.parquet(f"{out}/manifest").collect()))
+    f2 = run_pipeline(spark, f"{sf_dir}/documents.parquet", out)
+    m2 = sorted(map(tuple, spark.read.parquet(f"{out}/manifest").collect()))
+    assert f1 == f2 and m1 == m2
