@@ -662,8 +662,10 @@ def simhash_pairs_portable(
     gate; this variant swaps the hash family for the engine-portable
     60-bit md5 prefix (same trick as the KMV/A-ES sketches) so the whole
     pigeonhole+verify pipeline is DuckDB-replayable and hash-gated.
-    Identical dataflow and cost shape (the hash is computed once per
-    token either way); same pigeonhole guarantee with 4 x 15-bit chunks.
+    Identical dataflow; same pigeonhole guarantee with 4 x 15-bit chunks.
+    Cost note: md5+conv is a slower per-token hash than xxhash64 (~2x the
+    operator at sf0.1), which is exactly why the production operator
+    keeps xxhash64 and this one exists for certification.
     """
     n_bits = 60
     chunks = max_hamming + 1

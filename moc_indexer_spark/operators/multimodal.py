@@ -256,6 +256,29 @@ def decode_image(content: bytes):
         px = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
         return w, h, px.reshape(h, w, 3)
 
+    if content[:2] == b"P5":
+        # grayscale PGM: same header grammar as P6, one byte per pixel —
+        # replicated to 3 channels so downstream features stay uniform
+        pos = 2
+        vals = []
+        while len(vals) < 3:
+            while pos < len(content) and content[pos : pos + 1].isspace():
+                pos += 1
+            if content[pos : pos + 1] == b"#":
+                while content[pos : pos + 1] not in (b"\n", b""):
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(content[start:pos]))
+        pos += 1
+        w, h, maxval = vals
+        if maxval != 255:
+            raise NotImplementedError("16-bit PGM not supported")
+        px = np.frombuffer(content, dtype=np.uint8, count=w * h, offset=pos)
+        return w, h, np.repeat(px.reshape(h, w, 1), 3, axis=2)
+
     if content[:2] == b"BM":
         off = int.from_bytes(content[10:14], "little")
         w = int.from_bytes(content[18:22], "little", signed=True)
