@@ -17,7 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import relational as R2
-from ..tables import TRANSACTIONS_CTE, table, transactions
+from ..tables import table, transactions
 from .registry import TX_WITH, register
 
 D186 = "decimal(18,6)"

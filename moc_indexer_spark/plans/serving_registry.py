@@ -9,7 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import serving as SV
-from ..tables import TRANSACTIONS_CTE, table, transactions
+from ..tables import table, transactions
 from .registry import EXCLUDED_EVENTS, REPORT_CUTOFF, TX_USER, TX_WITH, register
 
 
