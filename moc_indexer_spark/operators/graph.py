@@ -7,15 +7,18 @@ training-data pipelines (domain authority weighting) and the second
 iterative-algorithm certification next to `operators/clustering.py`.
 
 Spark-first shape: each power iteration is
-  edges ⋈ ranks (shuffle on src) -> groupBy dst partial-sum -> left join
-  back onto the node list
-so per-iteration cost is one edge-sized shuffle with map-side combine —
-the textbook Pregel-equivalent dataflow. Iterations unroll into a single
-Catalyst plan (only the plan visits the driver). The node and degree
-relations are |V|-sized; the rank relation is 16 bytes/node. At 100 TB of
-edges the shuffle key is the 8-ish-byte node id, AQE handles hub skew,
-and a production loop would checkpoint ranks every ~5 rounds to reset
-lineage — none of which changes per-round physics.
+  edges ⋈ ranks -> groupBy dst partial-sum -> left join onto the node list
+with the rank vector treated as the DIMENSION side. By default
+(broadcast_ranks=True) ranks broadcast, so cached edges never reshuffle
+and the only per-superstep exchange is the map-side-combined message
+aggregation; `broadcast_ranks=False` switches to a co-partitioned
+shuffle join against the cached src-partitioned edge layout for
+billion-node graphs (the Pregel layout — only the |V|-sized rank side
+moves). Iterations unroll into a single Catalyst plan (only the plan
+visits the driver). At 100 TB of edges the shuffle key is the 8-ish-byte
+node id, AQE handles hub skew, and a production loop would checkpoint
+ranks every ~5 rounds to reset lineage — none of which changes per-round
+physics.
 
 Exact cross-engine determinism (same discipline as kmeans): ranks are
 DECIMAL(20,12); the only IEEE-double steps are the contribution division

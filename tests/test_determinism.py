@@ -1,0 +1,21 @@
+"""Run-to-run determinism of the driver-window queries: the correctness
+gate hash-compares Spark against DuckDB, so any Spark-side
+nondeterminism (unordered first()/collect_list dependence, float
+aggregation order, RNG) would surface as a flaky gate. This pins it
+directly: two independent builds must produce identical canonical rows.
+"""
+
+import pytest
+
+from moc_indexer_spark.plans.registry import _DRIVER_WINDOW, registry
+from moc_indexer_spark.testing import canonical_rows
+
+_SPECS = {s.name: s for s in registry()}
+
+
+@pytest.mark.parametrize("name", _DRIVER_WINDOW)
+def test_window_query_is_run_deterministic(spark, sf_dir, name):
+    spec = _SPECS[name]
+    a = canonical_rows(spec.build(spark, sf_dir).toPandas())
+    b = canonical_rows(spec.build(spark, sf_dir).toPandas())
+    assert a == b, f"{name}: two runs disagreed"
