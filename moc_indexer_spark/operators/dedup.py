@@ -778,3 +778,101 @@ def simhash_portable_oracle_sql(max_hamming: int = 3) -> str:
     SELECT doc_i, doc_j, hamming FROM scored
     WHERE hamming <= {max_hamming}
     """
+
+
+def jaccard_pairs_prefix_filtered(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin, Bayardo
+    et al. WWW'07) — the third result-invariant accelerator next to
+    `salted_hot_key_join` and `bloom_decontamination`, certified the same
+    way: its registered oracle is the plain exact-pairs query, so the
+    driver hash-compare PROVES the optimization loses nothing.
+
+    The theorem: order every doc's shingle set by a global total order
+    (ascending document frequency, rarest first — the order that shrinks
+    candidate lists most); if J(A,B) >= t then A and B must share a
+    shingle within each one's first |x| - ceil(t*|x|) + 1 shingles.
+    So the candidate join indexes ONLY prefixes — at t=0.8 that is ~20%
+    of the inverted index, and the prefix entries are the RAREST
+    shingles, so posting lists (hence join fan-out) shrink far more than
+    5x in a Zipf vocabulary. Candidates then verify with the exact
+    intersection count, computed pair-bounded (candidates join the full
+    shingle relation) rather than index-wide.
+
+    Honest local measurement: on the SYNTHETIC corpus the shingle
+    posting lists are already near-singleton, so the plain join is cheap
+    and the ranking window makes this form ~10% SLOWER at sf0.1 (2.25 s
+    vs 1.99 s). The algorithm's value is the Zipf case — web-scale
+    shingle distributions where hot posting lists make the plain join
+    quadratic — which is why it registers as a certified scale-path
+    sibling, not the bench/default form.
+
+    Same output contract as `ngram_jaccard_pairs`.
+    """
+    sh = _shingle_df(docs, n, id_col, text_col).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # global order: document frequency (computed over the same shingle
+    # partitioning the candidate join uses), tie-broken by shingle value
+    pw = Window.partitionBy("shingle")
+    ranked = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(pw))
+        # posting-list-1 pruning composes with prefix filtering: a
+        # df=1 shingle can't produce a candidate pair
+        .filter(F.col("__df") >= 2)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("__df", "shingle")
+            ),
+        )
+    )
+    prefix_len = F.col("n_sh") - F.ceil(
+        F.lit(threshold) * F.col("n_sh")
+    ) + 1
+    prefix = (
+        ranked.join(sizes, id_col)
+        .filter(F.col("__rn") <= prefix_len)
+        .select(F.col(id_col), "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_i"),
+            F.col(f"b.{id_col}").alias("doc_j"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("doc_i"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc_j"), "shingle")
+    inter = (
+        cand.join(sa, "doc_i")
+        .join(sb, ["doc_j", "shingle"])
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_i"), F.col("n_sh").alias("n_i"))
+    nb = sizes.select(F.col(id_col).alias("doc_j"), F.col("n_sh").alias("n_j"))
+    jac = (
+        inter.join(na, "doc_i")
+        .join(nb, "doc_j")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_i") + F.col("n_j") - F.col("inter")).cast("double"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_i", "doc_j", "jaccard"
+    )

@@ -1169,3 +1169,20 @@ def q_lsh_ann_exact(spark, sf_dir):
     return S.lsh_bucket_topk(
         table(spark, sf_dir, "embeddings"), k=5, n_tables=1, n_planes=0
     )
+
+
+@register(
+    "ngram_dup_pairs_prefix",
+    _JACCARD_ORACLE,
+    tags=("llm", "dedup", "jaccard", "prefix-filter", "scale-path"),
+)
+def q_ngram_dup_pairs_prefix(spark, sf_dir):
+    """Prefix-filtered exact Jaccard join (AllPairs/PPJoin): indexes only
+    each doc's rarest-first prefix, verifies candidates pair-bounded. The
+    oracle is the PLAIN exact-pairs query — the hash compare proves the
+    prefix filter result-invariant (the salted-join / bloom
+    certification pattern)."""
+    return D.jaccard_pairs_prefix_filtered(
+        table(spark, sf_dir, "documents"), n=NGRAM_N,
+        threshold=JACCARD_THRESHOLD,
+    )

@@ -435,3 +435,15 @@ def test_line_dedup_property_vs_python_reference(spark):
             for r in line_dedup(df, F.col("lines"), min_dup_docs=2).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_prefix_filtered_jaccard_equals_plain(spark, sf_dir):
+    from moc_indexer_spark.operators.dedup import (
+        jaccard_pairs_prefix_filtered, ngram_jaccard_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    plain = sorted(map(tuple, ngram_jaccard_pairs(d, n=3, threshold=0.5).collect()))
+    pref = sorted(map(tuple,
+                      jaccard_pairs_prefix_filtered(d, n=3, threshold=0.5).collect()))
+    assert plain == pref  # result-invariance at a second threshold too
