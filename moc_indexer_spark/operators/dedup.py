@@ -56,6 +56,38 @@ def _shingle_df(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFram
     )
 
 
+def _hashed_shingles(docs, n, id_col, text_col):
+    """(id, shingle-hash) distinct pairs + per-doc set sizes — the shared
+    scaffolding of every exact-Jaccard form (plain inverted-index join,
+    prefix-filtered join, LSH verify). One definition keeps the verify
+    arithmetic identical across variants, which the prefix form's
+    result-invariance certification depends on."""
+    sh = _shingle_df(docs, n, id_col, text_col).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return sh, sizes
+
+
+def _jaccard_from_inter(inter, sizes, threshold, id_col):
+    """(doc_i, doc_j, inter) + sizes -> thresholded (doc_i, doc_j,
+    jaccard) under the shared |A∩B|/(|A|+|B|-|A∩B|) arithmetic."""
+    sa = sizes.select(F.col(id_col).alias("doc_i"), F.col("n_sh").alias("n_i"))
+    sb = sizes.select(F.col(id_col).alias("doc_j"), F.col("n_sh").alias("n_j"))
+    jac = (
+        inter.join(sa, "doc_i")
+        .join(sb, "doc_j")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_i") + F.col("n_j") - F.col("inter")).cast("double"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_i", "doc_j", "jaccard"
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -77,10 +109,7 @@ def ngram_jaccard_pairs(
     collide in 64 bits — ~2^-64 per candidate pair, negligible against the
     count-based jaccard.
     """
-    sh = _shingle_df(docs, n, id_col, text_col).select(
-        F.col(id_col), F.xxhash64("shingle").alias("shingle")
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh, sizes = _hashed_shingles(docs, n, id_col, text_col)
     # Prune posting lists of size 1 BEFORE the self-join: a shingle seen in
     # only one doc can't produce a candidate pair, and in a real corpus
     # that's the vast majority of the inverted index. The count runs as a
@@ -103,20 +132,7 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_i"), F.col("n_sh").alias("n_i"))
-    sb = sizes.select(F.col(id_col).alias("doc_j"), F.col("n_sh").alias("n_j"))
-    jac = (
-        inter.join(sa, "doc_i")
-        .join(sb, "doc_j")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("n_i") + F.col("n_j") - F.col("inter")).cast("double"),
-        )
-    )
-    return jac.filter(F.col("jaccard") >= threshold).select(
-        "doc_i", "doc_j", "jaccard"
-    )
+    return _jaccard_from_inter(inter, sizes, threshold, id_col)
 
 
 def minhash_lsh_pairs(
@@ -292,27 +308,38 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     )
 
 
-def simhash_pairs(
-    docs: DataFrame,
-    max_hamming: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _simhash_pipeline(
+    hashes: DataFrame,
+    n_bits: int,
+    max_hamming: int,
+    id_col: str,
 ) -> DataFrame:
-    """SimHash near-dup pairs: hamming(sig_i, sig_j) <= max_hamming.
-
-    Pigeonhole: split 64 bits into max_hamming+1 chunks; any pair within
-    distance max_hamming shares at least one exact chunk -> equi-join on
-    (chunk_idx, chunk_value), then exact hamming verify. No O(n^2) compare.
-    """
+    """Shared SimHash pipeline over a (id, h) token-hash relation:
+    per-bit majority votes -> n_bits signature -> pigeonhole chunk join
+    (max_hamming+1 chunks; any pair within distance max_hamming shares an
+    exact chunk) -> exact hamming verify. Parameterized by bit width so
+    the 64-bit xxhash64 production form and the 60-bit md5 certified form
+    are ONE implementation (divergence here would silently break the
+    certified variant's claim to represent the production machinery)."""
     chunks = max_hamming + 1
-    width = 64 // chunks
-    hashes = docs.select(
-        F.col(id_col), F.explode(T.tokens(text_col)).alias("tok")
-    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    width = n_bits // chunks
+    bit_aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
+        .alias(f"b{b}")
+        for b in range(n_bits)
+    ]
+    sig_expr = F.lit(0).cast("bigint")
+    for b in range(n_bits):
+        sig_expr = sig_expr.bitwiseOR(
+            F.when(
+                F.col(f"b{b}") * 2 >= F.col("n"),
+                F.shiftleft(F.lit(1).cast("bigint"), b),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
     sig = (
         hashes.groupBy(id_col)
-        .agg(*T.simhash_bit_aggs("h"))
-        .select(F.col(id_col), T.simhash_assemble().alias("sig"))
+        .agg(*bit_aggs)
+        .select(F.col(id_col), sig_expr.alias("sig"))
     )
     chunk_structs = F.array(
         *[
@@ -326,19 +353,16 @@ def simhash_pairs(
         ]
     )
     chunked = sig.select(
-        F.col(id_col),
-        F.col("sig"),
-        F.explode(chunk_structs).alias("ch"),
+        F.col(id_col), F.col("sig"), F.explode(chunk_structs).alias("ch")
     ).select(
         F.col(id_col), F.col("sig"),
         F.col("ch.chunk_idx").alias("chunk_idx"),
         F.col("ch.chunk_val").alias("chunk_val"),
     )
-    a = chunked.alias("a")
-    b = chunked.alias("b")
+    a, b_ = chunked.alias("a"), chunked.alias("b")
     return (
         a.join(
-            b,
+            b_,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -346,11 +370,30 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_i"),
             F.col(f"b.{id_col}").alias("doc_j"),
-            T.hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+            .cast("bigint").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming(sig_i, sig_j) <= max_hamming.
+
+    Pigeonhole: split 64 bits into max_hamming+1 chunks; any pair within
+    distance max_hamming shares at least one exact chunk -> equi-join on
+    (chunk_idx, chunk_value), then exact hamming verify. No O(n^2) compare.
+    """
+    hashes = docs.select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("tok")
+    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    return _simhash_pipeline(hashes, 64, max_hamming, id_col)
 
 
 def edit1_pairs(
@@ -661,76 +704,23 @@ def simhash_pairs_portable(
     equivalent, so the production operator is rows-only at the driver
     gate; this variant swaps the hash family for the engine-portable
     60-bit md5 prefix (same trick as the KMV/A-ES sketches) so the whole
-    pigeonhole+verify pipeline is DuckDB-replayable and hash-gated.
-    Identical dataflow; same pigeonhole guarantee with 4 x 15-bit chunks.
-    Cost note: md5+conv is a slower per-token hash than xxhash64 (~2x the
-    operator at sf0.1), which is exactly why the production operator
-    keeps xxhash64 and this one exists for certification.
+    pigeonhole+verify pipeline is DuckDB-replayable and hash-gated. Both
+    variants run the SAME `_simhash_pipeline` (bit width is the only
+    parameter); the oracle replays it with (h // 2^b) % 2 arithmetic —
+    mathematically identical to the JVM shiftright/AND used here (a
+    double-division Spark formulation would corrupt bits past the 53-bit
+    mantissa). Cost note: md5+conv is a slower per-token hash than
+    xxhash64 (~2x the operator at sf0.1), which is exactly why the
+    production operator keeps xxhash64 and this one exists for
+    certification.
     """
-    n_bits = 60
-    chunks = max_hamming + 1
-    width = n_bits // chunks  # 15
     h = F.conv(
         F.substring(F.md5(F.col("tok")), 1, 15), 16, 10
     ).cast("bigint")
     hashes = docs.select(
         F.col(id_col), F.explode(T.tokens(text_col)).alias("tok")
     ).select(F.col(id_col), h.alias("h"))
-    # Spark side uses JVM bit ops (shiftright/AND — exact on bigints);
-    # the oracle uses the mathematically-identical (h // 2^b) % 2
-    # arithmetic. A double-division formulation here would corrupt bits:
-    # 60-bit values exceed the 53-bit double mantissa.
-    bit_aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
-        .alias(f"b{b}")
-        for b in range(n_bits)
-    ]
-    sig_expr = None
-    for b in range(n_bits):
-        term = F.when(
-            F.col(f"b{b}") * 2 >= F.col("n"), F.lit(1 << b).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        sig_expr = term if sig_expr is None else sig_expr + term
-    sig = (
-        hashes.groupBy(id_col)
-        .agg(*bit_aggs)
-        .select(F.col(id_col), sig_expr.alias("sig"))
-    )
-    chunk_structs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("chunk_idx"),
-                F.shiftright(F.col("sig"), c * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("chunk_val"),
-            )
-            for c in range(chunks)
-        ]
-    )
-    chunked = sig.select(
-        F.col(id_col), F.col("sig"), F.explode(chunk_structs).alias("ch")
-    ).select(
-        F.col(id_col), F.col("sig"),
-        F.col("ch.chunk_idx").alias("chunk_idx"),
-        F.col("ch.chunk_val").alias("chunk_val"),
-    )
-    a, b_ = chunked.alias("a"), chunked.alias("b")
-    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    return (
-        a.join(
-            b_,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_i"),
-            F.col(f"b.{id_col}").alias("doc_j"),
-            ham.cast("bigint").alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return _simhash_pipeline(hashes, 60, max_hamming, id_col)
 
 
 def simhash_portable_oracle_sql(max_hamming: int = 3) -> str:
@@ -814,10 +804,7 @@ def jaccard_pairs_prefix_filtered(
 
     Same output contract as `ngram_jaccard_pairs`.
     """
-    sh = _shingle_df(docs, n, id_col, text_col).select(
-        F.col(id_col), F.xxhash64("shingle").alias("shingle")
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh, sizes = _hashed_shingles(docs, n, id_col, text_col)
     # global order: document frequency (computed over the same shingle
     # partitioning the candidate join uses), tie-broken by shingle value
     pw = Window.partitionBy("shingle")
@@ -862,17 +849,4 @@ def jaccard_pairs_prefix_filtered(
         .groupBy("doc_i", "doc_j")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    na = sizes.select(F.col(id_col).alias("doc_i"), F.col("n_sh").alias("n_i"))
-    nb = sizes.select(F.col(id_col).alias("doc_j"), F.col("n_sh").alias("n_j"))
-    jac = (
-        inter.join(na, "doc_i")
-        .join(nb, "doc_j")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("n_i") + F.col("n_j") - F.col("inter")).cast("double"),
-        )
-    )
-    return jac.filter(F.col("jaccard") >= threshold).select(
-        "doc_i", "doc_j", "jaccard"
-    )
+    return _jaccard_from_inter(inter, sizes, threshold, id_col)

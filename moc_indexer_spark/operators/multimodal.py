@@ -224,6 +224,28 @@ def sample_frames(
 # --- REAL decode for uncompressed formats (pure numpy, no codec libs) -------
 
 
+def _parse_pnm_header(content: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary PNM (P5/P6) header: whitespace-separated ASCII
+    tokens with '#' comments legal between them. Returns
+    (width, height, maxval, data_offset)."""
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while content[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    return w, h, maxval, pos
+
+
 def decode_image(content: bytes):
     """Actually decode an image: PPM (P6) and uncompressed 24-bit BMP are
     parsed in pure numpy — a genuine byte->pixel path with no external
@@ -234,23 +256,7 @@ def decode_image(content: bytes):
     import numpy as np
 
     if content[:2] == b"P6":
-        # header: magic, width, height, maxval — ASCII tokens separated by
-        # whitespace, '#' comments legal between tokens
-        pos = 2
-        vals = []
-        while len(vals) < 3:
-            while pos < len(content) and content[pos : pos + 1].isspace():
-                pos += 1
-            if content[pos : pos + 1] == b"#":
-                while content[pos : pos + 1] not in (b"\n", b""):
-                    pos += 1
-                continue
-            start = pos
-            while pos < len(content) and not content[pos : pos + 1].isspace():
-                pos += 1
-            vals.append(int(content[start:pos]))
-        pos += 1  # single whitespace after maxval
-        w, h, maxval = vals
+        w, h, maxval, pos = _parse_pnm_header(content)
         if maxval != 255:
             raise NotImplementedError("16-bit PPM not supported")
         px = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
@@ -259,21 +265,7 @@ def decode_image(content: bytes):
     if content[:2] == b"P5":
         # grayscale PGM: same header grammar as P6, one byte per pixel —
         # replicated to 3 channels so downstream features stay uniform
-        pos = 2
-        vals = []
-        while len(vals) < 3:
-            while pos < len(content) and content[pos : pos + 1].isspace():
-                pos += 1
-            if content[pos : pos + 1] == b"#":
-                while content[pos : pos + 1] not in (b"\n", b""):
-                    pos += 1
-                continue
-            start = pos
-            while pos < len(content) and not content[pos : pos + 1].isspace():
-                pos += 1
-            vals.append(int(content[start:pos]))
-        pos += 1
-        w, h, maxval = vals
+        w, h, maxval, pos = _parse_pnm_header(content)
         if maxval != 255:
             raise NotImplementedError("16-bit PGM not supported")
         px = np.frombuffer(content, dtype=np.uint8, count=w * h, offset=pos)

@@ -233,33 +233,66 @@ def compact_index(idx: IncrementalBm25Index) -> int:
     probe scan throughput the same way small files do, see
     tables.compact_parquet).
 
-    Runs OUT-OF-BAND of the owning stream (single-writer contract: do not
-    run concurrently with update()). Crash-safe by the same
-    idempotent-overwrite argument as update(): the fold target is the
-    already-committed batch directory, rewritten with identical content
-    (rows merely change partition homes), and older partitions are
-    removed only after both rewrites land. Returns the number of batch
-    partitions removed."""
+    Contract: an OUT-OF-BAND maintenance action under the index's
+    single-writer lock — do not run concurrently with update(), and
+    treat lazy probe plans built before compaction as invalidated (the
+    same reader contract as Delta VACUUM; fresh probes always resolve
+    the current directories). Crash-CONSISTENT rather than windowless:
+    every step preserves a recoverable copy (fold target is written to a
+    tmp directory first; superseded partitions move to a trash directory
+    before the one-rename swap; trash is deleted last), and the entry
+    point completes or rolls back any interrupted previous run before
+    starting — so a crash at ANY point leaves an index that the next
+    compact_index() call heals to exactly the folded state. Returns the
+    number of batch partitions folded away.
+    """
     committed = idx.committed_batch()
     if committed < 0:
         return 0
     removed = 0
     for name in ("lengths", "postings"):
-        batches = [b for b in idx._batches(name) if b <= committed]
-        if len(batches) <= 1:
-            continue
-        merged = idx._read_upto(name, committed)
-        tmp = f"{idx._dir(name)}/__compact_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = idx.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(
-            f"{idx._dir(name)}/batch={committed}"
-        )
-        shutil.rmtree(tmp, ignore_errors=True)
-        for b in batches:
-            if b != committed:
-                shutil.rmtree(
-                    f"{idx._dir(name)}/batch={b}", ignore_errors=True
-                )
-                removed += 1
+        removed += _compact_relation(idx, name, committed)
     return removed
+
+
+def _compact_relation(idx: IncrementalBm25Index, name: str, committed: int) -> int:
+    base = idx._dir(name)
+    tmp = f"{base}__fold_tmp"
+    trash = f"{base}__fold_trash"
+    target = f"{base}/batch={committed}"
+
+    def _complete_swap() -> None:
+        # the fold output supersedes every batch <= committed: sweep any
+        # still-unmoved originals into trash, then one rename installs
+        # the fold. Every step is an idempotent move — re-entrant at any
+        # crash point.
+        for b in [x for x in idx._batches(name) if x <= committed]:
+            os.makedirs(trash, exist_ok=True)
+            os.replace(f"{base}/batch={b}", os.path.join(trash, f"batch={b}"))
+        os.replace(tmp, target)
+        shutil.rmtree(trash, ignore_errors=True)
+
+    # recovery: a previous run crashed mid-flight iff trash exists
+    if os.path.isdir(trash):
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            _complete_swap()
+        else:
+            # fold output lost — roll the originals back
+            for d in os.listdir(trash):
+                dst = os.path.join(base, d)
+                if not os.path.isdir(dst):
+                    os.replace(os.path.join(trash, d), dst)
+            shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    batches = [b for b in idx._batches(name) if b <= committed]
+    if len(batches) <= 1:
+        return 0
+    merged = idx._read_upto(name, committed)
+    # write the fold to tmp FIRST — originals untouched until it is
+    # complete (crash here: next run just rebuilds tmp)
+    merged.coalesce(max(1, len(batches) // 4)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    _complete_swap()
+    return len(batches) - 1

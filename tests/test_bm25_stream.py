@@ -187,3 +187,65 @@ def test_compaction_preserves_probe_results(spark, sf_dir, tmp_path):
     assert n_parts_after == 1 and n_parts_before >= 3
     assert _rows(idx.probe()) == before
     assert before == _rows(bm25_topk(docs.filter(F.col("doc_id") < 600)))
+
+
+def _build_three_batch_index(spark, tmp_path, name):
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common w{i % 5}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    idx = IncrementalBm25Index(spark, str(tmp_path / name))
+    for i, lo in enumerate([0, 20, 40]):
+        idx.update(docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 20)), i)
+    return idx, docs
+
+
+def test_compaction_crash_recovery_converges(spark, tmp_path):
+    """Fault injection on the compaction swap protocol: crash (a) after
+    the fold tmp is written, (b) after originals moved to trash — both
+    must heal to exactly the clean compacted state on the next run."""
+    import os
+    import shutil
+
+    from moc_indexer_spark.streaming.bm25_stream import compact_index
+
+    clean, docs = _build_three_batch_index(spark, tmp_path, "clean")
+    compact_index(clean)
+    want = _rows(clean.probe(queries=[(0, "common")], k=60))
+
+    # (a) crash right after tmp fold write: simulate by doing the fold
+    # write manually then calling compact (recovery path sees no trash —
+    # plain re-run: tmp rebuilt and swap completes)
+    a, _ = _build_three_batch_index(spark, tmp_path, "a")
+    base = a._dir("lengths")
+    merged = a._read_upto("lengths", a.committed_batch())
+    merged.coalesce(1).write.mode("overwrite").parquet(f"{base}__fold_tmp")
+    compact_index(a)
+    assert _rows(a.probe(queries=[(0, "common")], k=60)) == want
+
+    # (b) crash mid-move: fold written, SOME originals in trash, target
+    # original still in place, then the process died
+    b, _ = _build_three_batch_index(spark, tmp_path, "b")
+    for name in ("lengths", "postings"):
+        base = b._dir(name)
+        merged = b._read_upto(name, b.committed_batch())
+        merged.coalesce(1).write.mode("overwrite").parquet(f"{base}__fold_tmp")
+        os.makedirs(f"{base}__fold_trash", exist_ok=True)
+        os.replace(f"{base}/batch=0", f"{base}__fold_trash/batch=0")
+    compact_index(b)
+    assert _rows(b.probe(queries=[(0, "common")], k=60)) == want
+    for name in ("lengths", "postings"):
+        parts = [d for d in os.listdir(b._dir(name)) if d.startswith("batch=")]
+        assert parts == ["batch=2"]
+
+    # (c) crash before the fold completed (no _SUCCESS in tmp): originals
+    # must be rolled back from trash and a re-run compacts normally
+    c, _ = _build_three_batch_index(spark, tmp_path, "c")
+    for name in ("lengths",):
+        base = c._dir(name)
+        os.makedirs(f"{base}__fold_tmp", exist_ok=True)  # partial, no _SUCCESS
+        os.makedirs(f"{base}__fold_trash", exist_ok=True)
+        os.replace(f"{base}/batch=1", f"{base}__fold_trash/batch=1")
+    compact_index(c)
+    assert _rows(c.probe(queries=[(0, "common")], k=60)) == want
