@@ -391,3 +391,26 @@ def test_real_decode_pgm_grayscale(spark):
     assert (got_w, got_h) == (w, h)
     assert px.shape == (h, w, 3)
     assert (px[:, :, 0] == gray).all() and (px[:, :, 2] == gray).all()
+
+
+def test_pnm_header_edge_cases():
+    import numpy as np
+
+    from moc_indexer_spark.operators.multimodal import (
+        _parse_pnm_header, decode_image,
+    )
+
+    # multiple comments, CRLF-ish spacing, comments between every token
+    hdr = b"P6 #first\n# second comment\n 3 #w\n 2 # h\n 255\n"
+    body = bytes(range(3 * 2 * 3))
+    w, h, maxval, off = _parse_pnm_header(hdr + body)
+    assert (w, h, maxval) == (3, 2, 255)
+    got_w, got_h, px = decode_image(hdr + body)
+    assert (got_w, got_h) == (3, 2)
+    assert px.tobytes() == body
+
+    # 16-bit maxval refuses loudly rather than mis-reading
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"P6\n2 2\n65535\n" + b"\x00" * 24)
