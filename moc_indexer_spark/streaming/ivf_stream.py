@@ -1,0 +1,273 @@
+"""Incrementally-maintained IVF vector index under Structured Streaming
+— the vector-side twin of `bm25_stream.py` (embeddings arrive as files;
+the cell-partitioned index grows without ever rescanning the corpus).
+
+Design deltas vs the BM25 index (this one is SIMPLER because the state
+is a single relation):
+
+* The coarse quantizer trains ONCE at index creation (standard IVF
+  practice — FAISS trains on a bootstrap sample and appends forever;
+  re-clustering is an offline rebuild). Centroids persist beside the
+  data, so assignment is deterministic for the index's lifetime.
+* Each micro-batch assigns its vectors to cells (Arrow pass, broadcast
+  centroids) and writes them to `vectors/batch=N/cell=K/` with
+  overwrite — the partition-per-batch idempotence trick. Because there
+  is only ONE relation, the batch directory's own `_SUCCESS` is the
+  commit record; no multi-relation ordering, no snapshots.
+* New-vector detection anti-joins ids from batches < N, so replays
+  rebuild identical deltas (blind to their own partial writes).
+* probe() picks each query's n_probe nearest centroids driver-side
+  (KB-sized matrix) and scans ONLY those cells' directories across
+  committed batches — the cell filter prunes partitions at the scan,
+  so probe cost tracks probed-cell size, not index size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_BATCH_RE = re.compile(r"^batch=(\d+)$")
+
+
+class IncrementalIvfIndex:
+    """Parquet-backed IVF index maintained one micro-batch at a time."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/") or path
+        os.makedirs(self.path, exist_ok=True)
+
+    # -- quantizer -----------------------------------------------------------
+
+    def _centroids_path(self) -> str:
+        return f"{self.path}/_centroids.json"
+
+    def is_trained(self) -> bool:
+        return os.path.exists(self._centroids_path())
+
+    def train(
+        self,
+        bootstrap: DataFrame,
+        n_cells: int = 16,
+        train_sample: int = 2048,
+        lloyd_iters: int = 3,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Fit the coarse quantizer on a bootstrap corpus (deterministic
+        sample + spherical Lloyd — the same regime as the batch
+        `build_ivf_index`). Idempotent: retraining over an existing index
+        is refused (assignments would no longer match stored cells)."""
+        if self.is_trained():
+            raise ValueError(
+                "index already trained — rebuild the index directory to "
+                "re-cluster (stored cell assignments depend on the "
+                "centroids)"
+            )
+        import numpy as np
+
+        sample = (
+            bootstrap.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(train_sample)
+            .collect()
+        )
+        X = np.array([r[1] for r in sample], dtype=np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        C = X[:n_cells].copy()
+        for _ in range(lloyd_iters):
+            assign = np.argmax(X @ C.T, axis=1)
+            for c in range(n_cells):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+        tmp = self._centroids_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(C.tolist(), f)
+        os.replace(tmp, self._centroids_path())
+
+    def _load_centroids(self):
+        import numpy as np
+
+        with open(self._centroids_path()) as f:
+            return np.array(json.load(f), dtype=np.float64)
+
+    # -- state ---------------------------------------------------------------
+
+    def _batches(self) -> list[int]:
+        d = f"{self.path}/vectors"
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f_ in os.listdir(d):
+            m = _BATCH_RE.match(f_)
+            if m and os.path.exists(os.path.join(d, f_, "_SUCCESS")):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def committed_batch(self) -> int:
+        b = self._batches()
+        return b[-1] if b else -1
+
+    def _read_upto(self, upto: int) -> DataFrame | None:
+        batches = [b for b in self._batches() if b <= upto]
+        if not batches:
+            return None
+        return self.spark.read.option("basePath", f"{self.path}/vectors").parquet(
+            *[f"{self.path}/vectors/batch={b}" for b in batches]
+        )
+
+    # -- maintenance ---------------------------------------------------------
+
+    def update(
+        self,
+        batch_vectors: DataFrame,
+        batch_id: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Assign one micro-batch to cells and append it (foreachBatch
+        body). Idempotent under replay: the batch partition is an
+        overwrite, and new-id detection sees only earlier batches."""
+        if batch_id <= self.committed_batch():
+            return
+        import numpy as np
+        import pandas as pd
+
+        C = self._load_centroids()
+        bc = self.spark.sparkContext.broadcast(C)
+
+        w = Window.partitionBy(id_col).orderBy(id_col)
+        batch = (
+            batch_vectors.select(id_col, vec_col)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        seen = self._read_upto(batch_id - 1)
+        if seen is not None:
+            batch = batch.join(
+                seen.select(id_col), id_col, "left_anti"
+            )
+
+        def assign(batches):
+            C_ = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.array(list(pdf[vec_col]), dtype=np.float64)
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                out = pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        vec_col: list(M),
+                        "cell": np.argmax(Mn @ C_.T, axis=1).astype("int32"),
+                    }
+                )
+                yield out
+
+        assigned = batch.mapInPandas(
+            assign, schema=f"{id_col} long, {vec_col} array<double>, cell int"
+        )
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{self.path}/vectors/batch={batch_id}"
+        )
+
+    # -- probe ---------------------------------------------------------------
+
+    def probe(
+        self,
+        query_vectors: list[tuple[int, list[float]]],
+        k: int = 5,
+        n_probe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        round_digits: int = 6,
+    ) -> DataFrame:
+        """Search the committed index state: per-query probe cells chosen
+        driver-side, exact cosine ranking over only those cells' rows."""
+        from ..operators.similarity import cosine
+
+        committed = self.committed_batch()
+        empty = "query_id long, neighbor_id bigint, cosine_sim double, rank bigint"
+        if committed < 0 or not query_vectors:
+            return self.spark.createDataFrame([], empty)
+        import numpy as np
+
+        C = self._load_centroids()
+        qids = np.array([q[0] for q in query_vectors], dtype=np.int64)
+        Q = np.array([q[1] for q in query_vectors], dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        order = np.argsort(-(Qn @ C.T), axis=1, kind="stable")
+        probes = order[:, :n_probe]
+        cells = sorted({int(c) for row in probes for c in row})
+
+        idx = self._read_upto(committed).filter(F.col("cell").isin(cells))
+        qdf = self.spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in v], [int(c) for c in p])
+                for i, v, p in zip(qids, Q, probes)
+            ],
+            "query_id long, qv array<double>, probe_cells array<int>",
+        )
+        scored = (
+            F.broadcast(qdf)
+            .join(idx, F.array_contains(F.col("probe_cells"), idx["cell"]))
+            .filter(F.col("query_id") != F.col(id_col))
+            .select(
+                "query_id",
+                F.col(id_col).alias("neighbor_id"),
+                F.round(
+                    cosine(F.col("qv"), F.col(vec_col).cast("array<double>")),
+                    round_digits,
+                ).alias("cosine_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_sim"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", "cosine_sim",
+                F.col("rank").cast("bigint").alias("rank"),
+            )
+        )
+
+
+def run_ivf_index_stream_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+) -> IncrementalIvfIndex:
+    """Drain all available vector files into the index. The quantizer
+    must already be trained (train() on a bootstrap corpus first)."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    idx = IncrementalIvfIndex(spark, index_dir)
+    if not idx.is_trained():
+        raise ValueError("train() the quantizer before streaming updates")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx.update(batch_df, batch_id)
+
+    (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return idx

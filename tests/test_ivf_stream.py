@@ -1,0 +1,74 @@
+"""Streaming IVF index: stream-built state must match a batch-built
+index probe-for-probe; replays and duplicate ids must be no-ops."""
+
+from pyspark.sql import functions as F
+
+from moc_indexer_spark.streaming.ivf_stream import (
+    IncrementalIvfIndex,
+    run_ivf_index_stream_available_now,
+)
+from moc_indexer_spark.tables import table
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in df.collect()
+    )
+
+
+def _queries(emb, n=5):
+    return [(r.vec_id, list(r.embedding))
+            for r in emb.orderBy("vec_id").limit(n).collect()]
+
+
+def test_stream_ivf_equals_batch_built(spark, sf_dir, tmp_path):
+    emb = table(spark, sf_dir, "embeddings")
+    qs = _queries(emb)
+
+    # batch twin: one index, all vectors in a single update
+    batch_idx = IncrementalIvfIndex(spark, str(tmp_path / "batch"))
+    batch_idx.train(emb)
+    batch_idx.update(emb, 0)
+    want = _rows(batch_idx.probe(qs))
+
+    # streamed twin: same quantizer bootstrap, three arrival files
+    src = str(tmp_path / "arrivals")
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "stream"))
+    idx.train(emb)
+    for i, (lo, hi) in enumerate([(0, 150), (150, 300), (300, 10**9)]):
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+        idx = run_ivf_index_stream_available_now(
+            spark, src + "/*", str(tmp_path / "stream"),
+            str(tmp_path / "ckpt"), schema=emb.schema,
+        )
+    assert idx.committed_batch() >= 0
+    assert _rows(idx.probe(qs)) == want
+
+    # cell partitions actually prune: only probed cells' dirs are read
+    plan = idx.probe(qs)._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan
+
+
+def test_ivf_stream_replay_and_duplicates_are_noops(spark, sf_dir, tmp_path):
+    emb = table(spark, sf_dir, "embeddings").limit(100)
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "idx"))
+    idx.train(emb)
+    first = emb.filter(F.col("vec_id") < 50)
+    idx.update(first, 0)
+    before = _rows(idx.probe(_queries(emb, 3)))
+    # replay of the same batch id leaves the probe unchanged
+    idx.update(first, 0)
+    assert _rows(idx.probe(_queries(emb, 3))) == before
+    # second batch re-delivers old vectors plus new
+    idx.update(emb, 1)
+    assert len(idx.probe(_queries(emb, 3)).collect()) > 0
+    total = idx._read_upto(idx.committed_batch()).count()
+    assert total == 100  # no duplicates despite redelivery
+    # retrain refusal protects stored assignments
+    import pytest
+
+    with pytest.raises(ValueError):
+        idx.train(emb)
