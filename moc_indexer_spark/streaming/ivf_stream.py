@@ -143,7 +143,14 @@ class IncrementalIvfIndex:
         C = self._load_centroids()
         bc = self.spark.sparkContext.broadcast(C)
 
-        w = Window.partitionBy(id_col).orderBy(id_col)
+        # keeper for in-batch duplicate ids must be deterministic so a
+        # replay rebuilds the identical partition: order by CONTENT (the
+        # partition key is constant within the window — ordering by it
+        # would let task retries pick different rows), matching
+        # bm25_stream.update's order-by-text
+        w = Window.partitionBy(id_col).orderBy(
+            F.md5(F.col(vec_col).cast("string"))
+        )
         batch = (
             batch_vectors.select(id_col, vec_col)
             .withColumn("rn", F.row_number().over(w))
@@ -189,9 +196,16 @@ class IncrementalIvfIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         round_digits: int = 6,
+        exclude_self: bool = True,
     ) -> DataFrame:
         """Search the committed index state: per-query probe cells chosen
-        driver-side, exact cosine ranking over only those cells' rows."""
+        driver-side, exact cosine ranking over only those cells' rows.
+
+        ``exclude_self`` (default True) drops candidates whose corpus id
+        equals the query id — right for the self-join harness where query
+        ids ARE corpus ids. Pass False for external queries whose id
+        namespace is unrelated to the corpus, otherwise a coincidental id
+        collision would silently hide a legitimate neighbor."""
         from ..operators.similarity import cosine
 
         committed = self.committed_batch()
@@ -219,7 +233,10 @@ class IncrementalIvfIndex:
         scored = (
             F.broadcast(qdf)
             .join(idx, F.array_contains(F.col("probe_cells"), idx["cell"]))
-            .filter(F.col("query_id") != F.col(id_col))
+            .filter(
+                (F.col("query_id") != F.col(id_col))
+                if exclude_self else F.lit(True)
+            )
             .select(
                 "query_id",
                 F.col(id_col).alias("neighbor_id"),

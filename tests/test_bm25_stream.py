@@ -249,3 +249,68 @@ def test_compaction_crash_recovery_converges(spark, tmp_path):
         os.replace(f"{base}/batch=1", f"{base}__fold_trash/batch=1")
     compact_index(c)
     assert _rows(c.probe(queries=[(0, "common")], k=60)) == want
+
+    # (d) crash AFTER the rename installed the fold but BEFORE the trash
+    # delete: trash still holds the superseded originals, tmp is gone
+    # (consumed by the rename). Recovery must ONLY delete trash — rolling
+    # the originals back would double every posting/length row.
+    d, _ = _build_three_batch_index(spark, tmp_path, "d")
+    compact_index(d)
+    for name in ("lengths", "postings"):
+        base = d._dir(name)
+        # reconstruct the exact crash state: superseded copies in trash
+        # next to the already-installed fold, no tmp
+        os.makedirs(f"{base}__fold_trash", exist_ok=True)
+        spark.read.parquet(f"{base}/batch=2").limit(0).write.mode(
+            "overwrite").parquet(f"{base}__fold_trash/batch=0")
+    compact_index(d)
+    assert _rows(d.probe(queries=[(0, "common")], k=60)) == want
+    for name in ("lengths", "postings"):
+        assert not os.path.isdir(f"{d._dir(name)}__fold_trash")
+        parts = [p for p in os.listdir(d._dir(name)) if p.startswith("batch=")]
+        assert parts == ["batch=2"]
+
+
+def test_compaction_recovery_preserves_batches_newer_than_stale_fold(
+    spark, tmp_path
+):
+    """Fault injection for the stale-fold window: a compaction crashes
+    mid-swap, then update() commits NEW batches before the next
+    compact_index(). Recovery must complete (or discard) the old fold at
+    the id it was BUILT for — sweeping the newer batches into trash and
+    installing the old fold over the current committed id would silently
+    lose their rows."""
+    import os
+
+    from moc_indexer_spark.streaming.bm25_stream import (
+        IncrementalBm25Index, _FOLD_MARKER, compact_index,
+    )
+
+    clean, docs = _build_three_batch_index(spark, tmp_path, "stale_clean")
+
+    stale = IncrementalBm25Index(spark, str(tmp_path / "stale"))
+    # batches 0 and 1 committed, then a compaction of them crashes
+    # mid-sweep: fold (with marker=1) complete in tmp, batch=0 in trash
+    for i, lo in enumerate([0, 20]):
+        stale.update(docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 20)), i)
+    for name in ("lengths", "postings"):
+        base = stale._dir(name)
+        merged = stale._read_upto(name, 1)
+        merged.coalesce(1).write.mode("overwrite").parquet(f"{base}__fold_tmp")
+        with open(os.path.join(f"{base}__fold_tmp", _FOLD_MARKER), "w") as f:
+            f.write("1")
+        os.makedirs(f"{base}__fold_trash", exist_ok=True)
+        os.replace(f"{base}/batch=0", f"{base}__fold_trash/batch=0")
+    # batch 2 arrives AFTER the crash, BEFORE the next compaction
+    stale.update(docs.filter(F.col("doc_id") >= 40), 2)
+    compact_index(stale)
+
+    want_clean = IncrementalBm25Index(spark, str(tmp_path / "stale_clean"))
+    compact_index(want_clean)
+    want = _rows(want_clean.probe(queries=[(0, "common")], k=60))
+    assert _rows(stale.probe(queries=[(0, "common")], k=60)) == want
+    for name in ("lengths", "postings"):
+        parts = [p for p in os.listdir(stale._dir(name))
+                 if p.startswith("batch=")]
+        assert parts == ["batch=2"]

@@ -72,3 +72,24 @@ def test_ivf_stream_replay_and_duplicates_are_noops(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError):
         idx.train(emb)
+
+
+def test_ivf_probe_self_exclusion_is_optional(spark, sf_dir, tmp_path):
+    """External queries whose ids coincide with corpus ids must still see
+    the colliding vector when exclude_self=False; the default keeps the
+    self-join behavior."""
+    emb = table(spark, sf_dir, "embeddings").limit(60)
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "idx"))
+    idx.train(emb)
+    idx.update(emb, 0)
+    qs = _queries(emb, 3)
+    qids = {q for q, _ in qs}
+    # default: a query never sees its own id among neighbors
+    got_default = idx.probe(qs, k=60, n_probe=64)
+    assert not [r for r in got_default.collect()
+                if r.query_id == r.neighbor_id]
+    # opt-out: the identical vector (same id) ranks first with sim 1.0
+    got_all = idx.probe(qs, k=1, n_probe=64, exclude_self=False).collect()
+    assert {r.query_id for r in got_all} == qids
+    for r in got_all:
+        assert r.neighbor_id == r.query_id and r.cosine_sim == 1.0
