@@ -40,6 +40,61 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _make_block_topk():
+    """Factory so the helper is a CLOSURE, not a module attribute:
+    cloudpickle then ships it BY VALUE inside every UDF that references
+    it. (A module-level function pickles by reference, which breaks on
+    python workers that can't import this package — the driver harness
+    adds the repo to sys.path driver-side only.)"""
+
+    def _block_topk(scores, c_ids, q_ids, kk):
+        """Per-row top-`kk` of a (nq, nc) score block under the total
+        order (score desc, candidate id asc) — the shared emission step
+        of every blocked scorer here.
+
+        When `kk` covers the whole row (exact/oracle mode) this is the
+        plain stable lexsort. Otherwise np.argpartition bounds the sort
+        to the kk survivors — O(nc + kk·log kk) per row instead of
+        O(nc·log nc), which dominates block time once nc is in the
+        thousands (scores are 6dp-rounded upstream, so boundary TIES are
+        common: rows where the cut value ties past position kk are
+        re-selected exactly under the total order, keeping results
+        identical to the full sort).
+
+        Returns flat (query_id, cand_id, score) arrays with -inf
+        (masked) entries dropped.
+        """
+        import numpy as np
+
+        nq, nc = scores.shape
+        kk = min(kk, nc)
+        if kk >= nc:
+            top = np.lexsort((c_ids[None, :].repeat(nq, 0), -scores), axis=1)
+        else:
+            part = np.argpartition(-scores, kk - 1, axis=1)
+            sel = part[:, :kk]
+            bound = np.take_along_axis(scores, part[:, kk - 1 : kk], axis=1)
+            tie_rows = np.flatnonzero((scores >= bound).sum(axis=1) > kk)
+            for i in tie_rows:
+                cand = np.flatnonzero(scores[i] >= bound[i, 0])
+                cand = cand[np.lexsort((c_ids[cand], -scores[i, cand]))][:kk]
+                sel[i] = cand
+            sel_scores = np.take_along_axis(scores, sel, axis=1)
+            order = np.lexsort((c_ids[sel], -sel_scores), axis=1)
+            top = np.take_along_axis(sel, order, axis=1)
+        top = top[:, :kk]
+        qi = np.repeat(q_ids, kk)
+        ni = c_ids[top].ravel()
+        sv = np.take_along_axis(scores, top, axis=1).ravel()
+        keep = sv != -np.inf
+        return qi[keep], ni[keep], sv[keep]
+
+    return _block_topk
+
+
+_block_topk = _make_block_topk()
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame | None = None,
@@ -152,16 +207,9 @@ def brute_force_topk_np(
             # self-match -> -inf so it never ranks
             self_mask = q_ids_[:, None] == c_ids[None, :]
             sims[self_mask] = -np.inf
-            kk = min(k, sims.shape[1])
-            # total order: sim desc, neighbor_id asc (lexsort is stable)
-            order = np.lexsort((c_ids[None, :].repeat(len(q_ids_), 0), -sims), axis=1)
-            top = order[:, :kk]
-            qi = np.repeat(q_ids_, kk)
-            ni = c_ids[top].ravel()
-            sv = np.take_along_axis(sims, top, axis=1).ravel()
-            keep = sv != -np.inf
+            qi, ni, sv = _block_topk(sims, c_ids, q_ids_, k)
             yield pd.DataFrame(
-                {"query_id": qi[keep], "neighbor_id": ni[keep], "cosine_sim": sv[keep]}
+                {"query_id": qi, "neighbor_id": ni, "cosine_sim": sv}
             )
 
     cand = corpus.select(id_col, vec_col).mapInPandas(block_topk, schema=out_schema)
@@ -257,15 +305,9 @@ def brute_force_topk_blocked(
         cn = np.linalg.norm(cm, axis=1)
         sims = np.round((qm @ cm.T) / (qn[:, None] * cn[None, :]), round_digits)
         sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
-        kk = min(k, sims.shape[1])
-        order = np.lexsort((c_ids[None, :].repeat(len(q_ids), 0), -sims), axis=1)
-        top = order[:, :kk]
-        qi = np.repeat(q_ids, kk)
-        ni = c_ids[top].ravel()
-        sv = np.take_along_axis(sims, top, axis=1).ravel()
-        keep = sv != -np.inf
+        qi, ni, sv = _block_topk(sims, c_ids, q_ids, k)
         return pd.DataFrame(
-            {"query_id": qi[keep], "neighbor_id": ni[keep], "cosine_sim": sv[keep]}
+            {"query_id": qi, "neighbor_id": ni, "cosine_sim": sv}
         )
 
     scored = (
@@ -448,14 +490,9 @@ def lsh_bucket_topk(
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "cosine_sim": []}
             )
-        order = np.lexsort((ids[None, :].repeat(len(ids), 0), -sims), axis=1)
-        top = order[:, :kk]
-        qi = np.repeat(ids, kk)
-        ni = ids[top].ravel()
-        sv = np.take_along_axis(sims, top, axis=1).ravel()
-        keep = sv != -np.inf
+        qi, ni, sv = _block_topk(sims, ids, ids, kk)
         return pd.DataFrame(
-            {"query_id": qi[keep], "neighbor_id": ni[keep], "cosine_sim": sv[keep]}
+            {"query_id": qi, "neighbor_id": ni, "cosine_sim": sv}
         )
 
     scored = (
@@ -611,15 +648,9 @@ def ivf_topk(
         cn = np.linalg.norm(cm, axis=1)
         sims = np.round((qm @ cm.T) / (qn[:, None] * cn[None, :]), round_digits)
         sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
-        kk = min(k, sims.shape[1])
-        order = np.lexsort((c_ids[None, :].repeat(len(q_ids), 0), -sims), axis=1)
-        top = order[:, :kk]
-        qi = np.repeat(q_ids, kk)
-        ni = c_ids[top].ravel()
-        sv = np.take_along_axis(sims, top, axis=1).ravel()
-        keep = sv != -np.inf
+        qi, ni, sv = _block_topk(sims, c_ids, q_ids, k)
         return pd.DataFrame(
-            {"query_id": qi[keep], "neighbor_id": ni[keep], "cosine_sim": sv[keep]}
+            {"query_id": qi, "neighbor_id": ni, "cosine_sim": sv}
         )
 
     scored = (
@@ -668,7 +699,8 @@ def pq_topk(
     every vector doubles as a query here.
 
     Search (ADC): a candidate's approximate cosine is a table-lookup sum
-    over its codes — a JVM `aggregate` expression; the float vectors never
+    over its codes, computed blockwise as one BLAS matmul of the query
+    LUTs against a one-hot code-indicator matrix; the float vectors never
     enter the join. The ADC top (k*refine) per query are exact-cosine
     re-ranked to the final top-k (6dp round + id tiebreak, same contract as
     the other ANN operators).
@@ -704,7 +736,7 @@ def pq_topk(
 
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(B)
-    out_schema = f"{id_col} long, v array<double>, codes array<int>"
+    out_schema = f"{id_col} long, v array<double>, nrm double, codes array<int>"
 
     def encode(batches):
         B_ = bc.value
@@ -719,8 +751,14 @@ def pq_topk(
                 S_ = Mn[:, j * d_sub : (j + 1) * d_sub]
                 d2 = ((S_[:, None, :] - B_[j][None, :, :]) ** 2).sum(axis=2)
                 codes[:, j] = np.argmin(d2, axis=1)
+            # precomputed L2 norm for the exact re-rank. cumsum is a
+            # strictly sequential left-to-right fold, so the value is
+            # BIT-IDENTICAL to Spark's interpreted
+            # aggregate(v, 0.0, (acc, x) -> acc + x*x) — the re-rank can
+            # use dot/(qn*nn) without changing any rounded cosine
+            nrm = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
             yield pd.DataFrame(
-                {id_col: ids, "v": list(M), "codes": list(codes)}
+                {id_col: ids, "v": list(M), "nrm": nrm, "codes": list(codes)}
             )
 
     # The encoded relation is the PQ INDEX (codes + vector; LUTs are NOT
@@ -810,21 +848,27 @@ def pq_topk(
             )
         c_ids = cdf["neighbor_id"].to_numpy(dtype=np.int64)
         codes = np.array(list(cdf["codes"]), dtype=np.int64)
-        scores = np.zeros((len(q_ids_), len(c_ids)), dtype=np.float64)
+        # ADC sum as ONE BLAS matmul against a one-hot code-indicator
+        # matrix: scores[q,i] = sum_j LUT[q, j*n_codes + codes[i,j]].
+        # The per-subspace fancy-indexing gather this replaces was the
+        # block's dominant cost (m random-access gathers of nq*nc cells
+        # each — 1.2 s at 2000^2 vs ~60 ms for the dense matmul).
+        # float32 throughout: ADC scores only ORDER the shortlist (the
+        # final cosines come from the exact float64 re-rank), so the
+        # standard FAISS single-precision ADC is free accuracy-wise —
+        # and 2x the BLAS throughput. Deterministic: same input bits
+        # give the same f32 scores; boundary ties go through
+        # _block_topk's exact tie path. Exact mode (refine=None) is
+        # unaffected by construction — every candidate survives the cut.
+        IND = np.zeros((m * n_codes, len(c_ids)), dtype=np.float32)
+        cols = np.arange(len(c_ids))
         for j in range(m):
-            scores += LUT[:, j * n_codes + codes[:, j]]
+            IND[j * n_codes + codes[:, j], cols] = 1.0
+        scores = LUT.astype(np.float32) @ IND
         scores[q_ids_[:, None] == c_ids[None, :]] = -np.inf
-        kk = min(kk_short, scores.shape[1])
-        order = np.lexsort(
-            (c_ids[None, :].repeat(len(q_ids_), 0), -scores), axis=1
-        )
-        top = order[:, :kk]
-        qi = np.repeat(q_ids_, kk)
-        ni = c_ids[top].ravel()
-        sv = np.take_along_axis(scores, top, axis=1).ravel()
-        keep = sv != -np.inf
+        qi, ni, sv = _block_topk(scores, c_ids, q_ids_, kk_short)
         return pd.DataFrame(
-            {"query_id": qi[keep], "neighbor_id": ni[keep], "adc": sv[keep]}
+            {"query_id": qi, "neighbor_id": ni, "adc": sv}
         )
 
     shortcand = (
@@ -842,27 +886,45 @@ def pq_topk(
     # re-introduce the unbounded driver materialization the blocked ADC
     # scan exists to avoid (AQE still downgrades to broadcast on its own
     # when the relation is genuinely small).
-    qvec = encoded.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+    qvec = encoded.select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    if nc_chunks == 1:
+        # a single code chunk means each block's local top-kk IS the
+        # global ADC shortlist — the merge window would be a pure
+        # pass-through costing one shuffle + sort
+        ranked_short = shortcand
+    else:
+        ranked_short = shortcand.withColumn(
+            "arank", F.row_number().over(w_adc)
+        ).filter(F.col("arank") <= kk_short)
     short = (
-        shortcand.withColumn("arank", F.row_number().over(w_adc))
-        .filter(F.col("arank") <= kk_short)
+        ranked_short
         .join(qvec, "query_id")
-        .select("query_id", "qv", "neighbor_id")
+        .select("query_id", "qv", "qn", "neighbor_id")
     )
     nvec = encoded.select(
-        F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
+    # exact cosine with the norms PRECOMPUTED at encode time (bit-equal
+    # to the _norm fold) — the interpreted HOF work per re-rank row drops
+    # from three array folds to one dot product
     return (
         short.join(nvec, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), round_digits).alias(
-                "cosine_sim"
-            ),
+            F.round(
+                _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")),
+                round_digits,
+            ).alias("cosine_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
