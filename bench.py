@@ -45,21 +45,38 @@ def main() -> None:
 
     specs = [s for s in registry() if s.bench]
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for spec in specs:
         # one failed query must not lose the whole bench artifact — record
         # the failure and keep timing the rest
         try:
             df = spec.build(spark, sf_dir)  # build once to amortize analysis
             # one untimed warm run per query (codegen compile, python-worker
-            # fork, broadcast build), then the timed steady-state run — the
-            # number that scales with data volume rather than session setup
+            # fork, broadcast build), then MEDIAN of n timed steady-state
+            # runs — the round-2 bench took one sample per query and showed
+            # a broad unexplained ~1.3x drift on untouched plans; the
+            # median with recorded spread separates plan regressions from
+            # single-sample box noise
             df.write.format("noop").mode("overwrite").save()
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            timings[spec.name] = round(time.perf_counter() - t0, 3)
+            runs = []
+            for _ in range(max(1, n_runs)):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            runs.sort()
+            timings[spec.name] = runs[len(runs) // 2]
+            spreads[spec.name] = [runs[0], runs[-1]]
         except Exception as e:  # noqa: BLE001
             errors[spec.name] = str(e).splitlines()[0][:200]
+        finally:
+            # operators that build an index/state relation persist() it for
+            # their own multi-consumer plans; dropping those entries between
+            # queries keeps one query's working set from bleeding GC/memory
+            # pressure into every later timing (a bench-session concern only
+            # — in production each pipeline owns its session)
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -68,6 +85,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": max(1, n_runs),
+        "spread_min_max": spreads,
     }
     if errors:
         payload["errors"] = errors

@@ -91,14 +91,42 @@ def learn_merges(
     return merges
 
 
-def bpe_train(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = N_MERGES,
+    min_freq: int = 2,
+    max_vocab_words: int = 1_000_000,
+) -> DataFrame:
     """Learn `n_merges` merges; returns (rank int, left string,
     right string, pair_count bigint) ordered by rank.
 
-    Distributed corpus reduction -> bounded driver-side optimization
-    (|vocab| rows; see module docstring for why the merge loop does not
-    distribute)."""
-    freqs = {r["word"]: r["freq"] for r in word_freqs(docs).collect()}
+    Distributed corpus reduction -> BOUNDED driver-side optimization.
+    The collect is capped two ways (the same documented train-bound
+    regime as the IVF/PQ quantizer samples):
+
+    * `min_freq` floor — words below it are dropped before the collect.
+      At web scale the raw word vocabulary is hundreds of millions of
+      rows, almost all hapax noise; a floor of 2 removes the long tail
+      while pair counts lose only freq-1 contributions (each < the
+      count-2 merge cutoff on its own).
+    * `max_vocab_words` cap — keep the top-K words under the total
+      order (freq desc, word asc). Expressed as orderBy+limit, which
+      Spark executes as TakeOrderedAndProject: per-partition top-K,
+      K-row merge on the driver — never a full-vocab collect.
+
+    Both bounds trim only the lowest-frequency tail, so high-rank
+    merges (the ones a bounded merge table contains) are unchanged on
+    any corpus whose tail mass sits below the cutoffs —
+    test_bpe_train_bounds_preserve_merges pins this on the fixture
+    corpus. Pass min_freq=1, max_vocab_words=None for the exact
+    unbounded regime on small corpora.
+    """
+    wf = word_freqs(docs)
+    if min_freq > 1:
+        wf = wf.filter(F.col("freq") >= min_freq)
+    if max_vocab_words is not None:
+        wf = wf.orderBy(F.desc("freq"), F.asc("word")).limit(max_vocab_words)
+    freqs = {r["word"]: r["freq"] for r in wf.collect()}
     merges = learn_merges(freqs, n_merges)
     spark = docs.sparkSession
     return spark.createDataFrame(

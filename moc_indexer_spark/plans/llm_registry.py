@@ -960,13 +960,16 @@ def q_shared_span_pairs(spark, sf_dir):
     "embedding_dup_pairs_lsh",
     None,
     tags=("llm", "dedup", "similarity", "lsh", "scale-path"),
+    bench=True,
 )
 def q_embedding_dup_pairs_lsh(spark, sf_dir):
     """The SCALE form of embedding_dup_pairs: LSH bucket candidates +
     exact cosine threshold (precision exact; recall measured vs the
     all-pairs form in pytest). Rows-only here — hyperplane buckets have
     no cross-engine oracle; the exact all-pairs query IS the sf-scale
-    oracle for this operator's output contract."""
+    oracle for this operator's output contract. HEADLINED in the bench
+    (the O(n^2) exact form stays certification-only, mirroring
+    pq_ann_exact vs pq_ann_topk)."""
     return S.lsh_dup_pairs(
         table(spark, sf_dir, "embeddings"), threshold=COSINE_DUP_THRESHOLD
     )

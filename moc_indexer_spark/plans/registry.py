@@ -79,9 +79,9 @@ _DRIVER_WINDOW = [
     # A3)
     "tx_enrich_money", "registered_user_txs", "settlement_price_override",
     "liquidation_fanout", "api_tx_list_formatted", "report_summary",
-    # event pipeline + functions (J2, F2 full raw-hex, F8, F14, F18, P9)
+    # event pipeline + functions (J2, F2 full raw-hex, P9; the F8/F14/F18
+    # roundtrip slots ceded to round-2 families below — still mirror-gated)
     "event_pipeline_demo", "event_pipeline_raw_hex", "abi_decode_roundtrip",
-    "unix_epoch_roundtrip", "bool_coercion", "json_result_envelope",
     "validated_sources",
     # window / time-series family (§2.8, T1/T10)
     "hourly_window_agg", "user_sessions_native", "block_gap_report",
@@ -91,16 +91,25 @@ _DRIVER_WINDOW = [
     # their slots to the round-2 families below — still mirror-gated)
     "dedup_exact", "ngram_dup_pairs", "minhash_dup_pairs", "dedup_clusters",
     "line_dedup_docs", "typo_pairs",
-    # text analysis
-    "text_stats", "text_quality", "lang_id_heuristic", "doc_fingerprint",
-    "token_count_bpe", "trigram_freqs", "doc_winnowing",
+    # text analysis (doc_fingerprint/trigram_freqs/text_quality ceded slots
+    # to distinct families: winnowing keeps fingerprinting covered,
+    # cms_trigram_estimates keeps trigrams covered, training_corpus_filter
+    # keeps quality filtering covered)
+    "text_stats", "lang_id_heuristic",
+    "token_count_bpe", "doc_winnowing",
     "training_corpus_filter",
-    # similarity / ANN (brute-force baseline + exact-mode IVF & PQ)
+    # similarity / ANN (brute-force baseline + exact-mode IVF, PQ and the
+    # closed-form SQ8 quantizer — fully oracle-gated end-to-end)
     "cosine_topk", "embedding_dup_pairs",
-    "ivf_ann_exact", "pq_ann_exact",
+    "ivf_ann_exact", "pq_ann_exact", "sq8_ann_topk",
     # round-2 families: lexical retrieval, iterative graph/ML
-    # certification, certifiable cardinality sketch
+    # certification, certifiable cardinality + frequency sketches,
+    # language modeling, importance weighting, in-plan trained ML,
+    # weighted sampling
     "bm25_topk", "pagerank_trade_graph", "kmv_distinct_sketch",
+    "cms_trigram_estimates", "heldout_perplexity",
+    "dsir_importance_weights", "logreg_calibration",
+    "weighted_reservoir_sample",
     # multimodal plumbing
     "media_feature_extract", "media_exact_dedup",
 ]

@@ -72,6 +72,23 @@ def test_bpe_segment_matches_reference(spark):
     )
 
 
+def test_bpe_train_bounds_preserve_merges(spark, sf_dir):
+    """The default collect bounds (min_freq floor + top-K vocab cap) must
+    not change the learned merge table on the fixture corpus — the tail
+    they trim sits below the merge cutoff."""
+    docs = table(spark, sf_dir, "documents")
+    unbounded = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in B.bpe_train(docs, min_freq=1, max_vocab_words=None)
+        .orderBy("rank").collect()
+    ]
+    bounded = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in B.bpe_train(docs).orderBy("rank").collect()
+    ]
+    assert bounded == unbounded
+
+
 def test_bpe_learns_frequent_suffix(spark):
     docs = spark.createDataFrame(
         [(i, "jumping running walking talking") for i in range(5)],
