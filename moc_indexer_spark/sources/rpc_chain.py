@@ -1,0 +1,144 @@
+"""JSON-RPC chain client — the live twin of `FakeChain`.
+
+Reference (/root/reference/indexer/chain.py:49-86): the reference speaks
+JSON-RPC through web3.py (`web3.eth.get_block(n, full_transactions=True)`
++ per-tx `eth_getTransactionReceipt`). This module implements the same
+conversation over the raw JSON-RPC 2.0 wire protocol with the stdlib
+HTTP client, so it carries zero extra dependencies and drops into the
+same `BlockFetcher` signature `scan_blocks` already takes — one config
+switch away from a live RSK/Ethereum node.
+
+Design points:
+
+* Picklable and cheap to construct: the client holds only (url, timeout)
+  and opens a connection per request, so `scan_blocks` can ship one per
+  partition into `mapPartitions` (RPC round-trips amortized over the
+  partition's contiguous block range, as the module docstring of
+  chain.py describes).
+* Receipt semantics mirror chain.py:60-64: a tx's status comes from the
+  receipt (`0x1` -> confirmed, `0x0` -> reverted); a missing receipt
+  drops the tx (the reference logs-and-skips TransactionNotFound).
+* Wire-format logs: real receipts carry (address, topics, data) — no
+  decoded names. Logs surface with `event_name=""` and the topic/data
+  hex in `payload` as JSON; downstream the full-ABI raw-hex decoder
+  (functions/abi.py, certified by `event_pipeline_raw_hex`) derives the
+  event name from topic0 — exactly the production decode path.
+* Conformance is proven against a REAL endpoint: tests run an
+  in-process HTTP JSON-RPC server (tests/test_rpc_chain.py) that serves
+  eth_* methods, and assert RpcChain-through-HTTP equals FakeChain
+  block-for-block, including an end-to-end `scan_blocks` run.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import urllib.request
+
+
+class RpcError(RuntimeError):
+    """JSON-RPC level error (the server answered with an `error` member)."""
+
+
+class RpcChain:
+    """`BlockFetcher` over JSON-RPC: __call__(block_number) -> raw-tx
+    dicts in the same shape FakeChain emits (FIXTURES.md §1)."""
+
+    def __init__(self, url: str, timeout: float = 10.0, chain_tip: int | None = None):
+        self.url = url
+        self.timeout = timeout
+        # optional pinned tip: scan_blocks computes confirmations from its
+        # ScanRange tip, so the fetcher itself doesn't need one; kept for
+        # parity with tip()-driven callers
+        self.chain_tip = chain_tip
+        self._id = 0
+
+    # -- wire ----------------------------------------------------------------
+
+    def _rpc(self, method: str, params: list) -> object:
+        self._id += 1
+        body = json.dumps(
+            {"jsonrpc": "2.0", "id": self._id, "method": method, "params": params}
+        ).encode()
+        req = urllib.request.Request(
+            self.url, data=body, headers={"Content-Type": "application/json"}
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            out = json.loads(resp.read())
+        if out.get("error"):
+            raise RpcError(f"{method}: {out['error']}")
+        return out.get("result")
+
+    # -- eth surface (chain.py:49-86 equivalents) ----------------------------
+
+    def tip(self) -> int:
+        return int(self._rpc("eth_blockNumber", []), 16)
+
+    def get_block(self, block_number: int, full_transactions: bool = True) -> dict:
+        return self._rpc(
+            "eth_getBlockByNumber", [hex(block_number), full_transactions]
+        )
+
+    def get_receipt(self, tx_hash: str) -> dict | None:
+        return self._rpc("eth_getTransactionReceipt", [tx_hash])
+
+    # -- BlockFetcher --------------------------------------------------------
+
+    @staticmethod
+    def _hex_int(v, default: int = 0) -> int:
+        if v is None:
+            return default
+        if isinstance(v, str):
+            return int(v, 16) if v.startswith("0x") else int(v)
+        return int(v)
+
+    def __call__(self, block_number: int) -> list[dict]:
+        block = self.get_block(block_number, full_transactions=True)
+        if block is None:
+            return []
+        ts = dt.datetime.fromtimestamp(
+            self._hex_int(block.get("timestamp")), dt.timezone.utc
+        ).replace(tzinfo=None)
+        out = []
+        for tx in block.get("transactions", []):
+            receipt = self.get_receipt(tx["hash"])
+            if receipt is None:
+                # chain.py:55-58 — no receipt, log-and-skip
+                continue
+            status = (
+                "confirmed"
+                if self._hex_int(receipt.get("status"), 1) == 1
+                else "reverted"
+            )
+            logs = [
+                {
+                    "address": lg.get("address"),
+                    "logIndex": self._hex_int(lg.get("logIndex")),
+                    # wire logs are undecoded; topic0 identifies the event
+                    # for the raw-hex ABI decode leg downstream
+                    "event_name": "",
+                    "payload": json.dumps(
+                        {"topics": lg.get("topics", []), "data": lg.get("data", "0x")}
+                    ),
+                }
+                for lg in receipt.get("logs", [])
+            ]
+            out.append(
+                {
+                    "hash": tx["hash"],
+                    "blockNumber": self._hex_int(
+                        tx.get("blockNumber"), block_number
+                    ),
+                    "from": tx.get("from"),
+                    "to": tx.get("to"),
+                    "value": str(self._hex_int(tx.get("value"))),
+                    "gas": self._hex_int(tx.get("gas")),
+                    "gasPrice": str(self._hex_int(tx.get("gasPrice"))),
+                    "input": tx.get("input", "0x"),
+                    "gas_used": self._hex_int(receipt.get("gasUsed")),
+                    "timestamp": ts,
+                    "logs": logs,
+                    "status": status,
+                }
+            )
+        return out
