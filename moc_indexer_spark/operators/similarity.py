@@ -95,6 +95,59 @@ def _make_block_topk():
 _block_topk = _make_block_topk()
 
 
+def _collect_train_sample(corpus, id_col, vec_col, train_sample):
+    """Deterministic driver-side training sample (first `train_sample`
+    ids), unit-normalized — the bounded-collect regime every quantizer
+    here trains under (standard IVF/PQ practice: quantizers train on a
+    sample even for billion-vector indexes)."""
+    import numpy as np
+
+    sample = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    )
+    X = np.array([r[1] for r in sample], dtype=np.float64)
+    return X / np.linalg.norm(X, axis=1, keepdims=True)
+
+
+def _train_spherical_kmeans(Xn, n_cells, lloyd_iters):
+    """Coarse quantizer: spherical Lloyd on the normalized sample, first
+    `n_cells` rows as init — reproducible, no RNG."""
+    import numpy as np
+
+    C = Xn[:n_cells].copy()
+    for _ in range(lloyd_iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(n_cells):
+            members = Xn[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return C
+
+
+def _train_pq_books(Xn, m, n_codes, lloyd_iters):
+    """Per-subspace Euclidean k-means codebooks (m, n_codes, dim/m) on
+    the normalized sample, first `n_codes` rows as init."""
+    import numpy as np
+
+    d = Xn.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    d_sub = d // m
+    books = []
+    for j in range(m):
+        S_ = Xn[:, j * d_sub : (j + 1) * d_sub]
+        C = S_[:n_codes].copy()
+        for _ in range(lloyd_iters):
+            d2 = ((S_[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = S_[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame | None = None,
@@ -569,19 +622,10 @@ def ivf_topk(
         n_probe = max(3, n_cells // 2)
     n_probe = min(n_probe, n_cells)
 
-    sample = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    C = _train_spherical_kmeans(
+        _collect_train_sample(corpus, id_col, vec_col, train_sample),
+        n_cells, lloyd_iters,
     )
-    X = np.array([r[1] for r in sample], dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
-    C = X[:n_cells].copy()
-    for _ in range(lloyd_iters):
-        assign = np.argmax(X @ C.T, axis=1)
-        for c in range(n_cells):
-            members = X[assign == c]
-            if len(members):
-                C[c] = members.mean(axis=0)
-        C /= np.linalg.norm(C, axis=1, keepdims=True)
 
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(C)
@@ -712,27 +756,10 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
-    sample = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
-    )
-    X = np.array([r[1] for r in sample], dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = _collect_train_sample(corpus, id_col, vec_col, train_sample)
     d = X.shape[1]
-    assert d % m == 0, f"dim {d} not divisible by m={m}"
     d_sub = d // m
-    books = []
-    for j in range(m):
-        S_ = X[:, j * d_sub : (j + 1) * d_sub]
-        C = S_[:n_codes].copy()
-        for _ in range(lloyd_iters):
-            d2 = ((S_[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for c in range(n_codes):
-                members = S_[assign == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
-        books.append(C)
-    B = np.stack(books)  # (m, n_codes, d_sub)
+    B = _train_pq_books(X, m, n_codes, lloyd_iters)  # (m, n_codes, d_sub)
 
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(B)
@@ -1024,19 +1051,10 @@ def build_ivf_index(
     import numpy as np
     import pandas as pd
 
-    sample = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    C = _train_spherical_kmeans(
+        _collect_train_sample(corpus, id_col, vec_col, train_sample),
+        n_cells, lloyd_iters,
     )
-    X = np.array([r[1] for r in sample], dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
-    C = X[:n_cells].copy()
-    for _ in range(lloyd_iters):
-        assign = np.argmax(X @ C.T, axis=1)
-        for c in range(n_cells):
-            members = X[assign == c]
-            if len(members):
-                C[c] = members.mean(axis=0)
-        C /= np.linalg.norm(C, axis=1, keepdims=True)
 
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(C)
@@ -1118,6 +1136,396 @@ def ivf_probe_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+# --- composed IVF + PQ (the production ANN shape) ---------------------------
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
+    m: int = 16,
+    n_codes: int = 16,
+    refine: int | None = 8,
+    train_sample: int = 2048,
+    lloyd_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF + PQ composed into one index — the FAISS IVFADC shape every
+    production ANN system runs at scale: the coarse quantizer prunes the
+    corpus to `n_probe` cells per query, the ADC scan ranks ONLY those
+    cells' PQ codes (16 bytes/vector here), and the shortlist is
+    exact-cosine re-ranked.
+
+    One Arrow pass builds the whole index row (cell, probe list, codes,
+    norm); candidates come from a cell-cogrouped ADC block (query LUTs
+    rebuilt in-block from the broadcast codebook; float vectors never
+    enter the candidate side — the scan reads codes only); the re-rank
+    tail is `pq_topk`'s (vector joins + one interpreted dot, norms
+    precomputed).
+
+    Exact-mode certification: n_probe == n_cells AND refine=None makes
+    both prunes lossless, so the brute-force oracle hash-certifies the
+    ENTIRE composed machinery (quantizer training, assign+probe+encode
+    pass, per-cell ADC, shortlist merge, re-rank) — `ivfpq_ann_exact` in
+    the registry. The production config is recall-gated in pytest and
+    reported by `ann_recall_report`.
+
+    At 100 TB: cells are storage partitions (see build_ivfpq_index), the
+    codes relation is ~3% of vector bytes, and per-query work is
+    n_probe/n_cells of the PQ scan — the multiplicative composition of
+    the two prunes.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if n_cells is None:
+        n = corpus.count()
+        n_cells = max(8, int(math.isqrt(max(1, n))))
+    if n_probe is None:
+        n_probe = max(3, n_cells // 2)
+    n_probe = min(n_probe, n_cells)
+    kk_short = (k * refine) if refine is not None else (1 << 31)
+
+    X = _collect_train_sample(corpus, id_col, vec_col, train_sample)
+    d = X.shape[1]
+    d_sub = d // m
+    C = _train_spherical_kmeans(X, n_cells, lloyd_iters)
+    B = _train_pq_books(X, m, n_codes, lloyd_iters)
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((C, B))
+    out_schema = (
+        f"{id_col} long, v array<double>, nrm double, cell int, "
+        "probes array<int>, codes array<int>"
+    )
+
+    def assign_encode(batches):
+        C_, B_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = Mn @ C_.T
+            order = np.lexsort(
+                (np.arange(C_.shape[0])[None, :].repeat(len(ids), 0), -sims),
+                axis=1,
+            )
+            codes = np.empty((len(ids), m), dtype=np.int32)
+            for j in range(m):
+                S_ = Mn[:, j * d_sub : (j + 1) * d_sub]
+                d2 = ((S_[:, None, :] - B_[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "v": list(M),
+                    # sequential fold — bit-equal to the _norm expression
+                    "nrm": np.sqrt(np.cumsum(M * M, axis=1)[:, -1]),
+                    "cell": order[:, 0].astype("int32"),
+                    "probes": list(order[:, :n_probe].astype("int32")),
+                    "codes": list(codes),
+                }
+            )
+
+    indexed = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(assign_encode, schema=out_schema)
+        .persist()
+    )
+    indexed.count()  # materialize once for the multi-consumer plan
+
+    cells = indexed.select(
+        F.col(id_col).alias("neighbor_id"), "codes", "cell"
+    )
+    probes = indexed.select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode("probes").alias("cell"),
+    )
+
+    def adc_cell(key, qdf, cdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(qdf) == 0 or len(cdf) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "adc": []})
+        _, B_ = bc.value
+        q_ids = qdf["query_id"].to_numpy(dtype=np.int64)
+        Q = np.array(list(qdf["qv"]), dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        LUT = np.empty((len(q_ids), m * n_codes), dtype=np.float64)
+        for j in range(m):
+            LUT[:, j * n_codes : (j + 1) * n_codes] = (
+                Qn[:, j * d_sub : (j + 1) * d_sub] @ B_[j].T
+            )
+        c_ids = cdf["neighbor_id"].to_numpy(dtype=np.int64)
+        codes = np.array(list(cdf["codes"]), dtype=np.int64)
+        # same f32 one-hot BLAS ADC as pq_topk's adc_block
+        IND = np.zeros((m * n_codes, len(c_ids)), dtype=np.float32)
+        cols = np.arange(len(c_ids))
+        for j in range(m):
+            IND[j * n_codes + codes[:, j], cols] = 1.0
+        scores = LUT.astype(np.float32) @ IND
+        scores[q_ids[:, None] == c_ids[None, :]] = -np.inf
+        qi, ni, sv = _block_topk(scores, c_ids, q_ids, kk_short)
+        return pd.DataFrame({"query_id": qi, "neighbor_id": ni, "adc": sv})
+
+    shortcand = (
+        probes.groupBy("cell")
+        .cogroup(cells.groupBy("cell"))
+        .applyInPandas(
+            adc_cell, schema="query_id long, neighbor_id long, adc double"
+        )
+    )
+    # merge the per-cell shortlists to the global k*refine (each neighbor
+    # appears once — it lives in exactly one cell — so this is a rank
+    # cut, not a dedup)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    ranked_short = shortcand.withColumn(
+        "arank", F.row_number().over(w_adc)
+    ).filter(F.col("arank") <= kk_short)
+
+    qvec = indexed.select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    nvec = indexed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        ranked_short.join(qvec, "query_id")
+        .join(nvec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")),
+                round_digits,
+            ).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 16,
+    n_codes: int = 16,
+    train_sample: int = 2048,
+    lloyd_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the composed IVF+PQ index: rows (id, vector, norm,
+    codes) written PARTITIONED BY coarse cell, with the centroid matrix
+    and PQ codebooks as a JSON sidecar. A probe reads only its cells'
+    directories (partition pruning at the scan), ADC-ranks their codes,
+    and re-ranks exactly from the vector column of the same pruned rows
+    — the serving layout `ivfpq_topk`'s docstring promises. At true
+    scale the vector column can live in a separate colder relation; here
+    it shares the row so the exact re-rank is one pruned scan away."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    X = _collect_train_sample(corpus, id_col, vec_col, train_sample)
+    d = X.shape[1]
+    d_sub = d // m
+    C = _train_spherical_kmeans(X, n_cells, lloyd_iters)
+    B = _train_pq_books(X, m, n_codes, lloyd_iters)
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((C, B))
+
+    def assign_encode(batches):
+        C_, B_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            codes = np.empty((len(ids), m), dtype=np.int32)
+            for j in range(m):
+                S_ = Mn[:, j * d_sub : (j + 1) * d_sub]
+                d2 = ((S_[:, None, :] - B_[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "v": list(M),
+                    "nrm": np.sqrt(np.cumsum(M * M, axis=1)[:, -1]),
+                    "codes": list(codes),
+                    "cell": np.argmax(Mn @ C_.T, axis=1).astype("int32"),
+                }
+            )
+
+    out_schema = (
+        f"{id_col} long, v array<double>, nrm double, "
+        "codes array<int>, cell int"
+    )
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign_encode, schema=out_schema
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_ivfpq_model.json"), "w") as f:
+        json.dump({"centroids": C.tolist(), "books": B.tolist()}, f)
+
+
+def ivfpq_probe_topk(
+    spark,
+    index_path: str,
+    query_vectors: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int | None = 8,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Point-lookup search over a persisted IVF+PQ index: probe cells
+    chosen driver-side (centroids are KBs), a codes-only ADC pass over
+    ONLY those cells' partitions (the cell filter reaches the parquet
+    scan as a PartitionFilter; column pruning keeps the vector column
+    out of this scan), then exact re-rank of the k*refine shortlist
+    against the same pruned rows' vectors.
+
+    The query set is an explicit small list BY CONTRACT (serving path);
+    corpus-sized query sets belong to `ivfpq_topk`. External query ids
+    are unrelated to corpus ids by default (`exclude_self=False`) — pass
+    True in self-join harnesses where they share the namespace."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(index_path, "_ivfpq_model.json")) as f:
+        model = json.load(f)
+    C = np.array(model["centroids"], dtype=np.float64)
+    B = np.array(model["books"], dtype=np.float64)
+    m, n_codes, d_sub = B.shape
+    n_probe = min(n_probe, C.shape[0])
+    kk_short = (k * refine) if refine is not None else (1 << 31)
+
+    qids = np.array([q[0] for q in query_vectors], dtype=np.int64)
+    Q = np.array([q[1] for q in query_vectors], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    order = np.argsort(-(Qn @ C.T), axis=1, kind="stable")
+    probes = order[:, :n_probe]
+    cells = sorted({int(c) for row in probes for c in row})
+    LUT = np.empty((len(qids), m * n_codes), dtype=np.float64)
+    for j in range(m):
+        LUT[:, j * n_codes : (j + 1) * n_codes] = (
+            Qn[:, j * d_sub : (j + 1) * d_sub] @ B[j].T
+        )
+    # per-query probe-cell membership rides next to the LUTs so the ADC
+    # pass scores a candidate only for queries that probed ITS cell
+    probe_sets = [set(int(c) for c in row) for row in probes]
+    bc = spark.sparkContext.broadcast((qids, LUT, probe_sets))
+    excl = exclude_self
+
+    pruned = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+
+    def adc_scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, LUT_, psets = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_cell = pdf["cell"].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            IND = np.zeros((LUT_.shape[1], len(c_ids)), dtype=np.float32)
+            cols = np.arange(len(c_ids))
+            for j in range(codes.shape[1]):
+                IND[j * (LUT_.shape[1] // codes.shape[1]) + codes[:, j], cols] = 1.0
+            scores = LUT_.astype(np.float32) @ IND
+            # mask candidates whose cell this query did not probe
+            for qi_, ps in enumerate(psets):
+                mask = ~np.isin(c_cell, list(ps))
+                scores[qi_, mask] = -np.inf
+            if excl:
+                scores[q_ids[:, None] == c_ids[None, :]] = -np.inf
+            qi, ni, sv = _block_topk(scores, c_ids, q_ids, kk_short)
+            yield pd.DataFrame(
+                {"query_id": qi, "neighbor_id": ni, "adc": sv}
+            )
+
+    shortcand = pruned.select(id_col, "cell", "codes").mapInPandas(
+        adc_scan, schema="query_id long, neighbor_id long, adc double"
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    ranked_short = shortcand.withColumn(
+        "arank", F.row_number().over(w_adc)
+    ).filter(F.col("arank") <= kk_short)
+
+    # exact re-rank: neighbor vectors from the SAME pruned partitions;
+    # query vectors/norms are driver-known literals (small by contract).
+    # qn uses the sequential-fold norm for bit-parity with the stored nrm
+    qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+    qdf = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in v], float(nv))
+            for i, v, nv in zip(qids, Q, qn)
+        ],
+        "query_id long, qv array<double>, qn double",
+    )
+    nvec = pruned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        ranked_short.join(F.broadcast(qdf), "query_id")
+        .join(nvec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")),
+                round_digits,
+            ).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", "cosine_sim",

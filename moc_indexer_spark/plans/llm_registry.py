@@ -451,6 +451,36 @@ def q_pq_ann_exact(spark, sf_dir):
 
 
 @register(
+    "ivfpq_ann_exact",
+    _COSINE_TOPK_ORACLE,
+    tags=("llm", "similarity", "ann", "ivf", "pq", "exact"),
+)
+def q_ivfpq_ann_exact(spark, sf_dir):
+    """Composed IVF+PQ (the FAISS IVFADC production shape) in exact
+    mode: n_probe == n_cells makes the cell prune lossless and
+    refine=None makes the ADC shortlist exhaustive, so the brute-force
+    oracle hash-certifies the ENTIRE composed machinery — coarse
+    quantizer training, the fused assign+probe+encode Arrow pass, the
+    per-cell codes-only ADC blocks, the shortlist merge window, and the
+    exact re-rank tail — end-to-end, not just a recall bound."""
+    return S.ivfpq_topk(
+        table(spark, sf_dir, "embeddings"),
+        k=5, n_cells=8, n_probe=8, refine=None,
+    )
+
+
+@register(
+    "ivfpq_ann_topk", None, tags=("llm", "similarity", "ann", "ivf", "pq"),
+    bench=True,
+)
+def q_ivfpq_ann_topk(spark, sf_dir):
+    """Production IVF+PQ config: cell-pruned ADC scan + k*refine exact
+    re-rank (rows-only — recall measured vs brute force in pytest and
+    reported by ann_recall_report)."""
+    return S.ivfpq_topk(table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
     "embedding_norms",
     """
     SELECT vec_id, label,
@@ -1118,6 +1148,7 @@ def q_ann_recall_report(spark, sf_dir):
             ("lsh", S.lsh_bucket_topk(emb, k=5)),
             ("ivf", S.ivf_topk(emb, k=5)),
             ("pq", S.pq_topk(emb, k=5)),
+            ("ivfpq", S.ivfpq_topk(emb, k=5)),
             ("sq8", S.sq8_topk(emb, k=5)),
         ):
             hits = df.select("query_id", "neighbor_id").join(
