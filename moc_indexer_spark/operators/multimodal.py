@@ -6,11 +6,14 @@ Layout: media as opaque `binary` columns + typed metadata struct; transforms
 `mapInPandas` stages so bytes move executor-side in columnar batches, never
 through the driver and never row-at-a-time.
 
-The actual codec calls are STUBBED (image/audio libraries are not in this
-container): `decode_image_stub` raises NotImplementedError unless
-`fake=True`, which produces a deterministic fake decode so the Spark-side
-plumbing (schema, partitioning, batch shape, UDF signature) is real and
-tested. Swapping in PIL/ffmpeg touches only the inner function.
+Codec tiers: uncompressed formats (PPM/PGM/BMP images, RIFF PCM WAV
+audio, YUV4MPEG2 video) decode FOR REAL in pure numpy; compressed
+formats route through env-gated branches — PIL for images
+(`decode_image`'s final branch, import-gated) and the ffmpeg CLI for
+audio/video (`ffmpeg_decode_audio` / `ffmpeg_transcode_to_y4m`,
+PATH-gated) — raising a clear NotImplementedError where the library is
+absent so this container stays green. `decode_image_stub` additionally
+offers a deterministic fake decode (fake=True) for plumbing tests.
 
 Scale notes:
 - media tables partition by (modality, bucket(content_hash)) — dedup and
@@ -289,10 +292,21 @@ def decode_image(content: bytes):
             rows = rows[::-1]
         return w, h, rows[:, :, ::-1]  # BGR -> RGB
 
-    raise NotImplementedError(
-        "compressed formats need a codec library (PIL/ffmpeg) — plug it "
-        "into this branch"
-    )
+    # compressed formats (JPEG/PNG/GIF/WEBP/...): the PIL branch, import-
+    # gated so environments without codec libraries keep the pure-numpy
+    # paths and a clear error — one function swap, as promised
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        raise NotImplementedError(
+            "compressed formats need a codec library; install Pillow to "
+            "activate this branch (uncompressed PPM/PGM/BMP decode without it)"
+        ) from None
+    import io
+
+    img = Image.open(io.BytesIO(content)).convert("RGB")
+    px = np.asarray(img, dtype=np.uint8)
+    return img.width, img.height, px
 
 
 def image_histogram_feature(px, bins: int = 16):
@@ -347,15 +361,76 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
+def _ffmpeg_path() -> str | None:
+    """ffmpeg CLI if present — the env gate for every compressed
+    audio/video branch (mirrors the PIL import gate for images)."""
+    import shutil
+
+    return shutil.which("ffmpeg")
+
+
+def _ffmpeg_run(content: bytes, args: list[str]) -> bytes:
+    """Pipe `content` through ffmpeg (stdin -> stdout, no temp files —
+    executor-local, no shared state)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [_ffmpeg_path(), "-v", "error", "-i", "pipe:0", *args, "pipe:1"],
+        input=content, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        check=False,
+    )
+    if proc.returncode != 0:
+        raise ValueError(
+            f"ffmpeg decode failed: {proc.stderr.decode(errors='replace')[:200]}"
+        )
+    return proc.stdout
+
+
+def ffmpeg_decode_audio(content: bytes, sample_rate: int = 16000):
+    """Compressed audio (MP3/OGG/AAC/...) -> (sample_rate, 1, float64
+    mono array in [-1, 1]) via the ffmpeg CLI, resampled to
+    `sample_rate`. Env-gated: raises NotImplementedError when ffmpeg is
+    absent so the pure-numpy WAV path stays the container default."""
+    import numpy as np
+
+    if _ffmpeg_path() is None:
+        raise NotImplementedError(
+            "compressed audio needs ffmpeg on PATH; WAV PCM decodes without it"
+        )
+    raw = _ffmpeg_run(
+        content,
+        ["-f", "s16le", "-acodec", "pcm_s16le", "-ac", "1",
+         "-ar", str(sample_rate)],
+    )
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    return sample_rate, 1, x.reshape(-1, 1)
+
+
+def ffmpeg_transcode_to_y4m(content: bytes) -> bytes:
+    """Compressed video (H.264/VP9/...) -> YUV4MPEG2 (4:2:0) bytes via
+    the ffmpeg CLI, so the existing pure-numpy Y4M frame sampler handles
+    every container once transcoded. Env-gated like the audio branch."""
+    if _ffmpeg_path() is None:
+        raise NotImplementedError(
+            "compressed video needs ffmpeg on PATH; Y4M samples without it"
+        )
+    return _ffmpeg_run(
+        content, ["-f", "yuv4mpegpipe", "-pix_fmt", "yuv420p"]
+    )
+
+
 def decode_audio_wav(content: bytes):
     """Parse a RIFF/WAVE file with 16-bit or 8-bit PCM samples in pure
     numpy (chunk walk: fmt then data; other chunks skipped). Returns
     (sample_rate, n_channels, float64 array shaped (n_frames, channels) in
-    [-1, 1]). Compressed codecs raise NotImplementedError."""
+    [-1, 1]). Compressed codecs route through the env-gated ffmpeg branch
+    (`ffmpeg_decode_audio`) or raise NotImplementedError without it."""
     import numpy as np
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
-        raise NotImplementedError("not a RIFF/WAVE container")
+        # not WAV at all — a compressed container belongs to the ffmpeg
+        # branch (env-gated)
+        return ffmpeg_decode_audio(content)
     pos = 12
     fmt = None
     data = None
