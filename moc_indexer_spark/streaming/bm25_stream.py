@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import retrieval as RT
+from .compaction import _FOLD_MARKER, compact_batched_dir  # noqa: F401
+# (_FOLD_MARKER re-exported for the fault-injection tests)
 
 _BATCH_RE = re.compile(r"^batch=(\d+)$")
 
@@ -255,72 +257,13 @@ def compact_index(idx: IncrementalBm25Index) -> int:
     return removed
 
 
-_FOLD_MARKER = "_FOLD_COMMITTED"
-
-
 def _compact_relation(idx: IncrementalBm25Index, name: str, committed: int) -> int:
-    base = idx._dir(name)
-    tmp = f"{base}__fold_tmp"
-    trash = f"{base}__fold_trash"
-
-    def _fold_id() -> int | None:
-        # the batch id a complete tmp fold was built for; None if the
-        # fold is incomplete or predates the marker protocol
-        marker = os.path.join(tmp, _FOLD_MARKER)
-        if not (os.path.exists(marker)
-                and os.path.exists(os.path.join(tmp, "_SUCCESS"))):
-            return None
-        with open(marker) as f:
-            return int(f.read().strip())
-
-    def _complete_swap(fold_committed: int) -> None:
-        # the fold output supersedes every batch <= ITS recorded id (not
-        # the current committed id — batches appended after the fold was
-        # built must survive). Sweep still-unmoved superseded originals
-        # into trash, then one rename installs the fold. Every step is an
-        # idempotent move — re-entrant at any crash point.
-        for b in [x for x in idx._batches(name) if x <= fold_committed]:
-            os.makedirs(trash, exist_ok=True)
-            os.replace(f"{base}/batch={b}", os.path.join(trash, f"batch={b}"))
-        os.replace(tmp, f"{base}/batch={fold_committed}")
-        shutil.rmtree(trash, ignore_errors=True)
-
-    # recovery: a previous run crashed mid-flight iff trash exists
-    if os.path.isdir(trash):
-        fold = _fold_id()
-        if not os.path.isdir(tmp):
-            # crashed AFTER os.replace(tmp, target) but before the trash
-            # delete: the swap already completed (tmp was consumed by the
-            # rename) — restoring from trash here would resurrect
-            # superseded batches next to the fold and double every row.
-            # Just finish the cleanup.
-            shutil.rmtree(trash, ignore_errors=True)
-        elif fold is not None:
-            # complete fold with a recorded id: finish its swap at THAT
-            # id — safe even if newer batches were committed since the
-            # crash, because only batches <= fold are swept/replaced
-            _complete_swap(fold)
-        else:
-            # fold incomplete or unidentifiable — roll the originals back
-            for d in os.listdir(trash):
-                dst = os.path.join(base, d)
-                if not os.path.isdir(dst):
-                    os.replace(os.path.join(trash, d), dst)
-            shutil.rmtree(trash, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
-
-    batches = [b for b in idx._batches(name) if b <= committed]
-    if len(batches) <= 1:
-        return 0
-    merged = idx._read_upto(name, committed)
-    # write the fold to tmp FIRST — originals untouched until it is
-    # complete (crash here: next run just rebuilds tmp). The marker pins
-    # which committed id the fold covers, so a post-crash recovery never
-    # installs it over batches it doesn't contain.
-    merged.coalesce(max(1, len(batches) // 4)).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    with open(os.path.join(tmp, _FOLD_MARKER), "w") as f:
-        f.write(str(committed))
-    _complete_swap(committed)
-    return len(batches) - 1
+    return compact_batched_dir(
+        base=idx._dir(name),
+        committed=committed,
+        list_batches=lambda: idx._batches(name),
+        read_upto=lambda upto: idx._read_upto(name, upto),
+        write_fold=lambda df, tmp, n: df.coalesce(max(1, n // 4))
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )

@@ -1,0 +1,100 @@
+"""Crash-consistent compaction swap protocol for batch-partitioned
+streaming state (shared by the BM25 and IVF incremental indexes).
+
+Both indexes append one `batch=N` parquet directory per micro-batch —
+idempotent and exactly-once, but at cluster scale thousands of tiny
+partitions destroy probe scan throughput the same way small files do.
+Compaction folds every batch <= the committed id into ONE partition at
+that id, under the single-writer lock, with a recoverable copy at every
+step:
+
+1. write the fold to `<base>__fold_tmp` (originals untouched; Spark's
+   _SUCCESS marks it complete) and record the committed id it covers in
+   a `_FOLD_COMMITTED` marker file inside tmp;
+2. move superseded originals (batch <= fold id ONLY) into
+   `<base>__fold_trash`;
+3. one os.replace installs the fold as `batch=<fold id>`;
+4. delete trash.
+
+Recovery on the next call distinguishes every crash window:
+
+* trash exists, tmp gone       -> the swap completed (tmp was consumed
+  by the rename); just delete trash. Restoring from trash here would
+  resurrect superseded batches next to the fold and double every row.
+* trash exists, tmp has marker -> complete the swap at the RECORDED id:
+  safe even if update() committed newer batches since the crash,
+  because only batches <= the fold's id are swept/replaced.
+* trash exists, tmp incomplete -> the fold is lost or unidentifiable;
+  roll the originals back and rebuild.
+
+Contract: an OUT-OF-BAND maintenance action — do not run concurrently
+with update(); lazy probe plans built before compaction are invalidated
+(fresh probes resolve the current directories), the same reader
+contract as Delta VACUUM.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+_FOLD_MARKER = "_FOLD_COMMITTED"
+
+
+def compact_batched_dir(
+    base: str,
+    committed: int,
+    list_batches: Callable[[], list[int]],
+    read_upto: Callable[[int], DataFrame],
+    write_fold: Callable[[DataFrame, str, int], None],
+) -> int:
+    """Fold every `batch=N <= committed` under `base` into one partition
+    at `batch=<committed>`. Returns the number of partitions folded
+    away. `list_batches` must re-list the directory on each call (it is
+    consulted again after recovery); `write_fold(df, tmp, n_batches)`
+    owns the fold write's layout (coalesce / partitionBy)."""
+    tmp = f"{base}__fold_tmp"
+    trash = f"{base}__fold_trash"
+
+    def _fold_id() -> int | None:
+        marker = os.path.join(tmp, _FOLD_MARKER)
+        if not (os.path.exists(marker)
+                and os.path.exists(os.path.join(tmp, "_SUCCESS"))):
+            return None
+        with open(marker) as f:
+            return int(f.read().strip())
+
+    def _complete_swap(fold_committed: int) -> None:
+        for b in [x for x in list_batches() if x <= fold_committed]:
+            os.makedirs(trash, exist_ok=True)
+            os.replace(f"{base}/batch={b}", os.path.join(trash, f"batch={b}"))
+        os.replace(tmp, f"{base}/batch={fold_committed}")
+        shutil.rmtree(trash, ignore_errors=True)
+
+    # recovery: a previous run crashed mid-flight iff trash exists
+    if os.path.isdir(trash):
+        fold = _fold_id()
+        if not os.path.isdir(tmp):
+            shutil.rmtree(trash, ignore_errors=True)
+        elif fold is not None:
+            _complete_swap(fold)
+        else:
+            for d in os.listdir(trash):
+                dst = os.path.join(base, d)
+                if not os.path.isdir(dst):
+                    os.replace(os.path.join(trash, d), dst)
+            shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    batches = [b for b in list_batches() if b <= committed]
+    if len(batches) <= 1:
+        return 0
+    merged = read_upto(committed)
+    write_fold(merged, tmp, len(batches))
+    with open(os.path.join(tmp, _FOLD_MARKER), "w") as f:
+        f.write(str(committed))
+    _complete_swap(committed)
+    return len(batches) - 1

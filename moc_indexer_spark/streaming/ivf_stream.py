@@ -259,6 +259,29 @@ class IncrementalIvfIndex:
         )
 
 
+def compact_index(idx: IncrementalIvfIndex) -> int:
+    """Fold all committed vector batch partitions into one partition at
+    the committed batch id, preserving the cell sub-partitioning (so
+    probes keep their partition-pruned scans). Same crash-consistent
+    swap protocol as the BM25 index — see streaming/compaction.py for
+    the recovery-state matrix; out-of-band under the single-writer lock.
+    Returns the number of batch partitions folded away."""
+    from .compaction import compact_batched_dir
+
+    committed = idx.committed_batch()
+    if committed < 0:
+        return 0
+    return compact_batched_dir(
+        base=f"{idx.path}/vectors",
+        committed=committed,
+        list_batches=idx._batches,
+        read_upto=lambda upto: idx._read_upto(upto),
+        write_fold=lambda df, tmp, n: df.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp),
+    )
+
+
 def run_ivf_index_stream_available_now(
     spark: SparkSession,
     source_dir: str,

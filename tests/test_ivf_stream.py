@@ -74,6 +74,39 @@ def test_ivf_stream_replay_and_duplicates_are_noops(spark, sf_dir, tmp_path):
         idx.train(emb)
 
 
+def test_ivf_stream_compaction_preserves_probes(spark, sf_dir, tmp_path):
+    """compact_index folds batch partitions into one (cell partitioning
+    preserved) without changing any probe result, and its recovery heals
+    the post-rename crash window (shared protocol with the BM25 index)."""
+    import os
+
+    from moc_indexer_spark.streaming.ivf_stream import compact_index
+
+    emb = table(spark, sf_dir, "embeddings").limit(120)
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "idx"))
+    idx.train(emb)
+    for i, (lo, hi) in enumerate([(0, 40), (40, 80), (80, 10**9)]):
+        idx.update(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), i
+        )
+    qs = _queries(emb, 3)
+    want = _rows(idx.probe(qs, n_probe=16))
+    removed = compact_index(idx)
+    assert removed == 2
+    assert _rows(idx.probe(qs, n_probe=16)) == want
+    base = f"{idx.path}/vectors"
+    assert [d for d in os.listdir(base) if d.startswith("batch=")] == ["batch=2"]
+    # cell sub-partitioning survives the fold (probes stay pruned)
+    assert any(d.startswith("cell=") for d in os.listdir(f"{base}/batch=2"))
+
+    # post-rename crash window: trash left behind after a completed swap
+    # must only be deleted, never restored
+    os.makedirs(f"{base}__fold_trash/batch=0", exist_ok=True)
+    assert compact_index(idx) == 0
+    assert not os.path.isdir(f"{base}__fold_trash")
+    assert _rows(idx.probe(qs, n_probe=16)) == want
+
+
 def test_ivf_probe_self_exclusion_is_optional(spark, sf_dir, tmp_path):
     """External queries whose ids coincide with corpus ids must still see
     the colliding vector when exclude_self=False; the default keeps the
