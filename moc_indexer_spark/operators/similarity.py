@@ -1174,6 +1174,13 @@ def ivfpq_topk(
     tail is `pq_topk`'s (vector joins + one interpreted dot, norms
     precomputed).
 
+    Codes are RESIDUAL-encoded (x_n - centroid[cell], the production
+    IVFADC refinement): residual norms are a fraction of vector norms,
+    so the same codebook budget quantizes far tighter. The ADC score
+    decomposes exactly as q·centroid[cell] (one per-query scalar per
+    block) + the residual table-lookup sum, which keeps scores
+    comparable ACROSS cells for the shortlist merge.
+
     Exact-mode certification: n_probe == n_cells AND refine=None makes
     both prunes lossless, so the brute-force oracle hash-certifies the
     ENTIRE composed machinery (quantizer training, assign+probe+encode
@@ -1203,7 +1210,10 @@ def ivfpq_topk(
     d = X.shape[1]
     d_sub = d // m
     C = _train_spherical_kmeans(X, n_cells, lloyd_iters)
-    B = _train_pq_books(X, m, n_codes, lloyd_iters)
+    # PQ books train on the sample's RESIDUALS under the trained coarse
+    # quantizer — the distribution the index actually encodes
+    R = X - C[np.argmax(X @ C.T, axis=1)]
+    B = _train_pq_books(R, m, n_codes, lloyd_iters)
 
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((C, B))
@@ -1225,9 +1235,11 @@ def ivfpq_topk(
                 (np.arange(C_.shape[0])[None, :].repeat(len(ids), 0), -sims),
                 axis=1,
             )
+            cell = order[:, 0]
+            Rn = Mn - C_[cell]  # residual under the assigned centroid
             codes = np.empty((len(ids), m), dtype=np.int32)
             for j in range(m):
-                S_ = Mn[:, j * d_sub : (j + 1) * d_sub]
+                S_ = Rn[:, j * d_sub : (j + 1) * d_sub]
                 d2 = ((S_[:, None, :] - B_[j][None, :, :]) ** 2).sum(axis=2)
                 codes[:, j] = np.argmin(d2, axis=1)
             yield pd.DataFrame(
@@ -1236,7 +1248,7 @@ def ivfpq_topk(
                     "v": list(M),
                     # sequential fold — bit-equal to the _norm expression
                     "nrm": np.sqrt(np.cumsum(M * M, axis=1)[:, -1]),
-                    "cell": order[:, 0].astype("int32"),
+                    "cell": cell.astype("int32"),
                     "probes": list(order[:, :n_probe].astype("int32")),
                     "codes": list(codes),
                 }
@@ -1264,7 +1276,7 @@ def ivfpq_topk(
 
         if len(qdf) == 0 or len(cdf) == 0:
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "adc": []})
-        _, B_ = bc.value
+        C_, B_ = bc.value
         q_ids = qdf["query_id"].to_numpy(dtype=np.int64)
         Q = np.array(list(qdf["qv"]), dtype=np.float64)
         Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -1281,6 +1293,12 @@ def ivfpq_topk(
         for j in range(m):
             IND[j * n_codes + codes[:, j], cols] = 1.0
         scores = LUT.astype(np.float32) @ IND
+        # residual decomposition: q·cand ≈ q·centroid[cell] + q·residual.
+        # The block IS one cell (the cogroup key), so the centroid term
+        # is one scalar per query — added here to keep ADC scores
+        # comparable across cells at the shortlist merge
+        qoff = (Qn @ C_[int(key[0])]).astype(np.float32)
+        scores += qoff[:, None]
         scores[q_ids[:, None] == c_ids[None, :]] = -np.inf
         qi, ni, sv = _block_topk(scores, c_ids, q_ids, kk_short)
         return pd.DataFrame({"query_id": qi, "neighbor_id": ni, "adc": sv})
@@ -1364,7 +1382,10 @@ def build_ivfpq_index(
     d = X.shape[1]
     d_sub = d // m
     C = _train_spherical_kmeans(X, n_cells, lloyd_iters)
-    B = _train_pq_books(X, m, n_codes, lloyd_iters)
+    # books train on residuals — the distribution the index encodes
+    B = _train_pq_books(
+        X - C[np.argmax(X @ C.T, axis=1)], m, n_codes, lloyd_iters
+    )
 
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((C, B))
@@ -1377,9 +1398,11 @@ def build_ivfpq_index(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             M = np.array(list(pdf[vec_col]), dtype=np.float64)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            cell = np.argmax(Mn @ C_.T, axis=1)
+            Rn = Mn - C_[cell]  # residual encoding (see ivfpq_topk)
             codes = np.empty((len(ids), m), dtype=np.int32)
             for j in range(m):
-                S_ = Mn[:, j * d_sub : (j + 1) * d_sub]
+                S_ = Rn[:, j * d_sub : (j + 1) * d_sub]
                 d2 = ((S_[:, None, :] - B_[j][None, :, :]) ** 2).sum(axis=2)
                 codes[:, j] = np.argmin(d2, axis=1)
             yield pd.DataFrame(
@@ -1388,7 +1411,7 @@ def build_ivfpq_index(
                     "v": list(M),
                     "nrm": np.sqrt(np.cumsum(M * M, axis=1)[:, -1]),
                     "codes": list(codes),
-                    "cell": np.argmax(Mn @ C_.T, axis=1).astype("int32"),
+                    "cell": cell.astype("int32"),
                 }
             )
 
@@ -1451,9 +1474,11 @@ def ivfpq_probe_topk(
             Qn[:, j * d_sub : (j + 1) * d_sub] @ B[j].T
         )
     # per-query probe-cell membership rides next to the LUTs so the ADC
-    # pass scores a candidate only for queries that probed ITS cell
+    # pass scores a candidate only for queries that probed ITS cell;
+    # QC carries the q·centroid term of the residual decomposition
     probe_sets = [set(int(c) for c in row) for row in probes]
-    bc = spark.sparkContext.broadcast((qids, LUT, probe_sets))
+    QC = Qn @ C.T  # (nq, n_cells)
+    bc = spark.sparkContext.broadcast((qids, LUT, probe_sets, QC))
     excl = exclude_self
 
     pruned = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
@@ -1462,7 +1487,7 @@ def ivfpq_probe_topk(
         import numpy as np
         import pandas as pd
 
-        q_ids, LUT_, psets = bc.value
+        q_ids, LUT_, psets, QC_ = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1474,6 +1499,8 @@ def ivfpq_probe_topk(
             for j in range(codes.shape[1]):
                 IND[j * (LUT_.shape[1] // codes.shape[1]) + codes[:, j], cols] = 1.0
             scores = LUT_.astype(np.float32) @ IND
+            # residual decomposition: add each candidate's q·centroid term
+            scores += QC_[:, c_cell].astype(np.float32)
             # mask candidates whose cell this query did not probe
             for qi_, ps in enumerate(psets):
                 mask = ~np.isin(c_cell, list(ps))
