@@ -129,6 +129,313 @@ def kmv_oracle_sql(
     """
 
 
+HLL_B = 12  # 2^12 = 4096 registers
+HLL_M = 1 << HLL_B
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# alpha * m^2 * 2^61 precomputed as ONE python float literal embedded in
+# both engines' expressions, so the raw-estimate division is the only
+# floating operation and is bitwise-identical cross-engine
+_HLL_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 61)
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate, CROSS-ENGINE CERTIFIED —
+    the certifiable twin of the engine-private `approx_count_distinct`
+    (whose HLL++ register layout cannot be replayed outside Spark).
+
+    Portable register construction (Flajolet et al. 2007), all exact
+    string/integer ops:
+    * bucket  = first 3 hex chars of md5(value)   (12 bits -> m=4096)
+    * rho     = 1 + leading zero BITS of the next 15 hex chars (60-bit
+      window), computed from hex-char arithmetic (TRIM(LEADING '0') +
+      a CASE on the first nonzero digit) — no float, no log
+    * register M_j = max(rho) per bucket; one m-bounded shuffle
+
+    The harmonic sum is EXACT and order-independent: Sum 2^-M_j scaled
+    by 2^61 makes every term an integer (absent registers contribute
+    2^61 each), summed as DECIMAL — so both engines compute the same
+    integer, and the raw estimate alpha*m^2/S is a single double
+    division. The small-range correction m*ln(m/V) (LinearCounting for
+    sparse registers) is the one libm call; outputs round to 4dp like
+    the KMV estimate. The exact count is returned alongside for the
+    error column, mirroring `kmv_distinct`.
+
+    Returns (group_col, n_exact bigint, hll_estimate double,
+    rel_err double). 100 TB shape: the register relation is at most
+    m rows per group after one map-side-combining max-aggregate —
+    mergeable partial sketches, no distinct-sized shuffle.
+    """
+    h = F.md5(F.col(value_col).cast("string"))
+    hs = F.substring(h, HLL_B // 4 + 1, 15)  # 60-bit rho window (hex)
+    stripped = F.expr(
+        f"TRIM(LEADING '0' FROM substring(md5(cast({value_col} as string)), "
+        f"{HLL_B // 4 + 1}, 15))"
+    )
+    first = F.substring(stripped, 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(F.length(stripped) == 0, F.lit(61)).otherwise(
+        4 * (F.length(hs) - F.length(stripped)) + extra + 1
+    )
+    regs = (
+        df.select(
+            F.col(group_col),
+            F.conv(F.substring(h, 1, HLL_B // 4), 16, 10)
+            .cast("int")
+            .alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    agg = regs.groupBy(group_col).agg(
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - mj) AS DECIMAL(38,0))")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    two61 = F.lit(1 << 61).cast("decimal(38,0)")
+    s_int = F.col("s_present") + (F.lit(HLL_M) - F.col("n_regs")).cast(
+        "decimal(38,0)"
+    ) * two61
+    e_raw = F.lit(_HLL_NUM) / s_int.cast("double")
+    v_empty = (F.lit(HLL_M) - F.col("n_regs")).cast("double")
+    est = F.round(
+        F.when(
+            (e_raw <= F.lit(2.5 * HLL_M)) & (v_empty > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty),
+        ).otherwise(e_raw),
+        4,
+    )
+    exact = (
+        df.select(group_col, value_col)
+        .distinct()
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    return (
+        exact.join(F.broadcast(agg), group_col)
+        .select(
+            group_col,
+            "n_exact",
+            est.alias("hll_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def hll_oracle_sql(table: str, group_col: str, value_col: str) -> str:
+    hexpr = f"md5(CAST({value_col} AS VARCHAR))"
+    return f"""
+    WITH hashed AS (
+      SELECT {group_col},
+             CAST('0x' || substr({hexpr}, 1, {HLL_B // 4}) AS INTEGER)
+               AS bucket,
+             TRIM(LEADING '0' FROM substr({hexpr}, {HLL_B // 4 + 1}, 15))
+               AS stripped
+      FROM {table}),
+    rhos AS (
+      SELECT {group_col}, bucket,
+             CASE WHEN length(stripped) = 0 THEN 61
+                  ELSE 4 * (15 - length(stripped))
+                       + CASE substr(stripped, 1, 1)
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1
+                           WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END + 1
+             END AS rho
+      FROM hashed),
+    regs AS (
+      SELECT {group_col}, bucket, MAX(rho) AS mj
+      FROM rhos GROUP BY {group_col}, bucket),
+    agg AS (
+      SELECT {group_col},
+             SUM(CAST(CAST(1 AS BIGINT) << (61 - mj) AS DECIMAL(38,0)))
+               AS s_present,
+             COUNT(*) AS n_regs
+      FROM regs GROUP BY {group_col}),
+    est AS (
+      SELECT {group_col},
+             ROUND(
+               CASE WHEN CAST({_HLL_NUM!r} AS DOUBLE)
+                         / CAST(s_present
+                                + ({HLL_M} - n_regs)
+                                  * CAST({1 << 61} AS DECIMAL(38,0))
+                                AS DOUBLE) <= {2.5 * HLL_M}
+                         AND ({HLL_M} - n_regs) > 0
+                    THEN CAST({float(HLL_M)} AS DOUBLE)
+                         * ln(CAST({float(HLL_M)} AS DOUBLE)
+                              / CAST({HLL_M} - n_regs AS DOUBLE))
+                    ELSE CAST({_HLL_NUM!r} AS DOUBLE)
+                         / CAST(s_present
+                                + ({HLL_M} - n_regs)
+                                  * CAST({1 << 61} AS DECIMAL(38,0))
+                                AS DOUBLE)
+               END, 4) AS hll_estimate
+      FROM agg),
+    exact AS (
+      SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM (SELECT DISTINCT {group_col}, {value_col} FROM {table})
+      GROUP BY {group_col})
+    SELECT e.{group_col}, e.n_exact, t.hll_estimate,
+           ROUND(ABS(t.hll_estimate - CAST(e.n_exact AS DOUBLE))
+                 / CAST(e.n_exact AS DOUBLE), 6) AS rel_err
+    FROM exact e JOIN est t USING ({group_col})
+    """
+
+
+HIST_BINS = 256
+HIST_QS = (0.5, 0.95, 0.99)
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bins: int = HIST_BINS,
+    qs: tuple = HIST_QS,
+) -> DataFrame:
+    """Per-group quantile ESTIMATES from a fixed-grid histogram sketch —
+    the certifiable twin of `approx_percentile` (whose KLL-style sketch
+    state is engine-private). Every step is a deterministic relational
+    statement both engines evaluate identically, so the driver hash-gate
+    certifies the whole estimate path; error is bounded by the bin width
+    ((mx-mn)/bins per group), pytest-checked against exact percentiles.
+
+    Dataflow (the classic 2-pass mergeable histogram): pass 1 computes
+    per-group (min, max, n); pass 2 bins values against the broadcast
+    stats and counts per (group, bin) — a bins-bounded aggregate with
+    map-side combine, so the shuffle carries at most `bins` rows per
+    group regardless of data volume. Quantile q's estimate interpolates
+    within the first bin whose cumulative count reaches ceil(q*n).
+
+    Returns (group_col, p50_est, p95_est, p99_est) for the default qs,
+    each rounded to 6dp.
+    """
+    g = group_col
+    stats = df.groupBy(g).agg(
+        F.min(F.col(value_col).cast("double")).alias("mn"),
+        F.max(F.col(value_col).cast("double")).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(bins))
+    binned = (
+        df.select(g, F.col(value_col).cast("double").alias("v"))
+        .join(F.broadcast(stats), g)
+        .select(
+            g,
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor((F.col("v") - F.col("mn")) / width).cast("int"),
+                )
+            )
+            .alias("bin"),
+        )
+        .groupBy(g, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(g).orderBy("bin")
+    cum = binned.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "cum_prev", F.col("cum") - F.col("cnt")
+    )
+    targets = stats.select(
+        g, "mn", "mx", "n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn("r", F.ceil(F.col("q") * F.col("n")).cast("bigint"))
+    est = (
+        targets.join(cum, g)
+        .filter((F.col("cum") >= F.col("r")) & (F.col("cum_prev") < F.col("r")))
+        .select(
+            g, "q",
+            F.round(
+                F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+                    F.col("mn")
+                    + (F.col("mx") - F.col("mn")) / F.lit(float(bins))
+                    * (
+                        F.col("bin").cast("double")
+                        + (F.col("r") - F.col("cum_prev")).cast("double")
+                        / F.col("cnt").cast("double")
+                    )
+                ),
+                6,
+            ).alias("est"),
+        )
+    )
+    aggs = [
+        F.max(F.when(F.col("q") == float(q), F.col("est"))).alias(
+            f"p{round(q * 100)}_est"
+        )
+        for q in qs
+    ]
+    return est.groupBy(g).agg(*aggs)
+
+
+def histogram_quantiles_oracle_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    bins: int = HIST_BINS,
+    qs: tuple = HIST_QS,
+) -> str:
+    g = group_col
+    est_cols = ",\n           ".join(
+        f"MAX(CASE WHEN q = {float(q)!r} THEN est END) "
+        f"AS p{round(q * 100)}_est"
+        for q in qs
+    )
+    q_values = ", ".join(f"({float(q)!r})" for q in qs)
+    return f"""
+    WITH stats AS (
+      SELECT {g}, MIN(CAST({value_col} AS DOUBLE)) AS mn,
+             MAX(CAST({value_col} AS DOUBLE)) AS mx, COUNT(*) AS n
+      FROM {table} GROUP BY {g}),
+    binned AS (
+      SELECT t.{g},
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE LEAST({bins - 1},
+                             CAST(FLOOR((CAST(t.{value_col} AS DOUBLE) - s.mn)
+                                        / ((s.mx - s.mn) / {float(bins)!r}))
+                                  AS INTEGER))
+             END AS bin
+      FROM {table} t JOIN stats s USING ({g})),
+    hist AS (
+      SELECT {g}, bin, COUNT(*) AS cnt FROM binned GROUP BY {g}, bin),
+    cum AS (
+      SELECT {g}, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY {g} ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY {g} ORDER BY bin) - cnt AS cum_prev
+      FROM hist),
+    targets AS (
+      SELECT s.{g}, s.mn, s.mx, s.n, qv.q,
+             CAST(CEIL(qv.q * s.n) AS BIGINT) AS r
+      FROM stats s CROSS JOIN (VALUES {q_values}) AS qv(q)),
+    est AS (
+      SELECT t.{g}, t.q,
+             ROUND(CASE WHEN t.mx = t.mn THEN t.mn
+                        ELSE t.mn + (t.mx - t.mn) / {float(bins)!r}
+                             * (CAST(c.bin AS DOUBLE)
+                                + CAST(t.r - c.cum_prev AS DOUBLE)
+                                  / CAST(c.cnt AS DOUBLE))
+                   END, 6) AS est
+      FROM targets t JOIN cum c USING ({g})
+      WHERE c.cum >= t.r AND c.cum_prev < t.r)
+    SELECT {g},
+           {est_cols}
+    FROM est GROUP BY {g}
+    """
+
+
 def weighted_sample_topk(
     df: DataFrame,
     weight_col,

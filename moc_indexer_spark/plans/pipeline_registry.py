@@ -20,6 +20,10 @@ from ..operators import pipeline as P
 from ..operators.sketches import (
     cms_oracle_sql,
     cms_trigram_estimates,
+    histogram_quantiles,
+    histogram_quantiles_oracle_sql,
+    hll_distinct,
+    hll_oracle_sql,
     kmv_distinct,
     kmv_oracle_sql,
 )
@@ -298,6 +302,38 @@ def q_kmv_distinct_sketch(spark, sf_dir):
 
 
 @register(
+    "hll_distinct_certified",
+    hll_oracle_sql("events", "event_type", "user_id"),
+    tags=("pipeline", "sketch", "cardinality", "hll"),
+)
+def q_hll_distinct_certified(spark, sf_dir):
+    """Portable md5-HLL distinct estimate per event_type — closes the
+    HLL gap in the certified-sketch family: unlike the engine-private
+    `approx_count_distinct` register layout (rows-only
+    `approx_distinct_users`), this register construction is exact
+    string/integer relational algebra and the harmonic sum is an exact
+    scaled-integer DECIMAL, so the driver hash-gates the entire estimate
+    path (as `kmv_distinct_sketch` does for KMV)."""
+    return hll_distinct(table(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+@register(
+    "histogram_quantiles_certified",
+    histogram_quantiles_oracle_sql("events", "event_type", "value"),
+    tags=("pipeline", "sketch", "percentile"),
+)
+def q_histogram_quantiles_certified(spark, sf_dir):
+    """Fixed-grid histogram quantile sketch per event_type — the
+    certifiable twin of `approx_percentile` (rows-only
+    `approx_value_percentiles`): 2-pass mergeable histogram, bins-bounded
+    shuffle, deterministic in-bin interpolation — hash-gated end-to-end;
+    bin-width error bound pytest-checked vs exact percentiles."""
+    return histogram_quantiles(
+        table(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+@register(
     "compression_ratio_signal",
     None,
     tags=("llm", "quality", "map-only"),
@@ -317,8 +353,10 @@ def q_compression_ratio(spark, sf_dir):
 def q_approx_value_percentiles(spark, sf_dir):
     """The 100 TB path for `value_percentiles`: approx_percentile's
     mergeable quantile sketch (partial sketches combine associatively — one
-    shuffle of sketch state, never the values). Rows-only; the rank-error
-    bound vs the exact percentiles is pytest-checked."""
+    shuffle of sketch state, never the values). Rows-only because the KLL
+    sketch state is engine-private; `histogram_quantiles_certified` is
+    the hash-gated sibling, and the rank-error bound vs the exact
+    percentiles is pytest-checked."""
     e = table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.expr("approx_percentile(value, 0.5, 1000)").alias("p50"),

@@ -306,8 +306,10 @@ def q_price_lag_change(spark, sf_dir):
 def q_approx_distinct_users(spark, sf_dir):
     """HLL++ sketch distinct count (rows-only: sketch estimates are
     engine-specific; the exact variant is oracle-checked in
-    distinct_active_addresses). At 100 TB this replaces exact distinct —
-    mergeable partial sketches, no giant shuffle."""
+    distinct_active_addresses and the portable-register sibling
+    `hll_distinct_certified` hash-gates the full HLL estimate path). At
+    100 TB this replaces exact distinct — mergeable partial sketches, no
+    giant shuffle."""
     t = transactions(spark, sf_dir)
     return t.agg(
         F.approx_count_distinct("address", rsd=0.01).alias("approx_addresses")

@@ -107,6 +107,72 @@ def test_kmv_sketch_error_and_exact_below_k(spark, sf_dir):
             assert r.rel_err < 0.75
 
 
+def test_hll_estimate_error_bound(spark, sf_dir):
+    """Portable md5-HLL: relative error within ~4x the 1.04/sqrt(m)
+    standard error (m=4096 -> 1.6%), and LinearCounting engages for
+    sparse registers."""
+    from moc_indexer_spark.operators.sketches import HLL_M, hll_distinct
+
+    e = table(spark, sf_dir, "events")
+    out = hll_distinct(e, "event_type", "user_id").collect()
+    assert out
+    for r in out:
+        assert r.rel_err < 4 * 1.04 / (HLL_M ** 0.5), (
+            r.event_type, r.rel_err
+        )
+    # scale check on a bigger distinct set (all users in one group)
+    from pyspark.sql import functions as F
+
+    one = e.withColumn("g", F.lit("all"))
+    (r,) = hll_distinct(one, "g", "user_id").collect()
+    assert r.rel_err < 4 * 1.04 / (HLL_M ** 0.5)
+
+
+def test_histogram_quantiles_within_bin_width(spark, sf_dir):
+    """The sketch's deterministic guarantee: each estimate lies within
+    one bin width of the rank-ceil(q*n) order statistic (the value whose
+    bucket the estimate interpolates inside)."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from moc_indexer_spark.operators.sketches import (
+        HIST_BINS, HIST_QS, histogram_quantiles,
+    )
+
+    e = table(spark, sf_dir, "events")
+    est = {r.event_type: r for r in
+           histogram_quantiles(e, "event_type", "value").collect()}
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = (
+        e.select("event_type", F.col("value").cast("double").alias("value"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    stats = {
+        r.event_type: r
+        for r in e.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("mn"), F.max("value").alias("mx"),
+        ).collect()
+    }
+    vals = {
+        (r.event_type, r.rn): r.value
+        for r in ranked.filter(
+            F.col("rn").isin(
+                [math.ceil(q * s.n) for q in HIST_QS for s in stats.values()]
+            )
+        ).collect()
+    }
+    assert set(est) == set(stats)
+    for g, r in est.items():
+        width = (stats[g].mx - stats[g].mn) / HIST_BINS
+        for q in HIST_QS:
+            v_r = vals[(g, math.ceil(q * stats[g].n))]
+            got = getattr(r, f"p{round(q * 100)}_est")
+            assert abs(got - v_r) <= width + 1e-9, (g, q, got, v_r, width)
+
+
 def test_compression_ratio_matches_zlib_and_orders_quality(spark, sf_dir):
     import zlib
 

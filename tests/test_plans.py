@@ -262,3 +262,41 @@ def test_weighted_sample_salted_not_global(spark, sf_dir):
 def test_cms_probe_broadcasts_sketch(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cms_trigram_estimates")
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_candidate_side_is_codes_only(spark, sf_dir):
+    """The composed IVF+PQ ADC scan must read CODES, not vectors, on the
+    candidate side of the cell cogroup — the property that makes the
+    scan ~30x lighter than the vector relation at scale. The vector
+    column may appear only on the query/probe side and in the re-rank
+    joins."""
+    plan = _plan(spark, sf_dir, "ivfpq_ann_topk")
+    # the FlatMapCoGroups (ADC) input projections: find the cogroup node
+    # and check its right (candidate) child carries codes but no raw
+    # vector column
+    assert "FlatMapCoGroupsInPandas" in plan
+    cg = plan.split("FlatMapCoGroupsInPandas", 1)[1]
+    header = cg.split("\n", 1)[0]
+    assert "codes" in header
+    # per-query shortlist merge + final top-k never globally sort
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """Persisted-index probes must reach the parquet scan as a cell
+    PartitionFilter (only probed cells' directories read)."""
+    from moc_indexer_spark.operators.similarity import (
+        build_ivfpq_index, ivfpq_probe_topk,
+    )
+    from moc_indexer_spark.tables import table
+
+    corpus = table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(corpus, path, n_cells=8)
+    qrows = corpus.orderBy("vec_id").limit(2).collect()
+    got = ivfpq_probe_topk(
+        spark, path, [(int(r.vec_id), list(r.embedding)) for r in qrows],
+        k=3, n_probe=2,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
