@@ -144,6 +144,24 @@ def bpe_segment(
     ordered = list(merges)
 
     def seg(batches):
+        # word-level memo across the worker's batches: natural text
+        # repeats its vocabulary constantly, so each DISTINCT word runs
+        # the merge fold once instead of once per occurrence (Zipf makes
+        # this a ~10x cut in merge work; deterministic — the
+        # segmentation of a word is occurrence-independent)
+        memo: dict = {}
+
+        def segment_word(w):
+            syms = memo.get(w)
+            if syms is None:
+                syms = list(w) + [END_OF_WORD]
+                for a, b in ordered:
+                    if len(syms) < 2:
+                        break
+                    syms = _merge_pair_in_syms(syms, a, b)
+                memo[w] = syms
+            return syms
+
         for pdf in batches:
             out_tokens, out_counts = [], []
             for text in pdf["text"]:
@@ -151,12 +169,7 @@ def bpe_segment(
                 for w in text.split(" "):
                     if not w:
                         continue
-                    syms = list(w) + [END_OF_WORD]
-                    for a, b in ordered:
-                        if len(syms) < 2:
-                            break
-                        syms = _merge_pair_in_syms(syms, a, b)
-                    toks.extend(syms)
+                    toks.extend(segment_word(w))
                 out_tokens.append(toks)
                 out_counts.append(len(toks))
             yield pd.DataFrame(

@@ -1458,6 +1458,37 @@ def ivfpq_probe_topk(
         model = json.load(f)
     C = np.array(model["centroids"], dtype=np.float64)
     B = np.array(model["books"], dtype=np.float64)
+    return ivfpq_probe_frame(
+        spark,
+        lambda cells: spark.read.parquet(index_path).filter(
+            F.col("cell").isin(cells)
+        ),
+        C, B, query_vectors, k=k, n_probe=n_probe, refine=refine,
+        id_col=id_col, round_digits=round_digits, exclude_self=exclude_self,
+    )
+
+
+def ivfpq_probe_frame(
+    spark,
+    get_pruned,
+    C,
+    B,
+    query_vectors: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int | None = 8,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Shared IVF+PQ probe core over any (id, v, nrm, codes, cell)
+    relation: `get_pruned(cells)` supplies the candidate DataFrame
+    restricted to the probed cells (a partition-pruned parquet read for
+    the persisted index; a batch-union filter for the streaming index).
+    Codes-only ADC with the residual q·centroid offset, shortlist
+    window, exact re-rank against the pruned rows' vectors."""
+    import numpy as np
+
     m, n_codes, d_sub = B.shape
     n_probe = min(n_probe, C.shape[0])
     kk_short = (k * refine) if refine is not None else (1 << 31)
@@ -1481,7 +1512,7 @@ def ivfpq_probe_topk(
     bc = spark.sparkContext.broadcast((qids, LUT, probe_sets, QC))
     excl = exclude_self
 
-    pruned = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    pruned = get_pruned(cells)
 
     def adc_scan(batches):
         import numpy as np

@@ -259,6 +259,171 @@ class IncrementalIvfIndex:
         )
 
 
+class IncrementalIvfPqIndex(IncrementalIvfIndex):
+    """Streaming COMPOSED IVF+PQ index — the incremental twin of
+    `build_ivfpq_index`/`ivfpq_probe_topk`, completing the matrix
+    (batch / persisted / streaming) x (IVF / IVF+PQ).
+
+    Same exactly-once skeleton as the parent (quantizer trains once;
+    each micro-batch is an idempotent overwrite of a cell-partitioned
+    `batch=N` directory; new-id detection anti-joins earlier batches),
+    but rows additionally carry the residual PQ codes + the
+    sequential-fold norm, and probe() is the shared codes-only ADC +
+    exact-re-rank core from operators/similarity. The same
+    `compact_index` maintenance action applies unchanged (the fold
+    write preserves any schema)."""
+
+    _MODEL = "_ivfpq_model.json"
+
+    def _model_path(self) -> str:
+        return f"{self.path}/{self._MODEL}"
+
+    def is_trained(self) -> bool:
+        return os.path.exists(self._model_path())
+
+    def train(
+        self,
+        bootstrap: DataFrame,
+        n_cells: int = 16,
+        m: int = 16,
+        n_codes: int = 16,
+        train_sample: int = 2048,
+        lloyd_iters: int = 3,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        if self.is_trained():
+            raise ValueError(
+                "index already trained — rebuild the index directory to "
+                "re-cluster (stored cells/codes depend on the model)"
+            )
+        from ..operators.similarity import (
+            _collect_train_sample,
+            _train_pq_books,
+            _train_spherical_kmeans,
+        )
+        import numpy as np
+
+        X = _collect_train_sample(bootstrap, id_col, vec_col, train_sample)
+        C = _train_spherical_kmeans(X, n_cells, lloyd_iters)
+        B = _train_pq_books(
+            X - C[np.argmax(X @ C.T, axis=1)], m, n_codes, lloyd_iters
+        )
+        tmp = self._model_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"centroids": C.tolist(), "books": B.tolist()}, f)
+        os.replace(tmp, self._model_path())
+
+    def _load_model(self):
+        import numpy as np
+
+        with open(self._model_path()) as f:
+            model = json.load(f)
+        return (
+            np.array(model["centroids"], dtype=np.float64),
+            np.array(model["books"], dtype=np.float64),
+        )
+
+    def update(
+        self,
+        batch_vectors: DataFrame,
+        batch_id: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        if batch_id <= self.committed_batch():
+            return
+        import numpy as np
+        import pandas as pd
+
+        C, B = self._load_model()
+        m = B.shape[0]
+        d_sub = B.shape[2]
+        bc = self.spark.sparkContext.broadcast((C, B))
+
+        w = Window.partitionBy(id_col).orderBy(
+            F.md5(F.col(vec_col).cast("string"))
+        )
+        batch = (
+            batch_vectors.select(id_col, vec_col)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        seen = self._read_upto(batch_id - 1)
+        if seen is not None:
+            batch = batch.join(seen.select(id_col), id_col, "left_anti")
+
+        def assign_encode(batches):
+            C_, B_ = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                M = np.array(list(pdf[vec_col]), dtype=np.float64)
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                cell = np.argmax(Mn @ C_.T, axis=1)
+                Rn = Mn - C_[cell]
+                codes = np.empty((len(ids), m), dtype=np.int32)
+                for j in range(m):
+                    S_ = Rn[:, j * d_sub : (j + 1) * d_sub]
+                    d2 = ((S_[:, None, :] - B_[j][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, j] = np.argmin(d2, axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "v": list(M),
+                        "nrm": np.sqrt(np.cumsum(M * M, axis=1)[:, -1]),
+                        "codes": list(codes),
+                        "cell": cell.astype("int32"),
+                    }
+                )
+
+        encoded = batch.mapInPandas(
+            assign_encode,
+            schema=(
+                f"{id_col} long, v array<double>, nrm double, "
+                "codes array<int>, cell int"
+            ),
+        )
+        encoded.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{self.path}/vectors/batch={batch_id}"
+        )
+
+    def probe(
+        self,
+        query_vectors: list[tuple[int, list[float]]],
+        k: int = 5,
+        n_probe: int = 4,
+        refine: int | None = 8,
+        id_col: str = "vec_id",
+        round_digits: int = 6,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """Search the committed state via the shared IVF+PQ probe core
+        (codes-only ADC over probed cells + exact re-rank). Default
+        exclude_self=True matches the parent's self-join harness
+        semantics."""
+        from ..operators.similarity import ivfpq_probe_frame
+
+        committed = self.committed_batch()
+        empty = (
+            "query_id long, neighbor_id bigint, cosine_sim double, rank bigint"
+        )
+        if committed < 0 or not query_vectors:
+            return self.spark.createDataFrame([], empty)
+        C, B = self._load_model()
+        return ivfpq_probe_frame(
+            self.spark,
+            lambda cells: self._read_upto(committed).filter(
+                F.col("cell").isin(cells)
+            ),
+            C, B, query_vectors, k=k, n_probe=n_probe, refine=refine,
+            id_col=id_col, round_digits=round_digits,
+            exclude_self=exclude_self,
+        )
+
+
 def compact_index(idx: IncrementalIvfIndex) -> int:
     """Fold all committed vector batch partitions into one partition at
     the committed batch id, preserving the cell sub-partitioning (so

@@ -107,6 +107,54 @@ def test_ivf_stream_compaction_preserves_probes(spark, sf_dir, tmp_path):
     assert _rows(idx.probe(qs, n_probe=16)) == want
 
 
+def test_streaming_ivfpq_matches_persisted_and_brute_force(spark, sf_dir, tmp_path):
+    """The streaming composed IVF+PQ index must (a) equal the
+    batch-persisted index probe-for-probe when built from the same
+    bootstrap (same deterministic training => same model => same cells,
+    codes, scores), (b) be replay-idempotent, and (c) reproduce brute
+    force in exact mode."""
+    from moc_indexer_spark.operators.similarity import (
+        brute_force_topk_np, build_ivfpq_index, ivfpq_probe_topk,
+    )
+    from moc_indexer_spark.streaming.ivf_stream import IncrementalIvfPqIndex
+
+    emb = table(spark, sf_dir, "embeddings").limit(200)
+    qs = _queries(emb, 3)
+
+    # batch-persisted twin, same training regime
+    ppath = str(tmp_path / "persisted")
+    build_ivfpq_index(emb, ppath, n_cells=8)
+
+    idx = IncrementalIvfPqIndex(spark, str(tmp_path / "stream"))
+    idx.train(emb, n_cells=8)
+    for i, (lo, hi) in enumerate([(0, 70), (70, 140), (140, 10**9)]):
+        idx.update(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), i
+        )
+    want = _rows(
+        ivfpq_probe_topk(
+            spark, ppath, qs, k=5, n_probe=4, exclude_self=True
+        )
+    )
+    assert _rows(idx.probe(qs, k=5, n_probe=4)) == want and len(want) > 0
+
+    # replay of an already-committed batch is a no-op
+    idx.update(emb.filter(F.col("vec_id") < 70), 0)
+    assert _rows(idx.probe(qs, k=5, n_probe=4)) == want
+
+    # exact mode (full probe + exhaustive shortlist) == brute force
+    bf = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in brute_force_topk_np(emb, k=5).collect()
+        if r.query_id in {q for q, _ in qs}
+    }
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in idx.probe(qs, k=5, n_probe=8, refine=None).collect()
+    }
+    assert got == bf
+
+
 def test_ivf_probe_self_exclusion_is_optional(spark, sf_dir, tmp_path):
     """External queries whose ids coincide with corpus ids must still see
     the colliding vector when exclude_self=False; the default keeps the
