@@ -321,3 +321,140 @@ def logreg_oracle_sql(iters: int = LR_ITERS, rate: float = LR_RATE) -> str:
                 THEN 1 ELSE 0 END AS INT) AS predicted
     FROM feats f CROSS JOIN {prev} w
     """
+
+
+# --- PCA over embedding columns ---------------------------------------------
+
+
+def _gram_and_mean(corpus: DataFrame, id_col: str, vec_col: str):
+    """One distributed pass -> (n, mean vector, Gram matrix X^T X).
+
+    The Gram matrix is accumulated the scale-correct way: each Arrow
+    batch emits its PARTIAL d x d outer-product sum as d^2 (i, j, val)
+    rows, and one map-side-combining aggregate folds them — shuffle
+    volume is d^2 x partitions, independent of row count (the classic
+    partial-aggregate pattern; an n x d^2 posexplode join would shuffle
+    the corpus squared-by-dimension instead). The d- and d^2-sized
+    results are collected to the driver — bounded, like the quantizer
+    training samples.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            G = M.T @ M
+            s = M.sum(axis=0)
+            d = M.shape[1]
+            i, j = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([i.ravel(), np.arange(d)]),
+                    "j": np.concatenate([j.ravel(), np.full(d, -1)]),
+                    "val": np.concatenate([G.ravel(), s]),
+                    "cnt": np.concatenate(
+                        [np.zeros(d * d, dtype=np.int64),
+                         np.full(d, len(M), dtype=np.int64)]
+                    ),
+                }
+            )
+
+    agg = (
+        corpus.select(vec_col)
+        .mapInPandas(partial, schema="i int, j int, val double, cnt bigint")
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("val"), F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    import numpy as np
+
+    d = max(r.i for r in agg) + 1
+    G = np.zeros((d, d))
+    mean_sum = np.zeros(d)
+    n = 0
+    for r in agg:
+        if r.j == -1:
+            mean_sum[r.i] = r.val
+            n = max(n, r.cnt)
+        else:
+            G[r.i, r.j] = r.val
+    return n, mean_sum / n, G
+
+
+def pca_model(
+    corpus: DataFrame,
+    n_components: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Fit PCA on an embedding column: returns (mean, components
+    (k x d), eigenvalues (k,), explained_variance_ratio (k,)).
+
+    Covariance comes from the one-pass Gram identity
+    cov = (X^T X - n * mu mu^T) / (n - 1); the d x d eigendecomposition
+    runs driver-side (dimension-bounded, like every quantizer here).
+    Deterministic: numpy eigh on a symmetric matrix plus a sign
+    convention (each component's largest-|entry| coordinate is made
+    positive), so repeated fits produce identical models.
+    """
+    import numpy as np
+
+    n, mu, G = _gram_and_mean(corpus, id_col, vec_col)
+    cov = (G - n * np.outer(mu, mu)) / max(1, n - 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order].T  # (k, d)
+    # sign convention for determinism across BLAS builds
+    for r in range(comps.shape[0]):
+        pivot = np.argmax(np.abs(comps[r]))
+        if comps[r, pivot] < 0:
+            comps[r] = -comps[r]
+    ratios = vals[order] / vals.sum()
+    return mu, comps, vals[order], ratios
+
+
+def pca_project(
+    corpus: DataFrame,
+    n_components: int = 16,
+    whiten: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto the top-k principal components (optional
+    whitening divides by sqrt(eigenvalue) — the SemDeDup-style
+    preprocessing for semantic dedup). Returns (id, pca array<double>).
+
+    The model is dimension-bounded driver state broadcast into one
+    map-only Arrow stage — no shuffle in the projection at all; at
+    100 TB this is a pure scan. Rows-only at the driver gate
+    (eigendecomposition is not SQL-replayable); pytest pins
+    orthonormality, variance ordering, reconstruction-error monotonicity
+    and the exact Gram identity instead.
+    """
+    import numpy as np
+
+    mu, comps, eigvals, _ = pca_model(corpus, n_components, id_col, vec_col)
+    if whiten:
+        # fold the 1/sqrt(lambda) scaling into the component matrix so
+        # the projection stage stays a single matmul; degenerate
+        # directions (lambda ~ 0) are left unscaled rather than blown up
+        scale = np.where(eigvals > 1e-12, 1.0 / np.sqrt(eigvals), 1.0)
+        comps = comps * scale[:, None]
+    bc = corpus.sparkSession.sparkContext.broadcast((mu, comps))
+    import pandas as pd
+
+    def run(batches):
+        mu_, W = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            P = (M - mu_) @ W.T
+            yield pd.DataFrame({id_col: pdf[id_col], "pca": list(P)})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, pca array<double>"
+    )

@@ -153,3 +153,24 @@ def q_logreg_calibration(spark, sf_dir):
             F.sum("y").cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("frac_positive"),
     )
+
+
+@register(
+    "pca_project_embeddings",
+    None,
+    tags=("llm", "ml", "pca", "embedding"),
+)
+def q_pca_project_embeddings(spark, sf_dir):
+    """PCA projection of the embedding column onto the top-16
+    components (the SemDeDup-style preprocessing for semantic dedup /
+    embedding compression). One distributed Gram-matrix pass (d^2-row
+    partial aggregates — shuffle bounded by dimension, not data), a
+    dimension-bounded driver eigendecomposition, then a map-only
+    broadcast projection. Rows-only at the driver gate
+    (eigendecomposition is not SQL-replayable); tests/test_pca.py pins
+    the exact Gram identity, orthonormality, determinism (sign
+    convention), reconstruction monotonicity, whitening variance, and
+    the zero-Exchange projection plan."""
+    return M.pca_project(
+        table(spark, sf_dir, "embeddings"), n_components=16
+    )
