@@ -386,6 +386,76 @@ def bigram_logprob(docs: DataFrame, lam: float = 0.8) -> DataFrame:
     )
 
 
+def kneser_ney_logprob(docs: DataFrame, discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score per document — the standard
+    LM smoothing (Chen & Goodman 1999) one rung above the
+    Jelinek-Mercer mix in `bigram_logprob`:
+
+        P_KN(w2|w1) = max(c(w1w2) - D, 0)/c(w1·)
+                      + (D · N1+(w1·)/c(w1·)) · N1+(·w2)/|bigram types|
+
+    where N1+(w1·)/N1+(·w2) are the distinct-continuation counts that
+    make KN back off to "how many contexts does w2 complete" instead of
+    raw unigram frequency. Every ingredient is a relational count, so
+    the whole score is cross-engine certifiable (unlike real-valued
+    EM-fit interpolation weights).
+
+    Determinism follows the bigram_logprob contract: the probability is
+    ONE double expression with fixed operand order, its ln frozen to
+    DECIMAL(18,9), per-doc aggregation in exact decimal. Scale shape:
+    the bigram count relation is the only corpus-proportional one (one
+    map-side-combining shuffle); the context/continuation tables are
+    vocab-sized broadcasts and the type count is a broadcast scalar.
+    """
+    from ..functions import text as T
+
+    toks = docs.select("doc_id", T.tokens().alias("t")).filter(F.size("t") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bigc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bigc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_follow")
+    )
+    cont = bigc.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
+    types = bigc.agg(F.count(F.lit(1)).alias("n_types"))
+    p = (
+        F.greatest(
+            F.col("c12").cast("double") - F.lit(discount), F.lit(0.0)
+        )
+        / F.col("c1").cast("double")
+        + (
+            F.lit(discount)
+            * F.col("n_follow").cast("double")
+            / F.col("c1").cast("double")
+        )
+        * (F.col("n_prec").cast("double") / F.col("n_types").cast("double"))
+    )
+    lp = F.log(p).cast("decimal(18,9)")
+    return (
+        big.join(bigc, ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(lp).cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_logprob"),
+        )
+    )
+
+
 def compression_ratio(docs: DataFrame) -> DataFrame:
     """Per-document zlib compression ratio — the classic "too repetitive /
     too random" quality gate that complements the n-gram repetition

@@ -646,3 +646,47 @@ def q_robust_outliers_mad(spark, sf_dir):
             F.col("rz").cast("double").alias("robust_z"),
         )
     )
+
+
+@register(
+    "kneser_ney_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    bigidx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+               FROM toks WHERE len(t) >= 2),
+    big AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+            FROM bigidx),
+    bigc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n_follow
+            FROM bigc GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS n_prec FROM bigc GROUP BY w2),
+    types AS (SELECT COUNT(*) AS n_types FROM bigc)
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(
+             CAST(SUM(CAST(ln(
+                 GREATEST(CAST(bc.c12 AS DOUBLE) - 0.75, 0.0)
+                   / CAST(cx.c1 AS DOUBLE)
+                 + (0.75 * CAST(cx.n_follow AS DOUBLE)
+                    / CAST(cx.c1 AS DOUBLE))
+                   * (CAST(cn.n_prec AS DOUBLE) / CAST(ty.n_types AS DOUBLE))
+               ) AS DECIMAL(18,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_logprob
+    FROM big b
+    JOIN bigc bc USING (w1, w2)
+    JOIN ctx cx ON cx.w1 = b.w1
+    JOIN cont cn ON cn.w2 = b.w2
+    CROSS JOIN types ty
+    GROUP BY b.doc_id
+    """,
+    tags=("llm", "quality", "langmodel", "kneser-ney"),
+)
+def q_kneser_ney_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM score (D=0.75) — the standard
+    smoothing above the JM mix: absolute discounting plus a
+    distinct-CONTINUATION backoff (how many contexts complete w2, not
+    how often w2 occurs). Every ingredient is a relational count, so the
+    full KN probability is hash-certified cross-engine — the literature
+    smoothing family (unigram -> JM -> KN) is now certifiable end to
+    end."""
+    return P.kneser_ney_logprob(table(spark, sf_dir, "documents"))

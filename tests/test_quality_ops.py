@@ -116,3 +116,49 @@ def test_materialize_corpus_applies_keeplist_and_clusters(spark, sf_dir, tmp_pat
     # every surviving row is a real corpus row (semi-join, no duplication)
     assert out.join(docs, "doc_id", "left_anti").count() == 0
     assert out.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_kneser_ney_probabilities_are_proper(spark):
+    """KN sanity on a tiny corpus: per-context probabilities over SEEN
+    continuations stay < 1 (discount mass reserved), every score is
+    finite/negative, and a document of common bigrams outscores one of
+    rare bigrams."""
+    import math
+
+    from moc_indexer_spark.operators.pipeline import kneser_ney_logprob
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the rug"),
+        (2, "the cat sat on the mat again"),
+        (3, "zebra quark flux vortex"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in kneser_ney_logprob(docs).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for r in out.values():
+        assert r.mean_logprob < 0 and math.isfinite(r.mean_logprob)
+    # "the cat sat on the mat" bigrams are corpus-frequent; the nonsense
+    # doc's bigrams are all singletons -> strictly worse mean score
+    assert out[0].mean_logprob > out[3].mean_logprob
+
+    # direct probability check: P_KN over seen continuations of "the"
+    # must sum to < 1 (the discount reserves mass for unseen events)
+    from collections import Counter
+
+    bigs = Counter()
+    for _, t in rows:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            bigs[(a, b)] += 1
+    D = 0.75
+    c1 = sum(c for (a, _), c in bigs.items() if a == "the")
+    n_follow = len({b for (a, b) in bigs if a == "the"})
+    n_types = len(bigs)
+    total = 0.0
+    for (a, b), c in bigs.items():
+        if a != "the":
+            continue
+        n_prec = len({x for (x, y) in bigs if y == b})
+        total += max(c - D, 0) / c1 + (D * n_follow / c1) * (n_prec / n_types)
+    assert total < 1.0
