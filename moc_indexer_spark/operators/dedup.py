@@ -850,3 +850,45 @@ def jaccard_pairs_prefix_filtered(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return _jaccard_from_inter(inter, sizes, threshold, id_col)
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    clusters: DataFrame,
+    test_thr: str = "1a",
+    val_thr: str = "34",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Group-aware train/val/test assignment: the split UNIT is the
+    near-dup CLUSTER, not the document, so no near-duplicate pair can
+    straddle a split boundary (the eval-leakage failure mode of naive
+    per-doc random splits — Lee et al. 2022 measure the benchmark
+    inflation it causes).
+
+    `clusters` is any (id, cluster_id) relation (dedup_clusters output);
+    docs absent from it are their own singleton cluster. Assignment is
+    the hash_sample trick on the CLUSTER id: the first two hex chars of
+    md5(cluster_id) against string thresholds — deterministic,
+    engine-portable, RNG-free, stable under re-runs and cluster-size
+    changes. Defaults: bucket < '1a' -> test (~10.2%), < '34' -> val
+    (~10.2% more), else train.
+
+    Scale shape: one left join of the doc relation against the (tiny)
+    cluster label table — broadcastable — then a scan-side expression.
+    Returns (id, cluster_id, split).
+    """
+    lab = (
+        docs.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    b = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2)
+    return lab.withColumn(
+        "split",
+        F.when(b < test_thr, "test")
+        .when(b < val_thr, "val")
+        .otherwise("train"),
+    )

@@ -1220,3 +1220,47 @@ def q_ngram_dup_pairs_prefix(spark, sf_dir):
         table(spark, sf_dir, "documents"), n=NGRAM_N,
         threshold=JACCARD_THRESHOLD,
     )
+
+
+@register(
+    "leakage_safe_splits",
+    f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    hits AS (
+      SELECT doc_i, doc_j FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_i AS src, doc_j AS dst FROM hits
+      UNION ALL
+      SELECT doc_j AS src, doc_i AS dst FROM hits),
+    walk (id, reach) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+    labels AS (
+      SELECT id AS doc_id, LEAST(id, MIN(reach)) AS cluster_id
+      FROM walk GROUP BY id),
+    alldocs AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labels l USING (doc_id))
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '1a'
+                  THEN 'test'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '34'
+                  THEN 'val'
+                ELSE 'train' END AS split
+    FROM alldocs
+    """,
+    tags=("llm", "dedup", "splits", "leakage"),
+)
+def q_leakage_safe_splits(spark, sf_dir):
+    """Group-aware train/val/test splits: near-dup clusters (the
+    dedup_clusters fixpoint) are the split unit, so no near-duplicate
+    pair straddles a boundary — the eval-decontamination counterpart of
+    benchmark_contamination. Deterministic md5-bucket assignment on the
+    CLUSTER id; oracle re-derives the clusters via recursive transitive
+    closure and replays the identical hash thresholds."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+    return D.leakage_safe_splits(docs, D.dedup_clusters(pairs))

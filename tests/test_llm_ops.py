@@ -447,3 +447,26 @@ def test_prefix_filtered_jaccard_equals_plain(spark, sf_dir):
     pref = sorted(map(tuple,
                       jaccard_pairs_prefix_filtered(d, n=3, threshold=0.5).collect()))
     assert plain == pref  # result-invariance at a second threshold too
+
+
+def test_leakage_safe_splits_no_cross_split_pairs(spark, sf_dir):
+    """No near-dup pair may straddle a split boundary, every doc gets
+    exactly one split, and cluster members share their split."""
+    from moc_indexer_spark.operators.dedup import (
+        dedup_clusters, leakage_safe_splits, ngram_jaccard_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    splits = leakage_safe_splits(docs, dedup_clusters(pairs))
+    rows = splits.collect()
+    assert len(rows) == docs.count()
+    by_doc = {r.doc_id: r.split for r in rows}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    for p in pairs.collect():
+        assert by_doc[p.doc_i] == by_doc[p.doc_j], (p.doc_i, p.doc_j)
+    # all three splits are populated at this scale
+    assert {r.split for r in rows} == {"train", "val", "test"}
