@@ -19,3 +19,23 @@ def test_window_query_is_run_deterministic(spark, sf_dir, name):
     a = canonical_rows(spec.build(spark, sf_dir).toPandas())
     b = canonical_rows(spec.build(spark, sf_dir).toPandas())
     assert a == b, f"{name}: two runs disagreed"
+
+
+_ROUND3_CERTIFIED = [
+    "ivfpq_ann_exact",
+    "hll_distinct_certified",
+    "histogram_quantiles_certified",
+    "kneser_ney_logprob",
+    "leakage_safe_splits",
+]
+
+
+@pytest.mark.parametrize("name", _ROUND3_CERTIFIED)
+def test_round3_certified_query_is_run_deterministic(spark, sf_dir, name):
+    """The round-3 oracle-gated additions outside the 50-slot window get
+    the same two-build determinism pin (model-training collects, hash
+    bucketing, and eigen/quantizer state must all be run-stable)."""
+    spec = _SPECS[name]
+    a = canonical_rows(spec.build(spark, sf_dir).toPandas())
+    b = canonical_rows(spec.build(spark, sf_dir).toPandas())
+    assert a == b, f"{name}: two runs disagreed"
