@@ -300,3 +300,20 @@ def test_ivfpq_probe_prunes_partitions(spark, sf_dir, tmp_path):
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_hll_register_relation_broadcasts(spark, sf_dir):
+    """The HLL register/estimate relation is m-bounded and must reach
+    the exact-count side as a broadcast, never a sort-merge shuffle."""
+    plan = _plan(spark, sf_dir, "hll_distinct_certified")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_histogram_quantiles_stats_broadcast(spark, sf_dir):
+    """Pass-2 binning joins each row against per-group stats: the stats
+    side is group-bounded and must broadcast; the per-(group,bin) count
+    must partial-aggregate map-side (the bins-bounded shuffle claim)."""
+    plan = _plan(spark, sf_dir, "histogram_quantiles_certified")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
