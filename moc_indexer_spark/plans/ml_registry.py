@@ -174,3 +174,41 @@ def q_pca_project_embeddings(spark, sf_dir):
     return M.pca_project(
         table(spark, sf_dir, "embeddings"), n_components=16
     )
+
+
+def _auc_oracle() -> str:
+    return f"""
+    WITH preds AS (
+      SELECT * FROM ({M.logreg_oracle_sql()}) t),
+    ranked AS (
+      SELECT y, p_hat AS s,
+             ROW_NUMBER() OVER (ORDER BY p_hat) AS rn
+      FROM preds),
+    mid AS (
+      SELECT s, CAST(MIN(rn) + MAX(rn) AS DOUBLE) / 2.0 AS midrank
+      FROM ranked GROUP BY s),
+    j AS (SELECT r.y, m.midrank FROM ranked r JOIN mid m USING (s))
+    SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+           ROUND((SUM(CASE WHEN y = 1 THEN midrank ELSE 0.0 END)
+                  - CAST(SUM(y) AS DOUBLE)
+                    * (CAST(SUM(y) AS DOUBLE) + 1.0) / 2.0)
+                 / (CAST(SUM(y) AS DOUBLE) * CAST(SUM(1 - y) AS DOUBLE)),
+                 6) AS auc
+    FROM j
+    """
+
+
+@register(
+    "classifier_auc",
+    _auc_oracle(),
+    tags=("llm", "ml", "evaluation", "auc"),
+)
+def q_classifier_auc(spark, sf_dir):
+    """Exact ROC AUC (tie-correct Mann-Whitney midranks) of the in-plan
+    logistic-regression classifier — the evaluation rung above
+    logreg_calibration. Midranks are multiples of 0.5, so even the
+    double rank-sum is order-exact; one final division and a 6dp round
+    make the metric hash-certifiable cross-engine."""
+    preds = M.logreg_predictions(table(spark, sf_dir, "documents"))
+    return M.classifier_auc(preds)

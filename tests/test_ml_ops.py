@@ -260,3 +260,21 @@ def test_sq8_recall_near_exact(spark, sf_dir):
     recall = len(sq8 & exact) / len(exact)
     # 8 bits/dim on these vectors is near-lossless
     assert recall > 0.9
+
+
+def test_classifier_auc_known_values(spark):
+    from moc_indexer_spark.operators.ml import classifier_auc
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "p_hat double, y int")
+        (r,) = classifier_auc(df).collect()
+        return r.auc, r.n_pos, r.n_neg
+
+    # interleaved: positives at ranks 2 and 4 -> (6 - 3) / 4 = 0.75
+    auc, np_, nn = auc_of([(0.9, 1), (0.8, 0), (0.7, 1), (0.6, 0)])
+    assert (auc, np_, nn) == (0.75, 2, 2)
+    # perfect separation -> 1.0; inverted -> 0.0
+    assert auc_of([(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)])[0] == 1.0
+    assert auc_of([(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)])[0] == 0.0
+    # all-tied scores: midranks make it exactly 0.5 regardless of order
+    assert auc_of([(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)])[0] == 0.5
