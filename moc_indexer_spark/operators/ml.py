@@ -500,14 +500,22 @@ def classifier_auc(scores: DataFrame, score_col: str = "p_hat",
     ).select(
         "n_pos",
         "n_neg",
-        F.round(
-            (
-                F.col("pos_rank_sum")
-                - F.col("n_pos").cast("double")
-                * (F.col("n_pos").cast("double") + F.lit(1.0))
-                / F.lit(2.0)
-            )
-            / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
-            6,
+        # single-class eval sets have no defined AUC: NULL, not a 0/0
+        # IEEE artifact (whose NaN/Inf rendering is engine-specific)
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                (
+                    F.col("pos_rank_sum")
+                    - F.col("n_pos").cast("double")
+                    * (F.col("n_pos").cast("double") + F.lit(1.0))
+                    / F.lit(2.0)
+                )
+                / (
+                    F.col("n_pos").cast("double")
+                    * F.col("n_neg").cast("double")
+                ),
+                6,
+            ),
         ).alias("auc"),
     )

@@ -190,11 +190,13 @@ def _auc_oracle() -> str:
     j AS (SELECT r.y, m.midrank FROM ranked r JOIN mid m USING (s))
     SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
            CAST(SUM(1 - y) AS BIGINT) AS n_neg,
-           ROUND((SUM(CASE WHEN y = 1 THEN midrank ELSE 0.0 END)
-                  - CAST(SUM(y) AS DOUBLE)
-                    * (CAST(SUM(y) AS DOUBLE) + 1.0) / 2.0)
-                 / (CAST(SUM(y) AS DOUBLE) * CAST(SUM(1 - y) AS DOUBLE)),
-                 6) AS auc
+           CASE WHEN SUM(y) > 0 AND SUM(1 - y) > 0 THEN
+             ROUND((SUM(CASE WHEN y = 1 THEN midrank ELSE 0.0 END)
+                    - CAST(SUM(y) AS DOUBLE)
+                      * (CAST(SUM(y) AS DOUBLE) + 1.0) / 2.0)
+                   / (CAST(SUM(y) AS DOUBLE) * CAST(SUM(1 - y) AS DOUBLE)),
+                   6)
+           END AS auc
     FROM j
     """
 
