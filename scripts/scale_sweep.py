@@ -49,6 +49,11 @@ def main() -> None:
             print(
                 json.dumps({"q": spec.name, "error": str(e)[:300]}), flush=True
             )
+        finally:
+            # same cache hygiene as bench.py: index-building operators
+            # persist() for their own plans — drop those entries so one
+            # query's working set doesn't pressure every later one
+            spark.catalog.clearCache()
     print(
         f"swept {len(registry())} queries at {sf_dir}: "
         f"{len(failures)} failures {failures}, total {total:.1f}s",
