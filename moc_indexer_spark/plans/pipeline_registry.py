@@ -305,6 +305,7 @@ def q_kmv_distinct_sketch(spark, sf_dir):
     "hll_distinct_certified",
     hll_oracle_sql("events", "event_type", "user_id"),
     tags=("pipeline", "sketch", "cardinality", "hll"),
+    bench=True,
 )
 def q_hll_distinct_certified(spark, sf_dir):
     """Portable md5-HLL distinct estimate per event_type — closes the
@@ -321,6 +322,7 @@ def q_hll_distinct_certified(spark, sf_dir):
     "histogram_quantiles_certified",
     histogram_quantiles_oracle_sql("events", "event_type", "value"),
     tags=("pipeline", "sketch", "percentile"),
+    bench=True,
 )
 def q_histogram_quantiles_certified(spark, sf_dir):
     """Fixed-grid histogram quantile sketch per event_type — the

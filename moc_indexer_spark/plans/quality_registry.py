@@ -680,6 +680,7 @@ def q_robust_outliers_mad(spark, sf_dir):
     GROUP BY b.doc_id
     """,
     tags=("llm", "quality", "langmodel", "kneser-ney"),
+    bench=True,
 )
 def q_kneser_ney_logprob(spark, sf_dir):
     """Interpolated Kneser-Ney bigram LM score (D=0.75) — the standard
