@@ -79,19 +79,40 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Compact metric line ONLY — the round-3 artifact was lost because the
+    # full payload (46-query spread_min_max) outgrew the driver's ~2 KB
+    # stdout tail capture and left BENCH_r03.json with parsed:null. The
+    # per-query spreads and error details now go to a side file; the final
+    # stdout line stays small and parseable.
     payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
         "runs_per_query": max(1, n_runs),
         "spread_min_max": spreads,
     }
     if errors:
-        payload["errors"] = errors
-    print(json.dumps(payload))
+        detail["errors"] = errors
+        payload["error_count"] = len(errors)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=2)
     spark.stop()
+    # printed after spark.stop() so no late JVM log line can land after it
+    print(json.dumps(payload))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -371,6 +371,10 @@ def _gram_and_mean(corpus: DataFrame, id_col: str, vec_col: str):
     )
     import numpy as np
 
+    if not agg:
+        raise ValueError(
+            "empty corpus: PCA/Gram statistics need at least one vector"
+        )
     d = max(r.i for r in agg) + 1
     G = np.zeros((d, d))
     mean_sum = np.zeros(d)
@@ -381,6 +385,10 @@ def _gram_and_mean(corpus: DataFrame, id_col: str, vec_col: str):
             n = max(n, r.cnt)
         else:
             G[r.i, r.j] = r.val
+    if n == 0:
+        raise ValueError(
+            "empty corpus: PCA/Gram statistics need at least one vector"
+        )
     return n, mean_sum / n, G
 
 
@@ -476,27 +484,41 @@ def classifier_auc(scores: DataFrame, score_col: str = "p_hat",
     until one final division, so the metric is hash-certifiable
     cross-engine — the evaluation rung above `logreg_calibration`.
 
-    Scale shape: one global sort for ranks (rank computation is
-    inherently a total order — at 100 TB evaluation sets are sampled,
-    or the histogram sketch's binned approximation substitutes), one
-    score-keyed aggregate for midranks, one scalar aggregate.
-    Returns one row (n_pos, n_neg, auc)."""
-    ranked = scores.select(
-        F.col(label_col).alias("y"), F.col(score_col).alias("s")
-    ).withColumn("rn", F.row_number().over(Window.orderBy("s")))
-    mid = ranked.groupBy("s").agg(
-        ((F.min("rn") + F.max("rn")).cast("double") / F.lit(2.0)).alias(
-            "midrank"
+    Scale shape: the ONLY per-row work is one `groupBy(score)` partial
+    aggregate (map-side combined); every rank is then derived on the
+    distinct-score relation — rows with score s occupy row_number range
+    [cum_prev+1, cum_prev+c], so midrank = cum_prev + (c+1)/2 where
+    cum_prev is the cumulative count of strictly-smaller scores. The
+    one unavoidable total-order window (ranking IS a total order) runs
+    over |distinct scores| rows, not |rows|, and 2*midrank stays a
+    bigint so the positives' rank sum is exact integer arithmetic up to
+    the single final division. Returns one row (n_pos, n_neg, auc)."""
+    per_score = (
+        scores.select(
+            F.col(label_col).alias("y"), F.col(score_col).alias("s")
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("y").cast("bigint").alias("pos_c"),
         )
     )
-    j = ranked.join(F.broadcast(mid), "s")
-    return j.agg(
-        F.sum(F.col("y")).cast("bigint").alias("n_pos"),
-        F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("n_neg"),
-    ).crossJoin(
-        j.filter(F.col("y") == 1).agg(
-            F.sum("midrank").alias("pos_rank_sum")
-        )
+    cum = per_score.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # midrank*2 = 2*cum_prev + c + 1 = 2*cum - c + 1 (exact bigint)
+    per = cum.withColumn(
+        "midrank2", F.lit(2) * F.col("cum") - F.col("c") + F.lit(1)
+    )
+    return per.agg(
+        F.sum("pos_c").cast("bigint").alias("n_pos"),
+        (F.sum("c") - F.sum("pos_c")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("pos_c") * F.col("midrank2"))
+        .cast("bigint")
+        .alias("pos_rank_sum2"),
     ).select(
         "n_pos",
         "n_neg",
@@ -504,15 +526,16 @@ def classifier_auc(scores: DataFrame, score_col: str = "p_hat",
         # IEEE artifact (whose NaN/Inf rendering is engine-specific)
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            # pos_rank_sum2 = 2 * sum of positives' midranks (exact bigint),
+            # so AUC = (prs2 - n_pos*(n_pos+1)) / (2 * n_pos * n_neg)
             F.round(
                 (
-                    F.col("pos_rank_sum")
-                    - F.col("n_pos").cast("double")
-                    * (F.col("n_pos").cast("double") + F.lit(1.0))
-                    / F.lit(2.0)
-                )
+                    F.col("pos_rank_sum2")
+                    - F.col("n_pos") * (F.col("n_pos") + F.lit(1))
+                ).cast("double")
                 / (
-                    F.col("n_pos").cast("double")
+                    F.lit(2.0)
+                    * F.col("n_pos").cast("double")
                     * F.col("n_neg").cast("double")
                 ),
                 6,

@@ -386,24 +386,67 @@ def _ffmpeg_run(content: bytes, args: list[str]) -> bytes:
     return proc.stdout
 
 
-def ffmpeg_decode_audio(content: bytes, sample_rate: int = 16000):
-    """Compressed audio (MP3/OGG/AAC/...) -> (sample_rate, 1, float64
-    mono array in [-1, 1]) via the ffmpeg CLI, resampled to
-    `sample_rate`. Env-gated: raises NotImplementedError when ffmpeg is
-    absent so the pure-numpy WAV path stays the container default."""
+def _ffprobe_audio_params(content: bytes) -> tuple[int, int] | None:
+    """Native (sample_rate, channels) of the first audio stream via
+    ffprobe, or None when ffprobe is absent / the probe fails — callers
+    then fall back to the documented normalization."""
+    import json
+    import shutil
+    import subprocess
+
+    probe = shutil.which("ffprobe")
+    if probe is None:
+        return None
+    proc = subprocess.run(
+        [probe, "-v", "error", "-select_streams", "a:0", "-show_entries",
+         "stream=sample_rate,channels", "-of", "json", "pipe:0"],
+        input=content, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        check=False,
+    )
+    if proc.returncode != 0:
+        return None
+    try:
+        st = json.loads(proc.stdout)["streams"][0]
+        return int(st["sample_rate"]), int(st["channels"])
+    except (KeyError, IndexError, ValueError):
+        return None
+
+
+def ffmpeg_decode_audio(content: bytes, sample_rate: int | None = None):
+    """Compressed audio (MP3/OGG/AAC/...) -> (rate, channels, float64
+    array shaped (n_frames, channels) in [-1, 1]) via the ffmpeg CLI.
+
+    Rate/channel contract (matches the WAV path): by default the native
+    stream parameters are preserved — ffprobe reports them and the
+    decode pins them explicitly (a no-op when they match the stream).
+    Pass `sample_rate` to resample deliberately. Only when ffprobe is
+    unavailable or cannot parse the stream does the decode fall back to
+    16 kHz mono — the one case where compressed features are normalized
+    rather than native, flagged here because extract_audio_features'
+    duration/zero-cross values are rate-relative. Env-gated: raises
+    NotImplementedError when ffmpeg is absent so the pure-numpy WAV
+    path stays the container default."""
     import numpy as np
 
     if _ffmpeg_path() is None:
         raise NotImplementedError(
             "compressed audio needs ffmpeg on PATH; WAV PCM decodes without it"
         )
+    native = _ffprobe_audio_params(content)
+    if sample_rate is not None:
+        rate, channels = sample_rate, (native[1] if native else 1)
+    elif native is not None:
+        rate, channels = native
+    else:
+        rate, channels = 16000, 1  # documented last-resort normalization
     raw = _ffmpeg_run(
         content,
-        ["-f", "s16le", "-acodec", "pcm_s16le", "-ac", "1",
-         "-ar", str(sample_rate)],
+        ["-f", "s16le", "-acodec", "pcm_s16le", "-ac", str(channels),
+         "-ar", str(rate)],
     )
     x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    return sample_rate, 1, x.reshape(-1, 1)
+    n_frames = len(x) // channels
+    return rate, channels, x[: n_frames * channels].reshape(n_frames, channels)
 
 
 def ffmpeg_transcode_to_y4m(content: bytes) -> bytes:

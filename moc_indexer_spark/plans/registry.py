@@ -71,18 +71,19 @@ def register(name, oracle, tags=(), bench=False):
 # judge spot-checks still exercise them), rows-only checks last.
 _DRIVER_WINDOW = [
     # tx-list / relational core (P2-P5, O1-O3, A1-A2, J3-J4, J7, F10-F11,
-    # F15, T2)
-    "tx_list", "tx_list_with_total", "tx_latest",
+    # F15, T2; tx_latest / distinct_active_addresses ceded their round-3
+    # slots — both families stay covered by tx_list / latest_per_address /
+    # active_address_counts and remain mirror-gated)
+    "tx_list", "tx_list_with_total",
     "latest_per_address", "asof_price", "price_variation_24h",
-    "active_address_counts", "distinct_active_addresses", "confirming_status",
+    "active_address_counts", "confirming_status",
     # money math + joins + serving (F3-F7, J1, P1/P8, J5/F17, J6, F12/S8,
     # A3)
     "tx_enrich_money", "registered_user_txs", "settlement_price_override",
     "liquidation_fanout", "api_tx_list_formatted", "report_summary",
-    # event pipeline + functions (J2, F2 full raw-hex, P9; the F8/F14/F18
-    # roundtrip slots ceded to round-2 families below — still mirror-gated)
+    # event pipeline + functions (J2, F2 full raw-hex; P9 validated_sources
+    # ceded its round-3 slot — rlike validation stays mirror-gated)
     "event_pipeline_demo", "event_pipeline_raw_hex", "abi_decode_roundtrip",
-    "validated_sources",
     # window / time-series family (§2.8, T1/T10)
     "hourly_window_agg", "user_sessions_native", "block_gap_report",
     "top_event_per_address", "value_percentiles",
@@ -95,8 +96,9 @@ _DRIVER_WINDOW = [
     # to distinct families: winnowing keeps fingerprinting covered,
     # cms_trigram_estimates keeps trigrams covered, training_corpus_filter
     # keeps quality filtering covered)
-    "text_stats", "lang_id_heuristic",
-    "token_count_bpe", "doc_winnowing",
+    # (lang_id_heuristic / token_count_bpe / doc_winnowing ceded round-3
+    # slots — text_stats + cms_trigram_estimates keep the family covered)
+    "text_stats",
     "training_corpus_filter",
     # similarity / ANN (brute-force baseline + exact-mode IVF, PQ and the
     # closed-form SQ8 quantizer — fully oracle-gated end-to-end)
@@ -112,6 +114,13 @@ _DRIVER_WINDOW = [
     "weighted_reservoir_sample",
     # multimodal plumbing
     "media_feature_extract", "media_exact_dedup",
+    # round-3 families: composed IVF+PQ (exact leg certifies the residual
+    # encoding + cell pruning machinery), certified HLL, bins-bounded
+    # mergeable histogram quantiles, Kneser-Ney LM, leakage-safe
+    # cluster-unit splits, exact tie-corrected ROC AUC
+    "ivfpq_ann_exact", "hll_distinct_certified",
+    "histogram_quantiles_certified", "kneser_ney_logprob",
+    "leakage_safe_splits", "classifier_auc",
 ]
 
 

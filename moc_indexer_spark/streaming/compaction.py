@@ -13,7 +13,10 @@ step:
    a `_FOLD_COMMITTED` marker file inside tmp;
 2. move superseded originals (batch <= fold id ONLY) into
    `<base>__fold_trash`;
-3. one os.replace installs the fold as `batch=<fold id>`;
+3. one os.replace installs the fold as `batch=<fold id>`, then the
+   marker file is removed from the installed partition (it is only
+   needed while tmp exists — a live partition must not carry a stale
+   commit marker for non-Spark readers);
 4. delete trash.
 
 Recovery on the next call distinguishes every crash window:
@@ -67,11 +70,26 @@ def compact_batched_dir(
         with open(marker) as f:
             return int(f.read().strip())
 
+    def _drop_stale_markers() -> None:
+        # the marker is only needed while tmp exists (it identifies the
+        # fold during recovery); once installed into the live partition it
+        # is a stale commit marker to non-Spark readers — sweep any left
+        # behind by a crash between the install rename and the removal
+        for d in os.listdir(base) if os.path.isdir(base) else []:
+            stale = os.path.join(base, d, _FOLD_MARKER)
+            if d.startswith("batch=") and os.path.exists(stale):
+                os.remove(stale)
+
     def _complete_swap(fold_committed: int) -> None:
         for b in [x for x in list_batches() if x <= fold_committed]:
             os.makedirs(trash, exist_ok=True)
             os.replace(f"{base}/batch={b}", os.path.join(trash, f"batch={b}"))
-        os.replace(tmp, f"{base}/batch={fold_committed}")
+        dest = f"{base}/batch={fold_committed}"
+        os.replace(tmp, dest)
+        try:
+            os.remove(os.path.join(dest, _FOLD_MARKER))
+        except FileNotFoundError:
+            pass
         shutil.rmtree(trash, ignore_errors=True)
 
     # recovery: a previous run crashed mid-flight iff trash exists
@@ -79,6 +97,7 @@ def compact_batched_dir(
         fold = _fold_id()
         if not os.path.isdir(tmp):
             shutil.rmtree(trash, ignore_errors=True)
+            _drop_stale_markers()
         elif fold is not None:
             _complete_swap(fold)
         else:

@@ -314,3 +314,33 @@ def test_compaction_recovery_preserves_batches_newer_than_stale_fold(
         parts = [p for p in os.listdir(stale._dir(name))
                  if p.startswith("batch=")]
         assert parts == ["batch=2"]
+
+
+def test_compaction_leaves_no_marker_in_live_partition(spark, tmp_path):
+    """The _FOLD_COMMITTED marker exists to identify a fold during
+    recovery while the tmp directory exists; once the fold is installed
+    as the live batch partition the marker must be gone (non-Spark
+    readers would see a stale commit marker in index data). Also covers
+    the crash window between the install rename and the marker removal:
+    recovery sweeps markers left inside live partitions."""
+    import os
+
+    from moc_indexer_spark.streaming.bm25_stream import compact_index
+    from moc_indexer_spark.streaming.compaction import _FOLD_MARKER
+
+    idx, _ = _build_three_batch_index(spark, tmp_path, "marker")
+    compact_index(idx)
+    for name in ("lengths", "postings"):
+        base = idx._dir(name)
+        for d in os.listdir(base):
+            assert not os.path.exists(os.path.join(base, d, _FOLD_MARKER))
+
+    # crash window: marker still inside the installed fold, trash extant,
+    # tmp consumed by the rename — recovery must drop both
+    want = _rows(idx.probe(queries=[(0, "common")], k=60))
+    base = idx._dir("lengths")
+    open(os.path.join(base, "batch=2", _FOLD_MARKER), "w").write("2")
+    os.makedirs(f"{base}__fold_trash", exist_ok=True)
+    compact_index(idx)
+    assert not os.path.exists(os.path.join(base, "batch=2", _FOLD_MARKER))
+    assert _rows(idx.probe(queries=[(0, "common")], k=60)) == want

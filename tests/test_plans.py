@@ -317,3 +317,20 @@ def test_histogram_quantiles_stats_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "histogram_quantiles_certified")
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_classifier_auc_ranks_distinct_scores_not_rows(spark, sf_dir):
+    """The one unavoidable total-order step in exact AUC (ranking IS a
+    total order) must run over the distinct-score relation, never the
+    row relation: the Window's child chain is Sort <- Exchange
+    SinglePartition <- HashAggregate(keys=[s]), so the single partition
+    receives |distinct scores| rows. A per-row row_number would be a
+    single-partition sort of the whole eval set."""
+    plan = _plan(spark, sf_dir, "classifier_auc")
+    assert "row_number" not in plan
+    iw = plan.index("Window ")
+    agg = plan.index("HashAggregate(keys=[s#")
+    sp = plan.index("Exchange SinglePartition")
+    # tree prints top-down: Window above the single-partition exchange,
+    # which sits above the per-score aggregate that shrinks the input
+    assert iw < sp < agg
