@@ -9,6 +9,8 @@ arithmetic so a generated DuckDB oracle replays the identical loop.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators import graph as G
 from ..operators import ml as M
 from ..operators import retrieval as RT
@@ -155,6 +157,93 @@ def q_logreg_calibration(spark, sf_dir):
     )
 
 
+def _pca_gram_oracle() -> str:
+    return """
+    WITH x AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS i,
+             UNNEST(embedding) AS xi,
+             embedding
+      FROM embeddings
+    ),
+    xx AS (
+      SELECT x.i AS i,
+             generate_subscripts(x.embedding, 1) - 1 AS j,
+             UNNEST(x.embedding) AS xj,
+             x.xi AS xi
+      FROM x
+    ),
+    gram AS (
+      SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             SUM(CAST(ROUND(CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE), 9)
+                      AS DECIMAL(38,9))) AS val_dec
+      FROM xx GROUP BY 1, 2
+    ),
+    means AS (
+      SELECT CAST(i AS INT) AS i, -1 AS j,
+             SUM(CAST(ROUND(CAST(xi AS DOUBLE), 9)
+                      AS DECIMAL(38,9))) AS val_dec
+      FROM x GROUP BY 1
+    ),
+    cnt AS (
+      SELECT -1 AS i, -1 AS j,
+             CAST(COUNT(*) AS DECIMAL(38,9)) AS val_dec
+      FROM embeddings
+    )
+    SELECT i, j, ROUND(CAST(val_dec AS DOUBLE), 6) AS val
+    FROM (SELECT * FROM gram
+          UNION ALL SELECT * FROM means
+          UNION ALL SELECT * FROM cnt)
+    """
+
+
+@register(
+    "pca_gram_check",
+    _pca_gram_oracle(),
+    tags=("llm", "ml", "pca", "certification"),
+)
+def q_pca_gram_check(spark, sf_dir):
+    """Oracle-certified leg for the PCA family: the Gram / mean / count
+    accumulators that `pca_model` eigendecomposes are plain sums of
+    products, so they replay exactly in SQL. Each float32 pair's product
+    is EXACT in double (24+24 mantissa bits < 52), rounded to 9dp and
+    summed as DECIMAL(38,9) — order-independent exact arithmetic, cast
+    to double only at the edge. Rows: (i,j)=Gram cell, (i,-1)=column
+    sum, (-1,-1)=count. This leg is certification-only (O(n*d^2) row
+    explosion); production PCA runs the d^2-bounded BLAS partial in
+    `_gram_and_mean`, and tests/test_pca.py bridges the two on the same
+    corpus."""
+    t = table(spark, sf_dir, "embeddings")
+    x = t.select(
+        F.posexplode("embedding").alias("i", "xi"), F.col("embedding")
+    )
+    xx = x.select(
+        "i", "xi", F.posexplode("embedding").alias("j", "xj")
+    )
+    dec = "decimal(38,9)"
+    gram = xx.groupBy("i", "j").agg(
+        F.sum(
+            F.round(
+                F.col("xi").cast("double") * F.col("xj").cast("double"), 9
+            ).cast(dec)
+        ).alias("val_dec")
+    )
+    means = x.groupBy("i").agg(
+        F.sum(F.round(F.col("xi").cast("double"), 9).cast(dec)).alias(
+            "val_dec"
+        )
+    ).select("i", F.lit(-1).alias("j"), "val_dec")
+    cnt = t.agg(
+        F.count(F.lit(1)).cast(dec).alias("val_dec")
+    ).select(F.lit(-1).alias("i"), F.lit(-1).alias("j"), "val_dec")
+    return (
+        gram.unionByName(means)
+        .unionByName(cnt)
+        .select(
+            "i", "j", F.round(F.col("val_dec").cast("double"), 6).alias("val")
+        )
+    )
+
+
 @register(
     "pca_project_embeddings",
     None,
@@ -167,10 +256,13 @@ def q_pca_project_embeddings(spark, sf_dir):
     partial aggregates — shuffle bounded by dimension, not data), a
     dimension-bounded driver eigendecomposition, then a map-only
     broadcast projection. Rows-only at the driver gate
-    (eigendecomposition is not SQL-replayable); tests/test_pca.py pins
-    the exact Gram identity, orthonormality, determinism (sign
-    convention), reconstruction monotonicity, whitening variance, and
-    the zero-Exchange projection plan."""
+    (eigendecomposition is not SQL-replayable), but the Gram/mean/count
+    accumulators it eigendecomposes ARE oracle-certified via the
+    `pca_gram_check` sibling; tests/test_pca.py pins the exact Gram
+    identity, orthonormality, determinism (sign convention),
+    reconstruction monotonicity, whitening variance, the zero-Exchange
+    projection plan, and the bridge between the certified leg and the
+    production BLAS partial."""
     return M.pca_project(
         table(spark, sf_dir, "embeddings"), n_components=16
     )

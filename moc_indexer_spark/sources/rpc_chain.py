@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import time
+import urllib.error
 import urllib.request
 
 
@@ -42,15 +44,32 @@ class RpcError(RuntimeError):
 
 class RpcChain:
     """`BlockFetcher` over JSON-RPC: __call__(block_number) -> raw-tx
-    dicts in the same shape FakeChain emits (FIXTURES.md §1)."""
+    dicts in the same shape FakeChain emits (FIXTURES.md §1).
 
-    def __init__(self, url: str, timeout: float = 10.0, chain_tip: int | None = None):
+    Fault contract (tests/test_rpc_faults.py):
+    * transport faults (HTTP 5xx, connection errors, read timeouts) are
+      retried up to `retries` times with exponential backoff, then
+      re-raised — transient node hiccups don't kill a scan cycle;
+    * JSON-RPC `error` members raise RpcError immediately (semantic —
+      the node answered; retrying the same request would loop). The
+      exception propagates out of scan_blocks, the cycle fails, and the
+      caller's checkpoint cursor does NOT advance — the next tick
+      re-scans the same window and the keyed upserts converge
+      idempotently (the reference's behavior: its task raises, the
+      cursor document is only written on success).
+    * 4xx HTTP raises immediately (a malformed request won't improve)."""
+
+    def __init__(self, url: str, timeout: float = 10.0,
+                 chain_tip: int | None = None, retries: int = 3,
+                 backoff: float = 0.05):
         self.url = url
         self.timeout = timeout
         # optional pinned tip: scan_blocks computes confirmations from its
         # ScanRange tip, so the fetcher itself doesn't need one; kept for
         # parity with tip()-driven callers
         self.chain_tip = chain_tip
+        self.retries = retries
+        self.backoff = backoff
         self._id = 0
 
     # -- wire ----------------------------------------------------------------
@@ -63,8 +82,19 @@ class RpcChain:
         req = urllib.request.Request(
             self.url, data=body, headers={"Content-Type": "application/json"}
         )
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            out = json.loads(resp.read())
+        for attempt in range(self.retries + 1):
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    out = json.loads(resp.read())
+                break
+            except urllib.error.HTTPError as e:
+                # 5xx is transient (node overloaded/restarting); 4xx is not
+                if e.code < 500 or attempt == self.retries:
+                    raise
+            except (urllib.error.URLError, TimeoutError, OSError):
+                if attempt == self.retries:
+                    raise
+            time.sleep(self.backoff * (2 ** attempt))
         if out.get("error"):
             raise RpcError(f"{method}: {out['error']}")
         return out.get("result")

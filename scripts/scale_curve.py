@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Measured scaling curve for the top dedup/ANN/retrieval operators.
+
+The 100 TB design claims in PLANS.md are asserted from plan shape
+(bucketed candidates, broadcast builds, map-side combines). This script
+MEASURES them: it synthesizes 3x and 10x corpora that match the sf0.1
+generator's distributions (vocab, length mix, lang/source mix, planted
+exact-dup rate, per-label embedding clusters), times each operator at
+1x/3x/10x with the bench harness (warm + median-of-3 noop writes), and
+fits the log-log slope — the observed scaling exponent. An operator
+whose exponent is well above ~1.2 at this contrast is NOT the
+O(n)/O(n log n) shape its plan audit claims, however good the plan
+looks.
+
+Distribution matching matters: replicating rows 10x would plant
+quadratic near-dup clusters and corrupt the dedup exponents with
+output-size effects; independent draws from the same generator keep
+per-row candidate density comparable across scales.
+
+Usage: python scripts/scale_curve.py [--out /tmp/moc_scale] [--runs 3]
+Writes SCALE_CURVE.json next to the repo root and prints a markdown
+table (pasted into PLANS.md)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+
+DOC_QUERIES = [
+    "dedup_exact", "ngram_dup_pairs", "minhash_dup_pairs", "simhash_pairs",
+    "line_dedup_docs", "bm25_topk", "text_stats", "tfidf_top_terms",
+    "dsir_importance_weights", "kneser_ney_logprob",
+]
+EMB_QUERIES = [
+    "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "pq_ann_topk",
+    "ivfpq_ann_topk", "embedding_dup_pairs_lsh",
+]
+
+
+def _corpus_stats():
+    """Pull the sf0.1 generator's distributions once via DuckDB."""
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT text, lang, source FROM '{SF01}/documents.parquet'"
+    ).df()
+    vocab = sorted(
+        {w for t in docs["text"] for w in t.split(" ") if w}
+    )
+    lengths = [len(t.split(" ")) for t in docs["text"]]
+    pairs = list(zip(docs["lang"], docs["source"]))
+    n_dups = len(docs) - docs["text"].nunique()
+    emb = con.sql(
+        f"SELECT embedding, label FROM '{SF01}/embeddings.parquet'"
+    ).df()
+    con.close()
+    return vocab, lengths, pairs, n_dups / len(docs), emb
+
+
+def gen_documents(out_dir: str, n: int, seed: int, stats) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vocab, lengths, pairs, dup_frac, _ = stats
+    rng = np.random.default_rng(seed)
+    lens = rng.choice(lengths, size=n)
+    pair_idx = rng.integers(0, len(pairs), size=n)
+    texts: list[str] = []
+    for i in range(n):
+        words = rng.choice(vocab, size=int(lens[i]))
+        texts.append(" ".join(words))
+    # plant the same exact-dup rate as the source corpus
+    n_dup = int(round(dup_frac * n))
+    for j in rng.choice(n, size=n_dup, replace=False):
+        texts[j] = texts[int(rng.integers(0, n))]
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array([pairs[i][0] for i in pair_idx]),
+        "source": pa.array([pairs[i][1] for i in pair_idx]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"),
+                   row_group_size=max(1024, n // 32))
+
+
+def gen_embeddings(out_dir: str, n: int, seed: int, stats) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    emb = stats[4]
+    rng = np.random.default_rng(seed + 1)
+    X = np.array(list(emb["embedding"]), dtype=np.float64)
+    labels = emb["label"].to_numpy()
+    uniq = np.unique(labels)
+    # per-label gaussian fit preserves the cluster structure IVF relies on
+    means = {l: X[labels == l].mean(axis=0) for l in uniq}
+    stds = {l: X[labels == l].std(axis=0) + 1e-9 for l in uniq}
+    new_labels = rng.choice(labels, size=n)
+    d = X.shape[1]
+    out = np.empty((n, d), dtype=np.float32)
+    for l in uniq:
+        m = new_labels == l
+        out[m] = (means[l] + rng.standard_normal((int(m.sum()), d)) * stds[l]
+                  ).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(out), pa.list_(pa.float32())),
+        "label": pa.array(new_labels.astype("int32"), pa.int32()),
+    })
+    pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"),
+                   row_group_size=max(1024, n // 32))
+
+
+def build_corpora(base: str, scales: list[int], seed: int = 7) -> dict[int, str]:
+    stats = _corpus_stats()
+    n_docs0, n_emb0 = 5000, 2000
+    dirs = {}
+    for s in scales:
+        d = os.path.join(base, f"x{s}")
+        marker = os.path.join(d, "_DONE")
+        dirs[s] = d
+        if os.path.exists(marker):
+            continue
+        os.makedirs(d, exist_ok=True)
+        gen_documents(d, n_docs0 * s, seed * 1000 + s, stats)
+        gen_embeddings(d, n_emb0 * s, seed * 1000 + s, stats)
+        open(marker, "w").write("ok")
+    return dirs
+
+
+def time_query(spark, build, sf_dir: str, runs: int) -> float:
+    df = build(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # warm
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        ts.append(time.perf_counter() - t0)
+    spark.catalog.clearCache()
+    ts.sort()
+    return round(ts[len(ts) // 2], 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/moc_scale")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--queries", default="")
+    args = ap.parse_args()
+
+    from moc_indexer_spark.plans.registry import registry
+    from moc_indexer_spark.session import get_spark
+    from moc_indexer_spark.tables import enable_layout_mirror
+
+    names = (args.queries.split(",") if args.queries
+             else DOC_QUERIES + EMB_QUERIES)
+    scales = [1, 3, 10]
+    dirs = build_corpora(args.out, [s for s in scales if s != 1])
+    dirs[1] = SF01
+
+    spark = get_spark(app_name="scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    enable_layout_mirror()
+
+    by = {s.name: s for s in registry()}
+    results: dict[str, dict] = {}
+    for name in names:
+        spec = by[name]
+        row: dict = {"t": {}}
+        for s in scales:
+            try:
+                row["t"][str(s)] = time_query(
+                    spark, spec.build, dirs[s], args.runs
+                )
+            except Exception as e:  # noqa: BLE001
+                row["err"] = f"x{s}: " + str(e).splitlines()[0][:150]
+                break
+        if "err" not in row:
+            # least-squares slope on (log s, log t): the observed exponent
+            xs = [math.log(s) for s in scales]
+            ys = [math.log(max(row["t"][str(s)], 1e-3)) for s in scales]
+            mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+            row["exponent"] = round(
+                sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+                / sum((x - mx) ** 2 for x in xs),
+                2,
+            )
+            row["ratio_10x"] = round(
+                row["t"]["10"] / max(row["t"]["1"], 1e-9), 2
+            )
+        results[name] = row
+        print(json.dumps({name: row}), flush=True)
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_CURVE.json",
+    )
+    with open(out_path, "w") as fh:
+        json.dump({"scales": scales, "runs": args.runs,
+                   "results": results}, fh, indent=2)
+    print("\n| query | t(1x) s | t(3x) s | t(10x) s | 10x ratio | exponent |")
+    print("|---|---|---|---|---|---|")
+    for name, row in results.items():
+        if "err" in row:
+            print(f"| {name} | ERR {row['err']} | | | | |")
+        else:
+            t = row["t"]
+            print(f"| {name} | {t['1']} | {t['3']} | {t['10']} | "
+                  f"{row['ratio_10x']} | {row['exponent']} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

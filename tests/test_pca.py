@@ -77,3 +77,25 @@ def test_pca_projection_is_map_only(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_certified_gram_leg_bridges_to_production_partial(spark, sf_dir):
+    """pca_gram_check (the oracle-certified O(n*d^2) explode leg) and
+    _gram_and_mean (the production d^2-bounded BLAS partial) must agree
+    on the same corpus: same count, same column sums, same Gram cells.
+    The certified leg rounds each product at 9dp before the exact
+    decimal sum, so agreement is to ~n*5e-10 absolute."""
+    from moc_indexer_spark.plans.registry import registry
+
+    by = {s.name: s for s in registry()}
+    rows = by["pca_gram_check"].build(spark, sf_dir).collect()
+    emb = table(spark, sf_dir, "embeddings")
+    n, mu, G = _gram_and_mean(emb, "vec_id", "embedding")
+    tol = n * 5e-10 + 1e-9
+    for r in rows:
+        if r.i == -1 and r.j == -1:
+            assert r.val == n
+        elif r.j == -1:
+            assert abs(r.val - mu[r.i] * n) < max(tol, 1e-5)
+        else:
+            assert abs(r.val - G[r.i, r.j]) < max(tol, 1e-5)
