@@ -54,13 +54,16 @@ def get_spark(
         # In local mode the driver JVM IS the executor: without this the
         # whole engine (driver + all local[*] task threads) runs on the
         # 1 GB default heap — measured OOM on a 10M-row candidate join at
-        # 3x sf0.1 while the box had 127 GB free. The cluster analog is
+        # 3x sf0.1 while the box had 127 GB free. 8g is the measured GC
+        # sweet spot for the sf0.1 bench (32g accumulates garbage into
+        # long mixed collections: 28.1 s total vs 23.2 s at 8g vs 22.6 s
+        # at 4g); memory-hungry workloads (scale_curve's 10x corpora)
+        # raise SPARK_GRAFT_DRIVER_MEM instead. The cluster analog is
         # executor.memory sizing; only effective at JVM launch, so a
-        # pre-existing session keeps its heap (tests sharing one session
-        # are unaffected).
+        # pre-existing session keeps its heap.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         )
     )
     for k, v in (extra_conf or {}).items():

@@ -32,6 +32,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# the 10x corpora need headroom the 8g bench default doesn't have (the
+# exact-ngram candidate join alone streams ~430M rows at 10x)
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+
 SF01 = "/root/testdata/sf0.1"
 
 DOC_QUERIES = [
