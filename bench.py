@@ -80,6 +80,28 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Session config INSIDE the artifact: the round-4 1 g -> 8 g heap
+    # change shifted every query ~1.56x uniformly, and the artifact alone
+    # couldn't distinguish that config shift from a plan regression. Record
+    # the knobs that move numbers so future diffs are self-explanatory.
+    config = {
+        "driver_mem": spark.conf.get("spark.driver.memory", "default-1g"),
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "spark_version": spark.version,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }
+    # Ingest-path numbers in the same per-round artifact (round-4 verdict:
+    # the MoR cycle's 3 s-tick headroom had no recorded trend). Opt-out via
+    # env for quick local loops; errors must not lose the query artifact.
+    ingest: dict | None = None
+    if os.environ.get("SPARK_GRAFT_BENCH_INGEST", "1") != "0":
+        try:
+            from bench_ingest import measure as measure_ingest
+
+            ingest = measure_ingest(spark)
+            ingest.pop("metric", None)
+        except Exception as e:  # noqa: BLE001
+            ingest = {"error": str(e).splitlines()[0][:200]}
     # Compact metric line ONLY — the round-3 artifact was lost because the
     # full payload (46-query spread_min_max) outgrew the driver's ~2 KB
     # stdout tail capture and left BENCH_r03.json with parsed:null. The
@@ -91,13 +113,18 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "config": config,
     }
+    if ingest is not None:
+        payload["ingest"] = ingest
     detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "config": config,
+        "ingest": ingest,
         "runs_per_query": max(1, n_runs),
         "spread_min_max": spreads,
     }

@@ -12,6 +12,10 @@ Methodology (matches PLANS.md "Incremental-cycle latency"): warm by
 indexing 2000 blocks, then time five 10-block cycles (median reported) —
 the reference's 3-second-tick shape; catch-up throughput is one 500-block
 cycle on the MoR sinks.
+
+`measure(spark)` is importable so bench.py can fold the ingest numbers
+into BENCH_DETAIL.json each round (the round-4 verdict flagged that the
+MoR cycle's headroom under the 3 s tick had no per-round artifact).
 """
 
 from __future__ import annotations
@@ -25,14 +29,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from moc_indexer_spark.app import CONTRACTS, USERS, Indexer  # noqa: E402
 from moc_indexer_spark.session import get_spark, ship_package  # noqa: E402
-from moc_indexer_spark.sources.chain import FakeChain  # noqa: E402
 
 
-def main() -> None:
-    spark = get_spark(app_name="moc-indexer-ingest-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+def measure(spark) -> dict:
+    """Run the ingest benchmark on an existing session; return the metric
+    dict (no printing, no session lifecycle)."""
+    from moc_indexer_spark.app import CONTRACTS, USERS, Indexer
+    from moc_indexer_spark.sources.chain import FakeChain
+
     ship_package(spark)
     txs_per_block = 20
     cycle_sec: dict[str, float] = {}
@@ -56,12 +61,19 @@ def main() -> None:
     ix.run_incremental(tip=600)
     bps = round(500 / (time.perf_counter() - t0), 1)
 
-    print(json.dumps({
+    return {
         "metric": "ingest",
         "cycle_sec": cycle_sec,
         "catchup_blocks_per_sec": bps,
         "txs_per_block": txs_per_block,
-    }))
+    }
+
+
+def main() -> None:
+    spark = get_spark(app_name="moc-indexer-ingest-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = measure(spark)
+    print(json.dumps(out))
     spark.stop()
 
 

