@@ -26,7 +26,14 @@ from moc_indexer_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="moc-indexer-spark-bench")
+    # no console progress bar: its \r-separated stage spam lands on the
+    # same captured stdout tail as the final metric line and eats into the
+    # driver's ~2 KB window (the round-5 line is 1.6 KB with the config +
+    # ingest blocks — the junk margin matters now)
+    spark = get_spark(
+        app_name="moc-indexer-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Engine-managed layout: the driver's parquet has ONE row group per
