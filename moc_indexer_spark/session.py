@@ -66,6 +66,13 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         )
     )
+    # GC / JVM flags for the local driver-is-executor JVM (same launch-time
+    # caveat as the heap). Default empty = JVM defaults (G1 on Java 17);
+    # SPARK_GRAFT_DRIVER_JAVA_OPTS overrides for measured experiments (the
+    # round-5 GC matrix in BENCH.md) and production images.
+    java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

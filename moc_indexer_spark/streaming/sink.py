@@ -81,13 +81,29 @@ class ParquetUpsertTable:
         # the parquet scan. None = unknown (fresh instance over an existing
         # table); first access populates it.
         self._schema = None
-        # Tombstones only enter via delete_where on THIS instance; while
-        # none were ever appended, "key exists" degrades to a cheap
-        # distinct-keys scan (no per-key window resolve). None = unknown
-        # (restarted over pre-existing data) -> conservative resolve path.
-        self._may_have_tombstones: bool | None = (
-            None if self.exists() else False
-        )
+        # Tombstones only enter via delete_where; while none were ever
+        # appended, "key exists" degrades to a cheap distinct-keys scan
+        # (no per-key window resolve). The flag survives restarts via a
+        # marker protocol (a restarting daemon must not pay the resolve on
+        # every update-only upsert forever): `__meta` is written on the
+        # first append by a marker-aware writer, `__tombstones` is touched
+        # by delete_where BEFORE the tombstone delta lands (crash-safe:
+        # the marker can claim tombstones that never landed — conservative
+        # — never the reverse). A pre-existing table WITHOUT `__meta` was
+        # written by an older layout -> unknown -> resolve path.
+        if not self.exists():
+            self._may_have_tombstones: bool | None = False
+        elif os.path.exists(self._marker("__tombstones")):
+            self._may_have_tombstones = True
+        elif os.path.exists(self._marker("__meta")):
+            self._may_have_tombstones = False
+        else:
+            self._may_have_tombstones = None
+
+    def _marker(self, name: str) -> str:
+        # markers live NEXT TO the table dir, not inside it: partition
+        # discovery over the table path must only ever see __seq=N dirs
+        return f"{self.path}.{name}"
 
     # -- read ---------------------------------------------------------------
 
@@ -301,6 +317,11 @@ class ParquetUpsertTable:
         # 1 stage per 3 s tick was measurable scheduling overhead)
         batch.coalesce(1).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, os.path.join(self.path, f"__seq={nxt}"))
+        if not os.path.exists(self._marker("__meta")):
+            # marks this table as marker-aware, so a restart can trust the
+            # ABSENCE of the tombstone marker (see __init__)
+            with open(self._marker("__meta"), "w") as fh:
+                fh.write('{"sink_layout": 2}')
         # extend the single-writer schema cache with any evolved columns
         if self._schema is not None:
             known = set(self._schema.fieldNames())
@@ -376,6 +397,11 @@ class ParquetUpsertTable:
         if self.mode == "mor":
             victims = existing.filter(condition)
             self._may_have_tombstones = True
+            # marker BEFORE the delta: a crash between the two leaves a
+            # false-positive marker (conservative), never a tombstone the
+            # fast path doesn't know about
+            with open(self._marker("__tombstones"), "w") as fh:
+                fh.write("1")
             self._append_delta(victims.withColumn("__deleted", F.lit(True)))
             return
         self._atomic_write(existing.filter(~condition))

@@ -265,6 +265,45 @@ def run_ingest(spark) -> dict:
     out["mor_cycle_vs_batch"] = row
     print(json.dumps({"mor_cycle_vs_batch": row}), flush=True)
 
+    # 2a) event-pipeline decode/enrich vs batch size (the catch-up shape:
+    # a big scan range decoded in one cycle) — isolates the demux/from_json
+    # /wei-decimal stage from sink writes; expect ~linear work, sub-1
+    # exponent from parallel slack
+    from moc_indexer_spark.operators.events import run_event_pipeline
+    from moc_indexer_spark.sources.chain import ScanRange, scan_blocks
+
+    row = {"t": {}}
+    blocks_ax = [1000, 3000, 10000]
+    consumed = ("transactions", "transfers", "fastbtc_new",
+                "fastbtc_updates", "notifications")
+    for nb in blocks_ax:
+        raw = scan_blocks(
+            spark, FakeChain(CONTRACTS, USERS, 20),
+            ScanRange(last_indexed=-1, tip=nb, blocks_recession=0),
+            set(CONTRACTS),
+        ).cache()
+        raw.count()
+        outs = run_event_pipeline(raw, moc_contract=CONTRACTS[0],
+                                  only=consumed)
+        def _drain():
+            for k in consumed:
+                outs[k].write.format("noop").mode("overwrite").save()
+        _drain()  # warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _drain()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        row["t"][str(nb)] = round(ts[1], 3)
+        raw.unpersist()
+    row["exponent"] = _fit_exponent(
+        [b / blocks_ax[0] for b in blocks_ax],
+        [row["t"][str(b)] for b in blocks_ax],
+    )
+    out["event_pipeline_vs_batch"] = row
+    print(json.dumps({"event_pipeline_vs_batch": row}), flush=True)
+
     # 2b) upsert latency vs PRE-LOADED table size, fixed 2k batch — the
     # direct form of the MoR-vs-CoW contrast that the FakeChain histories
     # can't show (a 400k-row table rewrite still sits under the local

@@ -190,3 +190,44 @@ def test_crashed_append_leaves_table_readable(spark, workdir, monkeypatch):
     assert [tuple(r) for r in tbl.read().collect()] == [(1, "a")]
     tbl.upsert(spark.createDataFrame([(2, "b")], ["k", "v"]))
     assert sorted(tuple(r) for r in tbl.read().collect()) == [(1, "a"), (2, "b")]
+
+
+def test_tombstone_flag_survives_restart(spark, workdir):
+    """The update-only fast path (distinct-keys scan instead of per-key
+    resolve) must survive a daemon restart: a marker-aware table with no
+    tombstones restarts with the fast path; one that ever deleted
+    restarts conservative; a table dir without the meta marker (older
+    layout) restarts unknown."""
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    p = f"{workdir}/clean"
+    t = ParquetUpsertTable(spark, p, keys=["k"], mode="mor")
+    t.upsert(mk([(1, "a"), (2, "b")]))
+    assert t._may_have_tombstones is False
+
+    # restart: fresh instance over the same dir keeps the fast path
+    t2 = ParquetUpsertTable(spark, p, keys=["k"], mode="mor")
+    assert t2._may_have_tombstones is False
+    # and update-only through the restarted instance behaves correctly
+    t2.upsert(mk([(2, "b2"), (9, "ghost")]), insert=False)
+    got = {(r.k, r.v) for r in t2.read().collect()}
+    assert got == {(1, "a"), (2, "b2")}
+
+    # delete -> marker -> restart is conservative-correct
+    t2.delete_where(F.col("k") == 1)
+    t3 = ParquetUpsertTable(spark, p, keys=["k"], mode="mor")
+    assert t3._may_have_tombstones is True
+    t3.upsert(mk([(1, "back"), (8, "ghost")]), insert=False)
+    got = {(r.k, r.v) for r in t3.read().collect()}
+    assert got == {(2, "b2")}  # deleted key 1 is NOT "existing"
+
+    # older layout (no meta marker): unknown -> resolve path
+    import os
+    q = f"{workdir}/legacy"
+    t4 = ParquetUpsertTable(spark, q, keys=["k"], mode="mor")
+    t4.upsert(mk([(1, "a")]))
+    os.remove(t4._marker("__meta"))
+    t5 = ParquetUpsertTable(spark, q, keys=["k"], mode="mor")
+    assert t5._may_have_tombstones is None
+    t5.upsert(mk([(1, "a2"), (7, "ghost")]), insert=False)
+    got = {(r.k, r.v) for r in t5.read().collect()}
+    assert got == {(1, "a2")}
