@@ -231,3 +231,32 @@ def test_tombstone_flag_survives_restart(spark, workdir):
     t5.upsert(mk([(1, "a2"), (7, "ghost")]), insert=False)
     got = {(r.k, r.v) for r in t5.read().collect()}
     assert got == {(1, "a2")}
+
+
+def test_tombstone_marker_crash_window_is_conservative(spark, workdir):
+    """Crash between the tombstone marker and the tombstone delta: the
+    marker claims tombstones that never landed. A restart must take the
+    conservative resolve path (correct, just slower) — and the table
+    itself must be unaffected (the delete never happened)."""
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    p = f"{workdir}/crashy"
+    t = ParquetUpsertTable(spark, p, keys=["k"], mode="mor")
+    t.upsert(mk([(1, "a"), (2, "b")]))
+
+    real_append = t._append_delta
+
+    def boom(batch):
+        raise RuntimeError("crash before delta lands")
+
+    t._append_delta = boom
+    with pytest.raises(RuntimeError):
+        t.delete_where(F.col("k") == 1)
+    t._append_delta = real_append
+
+    # restart: marker present, no tombstone delta -> conservative flag,
+    # un-deleted data intact, update-only still correct
+    t2 = ParquetUpsertTable(spark, p, keys=["k"], mode="mor")
+    assert t2._may_have_tombstones is True
+    assert {(r.k, r.v) for r in t2.read().collect()} == {(1, "a"), (2, "b")}
+    t2.upsert(mk([(1, "a2"), (9, "ghost")]), insert=False)
+    assert {(r.k, r.v) for r in t2.read().collect()} == {(1, "a2"), (2, "b")}
