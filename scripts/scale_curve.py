@@ -303,7 +303,12 @@ def main() -> None:
         doc["zipf_results"] = results
         doc.setdefault("scales", scales)
     else:
-        doc.update({"scales": scales, "runs": args.runs, "results": results})
+        # merge per-query: a targeted --queries re-measure (e.g. after a
+        # probe-default change) must update its rows without dropping the
+        # rest of the recorded curve
+        merged = doc.get("results", {})
+        merged.update(results)
+        doc.update({"scales": scales, "runs": args.runs, "results": merged})
     with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=2)
     print("\n| query | t(1x) s | t(3x) s | t(10x) s | 10x ratio | exponent |")
