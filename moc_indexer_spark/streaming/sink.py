@@ -141,7 +141,36 @@ class ParquetUpsertTable:
     def _resolve(self, raw: DataFrame) -> DataFrame:
         """Latest-row-per-key over base+deltas: version_col (if any) wins
         first — the T8 monotonic guard falls out of the ordering — then the
-        batch sequence (Mongo's last-writer-wins)."""
+        batch sequence (Mongo's last-writer-wins).
+
+        A delete ends the key's version era: in Mongo, removing the
+        document resets the guard, so a later upsert inserts fresh no
+        matter how its version compares to the deleted row's. The
+        tombstone carries the deleted row's version, so without the era
+        filter a lower-version reinsert would LOSE to the tombstone in
+        the (version, seq) ordering and the key would stay deleted —
+        diverging from CoW and the reference. Rows at or before the
+        key's last tombstone are therefore dropped first; the version
+        ordering only ever compares rows of the live era. Unversioned
+        tables order by seq alone, where the last row IS the live era —
+        no extra window. Skipped entirely on the tombstone-free fast
+        path (nothing to era-filter)."""
+        if self.version_col and self._may_have_tombstones is not False and (
+            "__deleted" in raw.columns
+        ):
+            w_key = Window.partitionBy(*self.keys)
+            raw = (
+                raw.withColumn(
+                    "__last_del",
+                    F.max(
+                        F.when(F.col("__deleted"), F.col("__seq"))
+                    ).over(w_key),
+                )
+                .filter(
+                    F.col("__seq") > F.coalesce(F.col("__last_del"), F.lit(-1))
+                )
+                .drop("__last_del")
+            )
         order = (
             [F.desc_nulls_last(self.version_col)] if self.version_col else []
         ) + [F.desc("__seq")]
@@ -182,6 +211,20 @@ class ParquetUpsertTable:
             raw = self._read_raw()
             if as_of_seq is not None:
                 raw = raw.filter(F.col("__seq") <= as_of_seq)
+            if len(self._delta_seqs()) == 1:
+                # single-dir fast path: every delta dir holds <=1 row per
+                # key by construction (upsert dedups incoming, tombstones
+                # and the compacted base are resolved views), so with one
+                # dir the window resolve is the identity — skip the hash
+                # shuffle + sort entirely. This is the steady post-compact
+                # read shape: a freshly compacted 10M-row table reads
+                # map-only instead of paying an Exchange per read.
+                out = raw.drop("__seq")
+                if "__deleted" in out.columns:
+                    out = out.filter(
+                        ~F.coalesce(F.col("__deleted"), F.lit(False))
+                    ).drop("__deleted")
+                return out
             return self._resolve(raw)
         if as_of_seq is not None:
             raise ValueError("time travel requires mode='mor' (delta history)")
@@ -386,6 +429,21 @@ class ParquetUpsertTable:
         os.rename(self.path, old)
         os.rename(tmp_parent, self.path)
         shutil.rmtree(old, ignore_errors=True)
+        # The folded base is tombstone-free by construction (resolution
+        # dropped every deleted key), so the update-only fast path is valid
+        # again — without this, one retention delete would tax every future
+        # update-only upsert with a per-key resolve forever. Marker removed
+        # AFTER the swap: a crash in between leaves a stale marker
+        # (conservative restart), never a tombstone the fast path misses.
+        tomb = self._marker("__tombstones")
+        if os.path.exists(tomb):
+            os.remove(tomb)
+        if not os.path.exists(self._marker("__meta")):
+            # compaction proves the table tombstone-free, so a legacy
+            # (pre-marker) table can be upgraded to the marker layout here
+            with open(self._marker("__meta"), "w") as fh:
+                fh.write('{"sink_layout": 2}')
+        self._may_have_tombstones = False
 
     def delete_where(self, condition) -> None:
         """Retention delete (T9, mocsettlement.py:416-429). MoR appends
@@ -394,8 +452,15 @@ class ParquetUpsertTable:
         existing = self.read()
         if existing is None:
             return
+        victims = existing.filter(condition)
+        if victims.isEmpty():
+            # nothing matched: appending an empty tombstone delta would
+            # permanently demote the table off the update-only fast path
+            # (and a CoW rewrite would be an O(table) no-op) — skip both.
+            # Retention ticks usually expire nothing, so this is the
+            # common case under the 3 s cadence.
+            return
         if self.mode == "mor":
-            victims = existing.filter(condition)
             self._may_have_tombstones = True
             # marker BEFORE the delta: a crash between the two leaves a
             # false-positive marker (conservative), never a tombstone the

@@ -65,3 +65,61 @@ def test_wei_ether_roundtrip_property(spark, amount):
     ).collect()[0]
     assert int(r.back) == amount
     assert Decimal(r.eth) == Decimal(amount) / Decimal(10**18)
+
+
+# -- randomized op sequences: MoR == CoW == sequential Mongo reference ------
+
+_op_strategy = st.one_of(
+    st.tuples(st.just("upsert"), batch_strategy, st.booleans()),
+    st.tuples(st.just("delete"), st.sampled_from(KEYS)),
+    st.tuples(st.just("compact")),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_op_strategy, min_size=2, max_size=5))
+def test_op_sequences_match_sequential_reference(spark, tmp_path_factory,
+                                                 ops):
+    """ANY interleaving of upserts (insert and update-only), retention
+    deletes, and compactions must leave MoR and CoW tables in exactly the
+    state a sequential Mongo-style fold produces — including the
+    delete-resets-the-version-era rule (a reinsert after a delete wins
+    regardless of how its version compares to the deleted row's)."""
+    base = str(tmp_path_factory.mktemp("opseq"))
+    tables = {
+        mode: ParquetUpsertTable(spark, f"{base}/{mode}", keys=["k"],
+                                 version_col="ver", mode=mode)
+        for mode in ("cow", "mor")
+    }
+    ref: dict[str, tuple[int, int]] = {}
+    for op in ops:
+        if op[0] == "upsert":
+            _, batch, insert = op
+            for t in tables.values():
+                t.upsert(spark.createDataFrame(batch, ["k", "ver", "v"]),
+                         insert=insert)
+            best: dict[str, tuple[int, int]] = {}
+            for k, ver, v in batch:
+                if k not in best or ver > best[k][0]:
+                    best[k] = (ver, v)
+            for k, (ver, v) in best.items():
+                if k in ref:
+                    if ver >= ref[k][0]:
+                        ref[k] = (ver, v)
+                elif insert:
+                    ref[k] = (ver, v)
+        elif op[0] == "delete":
+            for t in tables.values():
+                t.delete_where(F.col("k") == op[1])
+            ref.pop(op[1], None)
+        else:
+            tables["mor"].compact()
+    expect = {k: vv for k, vv in ref.items()}
+    for mode, t in tables.items():
+        df = t.read()
+        got = (
+            {} if df is None
+            else {r.k: (r.ver, r.v) for r in df.collect()}
+        )
+        assert got == expect, mode

@@ -260,3 +260,124 @@ def test_tombstone_marker_crash_window_is_conservative(spark, workdir):
     assert {(r.k, r.v) for r in t2.read().collect()} == {(1, "a"), (2, "b")}
     t2.upsert(mk([(1, "a2"), (9, "ghost")]), insert=False)
     assert {(r.k, r.v) for r in t2.read().collect()} == {(1, "a2"), (2, "b")}
+
+
+def test_compacted_read_is_map_only(spark, workdir):
+    """Post-compaction, the table is a single delta dir with unique keys,
+    so read() must skip the per-key resolve entirely — no shuffle, no
+    window. This is the steady read shape between maintenance runs: a
+    compacted 10M-row table reads map-only."""
+    mor = ParquetUpsertTable(spark, f"{workdir}/m", keys=["k"],
+                             version_col="ver", mode="mor")
+    for i in range(5):
+        mor.upsert(spark.createDataFrame([(i % 3, f"v{i}", i)],
+                                         ["k", "v", "ver"]))
+    before = _snapshot(mor)
+    mor.compact()
+    assert _snapshot(mor) == before
+    plan = mor.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
+def test_compact_restores_update_only_fast_path(spark, workdir):
+    """A retention delete demotes the table to the conservative resolve
+    path; compaction folds the tombstones away, so the fast path must come
+    back — including across a restart — and update-only must still treat
+    the deleted key as non-existing."""
+    import os
+
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    p = f"{workdir}/t"
+    t = ParquetUpsertTable(spark, p, keys=["k"], mode="mor")
+    t.upsert(mk([(1, "a"), (2, "b")]))
+    t.delete_where(F.col("k") == 1)
+    assert t._may_have_tombstones is True
+    assert os.path.exists(t._marker("__tombstones"))
+
+    t.compact()
+    assert t._may_have_tombstones is False
+    assert not os.path.exists(t._marker("__tombstones"))
+
+    # restart sees the restored fast path
+    t2 = ParquetUpsertTable(spark, p, keys=["k"], mode="mor")
+    assert t2._may_have_tombstones is False
+    # update-only: the compacted-away key 1 must NOT count as existing
+    t2.upsert(mk([(1, "back"), (2, "b2")]), insert=False)
+    assert {(r.k, r.v) for r in t2.read().collect()} == {(2, "b2")}
+
+
+def test_compact_upgrades_legacy_table_to_marker_layout(spark, workdir):
+    """A pre-marker-layout table (no __meta) restarts unknown; compaction
+    proves it tombstone-free and upgrades it, so the NEXT restart gets the
+    fast path."""
+    import os
+
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    p = f"{workdir}/legacy"
+    t = ParquetUpsertTable(spark, p, keys=["k"], mode="mor")
+    t.upsert(mk([(1, "a")]))
+    os.remove(t._marker("__meta"))
+    t2 = ParquetUpsertTable(spark, p, keys=["k"], mode="mor")
+    assert t2._may_have_tombstones is None
+    t2.compact()
+    t3 = ParquetUpsertTable(spark, p, keys=["k"], mode="mor")
+    assert t3._may_have_tombstones is False
+
+
+def test_empty_delete_is_a_noop(spark, workdir):
+    """A retention tick that matches nothing must not append a tombstone
+    delta (MoR — it would permanently demote the fast path) nor rewrite
+    the table (CoW). The common case under a 3 s retention cadence."""
+    import os
+
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    # MoR: no new delta, no marker, fast path intact
+    m = ParquetUpsertTable(spark, f"{workdir}/m", keys=["k"], mode="mor")
+    m.upsert(mk([(1, "a")]))
+    m.delete_where(F.col("k") == 99)
+    assert m._delta_seqs() == [0]
+    assert m._may_have_tombstones is False
+    assert not os.path.exists(m._marker("__tombstones"))
+    # CoW: table files untouched (no O(table) no-op rewrite)
+    c = ParquetUpsertTable(spark, f"{workdir}/c", keys=["k"])
+    c.upsert(mk([(1, "a")]))
+    mtime = os.path.getmtime(c.path)
+    listing = sorted(os.listdir(c.path))
+    c.delete_where(F.col("k") == 99)
+    assert sorted(os.listdir(c.path)) == listing
+    assert os.path.getmtime(c.path) == mtime
+
+
+def test_mor_reinsert_lower_version_after_delete(spark, workdir):
+    """A delete ends the key's version era (Mongo: the document is gone,
+    any later upsert inserts fresh). The tombstone carries the deleted
+    row's version, so a lower-version reinsert must still win — MoR must
+    match CoW, not let the tombstone shadow the live era."""
+    got = {}
+    for mode in ("cow", "mor"):
+        t = ParquetUpsertTable(spark, f"{workdir}/{mode}", keys=["k"],
+                               version_col="ver", mode=mode)
+        t.upsert(spark.createDataFrame([(1, "a", 11)], ["k", "v", "ver"]))
+        t.delete_where(F.col("k") == 1)
+        t.upsert(spark.createDataFrame([(1, "back", 3)], ["k", "v", "ver"]))
+        # and the guard still applies WITHIN the new era
+        t.upsert(spark.createDataFrame([(1, "stale", 2)], ["k", "v", "ver"]))
+        got[mode] = sorted(tuple(r) for r in t.read().collect())
+    assert got["mor"] == got["cow"] == [(1, "back", 3)]
+
+
+def test_mor_era_reset_survives_compaction_boundary(spark, workdir):
+    """Era semantics must hold whether the tombstone is an uncompacted
+    delta or already folded: compaction drops the deleted key, so the
+    reinsert lands in an empty era either way."""
+    t = ParquetUpsertTable(spark, f"{workdir}/t", keys=["k"],
+                           version_col="ver", mode="mor")
+    t.upsert(spark.createDataFrame([(1, "a", 11), (2, "b", 5)],
+                                   ["k", "v", "ver"]))
+    t.delete_where(F.col("k") == 1)
+    t.compact()
+    t.upsert(spark.createDataFrame([(1, "back", 3)], ["k", "v", "ver"]))
+    assert sorted((r.k, r.v, r.ver) for r in t.read().collect()) == [
+        (1, "back", 3), (2, "b", 5)
+    ]
