@@ -414,6 +414,8 @@ class ParquetUpsertTable:
         folded seq number (not 0), so surviving history points stay
         truthful: `read(as_of_seq=n)` for n >= base answers correctly and
         for folded-away n raises instead of silently serving future data."""
+        if self.mode != "mor":
+            return  # CoW has no deltas to fold — explicit no-op, not an error
         resolved = self.read()
         if resolved is None:
             return

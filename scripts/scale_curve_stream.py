@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""Measured scaling curve for the STREAMING INDEX MAINTAINERS (round-5:
+the sink/ingest and batch-operator curves are measured; this covers the
+last unmeasured subsystem — the incremental BM25 and IVF indexes under
+their foreachBatch maintenance contract).
+
+Axes, written into SCALE_CURVE.json under "stream_results":
+
+- bm25_update_vs_index_size / ivf_update_vs_index_size: latency of ONE
+  fixed-size micro-batch update after the index already holds 1x/3x/10x
+  documents (pre-loaded in fixed-size batches so the partition count
+  grows with the corpus, as it does under a real cadence). The update
+  reads history only through the new-doc anti-join (doc-id column) and
+  rewrites the vocab-sized dfreq / 1-row stats snapshots (BM25) or
+  appends one assigned partition (IVF) — expect sub-linear growth.
+- bm25_probe_vs_index_size / ivf_probe_vs_index_size: probe latency at
+  the committed state for the same sizes, plus a post-compaction point
+  at the largest size (the read tax compaction exists to bound).
+
+Corpora are resampled-with-replacement from sf0.1 documents/embeddings
+with fresh ids — marginals (text length, vocab, cell distribution)
+preserved; duplicate payloads under distinct ids are what a growing
+corpus looks like to these indexes (new-doc detection keys on id).
+
+Usage: python scripts/scale_curve_stream.py [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+
+SF01 = "/root/testdata/sf0.1"
+
+BM25_SIZES = [5_000, 15_000, 50_000]     # docs in the index (1x/3x/10x sf0.1)
+IVF_SIZES = [2_000, 6_000, 20_000]       # vectors in the index
+LOAD_BATCH_DOCS = 2_500                  # pre-load batch size (docs)
+LOAD_BATCH_VECS = 1_000                  # pre-load batch size (vectors)
+UPDATE_DOCS = 250                        # the timed micro-batch
+UPDATE_VECS = 200
+
+
+def _fit_exponent(scales: list[float], times: list[float]) -> float:
+    xs = [math.log(s) for s in scales]
+    ys = [math.log(max(t, 1e-3)) for t in times]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    return round(
+        sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        / sum((x - mx) ** 2 for x in xs), 2,
+    )
+
+
+def _median_times(fn, runs: int) -> float:
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return round(ts[len(ts) // 2], 3)
+
+
+def _doc_batches(rng, texts, start_id: int, total: int, batch: int):
+    """Yield (ids, texts) slices resampled with fresh consecutive ids."""
+    done = 0
+    while done < total:
+        n = min(batch, total - done)
+        idx = rng.integers(0, len(texts), size=n)
+        ids = list(range(start_id + done, start_id + done + n))
+        yield ids, [texts[i] for i in idx]
+        done += n
+
+
+def run_bm25(spark, runs: int) -> dict:
+    import numpy as np
+
+    from moc_indexer_spark.streaming.bm25_stream import (
+        IncrementalBm25Index, compact_index,
+    )
+
+    texts = [r.text for r in spark.read.parquet(
+        f"{SF01}/documents.parquet").select("text").collect()]
+    rng = np.random.default_rng(7)
+    out: dict[str, dict] = {}
+    upd_row: dict = {"t": {}}
+    probe_row: dict = {"t": {}}
+    for n in BM25_SIZES:
+        d = tempfile.mkdtemp(prefix=f"scale_bm25_{n}_")
+        idx = IncrementalBm25Index(spark, os.path.join(d, "ix"))
+        bid = 0
+        for ids, txts in _doc_batches(rng, texts, 0, n, LOAD_BATCH_DOCS):
+            idx.update(spark.createDataFrame(
+                list(zip(ids, txts)), "doc_id long, text string"), bid)
+            bid += 1
+        # warm the probe/update code paths once (codegen, python workers)
+        idx.probe().write.format("noop").mode("overwrite").save()
+
+        def one_update():
+            nonlocal bid
+            ids, txts = next(_doc_batches(
+                rng, texts, n + bid * UPDATE_DOCS, UPDATE_DOCS, UPDATE_DOCS))
+            idx.update(spark.createDataFrame(
+                list(zip(ids, txts)), "doc_id long, text string"), bid)
+            bid += 1
+
+        one_update()  # warm
+        upd_row["t"][str(n)] = _median_times(one_update, runs)
+        probe_row["t"][str(n)] = _median_times(
+            lambda: idx.probe().write.format("noop")
+            .mode("overwrite").save(), runs)
+        if n == BM25_SIZES[-1]:
+            t0 = time.perf_counter()
+            compact_index(idx)
+            probe_row["compact_sec"] = round(time.perf_counter() - t0, 3)
+            probe_row["t_post_compact"] = _median_times(
+                lambda: idx.probe().write.format("noop")
+                .mode("overwrite").save(), runs)
+    for name, row in (("bm25_update_vs_index_size", upd_row),
+                      ("bm25_probe_vs_index_size", probe_row)):
+        row["exponent"] = _fit_exponent(
+            [n / BM25_SIZES[0] for n in BM25_SIZES],
+            [row["t"][str(n)] for n in BM25_SIZES],
+        )
+        out[name] = row
+        print(json.dumps({name: row}), flush=True)
+    return out
+
+
+def run_ivf(spark, runs: int) -> dict:
+    import numpy as np
+
+    from moc_indexer_spark.streaming.ivf_stream import (
+        IncrementalIvfIndex, compact_index,
+    )
+
+    src = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    vecs = [list(r.embedding) for r in src.select("embedding").collect()]
+    rng = np.random.default_rng(11)
+    queries = [(10**9 + i, vecs[i]) for i in range(32)]
+    out: dict[str, dict] = {}
+    upd_row: dict = {"t": {}}
+    probe_row: dict = {"t": {}}
+    for n in IVF_SIZES:
+        d = tempfile.mkdtemp(prefix=f"scale_ivf_{n}_")
+        idx = IncrementalIvfIndex(spark, os.path.join(d, "ix"))
+        idx.train(src, n_cells=16)
+        bid = 0
+        done = 0
+        while done < n:
+            m = min(LOAD_BATCH_VECS, n - done)
+            pick = rng.integers(0, len(vecs), size=m)
+            rows = [(done + j, vecs[int(p)]) for j, p in enumerate(pick)]
+            idx.update(spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"), bid)
+            bid += 1
+            done += m
+        idx.probe(queries).write.format("noop").mode("overwrite").save()
+
+        def one_update():
+            nonlocal bid, done
+            pick = rng.integers(0, len(vecs), size=UPDATE_VECS)
+            rows = [(done + j, vecs[int(p)]) for j, p in enumerate(pick)]
+            idx.update(spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"), bid)
+            bid += 1
+            done += UPDATE_VECS
+
+        one_update()  # warm
+        upd_row["t"][str(n)] = _median_times(one_update, runs)
+        probe_row["t"][str(n)] = _median_times(
+            lambda: idx.probe(queries).write.format("noop")
+            .mode("overwrite").save(), runs)
+        if n == IVF_SIZES[-1]:
+            t0 = time.perf_counter()
+            compact_index(idx)
+            probe_row["compact_sec"] = round(time.perf_counter() - t0, 3)
+            probe_row["t_post_compact"] = _median_times(
+                lambda: idx.probe(queries).write.format("noop")
+                .mode("overwrite").save(), runs)
+    for name, row in (("ivf_update_vs_index_size", upd_row),
+                      ("ivf_probe_vs_index_size", probe_row)):
+        row["exponent"] = _fit_exponent(
+            [n / IVF_SIZES[0] for n in IVF_SIZES],
+            [row["t"][str(n)] for n in IVF_SIZES],
+        )
+        out[name] = row
+        print(json.dumps({name: row}), flush=True)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    from moc_indexer_spark.session import get_spark, ship_package
+
+    spark = get_spark(app_name="scale-curve-stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+
+    results = {}
+    results.update(run_bm25(spark, args.runs))
+    results.update(run_ivf(spark, args.runs))
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_CURVE.json",
+    )
+    doc = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            doc = json.load(fh)
+    merged = doc.get("stream_results", {})
+    merged.update(results)
+    doc["stream_results"] = merged
+    doc["stream_scales"] = {"bm25_docs": BM25_SIZES, "ivf_vectors": IVF_SIZES}
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=2)
+    print(json.dumps({"written": out_path}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -347,6 +347,9 @@ def test_empty_delete_is_a_noop(spark, workdir):
     c.delete_where(F.col("k") == 99)
     assert sorted(os.listdir(c.path)) == listing
     assert os.path.getmtime(c.path) == mtime
+    # compact() on CoW is an explicit no-op (no deltas), not an IndexError
+    c.compact()
+    assert sorted(os.listdir(c.path)) == listing
 
 
 def test_mor_reinsert_lower_version_after_delete(spark, workdir):
