@@ -360,9 +360,15 @@ class ParquetUpsertTable:
         # 1 stage per 3 s tick was measurable scheduling overhead)
         batch.coalesce(1).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, os.path.join(self.path, f"__seq={nxt}"))
-        if not os.path.exists(self._marker("__meta")):
+        if self._may_have_tombstones is not None and not os.path.exists(
+            self._marker("__meta")
+        ):
             # marks this table as marker-aware, so a restart can trust the
-            # ABSENCE of the tombstone marker (see __init__)
+            # ABSENCE of the tombstone marker (see __init__). A legacy table
+            # in the unknown state must NOT be stamped here: it may already
+            # hold tombstone deltas written before the marker layout, and
+            # stamping would certify it tombstone-free at the next restart.
+            # compact() is the upgrade path — it PROVES the table clean.
             with open(self._marker("__meta"), "w") as fh:
                 fh.write('{"sink_layout": 2}')
         # extend the single-writer schema cache with any evolved columns
@@ -471,7 +477,14 @@ class ParquetUpsertTable:
                 fh.write("1")
             self._append_delta(victims.withColumn("__deleted", F.lit(True)))
             return
-        self._atomic_write(existing.filter(~condition))
+        # delete exactly the rows where the condition is TRUE — a NULL
+        # evaluation keeps the row. `~condition` alone would drop NULLs
+        # (NULL filter = dropped), silently deleting rows the condition
+        # never matched and diverging from MoR, whose tombstones only
+        # ever cover `filter(condition)` victims.
+        self._atomic_write(
+            existing.filter(~F.coalesce(condition, F.lit(False)))
+        )
 
     def _atomic_write(self, df: DataFrame) -> None:
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"

@@ -384,3 +384,82 @@ def test_mor_era_reset_survives_compaction_boundary(spark, workdir):
     assert sorted((r.k, r.v, r.ver) for r in t.read().collect()) == [
         (1, "back", 3), (2, "b", 5)
     ]
+
+
+def test_legacy_table_with_tombstones_not_certified_by_upsert(spark, workdir):
+    """An ordinary upsert must NOT stamp the __meta marker on a table in
+    the unknown (legacy, pre-marker-layout) state: the table may already
+    hold tombstone deltas written before the marker protocol existed, and
+    stamping would certify it tombstone-free at the next restart — the
+    update-only fast path would then resurrect deleted keys and the
+    version-era filter would be skipped. Only compact() PROVES the table
+    clean and may upgrade it."""
+    import os
+
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v", "ver"])
+    p = f"{workdir}/legacy"
+    t = ParquetUpsertTable(spark, p, keys=["k"], version_col="ver",
+                           mode="mor")
+    t.upsert(mk([(1, "a", 11), (2, "b", 5)]))
+    t.delete_where(F.col("k") == 1)
+    # simulate a pre-marker-layout table: tombstone delta on disk, no
+    # markers (written by an older writer that knew no marker protocol)
+    os.remove(t._marker("__meta"))
+    os.remove(t._marker("__tombstones"))
+
+    # restart: unknown state; an ordinary upsert must leave it unknown
+    t2 = ParquetUpsertTable(spark, p, keys=["k"], version_col="ver",
+                            mode="mor")
+    assert t2._may_have_tombstones is None
+    t2.upsert(mk([(2, "b2", 6)]))
+    assert not os.path.exists(t2._marker("__meta"))
+
+    # second restart: still unknown (NOT certified tombstone-free), and
+    # the deleted key must not be "existing" for an update-only upsert
+    t3 = ParquetUpsertTable(spark, p, keys=["k"], version_col="ver",
+                            mode="mor")
+    assert t3._may_have_tombstones is None
+    t3.upsert(mk([(1, "ghost", 99)]), insert=False)
+    got = sorted((r.k, r.v, r.ver) for r in t3.read().collect())
+    assert got == [(2, "b2", 6)]
+    # and the era reset still applies: a lower-version reinsert wins
+    t3.upsert(mk([(1, "back", 3)]))
+    got = sorted((r.k, r.v, r.ver) for r in t3.read().collect())
+    assert got == [(1, "back", 3), (2, "b2", 6)]
+
+    # compaction remains the one legitimate upgrade path
+    t3.compact()
+    t4 = ParquetUpsertTable(spark, p, keys=["k"], version_col="ver",
+                            mode="mor")
+    assert t4._may_have_tombstones is False
+
+
+def test_delete_where_null_condition_keeps_row(spark, workdir):
+    """delete_where removes exactly the rows where the condition is TRUE;
+    a NULL evaluation keeps the row. CoW must not let `~condition` drop
+    NULL rows (NULL filter = dropped), and must not make the NULL row's
+    fate depend on whether any OTHER row matched — MoR and CoW agree in
+    both cases."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    got = {}
+    for mode in ("cow", "mor"):
+        t = ParquetUpsertTable(spark, f"{workdir}/{mode}", keys=["k"],
+                               mode=mode)
+        t.upsert(spark.createDataFrame([(1, None), (2, 5)], schema))
+        t.delete_where(F.col("v") < 10)  # NULL < 10 -> NULL: keep k=1
+        got[mode] = sorted((r.k, r.v) for r in t.read().collect())
+    assert got["cow"] == got["mor"] == [(1, None)]
+
+    # and when ONLY NULL-evaluating rows exist (victims empty), the
+    # early-return no-op must agree with the non-empty case: k=1 survives
+    for mode in ("cow", "mor"):
+        t = ParquetUpsertTable(spark, f"{workdir}/only_null_{mode}",
+                               keys=["k"], mode=mode)
+        t.upsert(spark.createDataFrame([(1, None)], schema))
+        t.delete_where(F.col("v") < 10)
+        assert [(r.k, r.v) for r in t.read().collect()] == [(1, None)]
