@@ -70,17 +70,61 @@ def _hashed_shingles(docs, n, id_col, text_col, stop_shingles=None):
     sets. A shingle in f docs contributes C(f,2) candidate pairs — one
     boilerplate line in 1% of a 100 TB corpus dominates the join alone.
     With an empty/no-hot-shingle list the result is bit-identical (the
-    oracle's result-invariance cover)."""
+    oracle's result-invariance cover).
+
+    The stop list's shingle WIDTH must match `n`: the anti-join compares
+    hashes of the shingle STRINGS, so a list built at a different n can
+    never hash-collide with the corpus shingles and would silently
+    filter nothing — the exact failure the result-invariance property
+    masks. The list is broadcast-small by contract (heavy hitters), so
+    the width check is one cheap driver-side scan, and it RAISES rather
+    than letting the quadratic hot-head join silently survive."""
     sh = _shingle_df(docs, n, id_col, text_col).select(
         F.col(id_col), F.xxhash64("shingle").alias("shingle")
     )
     if stop_shingles is not None:
+        bad = (
+            stop_shingles
+            .filter(F.size(F.split(F.col("shingle"), " ")) != n)
+            .select("shingle")
+            .first()
+        )
+        if bad is not None:
+            raise ValueError(
+                f"stop_shingles width mismatch: {bad['shingle']!r} is not "
+                f"an n={n} shingle — build the stop list with the same n "
+                f"(boilerplate_shingles(docs, n={n})), or it filters nothing"
+            )
         stop = stop_shingles.select(
             F.xxhash64("shingle").alias("shingle")
         ).dropDuplicates(["shingle"])
         sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     return sh, sizes
+
+
+def boilerplate_shingles(
+    docs: DataFrame,
+    n: int = 3,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hot-shingle heavy hitters: (shingle, doc_freq) for n-gram shingles
+    appearing in >= min_df distinct documents (headers, footers, license
+    blurbs; min_df is corpus-relative — production uses a document-
+    frequency fraction). This is the feeder for the `stop_shingles`
+    anti-join in `ngram_jaccard_pairs`: build it with the SAME n as the
+    consuming join (the anti-join compares shingle strings by hash, so a
+    width mismatch matches nothing — `_hashed_shingles` raises on it).
+    One partial->final count per shingle; the HAVING-style filter prunes
+    before any driver contact."""
+    sh = _shingle_df(docs, n, id_col, text_col)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+    )
 
 
 def _jaccard_from_inter(inter, sizes, threshold, id_col):

@@ -480,21 +480,15 @@ def q_boilerplate_shingles(spark, sf_dir):
     shingles keeps the inverted-index join linear — a shingle in f docs
     generates C(f,2) candidate pairs, so one boilerplate line in 1% of a
     100 TB corpus would otherwise dominate the join alone. One partial->
-    final count per shingle; the HAVING prunes before any driver contact."""
-    from ..functions import text as T
+    final count per shingle; the HAVING prunes before any driver contact.
+
+    NOTE this certification leg pins n=4; to FEED `ngram_jaccard_pairs`
+    (default n=3) build the list with the consumer's n —
+    `boilerplate_shingles(docs, n=3)` — a width mismatch raises there."""
+    from ..operators.dedup import boilerplate_shingles
 
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", T.tokens("text").alias("t")).filter(
-        F.size("t") >= 4
-    )
-    sh = toks.select(
-        "doc_id", F.explode(T.shingles(F.col("t"), 4)).alias("shingle")
-    ).dropDuplicates(["doc_id", "shingle"])
-    return (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
-        .filter(F.col("doc_freq") >= 3)
-    )
+    return boilerplate_shingles(d, n=4, min_df=3)
 
 
 # --- second-moment statistics (profiler batch 2) ----------------------------

@@ -530,3 +530,19 @@ def test_ngram_stop_shingle_prepass(spark):
         ).collect()
     }
     assert (2, 3) not in filtered and (0, 1) in filtered
+
+    # (c) width mismatch is LOUD: a stop list built at a different n can
+    # never hash-match the corpus shingles, so it must raise — not
+    # silently filter nothing (the result-invariance property would mask
+    # exactly that). The certified boilerplate_shingles registry leg
+    # emits 4-grams; feeding it to an n=3 join was the silent-no-op bug.
+    four_gram = spark.createDataFrame(
+        [("COPY RIGHT FOOTER LINE",)], ["shingle"]
+    )
+    with pytest.raises(ValueError, match="width mismatch"):
+        D.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.3, stop_shingles=four_gram
+        )
+    # and the operator-built list at the matching n passes the guard
+    hot3 = D.boilerplate_shingles(docs, n=3, min_df=2)
+    D.ngram_jaccard_pairs(docs, n=3, threshold=0.3, stop_shingles=hot3)
