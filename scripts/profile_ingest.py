@@ -40,7 +40,15 @@ def main() -> None:
         raw.isEmpty()
         t1 = time.perf_counter()
         print(f"  scan+cache+isEmpty: {t1 - t0:.3f}")
-        outs = run_event_pipeline(raw, moc_contract=ix.contracts[0])
+        # same only= as app.run_incremental: the profiler must attribute
+        # the cost the production cycle actually pays — the full
+        # 12-output build is ~2x this driver analysis and was cut from
+        # the tick for exactly that reason
+        outs = run_event_pipeline(
+            raw, moc_contract=ix.contracts[0],
+            only=("transactions", "transfers", "fastbtc_new",
+                  "fastbtc_updates", "notifications"),
+        )
         t2 = time.perf_counter()
         print(f"  pipeline build (lazy): {t2 - t1:.3f}")
         work = [

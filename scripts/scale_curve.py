@@ -25,12 +25,13 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from _curve_util import fit_exponent  # noqa: E402
 
 # the 10x corpora need headroom the 8g bench default doesn't have (the
 # exact-ngram candidate join alone streams ~430M rows at 10x)
@@ -70,19 +71,20 @@ def _corpus_stats():
     return vocab, lengths, pairs, n_dups / len(docs), emb
 
 
-def gen_documents(out_dir: str, n: int, seed: int, stats) -> None:
+def _gen_documents_body(out_dir, n, rng, lengths, pairs, dup_frac,
+                        draw_words) -> None:
+    """Shared documents.parquet synthesis: length/lang/source marginals,
+    dup planting, and table assembly are identical across vocab variants —
+    only `draw_words(rng, length) -> words` differs (sf-matched 31-word
+    vocab vs the Zipf-tailed 20k vocab). One body so a planting or schema
+    fix can't silently diverge between the corpora."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    vocab, lengths, pairs, dup_frac, _ = stats
-    rng = np.random.default_rng(seed)
     lens = rng.choice(lengths, size=n)
     pair_idx = rng.integers(0, len(pairs), size=n)
-    texts: list[str] = []
-    for i in range(n):
-        words = rng.choice(vocab, size=int(lens[i]))
-        texts.append(" ".join(words))
+    texts = [" ".join(draw_words(rng, int(lens[i]))) for i in range(n)]
     # plant the same exact-dup rate as the source corpus; sources are
     # drawn from OUTSIDE the target set so a target can't copy itself or
     # chain through an already-overwritten slot (which undershot dup_frac
@@ -105,6 +107,17 @@ def gen_documents(out_dir: str, n: int, seed: int, stats) -> None:
     })
     pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"),
                    row_group_size=max(1024, n // 32))
+
+
+def gen_documents(out_dir: str, n: int, seed: int, stats) -> None:
+    import numpy as np
+
+    vocab, lengths, pairs, dup_frac, _ = stats
+    rng = np.random.default_rng(seed)
+    _gen_documents_body(
+        out_dir, n, rng, lengths, pairs, dup_frac,
+        lambda r, length: r.choice(vocab, size=length),
+    )
 
 
 def gen_embeddings(out_dir: str, n: int, seed: int, stats) -> None:
@@ -146,8 +159,6 @@ def gen_documents_zipf(out_dir: str, n: int, seed: int, stats) -> None:
     language shape where most shingles are rare and a prefix filter earns
     its keep."""
     import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     _, lengths, pairs, dup_frac, _ = stats
     rng = np.random.default_rng(seed)
@@ -155,30 +166,10 @@ def gen_documents_zipf(out_dir: str, n: int, seed: int, stats) -> None:
     vocab = np.array([f"w{i}" for i in range(v)])
     p = 1.0 / np.power(np.arange(1, v + 1), 1.1)
     p /= p.sum()
-    lens = rng.choice(lengths, size=n)
-    pair_idx = rng.integers(0, len(pairs), size=n)
-    texts = [
-        " ".join(rng.choice(vocab, size=int(lens[i]), p=p))
-        for i in range(n)
-    ]
-    n_dup = int(round(dup_frac * n))
-    targets = rng.choice(n, size=n_dup, replace=False)
-    target_set = set(int(t) for t in targets)
-    sources = np.array(
-        [i for i in range(n) if i not in target_set], dtype=np.int64
+    _gen_documents_body(
+        out_dir, n, rng, lengths, pairs, dup_frac,
+        lambda r, length: r.choice(vocab, size=length, p=p),
     )
-    if len(sources) > 0:
-        for j in targets:
-            texts[int(j)] = texts[int(sources[int(rng.integers(0, len(sources)))])]
-    tbl = pa.table({
-        "doc_id": pa.array(range(n), pa.int64()),
-        "text": pa.array(texts),
-        "lang": pa.array([pairs[i][0] for i in pair_idx]),
-        "source": pa.array([pairs[i][1] for i in pair_idx]),
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
-    })
-    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"),
-                   row_group_size=max(1024, n // 32))
 
 
 def build_zipf_corpora(base: str, scales: list[int], seed: int = 7) -> dict[int, str]:
@@ -277,13 +268,8 @@ def main() -> None:
                 break
         if "err" not in row:
             # least-squares slope on (log s, log t): the observed exponent
-            xs = [math.log(s) for s in scales]
-            ys = [math.log(max(row["t"][str(s)], 1e-3)) for s in scales]
-            mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-            row["exponent"] = round(
-                sum((x - mx) * (y - my) for x, y in zip(xs, ys))
-                / sum((x - mx) ** 2 for x in xs),
-                2,
+            row["exponent"] = fit_exponent(
+                scales, [row["t"][str(s)] for s in scales]
             )
             row["ratio_10x"] = round(
                 row["t"]["10"] / max(row["t"]["1"], 1e-9), 2

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
 import os
 import statistics
 import sys
@@ -53,14 +52,7 @@ CORE_QUERIES = [
 ]
 
 
-def _fit_exponent(scales: list[float], times: list[float]) -> float:
-    xs = [math.log(s) for s in scales]
-    ys = [math.log(max(t, 1e-3)) for t in times]
-    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-    return round(
-        sum((x - mx) * (y - my) for x, y in zip(xs, ys))
-        / sum((x - mx) ** 2 for x in xs), 2,
-    )
+from _curve_util import fit_exponent as _fit_exponent  # noqa: E402
 
 
 # --- corpus synthesis -------------------------------------------------------
@@ -325,8 +317,12 @@ def run_ingest(spark) -> dict:
                 F.col("id").alias("k"), F.lit(0).alias("v"),
                 F.rand(seed=1).alias("x"),
             ))
+            # keys modulo n: every batch row hits an EXISTING key at every
+            # table size, so the axis varies only the table — id*4999 alone
+            # made the 2k batch ~90% inserts at n=1M but ~100% updates at
+            # n=10M, conflating table-size cost with a changing mix
             batch = spark.range(0, 2_000).select(
-                (F.col("id") * 4999).alias("k"), F.lit(1).alias("v"),
+                ((F.col("id") * 4999) % n).alias("k"), F.lit(1).alias("v"),
                 F.rand(seed=2).alias("x"),
             )
             tbl.upsert(batch)  # warm (codegen + python workers)

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
 import os
 import sys
 import tempfile
@@ -49,24 +48,10 @@ UPDATE_DOCS = 250                        # the timed micro-batch
 UPDATE_VECS = 200
 
 
-def _fit_exponent(scales: list[float], times: list[float]) -> float:
-    xs = [math.log(s) for s in scales]
-    ys = [math.log(max(t, 1e-3)) for t in times]
-    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-    return round(
-        sum((x - mx) * (y - my) for x, y in zip(xs, ys))
-        / sum((x - mx) ** 2 for x in xs), 2,
-    )
-
-
-def _median_times(fn, runs: int) -> float:
-    ts = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return round(ts[len(ts) // 2], 3)
+from _curve_util import (  # noqa: E402
+    fit_exponent as _fit_exponent,
+    median_times as _median_times,
+)
 
 
 def _doc_batches(rng, texts, start_id: int, total: int, batch: int):
