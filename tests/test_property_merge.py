@@ -123,3 +123,96 @@ def test_op_sequences_match_sequential_reference(spark, tmp_path_factory,
             else {r.k: (r.ver, r.v) for r in df.collect()}
         )
         assert got == expect, mode
+
+# -- NULL values, predicate deletes, restarts: the review-found edge set ----
+
+_null_batch_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(KEYS),
+        st.integers(min_value=0, max_value=9),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=99)),
+    ),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+_op2_strategy = st.one_of(
+    st.tuples(st.just("upsert"), _null_batch_strategy, st.booleans()),
+    st.tuples(st.just("delete_key"), st.sampled_from(KEYS)),
+    # predicate delete over a nullable column: rows where v is NULL must
+    # SURVIVE (condition evaluates NULL, not TRUE) in both modes
+    st.tuples(st.just("delete_pred"), st.integers(min_value=0, max_value=99)),
+    st.tuples(st.just("compact")),
+    # restart: rebuild the instances from disk — the tombstone marker
+    # protocol must reproduce the same semantics from a cold start at
+    # ANY point in the sequence
+    st.tuples(st.just("restart")),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_op2_strategy, min_size=2, max_size=6))
+def test_null_and_predicate_ops_match_reference(spark, tmp_path_factory,
+                                                ops):
+    """Randomized sequences over a NULLABLE value column with predicate
+    deletes and cold restarts: MoR == CoW == the sequential reference,
+    where `delete_where(v < c)` removes exactly the rows whose v is
+    non-NULL and < c (SQL three-valued logic: NULL keeps the row)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ver", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    base = str(tmp_path_factory.mktemp("opseq2"))
+    paths = {mode: f"{base}/{mode}" for mode in ("cow", "mor")}
+    tables = {
+        mode: ParquetUpsertTable(spark, p, keys=["k"], version_col="ver",
+                                 mode=mode)
+        for mode, p in paths.items()
+    }
+    ref: dict[str, tuple[int, int | None]] = {}
+    for op in ops:
+        if op[0] == "upsert":
+            _, batch, insert = op
+            df = spark.createDataFrame(batch, schema)
+            for t in tables.values():
+                t.upsert(df, insert=insert)
+            best: dict[str, tuple[int, int | None]] = {}
+            for k, ver, v in batch:
+                if k not in best or ver > best[k][0]:
+                    best[k] = (ver, v)
+            for k, (ver, v) in best.items():
+                if k in ref:
+                    if ver >= ref[k][0]:
+                        ref[k] = (ver, v)
+                elif insert:
+                    ref[k] = (ver, v)
+        elif op[0] == "delete_key":
+            for t in tables.values():
+                t.delete_where(F.col("k") == op[1])
+            ref.pop(op[1], None)
+        elif op[0] == "delete_pred":
+            c = op[1]
+            for t in tables.values():
+                t.delete_where(F.col("v") < c)
+            ref = {k: (ver, v) for k, (ver, v) in ref.items()
+                   if v is None or v >= c}
+        elif op[0] == "compact":
+            tables["mor"].compact()
+        else:  # restart
+            tables = {
+                mode: ParquetUpsertTable(spark, p, keys=["k"],
+                                         version_col="ver", mode=mode)
+                for mode, p in paths.items()
+            }
+    for mode, t in tables.items():
+        df = t.read()
+        got = (
+            {} if df is None
+            else {r.k: (r.ver, r.v) for r in df.collect()}
+        )
+        assert got == ref, mode
