@@ -43,6 +43,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .swap import recover_swap, swap_dir
+
 
 class ParquetUpsertTable:
     """A keyed table backed by parquet with MERGE-like upsert semantics."""
@@ -91,6 +93,21 @@ class ParquetUpsertTable:
         # the marker can claim tombstones that never landed — conservative
         # — never the reverse). A pre-existing table WITHOUT `__meta` was
         # written by an older layout -> unknown -> resolve path.
+        # Finish or roll back a swap a previous process crashed inside —
+        # BEFORE exists(): a half-swapped table must not read as absent
+        # (that would reset the tombstone flag and orphan the data under
+        # the swap-old name).
+        recover_swap(self.path)
+        # sweep delta-staging dirs a crashed append left behind (the
+        # stage->rename step is atomic, so these are never half-visible
+        # to readers — just disk litter under the single-writer contract)
+        parent = os.path.dirname(self.path) or "."
+        stage_prefix = os.path.basename(self.path) + "__stage_"
+        if os.path.isdir(parent):
+            for d in os.listdir(parent):
+                if d.startswith(stage_prefix):
+                    shutil.rmtree(os.path.join(parent, d),
+                                  ignore_errors=True)
         if not self.exists():
             self._may_have_tombstones: bool | None = False
         elif os.path.exists(self._marker("__tombstones")):
@@ -294,34 +311,58 @@ class ParquetUpsertTable:
         join_cond = [batch[k] == existing[k] for k in self.keys]
 
         if self.version_col:
-            # keep existing rows that have NO incoming match or a NEWER version
+            # Matched-ness must be its own flag (__m_*): using null-ness of
+            # the version column conflated "no matching key" with "matched
+            # row whose version is NULL" — duplicating keys when both
+            # versions were NULL and dropping legit update-only rows whose
+            # existing version was NULL. The version race itself follows
+            # MoR's resolve ordering (desc_nulls_last): a non-NULL version
+            # beats NULL; ties — equal or both NULL — go to the incoming
+            # row (the >= guard / Mongo last-writer-wins).
             vk = self.version_col
             inc_keys = batch.select(
                 *[F.col(k).alias(f"__k_{k}") for k in self.keys],
                 F.col(vk).alias("__v_inc"),
+                F.lit(True).alias("__m_inc"),
             )
             cond = [existing[k] == inc_keys[f"__k_{k}"] for k in self.keys]
+            # keep existing rows with NO incoming match, or that BEAT the
+            # incoming version (strictly greater, nulls-last)
             keep_existing = (
                 existing.join(F.broadcast(inc_keys), cond, "left")
                 .filter(
-                    F.col("__v_inc").isNull() | (existing[vk] > F.col("__v_inc"))
+                    F.col("__m_inc").isNull()
+                    | (
+                        existing[vk].isNotNull()
+                        & (
+                            F.col("__v_inc").isNull()
+                            | (existing[vk] > F.col("__v_inc"))
+                        )
+                    )
                 )
-                .drop(*[f"__k_{k}" for k in self.keys], "__v_inc")
+                .drop(*[f"__k_{k}" for k in self.keys], "__v_inc", "__m_inc")
             )
             # incoming rows that don't lose the version race
             ex_keys = existing.select(
                 *[F.col(k).alias(f"__k_{k}") for k in self.keys],
                 F.col(vk).alias("__v_ex"),
+                F.lit(True).alias("__m_ex"),
             )
             cond2 = [batch[k] == ex_keys[f"__k_{k}"] for k in self.keys]
             apply_incoming = (
                 batch.join(F.broadcast(ex_keys), cond2, "left")
-                .filter(F.col("__v_ex").isNull() | (batch[vk] >= F.col("__v_ex")))
+                .filter(
+                    F.col("__m_ex").isNull()
+                    | F.col("__v_ex").isNull()
+                    | (batch[vk].isNotNull() & (batch[vk] >= F.col("__v_ex")))
+                )
             )
             if not insert:
-                apply_incoming = apply_incoming.filter(F.col("__v_ex").isNotNull())
+                apply_incoming = apply_incoming.filter(
+                    F.col("__m_ex").isNotNull()
+                )
             apply_incoming = apply_incoming.drop(
-                *[f"__k_{k}" for k in self.keys], "__v_ex"
+                *[f"__k_{k}" for k in self.keys], "__v_ex", "__m_ex"
             )
             merged = keep_existing.unionByName(apply_incoming)
         else:
@@ -426,17 +467,22 @@ class ParquetUpsertTable:
         if resolved is None:
             return
         base_seq = self._delta_seqs()[-1]
-        tmp_parent = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
-        (
-            resolved.withColumn("__deleted", F.lit(False))
-            .repartition(self.n_buckets, *self.keys)
-            .write.mode("overwrite")
-            .parquet(os.path.join(tmp_parent, f"__seq={base_seq}"))
-        )
-        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(self.path, old)
-        os.rename(tmp_parent, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+
+        def _write(tmp_parent: str) -> None:
+            (
+                resolved.withColumn("__deleted", F.lit(False))
+                .repartition(self.n_buckets, *self.keys)
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp_parent, f"__seq={base_seq}"))
+            )
+            # Spark's _SUCCESS lands inside the __seq dir; the swap's
+            # completeness check reads the tmp ROOT — stamp it only after
+            # the data write finished, so recovery never installs a
+            # half-written fold
+            with open(os.path.join(tmp_parent, "_SUCCESS"), "w"):
+                pass
+
+        swap_dir(self.path, _write)
         # The folded base is tombstone-free by construction (resolution
         # dropped every deleted key), so the update-only fast path is valid
         # again — without this, one retention delete would tax every future
@@ -487,15 +533,11 @@ class ParquetUpsertTable:
         )
 
     def _atomic_write(self, df: DataFrame) -> None:
-        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
-        (
-            df.repartition(self.n_buckets, *self.keys)
-            .write.mode("overwrite")
-            .parquet(tmp)
+        swap_dir(
+            self.path,
+            lambda tmp: (
+                df.repartition(self.n_buckets, *self.keys)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            ),
         )
-        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)

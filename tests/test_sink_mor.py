@@ -463,3 +463,99 @@ def test_delete_where_null_condition_keeps_row(spark, workdir):
         t.upsert(spark.createDataFrame([(1, None)], schema))
         t.delete_where(F.col("v") < 10)
         assert [(r.k, r.v) for r in t.read().collect()] == [(1, None)]
+
+
+def test_null_version_merge_matches_mor(spark, workdir):
+    """NULL versions must not be mistaken for 'no matching key': both
+    modes follow the resolve ordering (non-NULL beats NULL; ties — equal
+    or both NULL — go to the incoming row). CoW previously used version
+    null-ness as the match indicator, duplicating keys when both versions
+    were NULL and dropping update-only rows whose existing version was
+    NULL."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("ver", T.LongType()),
+    ])
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    got = {}
+    for mode in ("cow", "mor"):
+        t = ParquetUpsertTable(spark, f"{workdir}/{mode}", keys=["k"],
+                               version_col="ver", mode=mode)
+        # both NULL: last writer wins, exactly one row per key
+        t.upsert(mk([(1, "a", None), (2, "b", 5), (3, "c", None)]))
+        t.upsert(mk([(1, "a2", None)]))
+        # update-only against a NULL-version existing row: must apply
+        t.upsert(mk([(3, "c2", 7), (9, "ghost", 7)]), insert=False)
+        # NULL incoming loses to a non-NULL existing version
+        t.upsert(mk([(2, "b_null", None)]))
+        # and a non-NULL incoming beats a NULL existing version
+        t.upsert(mk([(1, "a3", 1)]))
+        got[mode] = sorted(
+            (r.k, r.v, r.ver) for r in t.read().collect()
+        )
+    assert got["cow"] == got["mor"] == [
+        (1, "a3", 1), (2, "b", 5), (3, "c2", 7)
+    ]
+
+
+def test_swap_crash_windows_recover(spark, workdir):
+    """A crash between the swap's two renames must not lose the table:
+    recovery installs the complete new state (finish) or rolls the old
+    state back (abort) — never silently starts a fresh empty table."""
+    import os
+    import shutil
+
+    from moc_indexer_spark.streaming.swap import _old, _tmp
+
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+
+    # -- window A: tmp complete, old renamed away (crash between renames)
+    p = f"{workdir}/a"
+    t = ParquetUpsertTable(spark, p, keys=["k"])
+    t.upsert(mk([(1, "a")]))
+    # stage the new state exactly as _atomic_write would
+    mk([(1, "a2"), (2, "b")]).write.parquet(_tmp(p))
+    os.rename(p, _old(p))  # the crash point: table dir is now MISSING
+    t2 = ParquetUpsertTable(spark, p, keys=["k"])
+    assert {(r.k, r.v) for r in t2.read().collect()} == {(1, "a2"), (2, "b")}
+    assert not os.path.exists(_old(p)) and not os.path.exists(_tmp(p))
+
+    # -- window B: tmp incomplete (no _SUCCESS), old renamed away
+    q = f"{workdir}/b"
+    t = ParquetUpsertTable(spark, q, keys=["k"])
+    t.upsert(mk([(5, "x")]))
+    mk([(5, "x2")]).write.parquet(_tmp(q))
+    os.remove(os.path.join(_tmp(q), "_SUCCESS"))  # half-written fold
+    os.rename(q, _old(q))
+    t2 = ParquetUpsertTable(spark, q, keys=["k"])
+    assert {(r.k, r.v) for r in t2.read().collect()} == {(5, "x")}
+
+    # -- window C: crash AFTER install, before old cleanup — live dir wins
+    r = f"{workdir}/c"
+    t = ParquetUpsertTable(spark, r, keys=["k"])
+    t.upsert(mk([(7, "y")]))
+    shutil.copytree(r, _old(r))
+    t2 = ParquetUpsertTable(spark, r, keys=["k"])
+    assert {(r_.k, r_.v) for r_ in t2.read().collect()} == {(7, "y")}
+    assert not os.path.exists(_old(r))
+
+    # -- MoR compact window: crash between renames mid-compaction
+    m = f"{workdir}/m"
+    t = ParquetUpsertTable(spark, m, keys=["k"], mode="mor")
+    t.upsert(mk([(1, "a")]))
+    t.upsert(mk([(1, "a2")]))
+    t.upsert(mk([(2, "b")]))
+    before = {(r_.k, r_.v) for r_ in t.read().collect()}
+    # stage a compaction fold exactly as compact() would, then "crash"
+    resolved = t.read()
+    from pyspark.sql import functions as F2
+    (resolved.withColumn("__deleted", F2.lit(False))
+     .write.parquet(os.path.join(_tmp(m), "__seq=2")))
+    open(os.path.join(_tmp(m), "_SUCCESS"), "w").close()
+    os.rename(m, _old(m))
+    t2 = ParquetUpsertTable(spark, m, keys=["k"], mode="mor")
+    assert {(r_.k, r_.v) for r_ in t2.read().collect()} == before
+    assert t2._delta_seqs() == [2]  # the fold was installed, history kept
