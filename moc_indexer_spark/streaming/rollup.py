@@ -23,11 +23,11 @@ state rewrite is hash-bucketed parquet like streaming/sink.py.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .swap import recover_swap, swap_dir
 
 KEYS = ["window_start", "event_type"]
 
@@ -44,6 +44,10 @@ class IncrementalRollup:
         self.path = path
         self.width = width
         self.n_buckets = n_buckets
+        # finish/abort a swap a previous process crashed inside (state
+        # would otherwise read as absent and the next batch would rebuild
+        # from one delta)
+        recover_swap(self.path)
 
     # -- state --------------------------------------------------------------
 
@@ -83,38 +87,39 @@ class IncrementalRollup:
         ]
 
     def _last_applied(self) -> int:
-        marker = f"{self.path}._batch_id"
+        # the marker lives INSIDE the state dir (underscore-prefixed, so
+        # parquet reads ignore it) and is written into the swap's tmp
+        # BEFORE the install rename: state and marker move as one unit,
+        # so no crash window can apply a batch without recording it (or
+        # record it without applying). A sidecar marker written after the
+        # state swap had exactly that window — crash between the two and
+        # the replay double-counted the batch.
+        marker = os.path.join(self.path, "_batch_id")
         if os.path.exists(marker):
             with open(marker) as fh:
                 return int(fh.read().strip())
         return -1
-
-    def _mark_applied(self, batch_id: int) -> None:
-        marker = f"{self.path}._batch_id"
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(batch_id))
-        os.replace(tmp, marker)
 
     def update(self, batch: DataFrame, batch_id: int | None = None) -> None:
         """Fold one micro-batch into the stored totals (foreachBatch body).
 
         Additive state is NOT naturally idempotent: foreachBatch re-delivers
         a batch (same batch_id) after a failure, and re-adding would
-        double-count. The applied-batch-id marker makes the fold
-        exactly-once — the parquet analog of Delta's txn-version-in-MERGE
-        idempotent-write pattern. Direct (batch_id=None) callers manage
-        their own replay semantics."""
-        if batch_id is not None and batch_id <= self._last_applied():
+        double-count. The applied-batch-id marker — swapped in atomically
+        WITH the state it describes — makes the fold exactly-once, the
+        parquet analog of Delta's txn-version-in-MERGE idempotent-write
+        pattern. Direct (batch_id=None) callers manage their own replay
+        semantics; the last applied id is carried forward so mixing direct
+        and stream-driven updates never forgets stream progress."""
+        last = self._last_applied()
+        if batch_id is not None and batch_id <= last:
             return
         delta = self._partial(batch)
         state = self.read_state()
         merged = delta if state is None else (
             state.unionByName(delta).groupBy(*KEYS).agg(*self._merge_agg())
         )
-        self._atomic_write(merged)
-        if batch_id is not None:
-            self._mark_applied(batch_id)
+        self._atomic_write(merged, last if batch_id is None else batch_id)
 
     def attach(self, events_stream: DataFrame, checkpoint: str):
         """Wire onto a stream: every micro-batch maintains the rollup."""
@@ -127,9 +132,16 @@ class IncrementalRollup:
 
     # -- serving ------------------------------------------------------------
 
+    _SERVE_DDL = ("window_start timestamp, event_type string, "
+                  "n_events bigint, total_value double")
+
     def serve(self) -> DataFrame:
-        """Serving view matching the batch `tumbling_agg` schema exactly."""
+        """Serving view matching the batch `tumbling_agg` schema exactly.
+        A never-updated rollup serves an empty typed relation, not an
+        AttributeError."""
         s = self.read_state()
+        if s is None:
+            return self.spark.createDataFrame([], self._SERVE_DDL)
         return s.select(
             "window_start",
             "event_type",
@@ -139,14 +151,15 @@ class IncrementalRollup:
             ),
         )
 
-    def _atomic_write(self, df: DataFrame) -> None:
-        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
-        df.repartition(self.n_buckets, *KEYS).write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+    def _atomic_write(self, df: DataFrame, batch_id: int = -1) -> None:
+        def _write(tmp: str) -> None:
+            (df.repartition(self.n_buckets, *KEYS)
+             .write.mode("overwrite").parquet(tmp))
+            # marker INSIDE the swapped dir — see _last_applied
+            with open(os.path.join(tmp, "_batch_id"), "w") as fh:
+                fh.write(str(batch_id))
+
+        swap_dir(self.path, _write)
 
 
 class IncrementalCandles(IncrementalRollup):
@@ -193,8 +206,14 @@ class IncrementalCandles(IncrementalRollup):
             F.sum("sum_value").cast("decimal(28,6)").alias("sum_value"),
         ]
 
+    _SERVE_DDL = ("window_start timestamp, event_type string, "
+                  "open double, high double, low double, close double, "
+                  "n_trades bigint, avg_price double")
+
     def serve(self) -> DataFrame:
         s = self.read_state()
+        if s is None:
+            return self.spark.createDataFrame([], self._SERVE_DDL)
         return s.select(
             "window_start",
             "event_type",
@@ -219,7 +238,13 @@ class IncrementalMoments(IncrementalRollup):
     extends the same way: sums are the universal mergeable form."""
 
     def _partial(self, batch: DataFrame) -> DataFrame:
+        # both square factors at decimal(18,6): the product is
+        # decimal(37,12), so any |value| < 10^12 squares exactly — a
+        # narrower factor (a previous (12,6) cast) silently NULLed values
+        # >= 10^6 under non-ANSI decimal overflow, dropping them from the
+        # second moment while n/Σx still counted them
         v = F.col("value")
+        v18 = v.cast("decimal(18,6)")
         return (
             batch.groupBy(
                 F.window("ts", self.width)["start"].alias("window_start"),
@@ -230,8 +255,8 @@ class IncrementalMoments(IncrementalRollup):
                 F.sum(v.cast("decimal(18,6)"))
                 .cast("decimal(28,6)")
                 .alias("sum_value"),
-                F.sum(v.cast("decimal(24,6)") * v.cast("decimal(12,6)"))
-                .cast("decimal(38,6)")
+                F.sum(v18 * v18)
+                .cast("decimal(38,12)")
                 .alias("sum_sq"),
             )
         )
@@ -240,14 +265,21 @@ class IncrementalMoments(IncrementalRollup):
         return [
             F.sum("n_events").cast("bigint").alias("n_events"),
             F.sum("sum_value").cast("decimal(28,6)").alias("sum_value"),
-            F.sum("sum_sq").cast("decimal(38,6)").alias("sum_sq"),
+            F.sum("sum_sq").cast("decimal(38,12)").alias("sum_sq"),
         ]
+
+    _SERVE_DDL = ("window_start timestamp, event_type string, "
+                  "n_events bigint, mean_value double, std_value double")
 
     def serve(self) -> DataFrame:
         s = self.read_state()
+        if s is None:
+            return self.spark.createDataFrame([], self._SERVE_DDL)
         nd = F.col("n_events").cast("double")
         sx = F.col("sum_value").cast("decimal(18,4)").cast("double")
-        sxx = F.col("sum_sq").cast("decimal(18,4)").cast("double")
+        # sum_sq goes straight to double: the (18,4) serving bridge caps
+        # at 10^14, which a running Σx² outgrows long before Σx does
+        sxx = F.col("sum_sq").cast("double")
         mean = sx / nd
         # clamp: x²-x̄² computed via two double paths can undershoot zero by
         # an ulp for singleton cells → sqrt(NaN) without the guard

@@ -328,8 +328,8 @@ def test_incremental_moments_equal_batch(spark, sf_dir, workdir):
         nd = F.count(F.lit(1)).cast("bigint")
         sx = (F.sum(v.cast("decimal(18,6)")).cast("decimal(18,4)")
               .cast("double"))
-        sxx = (F.sum(v.cast("decimal(24,6)") * v.cast("decimal(12,6)"))
-               .cast("decimal(18,4)").cast("double"))
+        v18 = v.cast("decimal(18,6)")
+        sxx = F.sum(v18 * v18).cast("decimal(38,12)").cast("double")
         batch = events.groupBy(
             F.window("ts", "1 hour")["start"].alias("window_start"),
             "event_type",
@@ -344,5 +344,86 @@ def test_incremental_moments_equal_batch(spark, sf_dir, workdir):
             )).alias("std_value"),
         )
         assert _sorted_rows(mom.serve()) == _sorted_rows(batch)
+    finally:
+        events.unpersist()
+
+
+def test_moments_large_values_not_dropped(spark, workdir):
+    """A value >= 10^6 must enter the second moment: the old (12,6)
+    square factor NULLed it under non-ANSI decimal overflow, silently
+    understating std while n/Σx still counted the row."""
+    import datetime as dt
+
+    from moc_indexer_spark.streaming.rollup import IncrementalMoments
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 5), "big", 2_000_000.0),
+        (2, dt.datetime(2024, 1, 1, 0, 6), "big", 0.0),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    mom = IncrementalMoments(spark, f"{workdir}/mom_big", width="1 hour")
+    mom.update(batch)
+    r = mom.serve().collect()[0]
+    assert r.n_events == 2
+    assert r.mean_value == 1_000_000.0
+    assert r.std_value == 1_000_000.0  # exact: both points 1e6 from mean
+
+
+def test_rollup_serve_before_first_batch_is_empty_typed(spark, workdir):
+    """serve() on a never-updated rollup returns an empty relation with
+    the serving schema, not an AttributeError on None state."""
+    from moc_indexer_spark.streaming.rollup import (
+        IncrementalCandles,
+        IncrementalMoments,
+        IncrementalRollup,
+    )
+
+    for i, cls in enumerate(
+        (IncrementalRollup, IncrementalCandles, IncrementalMoments)
+    ):
+        df = cls(spark, f"{workdir}/fresh{i}").serve()
+        assert df.count() == 0
+        assert len(df.columns) >= 4
+
+
+def test_rollup_exactly_once_survives_swap_crash(spark, workdir):
+    """The applied-batch-id marker travels INSIDE the atomically-swapped
+    state dir: after a crash between the swap's renames, recovery leaves
+    state and marker consistent — a replay of the applied batch is a
+    no-op, never a double-count (the old sidecar marker had exactly that
+    window)."""
+    import os
+    import shutil
+
+    from moc_indexer_spark.streaming.rollup import IncrementalRollup
+    from moc_indexer_spark.streaming.swap import _old, _tmp
+
+    events = _events(spark, sf_dir="/root/testdata/sf0.001").cache()
+    try:
+        p = f"{workdir}/roll_crash"
+        roll = IncrementalRollup(spark, p, width="1 hour")
+        b0 = events.filter(F.col("event_id") % 2 == 0)
+        b1 = events.filter(F.col("event_id") % 2 == 1)
+        roll.update(b0, batch_id=0)
+        # marker rides inside the state dir
+        assert os.path.exists(os.path.join(p, "_batch_id"))
+
+        # simulate a crash mid-swap while applying batch 1: the new state
+        # (including its marker) sits complete in tmp, the old dir is
+        # renamed away, the install rename never ran
+        shutil.copytree(p, f"{workdir}/staged")
+        roll.update(b1, batch_id=1)
+        shutil.move(p, _tmp(p))           # "new" state as the unswapped tmp
+        shutil.move(f"{workdir}/staged", _old(p))  # pre-batch-1 state as old
+
+        roll2 = IncrementalRollup(spark, p, width="1 hour")  # recovery here
+        assert roll2._last_applied() == 1
+        expected = _sorted_rows(roll2.serve())
+        roll2.update(b1, batch_id=1)  # foreachBatch re-delivery
+        assert _sorted_rows(roll2.serve()) == expected
+        total = sum(r[2] for r in expected)
+        assert total == events.count()
     finally:
         events.unpersist()
