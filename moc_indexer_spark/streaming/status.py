@@ -27,7 +27,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 CONFIRM_BLOCKS = 10
 STALE_SECONDS = 600  # settings seconds_not_in_chain_error
 
-STATE_SCHEMA = "created_at timestamp, status string, confirmations bigint"
+STATE_SCHEMA = (
+    "created_at timestamp, status string, confirmations bigint, "
+    "error_code string"
+)
 OUTPUT_SCHEMA = (
     "tx_hash string, status string, confirmations bigint, "
     "confirming_percent bigint, error_code string, last_observed_at timestamp"
@@ -40,10 +43,17 @@ def transition(
     confirmations: int,
     created_at: dt.datetime,
     chain_time: dt.datetime,
+    prev_error: str | None = None,
 ) -> tuple[str, str | None]:
-    """One observation -> (status, error_code). Pure reference semantics."""
+    """One observation -> (status, error_code). Pure reference semantics.
+
+    Terminal states carry their error_code FORWARD: the reference keeps
+    errorCode on the failed record (scan_transaction_status.py:121-139),
+    so a later observation of a failed tx must re-emit the original code,
+    not reset it to NULL (a keyed downstream sink would overwrite the
+    stored code)."""
     if prev_status in ("confirmed", "failed"):
-        return prev_status, None  # terminal
+        return prev_status, prev_error  # terminal — code persists
     if receipt_status == "reverted":
         return "failed", "reverted"
     if receipt_status == "confirmed":
@@ -77,34 +87,36 @@ def make_status_func(use_processing_timeout: bool = False):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (tx_hash,) = key
-        if _handle_timeout(state):
-            yield _stale_row(tx_hash)
+        timed_out, confs = _handle_timeout(state)
+        if timed_out:
+            yield _stale_row(tx_hash, confs)
             return
         yield from _handle_rows(tx_hash, pdfs, state, use_processing_timeout)
 
     return status_func
 
 
-def _stale_row(tx_hash: str) -> pd.DataFrame:
+def _stale_row(tx_hash: str, confs: int = 0) -> pd.DataFrame:
+    # confirmations carry the state's last-known count, not a hardcoded 0
     return pd.DataFrame(
         {
             "tx_hash": [tx_hash],
             "status": ["failed"],
-            "confirmations": [0],
-            "confirming_percent": [0],
+            "confirmations": [confs],
+            "confirming_percent": [confirming_percent(confs)],
             "error_code": ["staleTransaction"],
             "last_observed_at": [pd.NaT],
         }
     )
 
 
-def _handle_timeout(state: GroupState) -> bool:
+def _handle_timeout(state: GroupState) -> tuple[bool, int]:
     if not state.hasTimedOut:
-        return False
-    created_at, prev, confs = state.get
+        return False, 0
+    created_at, prev, confs, _err = state.get
     if prev not in ("confirmed", "failed"):
-        state.update((created_at, "failed", confs))
-    return True
+        state.update((created_at, "failed", confs, "staleTransaction"))
+    return True, confs
 
 
 def _handle_rows(
@@ -116,18 +128,23 @@ def _handle_rows(
     prev_status = None
     created_at = None
     confs = 0
+    err = None
     if state.exists:
-        created_at, prev_status, confs = state.get
+        created_at, prev_status, confs, err = state.get
 
     rows = pd.concat(list(pdfs)).sort_values("observed_at")
     last_observed = rows["observed_at"].max()
     for r in rows.itertuples(index=False):
         created_at = created_at or r.created_at
-        confs = int(r.confirmations)
+        if prev_status not in ("confirmed", "failed"):
+            # a terminal tx keeps its recorded confirmation count — a
+            # late observation must not regress it
+            confs = int(r.confirmations)
         prev_status, err = transition(
-            prev_status, r.receipt_status, confs, r.created_at, r.observed_at
+            prev_status, r.receipt_status, int(r.confirmations),
+            r.created_at, r.observed_at, prev_error=err,
         )
-    state.update((created_at, prev_status, confs))
+    state.update((created_at, prev_status, confs, err))
     if use_processing_timeout and prev_status not in ("confirmed", "failed"):
         state.setTimeoutDuration(STALE_SECONDS * 1000)
     yield pd.DataFrame(
@@ -171,9 +188,11 @@ def replay_batch(observations: pd.DataFrame) -> pd.DataFrame:
         status, err, confs, created = None, None, 0, None
         for r in grp.itertuples(index=False):
             created = created or r.created_at
-            confs = int(r.confirmations)
+            if status not in ("confirmed", "failed"):
+                confs = int(r.confirmations)
             status, err = transition(
-                status, r.receipt_status, confs, r.created_at, r.observed_at
+                status, r.receipt_status, int(r.confirmations),
+                r.created_at, r.observed_at, prev_error=err,
             )
         out.append(
             {

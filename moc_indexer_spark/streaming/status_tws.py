@@ -51,6 +51,7 @@ _STATE_SCHEMA = StructType(
         StructField("created_at", TimestampType()),
         StructField("status", StringType()),
         StructField("confirmations", LongType()),
+        StructField("error_code", StringType()),
     ]
 )
 
@@ -65,20 +66,21 @@ class StatusProcessor(StatefulProcessor):
         self, key, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
         (tx_hash,) = key
-        prev_status, created_at, confs = None, None, 0
+        prev_status, created_at, confs, err = None, None, 0, None
         if self._state.exists():
-            created_at, prev_status, confs = self._state.get()
+            created_at, prev_status, confs, err = self._state.get()
 
         pdf = pd.concat(list(rows)).sort_values("observed_at")
         last_observed = pdf["observed_at"].max()
-        err = None
         for r in pdf.itertuples(index=False):
             created_at = created_at or r.created_at
-            confs = int(r.confirmations)
+            if prev_status not in ("confirmed", "failed"):
+                confs = int(r.confirmations)
             prev_status, err = transition(
-                prev_status, r.receipt_status, confs, r.created_at, r.observed_at
+                prev_status, r.receipt_status, int(r.confirmations),
+                r.created_at, r.observed_at, prev_error=err,
             )
-        self._state.update((created_at, prev_status, confs))
+        self._state.update((created_at, prev_status, confs, err))
         yield pd.DataFrame(
             {
                 "tx_hash": [tx_hash],

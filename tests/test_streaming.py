@@ -135,6 +135,10 @@ def test_status_machine_streaming(spark, workdir):
     ]
     batch2 = [
         _obs("a", 400, "confirmed", 12),    # -> confirmed
+        # a LATER observation of the already-failed tx: the re-emitted row
+        # must keep error_code (the reference keeps errorCode on the failed
+        # record; a keyed downstream sink would otherwise overwrite it NULL)
+        _obs("b", 400, None, 0),
         _obs("c", 700, None, 0),            # created+600 < chain time -> stale
     ]
     schema = ("tx_hash string, observed_at timestamp, receipt_status string, "
@@ -171,7 +175,9 @@ def test_status_replay_batch_matches_transition_table():
     obs = pd.DataFrame(
         [_obs("x", 30, None, 0), _obs("x", 90, "confirmed", 5),
          _obs("x", 400, "confirmed", 11),
-         _obs("y", 30, None, 0), _obs("y", 650, None, 0)],
+         _obs("y", 30, None, 0), _obs("y", 650, None, 0),
+         # post-failure observation: error_code must persist, not reset
+         _obs("y", 700, None, 0)],
         columns=OBS_COLS,
     )
     out = ST.replay_batch(obs).set_index("tx_hash")
@@ -395,3 +401,28 @@ def test_status_machine_transformwithstate_parity(spark, workdir):
     assert a == b
     assert [t[0:2] for t in a] == [("a", "confirmed"), ("b", "failed"),
                                    ("c", "failed")]
+
+
+def test_status_error_code_persists_after_failure():
+    """TWS twin: a failed tx re-observed in a later batch keeps its
+    error_code and its recorded confirmation count (terminal rows must
+    not regress to NULL/0 when late observations arrive)."""
+    from moc_indexer_spark.streaming.status_tws import StatusProcessor
+
+    proc = StatusProcessor()
+    proc._state = _FakeValueState()
+
+    def feed(rows):
+        pdf = pd.DataFrame(rows, columns=OBS_COLS)
+        return pd.concat(list(proc.handleInputRows(("b",), iter([pdf]), None)))
+
+    out1 = feed([_obs("b", 60, "confirmed", 3),
+                 _obs("b", 90, "reverted", 3)])
+    assert list(out1["status"]) == ["failed"]
+    assert list(out1["error_code"]) == ["reverted"]
+
+    # later batch: no receipt, zero confirmations reported
+    out2 = feed([_obs("b", 400, None, 0)])
+    assert list(out2["status"]) == ["failed"]
+    assert list(out2["error_code"]) == ["reverted"]   # code persists
+    assert list(out2["confirmations"]) == [3]         # count not regressed
