@@ -25,8 +25,11 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 from .sink import ParquetUpsertTable
 
-MIN_TOKENS = 5
-MIN_QUALITY = 0.35
+# the SAME thresholds as the batch training_corpus_filter — imported, not
+# re-declared, so the stream cannot drift from the tier it claims to
+# converge to (a local 5/0.35 copy once did exactly that: docs admitted
+# here were rejected by the batch filter)
+from ..plans.llm_registry import MIN_TOKENS, QUALITY_GATE as MIN_QUALITY
 
 
 def quality_gate(docs: DataFrame) -> DataFrame:
@@ -363,19 +366,37 @@ def run_line_dedup_stream_available_now(
             return
         new_lines = _doc_lines(batch_df).persist()
         try:
-            stored = lines_tbl.read()
-            # dup set BEFORE this batch (for retro detection)
-            if stored is not None:
+            existed_before = lines_tbl.exists()
+            lines_tbl.upsert(new_lines.select("doc_id", "pos", "line", "lh", "n_lines"))
+            all_lines = lines_tbl.read()
+            # dup set BEFORE this batch (for retro detection), reconstructed
+            # from the POST-upsert state by excluding the batch's own docs.
+            # Two failure modes this kills at once:
+            # - replay safety: after a crash between the lines upsert and
+            #   the clean upsert, the stored table ALREADY contains this
+            #   batch's rows — a pre-upsert read would absorb the batch's
+            #   threshold crossings, newly_dup would come out empty, and
+            #   the earlier-batch docs the crashed attempt was about to
+            #   re-clean would never be rebuilt;
+            # - plan staleness: a lazy plan over the PRE-upsert files
+            #   dangles once the CoW rewrite swaps the directory
+            #   (FAILED_READ_FILE when it finally evaluates).
+            # Over-invalidation when a doc is re-ingested is harmless —
+            # rebuilds are idempotent; under-invalidation is the bug.
+            if existed_before:
                 old_dup = (
-                    stored.groupBy("lh")
+                    all_lines.join(
+                        F.broadcast(new_lines.select("doc_id").distinct()),
+                        "doc_id",
+                        "left_anti",
+                    )
+                    .groupBy("lh")
                     .agg(F.countDistinct("doc_id").alias("nd"))
                     .filter(F.col("nd") >= LINE_MIN_DUP_DOCS)
                     .select("lh")
                 )
             else:
                 old_dup = None
-            lines_tbl.upsert(new_lines.select("doc_id", "pos", "line", "lh", "n_lines"))
-            all_lines = lines_tbl.read()
             dup = (
                 all_lines.groupBy("lh")
                 .agg(F.countDistinct("doc_id").alias("nd"))

@@ -160,3 +160,60 @@ def test_line_dedup_stream_matches_batch_with_retro_invalidation(
     assert len(want) > 0 and got == want
     # some doc must actually have lost lines (the dedup is non-trivial)
     assert any(k < n for (_, _, n, k) in got)
+
+
+def test_line_dedup_replay_after_partial_crash_converges(
+    spark, tmp_path, sf_dir
+):
+    """Crash window between the two state writes: the lines table already
+    holds the batch's rows but the clean table was never updated. On
+    re-delivery the pre-batch dup set must be reconstructed (excluding the
+    batch's own docs) or the earlier-batch documents the crashed attempt
+    was about to re-clean are never rebuilt — the view must still converge
+    to the batch answer."""
+    from moc_indexer_spark.plans.llm_registry import q_line_dedup_docs
+    from moc_indexer_spark.streaming.corpus import (
+        _doc_lines,
+        run_line_dedup_stream_available_now,
+    )
+    from moc_indexer_spark.streaming.sink import ParquetUpsertTable
+
+    docs = table(spark, sf_dir, "documents")
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def ship(name, part):
+        stage = f"{tmp_path}/stage_{name}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        for f_ in os.listdir(stage):
+            if f_.endswith(".parquet"):
+                shutil.copy(f"{stage}/{f_}", f"{src}/{name}.parquet")
+
+    state, ck = f"{tmp_path}/state", f"{tmp_path}/ck"
+    ship("s1", a)
+    run_line_dedup_stream_available_now(spark, src, state, ck,
+                                        schema=docs.schema)
+
+    # simulate the crashed delivery of slice 2: its lines landed, the
+    # clean table never heard about it
+    lines_tbl = ParquetUpsertTable(spark, f"{state}/lines",
+                                   keys=["doc_id", "pos"])
+    lines_tbl.upsert(
+        _doc_lines(b).select("doc_id", "pos", "line", "lh", "n_lines")
+    )
+
+    # re-delivery: the same slice arrives through the stream
+    ship("s2", b)
+    tbl = run_line_dedup_stream_available_now(spark, src, state, ck,
+                                              schema=docs.schema)
+    got = sorted(
+        (r.doc_id, r.clean_text, r.n_lines, r.n_kept)
+        for r in tbl.read().collect()
+    )
+    want = sorted(
+        (r.doc_id, r.clean_text, r.n_lines, r.n_kept)
+        for r in q_line_dedup_docs(spark, sf_dir).collect()
+    )
+    assert got == want
