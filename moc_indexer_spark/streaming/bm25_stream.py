@@ -35,17 +35,20 @@ against an existing index). Old snapshots are pruned opportunistically
 from __future__ import annotations
 
 import os
-import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import retrieval as RT
-from .compaction import _FOLD_MARKER, compact_batched_dir  # noqa: F401
+from .compaction import (  # noqa: F401
+    _BATCH_RE,
+    _FOLD_MARKER,
+    compact_batched_dir,
+    list_committed_batches,
+    read_batches_upto,
+)
 # (_FOLD_MARKER re-exported for the fault-injection tests)
-
-_BATCH_RE = re.compile(r"^batch=(\d+)$")
 
 
 class IncrementalBm25Index:
@@ -62,16 +65,7 @@ class IncrementalBm25Index:
         return f"{self.path}/{name}"
 
     def _batches(self, name: str) -> list[int]:
-        d = self._dir(name)
-        if not os.path.isdir(d):
-            return []
-        out = []
-        for f in os.listdir(d):
-            m = _BATCH_RE.match(f)
-            # only COMPLETE partition writes count (Spark's _SUCCESS)
-            if m and os.path.exists(os.path.join(d, f, "_SUCCESS")):
-                out.append(int(m.group(1)))
-        return sorted(out)
+        return list_committed_batches(self._dir(name))
 
     def committed_batch(self) -> int:
         """Highest batch whose commit record (stats snapshot) exists."""
@@ -79,12 +73,7 @@ class IncrementalBm25Index:
         return b[-1] if b else -1
 
     def _read_upto(self, name: str, upto: int) -> DataFrame | None:
-        batches = [b for b in self._batches(name) if b <= upto]
-        if not batches:
-            return None
-        return self.spark.read.parquet(
-            *[f"{self._dir(name)}/batch={b}" for b in batches]
-        )
+        return read_batches_upto(self.spark, self._dir(name), upto)
 
     def _read_snapshot(self, name: str, batch: int) -> DataFrame | None:
         if batch < 0 or batch not in self._batches(name):

@@ -39,12 +39,43 @@ contract as Delta VACUUM.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from typing import Callable
 
 from pyspark.sql import DataFrame
 
 _FOLD_MARKER = "_FOLD_COMMITTED"
+
+_BATCH_RE = re.compile(r"^batch=(\d+)$")
+
+
+def list_committed_batches(d: str) -> list[int]:
+    """Sorted batch ids under `d` whose partition write COMPLETED (Spark's
+    _SUCCESS present) — the shared commit-resolution rule of every
+    batch-partitioned index (BM25, IVF, IVFADC). A dir without _SUCCESS is
+    a crashed write: invisible to readers, overwritten by the retry."""
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        m = _BATCH_RE.match(f)
+        if m and os.path.exists(os.path.join(d, f, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_batches_upto(spark, d: str, upto: int, with_batch_col: bool = False):
+    """Union of all committed `batch=N <= upto` partitions under `d`
+    (None if empty). with_batch_col=True reads with basePath so the batch
+    id is available as a partition column."""
+    batches = [b for b in list_committed_batches(d) if b <= upto]
+    if not batches:
+        return None
+    reader = spark.read
+    if with_batch_col:
+        reader = reader.option("basePath", d)
+    return reader.parquet(*[f"{d}/batch={b}" for b in batches])
 
 
 def compact_batched_dir(

@@ -26,12 +26,11 @@ from __future__ import annotations
 
 import json
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-_BATCH_RE = re.compile(r"^batch=(\d+)$")
+from .compaction import list_committed_batches, read_batches_upto
 
 
 class IncrementalIvfIndex:
@@ -101,26 +100,15 @@ class IncrementalIvfIndex:
     # -- state ---------------------------------------------------------------
 
     def _batches(self) -> list[int]:
-        d = f"{self.path}/vectors"
-        if not os.path.isdir(d):
-            return []
-        out = []
-        for f_ in os.listdir(d):
-            m = _BATCH_RE.match(f_)
-            if m and os.path.exists(os.path.join(d, f_, "_SUCCESS")):
-                out.append(int(m.group(1)))
-        return sorted(out)
+        return list_committed_batches(f"{self.path}/vectors")
 
     def committed_batch(self) -> int:
         b = self._batches()
         return b[-1] if b else -1
 
     def _read_upto(self, upto: int) -> DataFrame | None:
-        batches = [b for b in self._batches() if b <= upto]
-        if not batches:
-            return None
-        return self.spark.read.option("basePath", f"{self.path}/vectors").parquet(
-            *[f"{self.path}/vectors/batch={b}" for b in batches]
+        return read_batches_upto(
+            self.spark, f"{self.path}/vectors", upto, with_batch_col=True
         )
 
     # -- maintenance ---------------------------------------------------------
@@ -441,7 +429,13 @@ def compact_index(idx: IncrementalIvfIndex) -> int:
         committed=committed,
         list_batches=idx._batches,
         read_upto=lambda upto: idx._read_upto(upto),
-        write_fold=lambda df, tmp, n: df.write.mode("overwrite")
+        # drop the partition-inferred `batch` column before writing: the
+        # basePath read materializes it, and persisting the (now-stale)
+        # ids INSIDE the fold's data files would leave correctness hanging
+        # on Spark's partition-over-data precedence — any schema-explicit
+        # or non-Spark reader would see the wrong batch ids
+        write_fold=lambda df, tmp, n: df.drop("batch")
+        .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(tmp),
     )

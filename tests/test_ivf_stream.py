@@ -98,6 +98,11 @@ def test_ivf_stream_compaction_preserves_probes(spark, sf_dir, tmp_path):
     assert [d for d in os.listdir(base) if d.startswith("batch=")] == ["batch=2"]
     # cell sub-partitioning survives the fold (probes stay pruned)
     assert any(d.startswith("cell=") for d in os.listdir(f"{base}/batch=2"))
+    # the fold's DATA files must not embed the stale partition-inferred
+    # `batch` column — a schema-explicit or non-Spark reader would see
+    # wrong ids that Spark's partition-over-data precedence happens to mask
+    fold_schema = spark.read.parquet(f"{base}/batch=2").schema.fieldNames()
+    assert "batch" not in fold_schema
 
     # post-rename crash window: trash left behind after a completed swap
     # must only be deleted, never restored
