@@ -73,30 +73,43 @@ def _hashed_shingles(docs, n, id_col, text_col, stop_shingles=None):
     oracle's result-invariance cover).
 
     The stop list's shingle WIDTH must match `n`: the anti-join compares
-    hashes of the shingle STRINGS, so a list built at a different n can
-    never hash-collide with the corpus shingles and would silently
-    filter nothing — the exact failure the result-invariance property
-    masks. The list is broadcast-small by contract (heavy hitters), so
-    the width check is one cheap driver-side scan, and it RAISES rather
-    than letting the quadratic hot-head join silently survive."""
+    hashes of the shingle STRINGS, so a list built at a different n (or a
+    NULL / whitespace-padded entry, whose hash equals no corpus shingle
+    either) would silently filter nothing — the exact failure the
+    result-invariance property masks. The check is embedded IN the stop
+    projection (`raise_error` branch), so it raises loudly at the first
+    action without an extra pass over the stop plan — the list may be the
+    output of a corpus-wide heavy-hitter aggregate, and an eager driver
+    probe would compute that aggregate twice."""
     sh = _shingle_df(docs, n, id_col, text_col).select(
         F.col(id_col), F.xxhash64("shingle").alias("shingle")
     )
     if stop_shingles is not None:
-        bad = (
-            stop_shingles
-            .filter(F.size(F.split(F.col("shingle"), " ")) != n)
-            .select("shingle")
-            .first()
+        toks = F.split(F.col("shingle"), " ")
+        valid = (
+            F.col("shingle").isNotNull()
+            & (F.size(toks) == n)
+            & ~F.exists(toks, lambda x: x == "")
         )
-        if bad is not None:
-            raise ValueError(
-                f"stop_shingles width mismatch: {bad['shingle']!r} is not "
-                f"an n={n} shingle — build the stop list with the same n "
-                f"(boilerplate_shingles(docs, n={n})), or it filters nothing"
-            )
         stop = stop_shingles.select(
-            F.xxhash64("shingle").alias("shingle")
+            F.when(valid, F.xxhash64("shingle"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "stop_shingles width mismatch: not an "
+                            f"n={n} shingle: '"
+                        ),
+                        F.coalesce(F.col("shingle"), F.lit("NULL")),
+                        F.lit(
+                            "' — build the stop list with the same n "
+                            f"(boilerplate_shingles(docs, n={n})), "
+                            "or it filters nothing"
+                        ),
+                    )
+                )
+            )
+            .alias("shingle")
         ).dropDuplicates(["shingle"])
         sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -118,11 +131,14 @@ def boilerplate_shingles(
     consuming join (the anti-join compares shingle strings by hash, so a
     width mismatch matches nothing — `_hashed_shingles` raises on it).
     One partial->final count per shingle; the HAVING-style filter prunes
-    before any driver contact."""
+    before any driver contact. doc_freq counts DISTINCT documents
+    (shingles are already per-row distinct via array_distinct, but a
+    corpus carrying duplicate doc_id rows must not double-count them
+    into the stop list)."""
     sh = _shingle_df(docs, n, id_col, text_col)
     return (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .agg(F.countDistinct(id_col).cast("bigint").alias("doc_freq"))
         .filter(F.col("doc_freq") >= min_df)
     )
 
@@ -664,6 +680,7 @@ def ngram_containment_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stop_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup pairs by n-gram CONTAINMENT: |A∩B| / min(|A|,|B|).
 
@@ -677,12 +694,12 @@ def ngram_containment_pairs(
     containment >= threshold. Same inverted-index physics as
     `ngram_jaccard_pairs` (shared-shingle candidates are lossless for any
     threshold > 0; posting-list-1 pruning; 8-byte hashed shingle keys),
-    so the candidate join stays linear in posting-list mass at 100 TB.
+    so the candidate join stays linear in posting-list mass at 100 TB —
+    including the same `stop_shingles` hot-head anti-join (shared
+    scaffolding, same width guard), since a boilerplate footer dominates
+    this tier's posting lists exactly as it does Jaccard's.
     """
-    sh = _shingle_df(docs, n, id_col, text_col).select(
-        F.col(id_col), F.xxhash64("shingle").alias("shingle")
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh, sizes = _hashed_shingles(docs, n, id_col, text_col, stop_shingles)
     pw = Window.partitionBy("shingle")
     sh = (
         sh.withColumn("__pc", F.count(F.lit(1)).over(pw))

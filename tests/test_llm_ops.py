@@ -531,18 +531,34 @@ def test_ngram_stop_shingle_prepass(spark):
     }
     assert (2, 3) not in filtered and (0, 1) in filtered
 
-    # (c) width mismatch is LOUD: a stop list built at a different n can
-    # never hash-match the corpus shingles, so it must raise — not
-    # silently filter nothing (the result-invariance property would mask
-    # exactly that). The certified boilerplate_shingles registry leg
-    # emits 4-grams; feeding it to an n=3 join was the silent-no-op bug.
-    four_gram = spark.createDataFrame(
-        [("COPY RIGHT FOOTER LINE",)], ["shingle"]
-    )
-    with pytest.raises(ValueError, match="width mismatch"):
-        D.ngram_jaccard_pairs(
-            docs, n=3, threshold=0.3, stop_shingles=four_gram
-        )
+    # (c) width mismatch is LOUD: a stop list built at a different n — or
+    # carrying NULL / whitespace-padded entries — can never hash-match the
+    # corpus shingles, so it must raise at the first action, not silently
+    # filter nothing (the result-invariance property would mask exactly
+    # that). The certified boilerplate_shingles registry leg emits
+    # 4-grams; feeding it to an n=3 join was the silent-no-op bug. The
+    # check is lazy (in-plan raise_error): the stop list may be a
+    # corpus-wide aggregate, and an eager probe would compute it twice.
+    for bad_rows in (
+        [("COPY RIGHT FOOTER LINE",)],   # 4-gram into an n=3 join
+        [("alpha beta ",)],              # trailing pad: 3 tokens, one empty
+        [(None,)],                       # NULL entry
+    ):
+        bad = spark.createDataFrame(bad_rows, "shingle string")
+        with pytest.raises(Exception, match="width mismatch"):
+            D.ngram_jaccard_pairs(
+                docs, n=3, threshold=0.3, stop_shingles=bad
+            ).collect()
     # and the operator-built list at the matching n passes the guard
     hot3 = D.boilerplate_shingles(docs, n=3, min_df=2)
-    D.ngram_jaccard_pairs(docs, n=3, threshold=0.3, stop_shingles=hot3)
+    D.ngram_jaccard_pairs(docs, n=3, threshold=0.3,
+                          stop_shingles=hot3).collect()
+    # containment shares the scaffolding: same stop list, same guard
+    D.ngram_containment_pairs(docs, n=3, stop_shingles=hot3).collect()
+    with pytest.raises(Exception, match="width mismatch"):
+        D.ngram_containment_pairs(
+            docs, n=3,
+            stop_shingles=spark.createDataFrame(
+                [("a b c d",)], "shingle string"
+            ),
+        ).collect()
