@@ -31,6 +31,11 @@ class HeartbeatListener(StreamingQueryListener):
     progress stopped — feed to alerting or the watchdog."""
 
     def __init__(self):
+        # keys are str(event.id): listener events carry uuid.UUID ids
+        # while StreamingQuery.id is a str — un-normalized, the watchdog's
+        # `str(q.id) in stalled()` membership NEVER matched and stall
+        # detection was silently dead (only fully-terminated queries ever
+        # restarted)
         self.last_progress: dict[str, float] = {}
         self.last_batch: dict[str, int] = {}
         self.errors: dict[str, str] = {}
@@ -38,21 +43,24 @@ class HeartbeatListener(StreamingQueryListener):
 
     def onQueryStarted(self, event):
         with self._lock:
-            self.last_progress[event.id] = time.time()
+            self.last_progress[str(event.id)] = time.time()
 
     def onQueryProgress(self, event):
         with self._lock:
-            self.last_progress[event.progress.id] = time.time()
-            self.last_batch[event.progress.id] = event.progress.batchId
+            self.last_progress[str(event.progress.id)] = time.time()
+            self.last_batch[str(event.progress.id)] = event.progress.batchId
 
     def onQueryIdle(self, event):
         with self._lock:
-            self.last_progress[event.id] = time.time()
+            self.last_progress[str(event.id)] = time.time()
 
     def onQueryTerminated(self, event):
         with self._lock:
+            # a terminated query must stop aging in the stall report (the
+            # dead path owns its restart) and must not leak an entry
+            self.last_progress.pop(str(event.id), None)
             if event.exception:
-                self.errors[event.id] = str(event.exception)
+                self.errors[str(event.id)] = str(event.exception)
 
     def stalled(self, timeout_s: float) -> list[str]:
         now = time.time()
@@ -67,12 +75,20 @@ class ManagedQuery:
     start: Callable[[], StreamingQuery]  # restartable factory
     query: StreamingQuery | None = None
     restarts: int = 0
+    last_error: str | None = None  # exception text of the last restart
 
 
 class QueryManager:
     """The tasks_manager analog: start/supervise/restart a set of streaming
     queries in one session. `supervise_once` is the watchdog tick (T10):
-    restart anything terminated-with-error or stalled past `stall_timeout`.
+    restart anything terminated — with error OR cleanly, matching the
+    reference's periodic-task rescheduling (a stopped scan task is
+    restarted next tick, tasks_manager.py:49-125; test-pinned) — or
+    stalled past `stall_timeout` while still active. Do not register
+    one-shot availableNow drains here: under this contract they become
+    periodic re-drains (cheap with a checkpoint, but intentional only).
+    The error text of an error-termination is kept in
+    `listener.errors` until the restart consumes it (alarm analog).
     """
 
     def __init__(self, spark: SparkSession, stall_timeout_s: float = 180.0):
@@ -101,6 +117,11 @@ class QueryManager:
             if dead or stalled:
                 if q is not None and q.isActive:
                     q.stop()
+                if q is not None:
+                    # consume the alarm for the query being replaced
+                    mq.last_error = self.listener.errors.pop(
+                        str(q.id), None
+                    )
                 mq.query = mq.start()
                 mq.restarts += 1
                 restarted.append(mq.name)

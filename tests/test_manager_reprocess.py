@@ -69,3 +69,38 @@ def test_query_manager_restarts_dead_query(spark):
     assert mgr.queries["rate_noop"].query.isActive
     assert mgr.queries["rate_noop"].restarts == 1
     mgr.stop_all()
+
+
+def test_query_manager_restarts_stalled_query(spark):
+    """The stall path end-to-end: listener keys and StreamingQuery.id must
+    agree (listener events carry uuid.UUID, q.id is a str — un-normalized
+    they never matched and stall detection was dead code)."""
+    import time as _time
+
+    mgr = QueryManager(spark, stall_timeout_s=5.0)
+
+    def start():
+        return (
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+            .writeStream.format("noop")
+            .queryName("rate_stall")
+            .start()
+        )
+
+    mgr.register("rate_stall", start)
+    mgr.start_all()
+    q = mgr.queries["rate_stall"].query
+    assert q.isActive
+    # the listener's key for this ACTIVE query must be str(q.id) — pin the
+    # normalization, then backdate the heartbeat past the stall timeout
+    deadline = _time.time() + 30
+    while str(q.id) not in mgr.listener.last_progress:
+        assert _time.time() < deadline, "listener never keyed str(q.id)"
+        _time.sleep(0.5)
+    with mgr.listener._lock:
+        mgr.listener.last_progress[str(q.id)] = _time.time() - 3600
+    restarted = mgr.supervise_once()
+    assert restarted == ["rate_stall"]
+    assert mgr.queries["rate_stall"].query.isActive
+    assert mgr.queries["rate_stall"].query.id != q.id
+    mgr.stop_all()
