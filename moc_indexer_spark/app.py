@@ -111,9 +111,14 @@ class Indexer:
             pending, balance_calls, batch_size=50,
             schema=("address string, block_height long, moc_balance string, "
                     "rbtc_balance string, doc_balance string"),
-        )
-        self.tables["user_state"].upsert(bal)
-        return bal.count()
+        ).persist()  # upsert + count: one multicall pass, not two (a second
+        # uncached pass would re-issue every balance RPC — and against a
+        # live chain fetch balances at a DIFFERENT moment than was written)
+        try:
+            self.tables["user_state"].upsert(bal)
+            return bal.count()
+        finally:
+            bal.unpersist()
 
     def run_incremental(self, tip: int, report_counts: bool = False) -> dict[str, int]:
         """One scan cycle: checkpoint+1 .. tip-recession -> all sinks.
@@ -124,11 +129,21 @@ class Indexer:
         cfg = self.config
         if cfg.from_block or cfg.to_block:
             # forced replay range ("for testing only", scan_raw_txs.py:94-98):
-            # index exactly [from_block, to_block], ignoring the cursor
+            # index exactly [from_block, to_block], ignoring the cursor.
+            # One-sided forms work too: from_block alone replays up to the
+            # LIVE tip (to_block=0 used to freeze the forced tip at the
+            # recession margin — an empty scan forever); to_block alone
+            # replays from GENESIS (look_behind=forced_tip defeats the
+            # cold-start tip-minus-60 heuristic, which would silently skip
+            # every block before to_block-60).
+            forced_tip = (
+                cfg.to_block + cfg.blocks_recession if cfg.to_block else tip
+            )
             scan = ScanRange(
                 last_indexed=cfg.from_block - 1,
-                tip=cfg.to_block + cfg.blocks_recession,
+                tip=forced_tip,
                 blocks_recession=cfg.blocks_recession,
+                look_behind=forced_tip,
             )
         else:
             scan = ScanRange(
@@ -142,7 +157,12 @@ class Indexer:
         ).cache()
         try:
             if raw.isEmpty():
-                return {}
+                # the scan itself succeeded — advance the cursor even with
+                # zero matching txs, or a quiet contract re-fetches an
+                # ever-growing window (every block since the last matching
+                # tx) on every tick until the 3 s cadence can't keep up
+                self.last_indexed = scan.end
+                return {"last_indexed": self.last_indexed}
             outs = run_event_pipeline(
                 raw, moc_contract=self.contracts[0],
                 # build only the plans this cycle consumes — the full

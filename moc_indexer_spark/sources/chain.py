@@ -78,6 +78,19 @@ def scan_blocks(
     from ..session import ship_package
 
     ship_package(spark)
+    if min_confirmations > scan.blocks_recession:
+        # the recession margin IS the confirmation guarantee: every
+        # in-window block has confs >= blocks_recession, so a larger
+        # min_confirmations would silently DROP the window's youngest
+        # blocks' txs forever (the caller advances its cursor past them,
+        # they are never re-scanned). Refuse loudly instead.
+        raise ValueError(
+            f"min_confirmations={min_confirmations} exceeds "
+            f"blocks_recession={scan.blocks_recession}: txs in the last "
+            f"{min_confirmations - scan.blocks_recession} window blocks "
+            "would be skipped and never re-scanned — raise "
+            "blocks_recession instead"
+        )
     if scan.end < scan.start:
         return spark.createDataFrame([], RAW_TX_SCHEMA)
     blocks = list(range(scan.start, scan.end + 1))
@@ -94,8 +107,13 @@ def scan_blocks(
                 if to not in contracts and frm not in contracts:
                     continue  # P1 address-set filter (chain.py:18-37)
                 confs = tip - tx["blockNumber"]
-                if tx.get("status") == "confirmed" and confs < min_confirmations:
-                    continue  # S3 receipt confirmation filter (chain.py:49-64)
+                if confs < min_confirmations:
+                    # S3 receipt confirmation filter (chain.py:49-64) —
+                    # status-independent: a reverted receipt is no more
+                    # final than a confirmed one until the margin passes.
+                    # Given the ValueError guard above this can only fire
+                    # for blocks beyond scan.end (defensive).
+                    continue
                 yield (
                     tx["hash"], tx["blockNumber"], tx.get("from"), tx.get("to"),
                     str(tx.get("value", "0")), tx.get("gas", 0),

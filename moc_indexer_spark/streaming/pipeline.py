@@ -110,11 +110,25 @@ def reclassify_status(tbl: ParquetUpsertTable, tip_ts) -> None:
     confirmations / status / percent for non-final rows against the current
     tip. Streaming leaves early-batch rows at the tip they were ingested
     under; this periodic sweep converges them — after it, stream state ==
-    batch state (deterministic replay test relies on this).
+    batch state on the reference-faithful contract (status /
+    confirming_percent / confirmations capped at CONFIRM_BLOCKS; the
+    deterministic replay test pins it).
+
+    Only NON-FINAL rows are swept — the reference queries
+    `{'status': 'pending'}` / `{'status': 'confirming'}` and never
+    touches confirmed documents (scan_transaction_status.py:55,88),
+    whose percent froze at 100. Sweeping everything also rewrote the
+    WHOLE table per tick (a full-table MoR delta or CoW rewrite each
+    sweep); bounding it to the confirming set makes the sweep
+    O(in-flight txs). A confirmed row's raw `confirmations` therefore
+    freezes at its crossing value — at or above the cap by
+    construction, like the reference, which stores no running count at
+    all post-final.
     """
     existing = tbl.read()
     if existing is None:
         return
+    existing = existing.filter(F.col("status") != "confirmed")
     conf = F.floor(
         (
             F.unix_micros(F.lit(tip_ts).cast("timestamp"))

@@ -109,3 +109,67 @@ def test_config_supplies_contracts(spark, tmp_path):
                   FakeChain(list(cfg.contract_addresses.values()), ["0x" + "1" * 40]),
                   config=cfg)
     assert idx.contracts == list(cfg.contract_addresses.values())
+
+
+def test_forced_replay_one_sided_ranges(spark, tmp_path):
+    """One-sided forced ranges: from_block alone replays up to the LIVE
+    tip (to_block=0 used to freeze the window empty forever); to_block
+    alone replays from GENESIS (the cold-start heuristic used to skip
+    everything before to_block-60)."""
+    from moc_indexer_spark.app import CONTRACTS, USERS, Indexer
+    from moc_indexer_spark.config import IndexerConfig
+    from moc_indexer_spark.sources.chain import FakeChain
+
+    chain = FakeChain(CONTRACTS, USERS)
+
+    # from_block only: [from_block, tip - recession]
+    cfg = IndexerConfig(from_block=90, to_block=0, blocks_recession=1)
+    idx = Indexer(spark, str(tmp_path / "f"), chain, CONTRACTS, config=cfg)
+    idx.run_incremental(tip=100)
+    got = {r.blockNumber for r in
+           idx.tables["raw_transactions"].read().select("blockNumber").collect()}
+    assert got and min(got) >= 90 and max(got) == 99
+
+    # to_block only: [0, to_block] — genesis, not to_block-60
+    cfg = IndexerConfig(from_block=0, to_block=100, blocks_recession=1)
+    idx = Indexer(spark, str(tmp_path / "t"), chain, CONTRACTS, config=cfg)
+    idx.run_incremental(tip=100)
+    got = {r.blockNumber for r in
+           idx.tables["raw_transactions"].read().select("blockNumber").collect()}
+    assert min(got) < 40 and max(got) == 100  # genesis blocks included
+
+
+def test_quiet_scan_advances_cursor(spark, tmp_path):
+    """A scan window with zero matching txs must still advance the
+    checkpoint cursor — a quiet contract otherwise re-fetches an
+    ever-growing window (every block since the last matching tx) each
+    tick."""
+    from moc_indexer_spark.app import USERS, Indexer
+    from moc_indexer_spark.sources.chain import FakeChain
+
+    watched = ["0x" + "99" * 20]           # nothing on-chain matches this
+    chain = FakeChain(["0x" + "ab" * 20], USERS)
+    idx = Indexer(spark, str(tmp_path), chain, watched)
+    out = idx.run_incremental(tip=50)
+    assert idx.last_indexed == 50 - idx.config.blocks_recession
+    assert out == {"last_indexed": idx.last_indexed}
+    # second tick scans only the new blocks, not the whole history again
+    idx.run_incremental(tip=60)
+    assert idx.last_indexed == 60 - idx.config.blocks_recession
+
+
+def test_min_confirmations_beyond_recession_is_loud(spark):
+    """min_confirmations > blocks_recession would silently drop the
+    window's youngest txs forever (the cursor advances past them); the
+    scan refuses instead."""
+    import pytest as _pytest
+
+    from moc_indexer_spark.app import CONTRACTS, USERS
+    from moc_indexer_spark.sources.chain import FakeChain, ScanRange, scan_blocks
+
+    with _pytest.raises(ValueError, match="min_confirmations"):
+        scan_blocks(
+            spark, FakeChain(CONTRACTS, USERS),
+            ScanRange(last_indexed=0, tip=50, blocks_recession=2),
+            set(CONTRACTS), min_confirmations=5,
+        )

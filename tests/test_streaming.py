@@ -106,10 +106,24 @@ def test_stream_batch_parity_with_checkpoint_resume(spark, workdir, sf_dir):
     reclassify_status(stream_tbl, tip)
 
     batch_tbl = run_batch(spark, src, f"{workdir}/batch_out")
-    cols = ["tx_hash", "address", "event", "created_at", "amount",
-            "confirmations", "status", "confirming_percent"]
-    a = sorted(map(tuple, stream_tbl.read().select(*cols).collect()))
-    b = sorted(map(tuple, batch_tbl.read().select(*cols).collect()))
+    # the reference-faithful contract: status/percent exact; raw
+    # confirmations compared capped at CONFIRM_BLOCKS — the sweep only
+    # touches non-final rows (like the reference's pending/confirming
+    # queries), so a confirmed row's raw count freezes at its crossing
+    # value while batch mode computes it at the final tip; both are >= the
+    # cap, and the reference stores no running count post-final at all
+    from moc_indexer_spark.streaming.pipeline import CONFIRM_BLOCKS
+
+    def rows(tbl):
+        cols = ["tx_hash", "address", "event", "created_at", "amount",
+                F.least(
+                    F.col("confirmations"),
+                    F.lit(CONFIRM_BLOCKS).cast("bigint"),
+                ).alias("confirmations"),
+                "status", "confirming_percent"]
+        return sorted(map(tuple, tbl.read().select(*cols).collect()))
+
+    a, b = rows(stream_tbl), rows(batch_tbl)
     assert len(a) == 300
     assert a == b
 
