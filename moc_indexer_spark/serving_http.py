@@ -117,8 +117,11 @@ class ApiServer:
         # per-address filter applied on top
         address = params["address"][0]
         spec = next(s for s in registry() if s.name == "api_pegout_list")
+        # case-insensitive like the operator it fronts (P3,
+        # operators/serving.py api_pegout_list): a checksummed mixed-case
+        # hex address must match rows stored lowercase
         df = spec.build(self.spark, self.sf_dir).filter(
-            F.col("rsk_address") == address
+            F.lower(F.col("rsk_address")) == address.lower()
         )
         return {"pegouts": df_to_payload(df)}
 

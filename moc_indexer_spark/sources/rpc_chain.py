@@ -61,7 +61,8 @@ class RpcChain:
 
     def __init__(self, url: str, timeout: float = 10.0,
                  chain_tip: int | None = None, retries: int = 3,
-                 backoff: float = 0.05):
+                 backoff: float = 0.05,
+                 watch: set[str] | None = None):
         self.url = url
         self.timeout = timeout
         # optional pinned tip: scan_blocks computes confirmations from its
@@ -70,6 +71,15 @@ class RpcChain:
         self.chain_tip = chain_tip
         self.retries = retries
         self.backoff = backoff
+        # optional address pre-filter: the reference filters by address
+        # BEFORE the receipt check (chain.py:18-37 then :49-64), and so
+        # must a live fetcher — without it every block pays one
+        # eth_getTransactionReceipt round trip per tx, ~100x the needed
+        # RPC load when 1-2 txs per mainnet block touch watched
+        # contracts. scan_blocks re-applies the same filter downstream,
+        # so setting `watch` to its contract set is a pure RPC saving
+        # (construct with watch=set(contracts) for live scans).
+        self.watch = {a.lower() for a in watch} if watch else None
         self._id = 0
 
     # -- wire ----------------------------------------------------------------
@@ -131,6 +141,11 @@ class RpcChain:
         ).replace(tzinfo=None)
         out = []
         for tx in block.get("transactions", []):
+            if self.watch is not None:
+                to = (tx.get("to") or "").lower()
+                frm = (tx.get("from") or "").lower()
+                if to not in self.watch and frm not in self.watch:
+                    continue  # address filter BEFORE the receipt RPC
             receipt = self.get_receipt(tx["hash"])
             if receipt is None:
                 # chain.py:55-58 — no receipt, log-and-skip

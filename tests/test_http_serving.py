@@ -75,6 +75,11 @@ def test_pegout_filters_by_address(spark, sf_dir, server):
         {"NOT_STARTED", "SENDING", "MINED", "REFUNDED", "RECLAIMED"}
         for p in got
     )
+    # case-insensitive (P3): a checksummed mixed-case address matches
+    # rows stored lowercase, same as the api_pegout_list operator
+    upper = _get(server,
+                 f"/fastbtc/pegout?address={str(TX_USER).upper()}")["pegouts"]
+    assert upper == got
 
 
 def test_errors_are_http_not_crashes(server):

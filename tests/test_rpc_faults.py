@@ -148,3 +148,35 @@ def test_moving_tip_confirmations_stay_pinned_to_scan_range(spark, rpc):
     assert all(r.confirmations == t1 - r.blockNumber for r in rows)
     # the server tip kept moving; a second cycle sees a strictly newer tip
     assert chain.tip() > t1
+
+
+def test_watch_set_prefilters_receipt_rpcs(rpc):
+    """A live fetcher constructed with watch=contracts must filter by
+    address BEFORE the receipt RPC (reference order, chain.py:18-37 then
+    :49-64) — on mainnet-shaped blocks that is ~100x fewer
+    eth_getTransactionReceipt round trips, with an identical result set
+    (scan_blocks re-applies the same filter downstream)."""
+    from moc_indexer_spark.sources.rpc_chain import RpcChain
+
+    url, state = rpc
+    plain = RpcChain(url)
+    watched = RpcChain(url, watch=set(CONTRACTS))
+
+    blocks = range(1, 9)
+    base = state.requests
+    txs_plain = [t for b in blocks for t in plain(b)]
+    plain_requests = state.requests - base
+
+    base = state.requests
+    txs_watched = [t for b in blocks for t in watched(b)]
+    watched_requests = state.requests - base
+
+    contracts = {c.lower() for c in CONTRACTS}
+    want = [t for t in txs_plain
+            if (t.get("to") or "").lower() in contracts
+            or (t.get("from") or "").lower() in contracts]
+    assert txs_watched == want and want      # same rows, same order
+    assert len(txs_plain) > len(want)        # fixture has unwatched txs
+    # one getBlock per block + one receipt per WATCHED tx, vs per EVERY tx
+    assert watched_requests == len(blocks) + len(want)
+    assert plain_requests == len(blocks) + len(txs_plain)

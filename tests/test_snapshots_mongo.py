@@ -116,3 +116,43 @@ def test_report_cli_prints_all_reports(spark, sf_dir, capsys):
                    "report_last_transactions"):
         assert f"== {header} ==" in out
     assert "+-" in out  # df.show() table borders rendered
+
+
+def test_mongo_flush_uses_bulk_write(monkeypatch):
+    """_flush must issue ONE bulk_write per buffer (the point of the
+    500-op buffering), not one update_one round trip per document; the
+    update_one loop is only the fallback for minimal fakes / missing
+    pymongo."""
+    import sys
+    import types
+
+    from moc_indexer_spark.sources.mongo_sink import _flush
+
+    class FakeUpdateOne:
+        def __init__(self, flt, update, upsert=False):
+            self.flt, self.update, self.upsert = flt, update, upsert
+
+    monkeypatch.setitem(
+        sys.modules, "pymongo", types.SimpleNamespace(UpdateOne=FakeUpdateOne)
+    )
+
+    calls = {"bulk": [], "one": 0}
+
+    class BulkColl:
+        def bulk_write(self, requests, ordered=True):
+            calls["bulk"].append((len(requests), ordered))
+
+        def update_one(self, *a, **k):
+            calls["one"] += 1
+
+    ops = [({"k": i}, {"k": i, "v": i * 2}) for i in range(7)]
+    _flush(BulkColl(), ops, insert=True)
+    assert calls["bulk"] == [(7, False)] and calls["one"] == 0
+
+    # no bulk surface -> per-doc fallback still works
+    class PlainColl:
+        def update_one(self, flt, update, upsert=True):
+            calls["one"] += 1
+
+    _flush(PlainColl(), ops, insert=False)
+    assert calls["one"] == 7
