@@ -34,6 +34,14 @@ _CHUNKS = [(33, 6), (39, 13), (52, 13)]
 _MAX_DEC38_HEX32 = format(10**38 - 1, "x").rjust(32, "0")
 
 
+def _strip0x(col: Column) -> Column:
+    # lower() FIRST: '^0x' after lowercasing also strips an uppercase
+    # '0X' prefix — un-stripped, the 66-char string survives into
+    # lpad(...,64), which TRUNCATES to the first 64 chars and decodes a
+    # shifted, valid-looking (wrong) value instead of NULL
+    return F.regexp_replace(F.lower(col), "^0x", "")
+
+
 def hex_to_decimal(col: Column) -> Column:
     """Big-endian hex string (<= 64 digits, value < 10^38) -> DECIMAL(38,0).
 
@@ -43,8 +51,10 @@ def hex_to_decimal(col: Column) -> Column:
     BEFORE any decimal arithmetic: CaseWhen branches lazily, so out-of-range
     words never reach the multiply/add and cannot raise ARITHMETIC_OVERFLOW
     under ANSI mode."""
-    h = F.lower(F.regexp_replace(col, "^0x", ""))
-    padded = F.lpad(h, 64, "0")
+    h = _strip0x(col)
+    # a stripped word longer than 64 hex chars is malformed for a single
+    # 32-byte word: lpad would truncate it — NULL propagates instead
+    padded = F.when(F.length(h) <= 64, F.lpad(h, 64, "0"))
     total = F.lit(0).cast("decimal(38,0)")
     for start, width in _CHUNKS:
         chunk = F.substring(padded, start, width)
@@ -60,8 +70,11 @@ def hex_to_decimal(col: Column) -> Column:
 
 def topic_address(col: Column) -> Column:
     """32-byte indexed topic -> 0x-prefixed lowercase 20-byte address."""
-    h = F.lower(F.regexp_replace(col, "^0x", ""))
-    return F.concat(F.lit("0x"), F.substring(F.lpad(h, 64, "0"), 25, 40))
+    h = _strip0x(col)
+    return F.when(
+        F.length(h) <= 64,
+        F.concat(F.lit("0x"), F.substring(F.lpad(h, 64, "0"), 25, 40)),
+    )
 
 
 def decode_erc20_transfer(
@@ -213,10 +226,6 @@ EVENT_ABIS: dict[str, list[EventField]] = {
         _f("newStatus", "uint64"),
     ],
 }
-
-
-def _strip0x(col: Column) -> Column:
-    return F.lower(F.regexp_replace(col, "^0x", ""))
 
 
 def _data_word(data_hex: Column, i: int) -> Column:

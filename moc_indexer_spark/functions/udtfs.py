@@ -29,6 +29,11 @@ def make_chunk_udtf(chunk_tokens: int, chunk_step: int):
     ))
     class ChunkDoc:
         def eval(self, text: str):
+            if text is None:
+                # the expression form's split(NULL) -> explode(NULL)
+                # emits nothing: a NULL doc drops, it must not crash
+                # the UDTF lane (None.split -> AttributeError)
+                return
             arr = text.split(" ")
             n = len(arr)
             s = 0

@@ -677,6 +677,14 @@ def resize_images_real(
     """
     import pandas as pd
 
+    from ..session import ship_package
+
+    # the closure captures module-level decode_image/encode_ppm/
+    # resize_nearest BY REFERENCE (cloudpickle): workers that can't
+    # import the package crash on deserialization without this — the
+    # sibling extract_features/extract_audio_features call it too
+    ship_package(media.sparkSession)
+
     def run(batches):
         for pdf in batches:
             ids, oks, sizes, blobs = [], [], [], []
@@ -690,10 +698,14 @@ def resize_images_real(
                     oks.append(True)
                     sizes.append(len(out))
                     blobs.append(out)
-                except (NotImplementedError, ValueError, IndexError):
+                except (NotImplementedError, ValueError, IndexError,
+                        OSError):
                     # unknown format OR malformed bytes of a known format
                     # (truncated pixel buffer, garbage header tokens) —
-                    # one bad blob must not fail the batch
+                    # one bad blob must not fail the batch. OSError covers
+                    # Pillow's UnidentifiedImageError (an OSError
+                    # subclass) when the PIL branch is active: a corrupt
+                    # compressed blob is an ok=false row, not a job kill
                     oks.append(False)
                     sizes.append(0)
                     blobs.append(b"")

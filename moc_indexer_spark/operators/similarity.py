@@ -37,7 +37,14 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NULL when either vector has zero norm: 0/0 would be NaN, and Spark
+    orders NaN FIRST under desc (NaN > any double) while the numpy
+    scorers sort it last — a zero-norm embedding (failed/null embedder
+    output) would top every Catalyst ranking and vanish from the Arrow
+    ones. NULL + desc (nulls last by default) never ranks, matching the
+    numpy paths' explicit -inf exclusion."""
+    na, nb = _norm(a), _norm(b)
+    return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb))
 
 
 def _make_block_topk():
@@ -105,6 +112,11 @@ def _collect_train_sample(corpus, id_col, vec_col, train_sample):
     sample = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
     )
+    if not sample:
+        # empty corpus: np.array([]) is 1-D and norm(axis=1) would raise
+        # AxisError; let callers return a typed empty frame (the LSH
+        # operators' contract) or refuse an index build meaningfully
+        return None
     X = np.array([r[1] for r in sample], dtype=np.float64)
     return X / np.linalg.norm(X, axis=1, keepdims=True)
 
@@ -183,6 +195,9 @@ def brute_force_topk(
                 "cosine_sim"
             ),
         )
+        # zero-norm vectors have no defined cosine (NULL above): exclude
+        # the pair entirely, matching the numpy paths' -inf drop
+        .filter(F.col("cosine_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -255,17 +270,24 @@ def brute_force_topk_np(
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             cm = np.array(list(pdf[vec_col]), dtype=np.float64)
             cn = np.linalg.norm(cm, axis=1)
-            sims = (qm_ @ cm.T) / (qn_[:, None] * cn[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (qm_ @ cm.T) / (qn_[:, None] * cn[None, :])
             sims = np.round(sims, round_digits)
-            # self-match -> -inf so it never ranks
+            # self-match and zero-norm NaNs -> -inf so they never rank
+            # (and the final filter drops them even on short corpora
+            # where top-k would otherwise surface the sentinel)
             self_mask = q_ids_[:, None] == c_ids[None, :]
             sims[self_mask] = -np.inf
+            sims[~np.isfinite(sims)] = -np.inf
             qi, ni, sv = _block_topk(sims, c_ids, q_ids_, k)
             yield pd.DataFrame(
                 {"query_id": qi, "neighbor_id": ni, "cosine_sim": sv}
             )
 
     cand = corpus.select(id_col, vec_col).mapInPandas(block_topk, schema=out_schema)
+    # a corpus smaller than k would surface the -inf sentinels (the
+    # Catalyst form filters those pairs out entirely — keep them equal)
+    cand = cand.filter(F.col("cosine_sim") >= F.lit(-1.0))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -356,8 +378,12 @@ def brute_force_topk_blocked(
         c_ids = cdf["neighbor_id"].to_numpy(dtype=np.int64)
         cm = np.array(list(cdf["cv"]), dtype=np.float64)
         cn = np.linalg.norm(cm, axis=1)
-        sims = np.round((qm @ cm.T) / (qn[:, None] * cn[None, :]), round_digits)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round(
+                (qm @ cm.T) / (qn[:, None] * cn[None, :]), round_digits
+            )
         sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
+        sims[~np.isfinite(sims)] = -np.inf  # zero-norm NaNs never rank
         qi, ni, sv = _block_topk(sims, c_ids, q_ids, k)
         return pd.DataFrame(
             {"query_id": qi, "neighbor_id": ni, "cosine_sim": sv}
@@ -367,6 +393,7 @@ def brute_force_topk_blocked(
         q.groupBy("qc", "cc")
         .cogroup(c.groupBy("qc", "cc"))
         .applyInPandas(score_block, schema=out_schema)
+        .filter(F.col("cosine_sim") >= F.lit(-1.0))  # drop -inf sentinels
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -626,10 +653,13 @@ def ivf_topk(
         n_probe = max(4, n_cells // 8)
     n_probe = min(n_probe, n_cells)
 
-    C = _train_spherical_kmeans(
-        _collect_train_sample(corpus, id_col, vec_col, train_sample),
-        n_cells, lloyd_iters,
-    )
+    Xn = _collect_train_sample(corpus, id_col, vec_col, train_sample)
+    if Xn is None:  # empty corpus -> typed empty result (LSH contract)
+        return corpus.sparkSession.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, cosine_sim double, rank bigint",
+        )
+    C = _train_spherical_kmeans(Xn, n_cells, lloyd_iters)
 
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(C)
@@ -660,9 +690,15 @@ def ivf_topk(
                 }
             )
 
+    # TWO consumers read this relation (the probe side and the cell side
+    # of the equi-join): without persistence the full-corpus Arrow pass +
+    # centroid matmul executes once per consumer — the same
+    # multi-consumer cache rule pq_topk/ivfpq_topk already apply to their
+    # encoded relations (CacheManager keys by canonicalized plan, so
+    # re-invocations reuse one entry per distinct corpus/params)
     indexed = corpus.select(id_col, vec_col).mapInPandas(
         assign_and_probe, schema=out_schema
-    )
+    ).persist()
     cells = indexed.select(F.col(id_col), F.col("v").alias("cv"), "cell")
     probes = indexed.select(
         F.col(id_col).alias("query_id"),
@@ -761,6 +797,11 @@ def pq_topk(
     import pandas as pd
 
     X = _collect_train_sample(corpus, id_col, vec_col, train_sample)
+    if X is None:  # empty corpus -> typed empty result (LSH contract)
+        return corpus.sparkSession.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, cosine_sim double, rank bigint",
+        )
     d = X.shape[1]
     d_sub = d // m
     B = _train_pq_books(X, m, n_codes, lloyd_iters)  # (m, n_codes, d_sub)
@@ -1055,10 +1096,10 @@ def build_ivf_index(
     import numpy as np
     import pandas as pd
 
-    C = _train_spherical_kmeans(
-        _collect_train_sample(corpus, id_col, vec_col, train_sample),
-        n_cells, lloyd_iters,
-    )
+    X = _collect_train_sample(corpus, id_col, vec_col, train_sample)
+    if X is None:
+        raise ValueError("cannot build an index on an empty corpus")
+    C = _train_spherical_kmeans(X, n_cells, lloyd_iters)
 
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(C)
@@ -1091,6 +1132,7 @@ def ivf_probe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Point-lookup search over a persisted IVF index: for each query
     vector pick its `n_probe` nearest centroids (driver-side — the
@@ -1101,7 +1143,14 @@ def ivf_probe_topk(
     The query set is an explicit small list BY CONTRACT (this is the
     serving-path API: a user query, a dedup probe); corpus-sized query
     sets belong to the batch operators (`ivf_topk`,
-    `brute_force_topk_blocked`)."""
+    `brute_force_topk_blocked`).
+
+    External query ids are unrelated to corpus ids by default
+    (`exclude_self=False`, the same contract as `ivfpq_probe_topk`) —
+    an unconditional query_id != vec_id filter would silently drop a
+    legitimate neighbor on a coincidental id collision. Pass
+    `exclude_self=True` for self-ANN harnesses where query ids ARE
+    corpus ids."""
     import json
     import os
 
@@ -1125,7 +1174,6 @@ def ivf_probe_topk(
     scored = (
         F.broadcast(qdf)  # genuinely small by contract
         .join(idx, F.array_contains(F.col("probe_cells"), idx["cell"]))
-        .filter(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
@@ -1135,6 +1183,8 @@ def ivf_probe_topk(
             ).alias("cosine_sim"),
         )
     )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
@@ -1219,6 +1269,11 @@ def ivfpq_topk(
     kk_short = (k * refine) if refine is not None else (1 << 31)
 
     X = _collect_train_sample(corpus, id_col, vec_col, train_sample)
+    if X is None:  # empty corpus -> typed empty result (LSH contract)
+        return corpus.sparkSession.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, cosine_sim double, rank bigint",
+        )
     d = X.shape[1]
     d_sub = d // m
     C = _train_spherical_kmeans(X, n_cells, lloyd_iters)
@@ -1395,6 +1450,8 @@ def build_ivfpq_index(
     import pandas as pd
 
     X = _collect_train_sample(corpus, id_col, vec_col, train_sample)
+    if X is None:
+        raise ValueError("cannot build an index on an empty corpus")
     d = X.shape[1]
     d_sub = d // m
     C = _train_spherical_kmeans(X, n_cells, lloyd_iters)

@@ -176,3 +176,29 @@ def test_abi_roundtrip_property(spark):
         assert (r.transferId, r.btcAddress) == (tid, btc)
         assert (int(r.amountSatoshi), int(r.feeSatoshi)) == (int(amt), int(fee))
         assert r.rskAddress == rsk.lower()
+
+
+def test_hex_prefix_and_length_edge_cases(spark):
+    """An uppercase '0X' prefix must strip like '0x' (lower runs FIRST),
+    and a stripped word longer than 64 hex chars is NULL — lpad(...,64)
+    would otherwise TRUNCATE to the first 64 chars and decode a shifted,
+    valid-looking but wrong value/address."""
+    word = "0" * 62 + "2a"  # 42
+    addr_word = "0" * 24 + "ab" * 20
+    rows = [
+        ("0X" + word,),             # uppercase prefix: strip, decode 42
+        ("0x" + word,),             # normal form
+        (word,),                    # bare word
+        ("0x" + "ff" + word,),      # 66 hex chars after strip: NULL
+        ("0X" + addr_word,),        # uppercase prefix on an address topic
+    ]
+    df = spark.createDataFrame(rows, ["h"])
+    out = df.select(
+        abi.hex_to_decimal(F.col("h")).alias("d"),
+        abi.topic_address(F.col("h")).alias("a"),
+    ).collect()
+    assert [None if r.d is None else int(r.d) for r in out[:4]] == [
+        42, 42, 42, None
+    ]
+    assert out[3].a is None                       # overlength address: NULL
+    assert out[4].a == "0x" + "ab" * 20           # 0X-prefixed topic decodes

@@ -368,7 +368,10 @@ def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
 
     qrows = corpus.orderBy("vec_id").limit(3).collect()
     queries = [(int(r.vec_id), list(r.embedding)) for r in qrows]
-    got = ivf_probe_topk(spark, path, queries, k=5, n_probe=3)
+    # queries drawn FROM the corpus -> self-ANN harness, exclude self
+    # (default False serves external id namespaces, like ivfpq_probe_topk)
+    got = ivf_probe_topk(spark, path, queries, k=5, n_probe=3,
+                         exclude_self=True)
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
@@ -562,3 +565,56 @@ def test_ngram_stop_shingle_prepass(spark):
                 [("a b c d",)], "shingle string"
             ),
         ).collect()
+
+
+def test_brute_force_variants_agree_on_zero_vectors_and_short_corpus(spark):
+    """Zero-norm embeddings (failed/null embedder output) have no defined
+    cosine: Spark orders NaN FIRST under desc while numpy sorts it last,
+    so un-guarded the Catalyst form ranked a zero vector at rank 1 of
+    every query and the Arrow forms dropped it. All three variants must
+    exclude such pairs — and on a corpus smaller than k the Arrow forms
+    must not surface their -inf self-match sentinels either."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 0.0, 0.0]),   # zero-norm: no defined cosine
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = 5  # > corpus size on purpose
+    got = {}
+    for name, fn in (
+        ("catalyst", S.brute_force_topk),
+        ("np", S.brute_force_topk_np),
+        ("blocked", S.brute_force_topk_blocked),
+    ):
+        got[name] = sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+            for r in fn(emb, k=k).collect()
+        )
+    assert got["catalyst"] == got["np"] == got["blocked"]
+    flat = got["catalyst"]
+    # the zero vector never appears as a neighbor, and never emits
+    # NaN/-inf/NULL similarity values
+    assert all(n != 3 for (_, _, n, _) in flat)
+    assert all(s is not None and -1.0 <= s <= 1.0 for (_, _, _, s) in flat)
+    # queries 1 and 2 still rank each other; the zero vector has no
+    # defined cosine as a QUERY either, so it emits nothing
+    assert {(q, n) for (q, _, n, _) in flat} == {(1, 2), (2, 1)}
+
+
+def test_ann_operators_empty_corpus_typed_empty(spark):
+    """Sample-trained ANN operators return a typed empty frame on an
+    empty corpus (the LSH operators' contract) instead of crashing in
+    numpy norm(axis=1); index builders refuse loudly."""
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    for out in (
+        S.ivf_topk(empty, k=3, n_cells=4),
+        S.pq_topk(empty, k=3),
+        S.ivfpq_topk(empty, k=3, n_cells=4),
+    ):
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+    with _pytest.raises(ValueError, match="empty corpus"):
+        S.build_ivf_index(empty, "/tmp/never_written_ivf", n_cells=4)
