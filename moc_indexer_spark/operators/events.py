@@ -20,6 +20,8 @@ precision=10**18); derived columns use functions/wei.py.
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -370,9 +372,7 @@ def apply_settlement_retention(
     window."""
     rows = completed.collect()  # settlement completions are rare singletons
     for r in rows:
-        cutoff_ts = r.completedAt - __import__("datetime").timedelta(
-            days=retention_days
-        )
+        cutoff_ts = r.completedAt - dt.timedelta(days=retention_days)
         redeem_queue_tbl.delete_where(
             (F.col("blockNumber") <= r.completedBlockNumber)
             & (F.col("createdAt") < F.lit(cutoff_ts))
@@ -430,6 +430,8 @@ def run_event_pipeline(
     excluded_addresses: tuple[str, ...] = ("0x" + "00" * 20,),
     registered_users: DataFrame | None = None,
     only: tuple[str, ...] | None = None,
+    token_contracts: dict[str, str] | None = None,
+    approval_contracts: tuple[str, ...] | None = None,
 ) -> dict[str, DataFrame]:
     """One pass: explode logs once, fan out to every handler (J2 demux).
 
@@ -442,6 +444,16 @@ def run_event_pipeline(
     round-5 ingest profile showed being paid every 3 s tick for outputs
     the cycle never consumed. The fastbtc pair builds together (one
     handler produces both).
+
+    `token_contracts` routes Transfers per EMITTING CONTRACT the way the
+    reference's map_events does (scan_events_txs.py:147-153: BProToken ->
+    RISKPRO rows, DoCToken -> STABLE rows, unmapped contracts skipped):
+    a {address: token_name} map fans the transfer handler out per token,
+    so a DoC transfer can never land labeled RISKPRO. None (the
+    demo/fixture default, where log addresses carry no token identity)
+    labels every Transfer RISKPRO as before. `approval_contracts`
+    likewise scopes Approval handling to the reference's MoCToken —
+    None keeps the spender-only filter.
     """
     logs = explode_logs(raw).filter(F.col("receipt_status") == "confirmed")
 
@@ -452,12 +464,32 @@ def run_event_pipeline(
     if want("transactions"):
         out["transactions"] = enrich_exchange_all(logs)
     if want("transfers"):
-        out["transfers"] = enrich_transfers(
-            logs, "RISKPRO", list(excluded_addresses) + [moc_contract],
-            registered_users,
-        )
+        excl = list(excluded_addresses) + [moc_contract]
+        if token_contracts is None:
+            out["transfers"] = enrich_transfers(
+                logs, "RISKPRO", excl, registered_users
+            )
+        else:
+            parts = [
+                enrich_transfers(
+                    logs.filter(F.col("contract") == addr.lower()),
+                    token, excl, registered_users,
+                )
+                for addr, token in sorted(token_contracts.items())
+            ]
+            transfers = parts[0]
+            for p in parts[1:]:
+                transfers = transfers.unionByName(p)
+            out["transfers"] = transfers
     if want("approvals"):
-        out["approvals"] = enrich_approvals(logs, moc_contract)
+        alogs = logs
+        if approval_contracts is not None:
+            alogs = logs.filter(
+                F.col("contract").isin(
+                    [a.lower() for a in approval_contracts]
+                )
+            )
+        out["approvals"] = enrich_approvals(alogs, moc_contract)
     if want("fastbtc_new") or want("fastbtc_updates"):
         fastbtc_new, fastbtc_upd = enrich_fastbtc(logs)
         out["fastbtc_new"] = fastbtc_new

@@ -98,7 +98,14 @@ def pack_sequences(
     through a token budget: pack_id = floor(start_offset / budget) where
     start_offset is the running token total BEFORE the doc. This is the
     concat-and-chunk packing used to build fixed-length training batches —
-    deterministic, one shuffle (on group_col), windowed cumsum within."""
+    deterministic, one shuffle (on group_col), windowed cumsum within.
+
+    Determinism REQUIRES (group_col, order_col) to be a total order: the
+    running sum over tied order_col values depends on shuffle order, so
+    ties would flip pack assignments between runs and break
+    training-batch lineage. Pass a unique per-doc column (the callers use
+    doc_id) or compose one (e.g. struct(ts, doc_id)) — same contract as
+    page_top_k's tiebreaker."""
     from pyspark.sql import Window
 
     w = (
@@ -222,7 +229,9 @@ def repetition_stats(docs: DataFrame, n_top: int = 2, n_dup: int = 5) -> DataFra
                 "dup_ngram_frac": [],
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = [t for t in text.split(" ") if t]
+                # NULL text = zero tokens, not an AttributeError that
+                # kills the whole Arrow batch
+                toks = [t for t in (text or "").split(" ") if t]
                 n = len(toks)
                 out["doc_id"].append(doc_id)
                 out["n_tokens"].append(n)
@@ -477,7 +486,9 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            raw = pdf["text"].str.encode("utf-8")
+            # fillna before encode: a NULL text becomes NaN, and
+            # zlib.compress(NaN) raises instead of yielding a row
+            raw = pdf["text"].fillna("").str.encode("utf-8")
             comp = raw.map(lambda b: len(zlib.compress(b, 6)))
             n = raw.map(len)
             yield pd.DataFrame(

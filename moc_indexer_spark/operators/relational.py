@@ -201,6 +201,12 @@ def paginate_with_total(
     count is a scalar aggregate cross-joined onto the bounded page — the full
     table is scanned once for the count (cheap columnar count-star) and only
     skip+limit rows are ever materialized for the page.
+
+    Empty-page caveat: an out-of-range skip yields ZERO rows, so the
+    total rides on no row (the SQL-natural relational shape, and what the
+    oracle computes). An API that must report the total even for an empty
+    page issues the count separately, like the reference — see
+    serving_http.tx_list.
     """
     total = df.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
     page = page_top_k(df, order_by, skip, limit)

@@ -92,10 +92,14 @@ def api_price_variation(prices: DataFrame, hours: int = 24) -> DataFrame:
 def api_pegout_list(fastbtc: DataFrame, rsk_address: str) -> DataFrame:
     """GET /fastbtc/pegout (bp_fastbtc_bridge.py:20-40): transfers for one
     rsk address, newest first, status decoded."""
+    from .events import FASTBTC_STATUS
+
+    # ONE source of truth for the bridge status names (events.py owns the
+    # decode-side mapping): a new bridge status added there must surface
+    # here too, not silently render NULL
     status_names = F.create_map(
-        F.lit(0), F.lit("NOT_STARTED"), F.lit(1), F.lit("SENDING"),
-        F.lit(2), F.lit("MINED"), F.lit(3), F.lit("REFUNDED"),
-        F.lit(4), F.lit("RECLAIMED"),
+        *[x for code, name in sorted(FASTBTC_STATUS.items())
+          for x in (F.lit(code), F.lit(name))]
     )
     return (
         fastbtc.filter(F.lower(F.col("rskAddress")) == rsk_address.lower())

@@ -322,6 +322,11 @@ def histogram_quantiles(
     each rounded to 6dp.
     """
     g = group_col
+    # NULL values carry no quantile information and must not be BINNED:
+    # F.least skips NULLs, so an un-filtered NULL landed in the TOP bin
+    # (bins-1) while still counting into n — pinning p95/p99 at mx and
+    # dragging p50 upward. Filtered here and in the oracle alike.
+    df = df.filter(F.col(value_col).isNotNull())
     stats = df.groupBy(g).agg(
         F.min(F.col(value_col).cast("double")).alias("mn"),
         F.max(F.col(value_col).cast("double")).alias("mx"),
@@ -399,7 +404,7 @@ def histogram_quantiles_oracle_sql(
     WITH stats AS (
       SELECT {g}, MIN(CAST({value_col} AS DOUBLE)) AS mn,
              MAX(CAST({value_col} AS DOUBLE)) AS mx, COUNT(*) AS n
-      FROM {table} GROUP BY {g}),
+      FROM {table} WHERE {value_col} IS NOT NULL GROUP BY {g}),
     binned AS (
       SELECT t.{g},
              CASE WHEN s.mx = s.mn THEN 0
@@ -408,7 +413,8 @@ def histogram_quantiles_oracle_sql(
                                         / ((s.mx - s.mn) / {float(bins)!r}))
                                   AS INTEGER))
              END AS bin
-      FROM {table} t JOIN stats s USING ({g})),
+      FROM {table} t JOIN stats s USING ({g})
+      WHERE t.{value_col} IS NOT NULL),
     hist AS (
       SELECT {g}, bin, COUNT(*) AS cnt FROM binned GROUP BY {g}, bin),
     cum AS (
@@ -454,12 +460,19 @@ def weighted_sample_topk(
     salting-invariant so the DuckDB oracle's plain window hash-matches.
 
     Determinism: u and w enter ONE double expression ln(u)/w rounded to
-    DECIMAL(18,9); ties (astronomically unlikely) break on id.
+    DECIMAL(38,9); ties (astronomically unlikely) break on id. The wide
+    decimal matters: |ln(u)/w| reaches ~4e10 already at w=1e-9, which
+    overflowed the previous (18,9) — an ArithmeticException under Spark
+    4's default ANSI mode, a silent NULL (row dropped from the sample)
+    without it. (38,9) holds weights down to ~1e-28. Non-positive
+    weights cannot race (ln(u)/w flips sign or divides by zero) and are
+    filtered out, mirrored in the oracle.
     Returns (rank int, id_col, weight double, sample_key double).
     """
+    df = df.filter(weight_col > 0)
     h = _h60(F.col(id_col))
     u = (h.cast("double") + F.lit(1.0)) / F.lit(_SCALE)
-    key = F.round(F.log(u) / weight_col, 9).cast("decimal(18,9)")
+    key = F.round(F.log(u) / weight_col, 9).cast("decimal(38,9)")
     scored = df.select(
         F.col(id_col),
         weight_col.cast("double").alias("weight"),
@@ -493,8 +506,8 @@ def weighted_sample_oracle_sql(
                ln((CAST(CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)),
                                1, 15) AS BIGINT) AS DOUBLE) + 1.0)
                   / CAST({_SCALE} AS DOUBLE))
-               / CAST({weight_sql} AS DOUBLE), 9) AS DECIMAL(18,9)) AS k_dec
-      FROM {table}),
+               / CAST({weight_sql} AS DOUBLE), 9) AS DECIMAL(38,9)) AS k_dec
+      FROM {table} WHERE CAST({weight_sql} AS DOUBLE) > 0),
     ranked AS (
       SELECT {id_col}, weight, k_dec,
              ROW_NUMBER() OVER (ORDER BY k_dec DESC, {id_col} ASC) AS rank

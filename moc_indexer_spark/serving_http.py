@@ -88,7 +88,18 @@ class ApiServer:
         )
         t = transactions(self.spark, self.sf_dir)
         page = api_tx_list(t, address, EXCLUDED_EVENTS, skip, limit)
-        return {"transactions": df_to_payload(page), "skip": skip, "limit": limit}
+        rows = df_to_payload(page)
+        # total like the reference (bp_user_operations.py:91 issues a
+        # separate count_documents): computed independently of the page,
+        # so an out-of-range skip still reports how many rows exist —
+        # a paginate_with_total crossJoin would return neither rows nor
+        # the total the client needs to render pagination
+        f = t.filter(F.col("address") == address)
+        if EXCLUDED_EVENTS:
+            f = f.filter(~F.col("event").isin(*EXCLUDED_EVENTS))
+        total = f.count()
+        return {"transactions": rows, "count": len(rows),
+                "total": total, "skip": skip, "limit": limit}
 
     def tx_last(self, params):
         from .operators.serving import api_tx_last

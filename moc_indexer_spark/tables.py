@@ -260,8 +260,8 @@ def compact_parquet(
     """
     import math
     import os
-    import shutil
-    import uuid
+
+    from .streaming.swap import swap_dir
 
     total = sum(
         os.path.getsize(os.path.join(path, f))
@@ -270,12 +270,15 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    # the recoverable swap protocol (streaming/swap.py): two bare renames
+    # left a crash window where the table didn't exist at all, under an
+    # unfindable random __old name — recovery now finishes or rolls back
+    swap_dir(
+        path,
+        lambda tmp: df.repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
     return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
 
 

@@ -230,3 +230,61 @@ def test_exchange_single_pass_equals_per_event_union(spark):
     a = sorted(map(tuple, union.collect()))
     b = sorted(map(tuple, enrich_exchange_all(logs).collect()))
     assert a == b and len(a) > 0
+
+
+def test_transfer_routing_by_token_contract(spark):
+    """Per-(contract, event) demux like the reference's map_events
+    (scan_events_txs.py:147-153): a DoC-token Transfer must land labeled
+    STABLE, a BPro-token Transfer RISKPRO, and a Transfer from an
+    UNMAPPED contract is skipped — not absorbed as RISKPRO. Approval
+    handling scopes to the given contracts."""
+    import datetime as dt
+
+    bpro = "0x" + "b1" * 20
+    doc = "0x" + "d0" * 20
+    other = "0x" + "ee" * 20
+    u1, u2 = "0x" + "11" * 20, "0x" + "22" * 20
+
+    def tx(i, log_addr, event_name, payload):
+        return {
+            "hash": f"0x{i:064x}", "blockNumber": i, "from": u1, "to": u2,
+            "value": "0", "gas": 21000, "gasPrice": "1", "input": "0x",
+            "receipt": True, "processed": False, "gas_used": 21000,
+            "confirmations": 12,
+            "timestamp": dt.datetime(2024, 1, 1, 0, i),
+            "logs": [{"address": log_addr, "logIndex": 0,
+                      "event_name": event_name,
+                      "payload": json.dumps(payload)}],
+            "status": "confirmed",
+        }
+
+    t_payload = {"from": u1, "to": u2, "value": str(10**18)}
+    a_payload = {"owner": u1, "spender": E.MOC if hasattr(E, "MOC") else "0x" + "ab" * 20,
+                 "value": str(10**18)}
+    from moc_indexer_spark.sources.fixtures import MOC, RAW_SCHEMA
+
+    a_payload["spender"] = MOC
+    raw = spark.createDataFrame(
+        [tx(1, bpro, "Transfer", t_payload),
+         tx(2, doc, "Transfer", t_payload),
+         tx(3, other, "Transfer", t_payload),
+         tx(4, doc, "Approval", a_payload),
+         tx(5, other, "Approval", a_payload)],
+        RAW_SCHEMA,
+    )
+    outs = E.run_event_pipeline(
+        raw, moc_contract=MOC,
+        token_contracts={bpro: "RISKPRO", doc: "STABLE"},
+        approval_contracts=(doc,),
+        only=("transfers", "approvals"),
+    )
+    transfers = outs["transfers"].collect()
+    by_hash = {}
+    for r in transfers:
+        by_hash.setdefault(r.transactionHash, set()).add(r.tokenInvolved)
+    assert by_hash == {
+        f"0x{1:064x}": {"RISKPRO"},
+        f"0x{2:064x}": {"STABLE"},
+    }  # the unmapped contract's Transfer is skipped entirely
+    approvals = outs["approvals"].collect()
+    assert {r.transactionHash for r in approvals} == {f"0x{4:064x}"}
