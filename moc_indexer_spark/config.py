@@ -134,6 +134,15 @@ def load_config(
         cfg.connection_network = env["APP_CONNECTION_NETWORK"]
     if "APP_CONFIG_NETWORK" in env:
         cfg.config_network = env["APP_CONFIG_NETWORK"]
+        if networks and cfg.config_network not in networks:
+            # the reference resolves addresses from config[network] and
+            # KeyErrors on an unknown name; silently keeping the PREVIOUS
+            # network's contract addresses would route events against the
+            # wrong chain while reporting the new network name
+            raise KeyError(
+                f"APP_CONFIG_NETWORK={cfg.config_network!r} not in the "
+                f"settings file's networks ({sorted(networks)})"
+            )
         net = networks.get(cfg.config_network)
         if net:
             cfg.app_mode = net.get("app_mode", cfg.app_mode)

@@ -52,26 +52,13 @@ def _read(spark: SparkSession, path: str, jsonl: bool) -> tuple[DataFrame, DataF
 
 
 def _decontaminate(docs: DataFrame, bench_source: str) -> DataFrame:
-    """Drop docs sharing any 4-gram with the benchmark slice (broadcast
-    semi-join on hashed shingles — zero corpus shuffle)."""
-    toks = docs.select(
-        "doc_id", "source", T.tokens("text").alias("t")
-    ).filter(F.size("t") >= NGRAM_N)
-    sh = toks.select(
-        "doc_id",
-        "source",
-        F.explode(T.shingles(F.col("t"), NGRAM_N)).alias("shingle"),
-    ).select("doc_id", "source", F.xxhash64("shingle").alias("h"))
-    bench = sh.filter(F.col("source") == bench_source).select("h").distinct()
-    contaminated = (
-        sh.filter(F.col("source") != bench_source)
-        .join(F.broadcast(bench), "h")
-        .select("doc_id")
-        .distinct()
-    )
-    return docs.filter(F.col("source") != bench_source).join(
-        contaminated, "doc_id", "left_anti"
-    )
+    """Drop docs sharing any 4-gram with the benchmark slice — delegated
+    to the shared operator (operators/dedup.decontaminate_against_source)
+    so the bloom/stop-shingle scale fixes the registry legs document land
+    in ONE place, not three."""
+    from .operators.dedup import decontaminate_against_source
+
+    return decontaminate_against_source(docs, bench_source, n=NGRAM_N)
 
 
 def run_pipeline(
@@ -108,9 +95,13 @@ def run_pipeline(
         caches.append(deduped)
         funnel["after_exact_dedup"] = deduped.count()
 
-        clean = _decontaminate(deduped, bench_source).persist()
-        caches.append(clean)
-        funnel["after_decontamination"] = clean.count()
+        if bench_source:
+            clean = _decontaminate(deduped, bench_source).persist()
+            caches.append(clean)
+            funnel["after_decontamination"] = clean.count()
+        else:
+            # --bench-source '' : no held-out slice, nothing deleted
+            clean = deduped
 
         weights = dsir_weights(clean)
         scored = clean.join(weights.select("doc_id", "logw"), "doc_id", "left")
@@ -148,9 +139,16 @@ def run_pipeline(
             "source",
             "logw",
             "pack_id",
-            F.pmod(F.col("doc_id"), F.lit(N_SHARDS)).cast("bigint")
+            # shard on the PACK identity, not doc_id: a pack is a ~512-
+            # token training sequence whose member docs must land in ONE
+            # shard file or no dataloader can reassemble it (doc_id % N
+            # scattered each pack across up to N shards and multi-counted
+            # packs in the manifest)
+            F.pmod(F.xxhash64(F.col("lang"), F.col("pack_id")),
+                   F.lit(N_SHARDS)).cast("bigint")
             .alias("shard_id"),
-        )
+        ).persist()  # count + write: one pack-window/join pass, not two
+        caches.append(final)
         funnel["final_docs"] = final.count()
 
         (
@@ -192,12 +190,19 @@ def main() -> None:
     ap.add_argument("out_dir")
     ap.add_argument("--jsonl", action="store_true")
     ap.add_argument("--sample-k", type=int, default=None)
+    ap.add_argument(
+        "--bench-source", default="src0",
+        help="source name held out as the benchmark slice for 4-gram "
+             "decontamination; pass an empty string to disable (no "
+             "source is deleted from the corpus)",
+    )
     args = ap.parse_args()
     from .session import get_spark
 
     spark = get_spark(app_name="llm-pipeline")
     funnel = run_pipeline(
         spark, args.in_path, args.out_dir, jsonl=args.jsonl,
+        bench_source=args.bench_source,
         sample_k=args.sample_k,
     )
     print(json.dumps(funnel, sort_keys=True))

@@ -166,7 +166,7 @@ def bpe_segment(
             out_tokens, out_counts = [], []
             for text in pdf["text"]:
                 toks = []
-                for w in text.split(" "):
+                for w in (text or "").split(" "):
                     if not w:
                         continue
                     toks.extend(segment_word(w))
@@ -180,6 +180,13 @@ def bpe_segment(
                 }
             )
 
+    # the closure references the module-level _merge_pair_in_syms BY
+    # REFERENCE (cloudpickle): workers that can't import the package
+    # crash deserializing the UDF without shipping it — the same rule
+    # every other mapInPandas site here follows
+    from ..session import ship_package
+
+    ship_package(docs.sparkSession)
     return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
         seg, "doc_id bigint, n_bpe_tokens bigint, tokens array<string>"
     )

@@ -143,6 +143,76 @@ def boilerplate_shingles(
     )
 
 
+def decontaminate_against_source(
+    docs: DataFrame,
+    bench_source: str,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Benchmark decontamination: drop every doc sharing ANY n-gram
+    shingle with the held-out `bench_source` slice, and the slice itself.
+    One definition for the production funnel (llm_pipeline) and the
+    certification legs (plans/pipeline_registry q_benchmark_contamination
+    reports the same contaminated set; q_bloom_decontamination is the
+    bloom-prefiltered scale variant) — the scale notes those legs carry
+    (bloom pre-filter for large benchmark sets, stop-shingle caps) apply
+    HERE.
+
+    Plan shape: shingle-hash both sides once, distinct the bench side
+    (benchmark slices are corpus-small by definition -> broadcast), semi-
+    join contaminated ids, anti-join them out — zero corpus shuffle.
+    (Built directly rather than via _shingle_df: the source column must
+    ride alongside the shingles in one scan.)"""
+    toks = docs.select(
+        F.col(id_col), F.col(source_col), T.tokens(text_col).alias("t")
+    ).filter(F.size("t") >= n)
+    sh = toks.select(
+        F.col(id_col), F.col(source_col),
+        F.explode(T.shingles(F.col("t"), n)).alias("shingle"),
+    ).select(F.col(id_col), F.col(source_col),
+             F.xxhash64("shingle").alias("h"))
+    bench = (
+        sh.filter(F.col(source_col) == bench_source).select("h").distinct()
+    )
+    contaminated = (
+        sh.filter(F.col(source_col) != bench_source)
+        .join(F.broadcast(bench), "h")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.filter(F.col(source_col) != bench_source).join(
+        contaminated, id_col, "left_anti"
+    )
+
+
+def _candidate_inter(sh, id_col: str) -> DataFrame:
+    """Posting-prune + inverted-index self-join + intersection counts —
+    the shared candidate stage of the Jaccard and containment tiers.
+    Prunes posting lists of size 1 BEFORE the self-join (a shingle seen
+    in one doc can't produce a pair; in a real corpus that is most of
+    the index). The count runs as a window over the same shingle
+    partitioning the join needs, so the exchange is shared — measured
+    2.3 s -> 1.9 s at sf0.1, and the win grows with vocabulary size."""
+    pw = Window.partitionBy("shingle")
+    sh = (
+        sh.withColumn("__pc", F.count(F.lit(1)).over(pw))
+        .filter(F.col("__pc") >= 2)
+        .drop("__pc")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_i"),
+            F.col(f"b.{id_col}").alias("doc_j"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
 def _jaccard_from_inter(inter, sizes, threshold, id_col):
     """(doc_i, doc_j, inter) + sizes -> thresholded (doc_i, doc_j,
     jaccard) under the shared |A∩B|/(|A|+|B|-|A∩B|) arithmetic."""
@@ -191,28 +261,7 @@ def ngram_jaccard_pairs(
     list is result-identical.
     """
     sh, sizes = _hashed_shingles(docs, n, id_col, text_col, stop_shingles)
-    # Prune posting lists of size 1 BEFORE the self-join: a shingle seen in
-    # only one doc can't produce a candidate pair, and in a real corpus
-    # that's the vast majority of the inverted index. The count runs as a
-    # window over the same shingle partitioning the join needs, so the
-    # exchange is shared — measured 2.3 s -> 1.9 s at sf0.1, and the win
-    # grows with vocabulary size at scale.
-    pw = Window.partitionBy("shingle")
-    sh = (
-        sh.withColumn("__pc", F.count(F.lit(1)).over(pw))
-        .filter(F.col("__pc") >= 2)
-        .drop("__pc")
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_i"), F.col(f"b.{id_col}").alias("doc_j")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _candidate_inter(sh, id_col)
     return _jaccard_from_inter(inter, sizes, threshold, id_col)
 
 
@@ -700,21 +749,7 @@ def ngram_containment_pairs(
     this tier's posting lists exactly as it does Jaccard's.
     """
     sh, sizes = _hashed_shingles(docs, n, id_col, text_col, stop_shingles)
-    pw = Window.partitionBy("shingle")
-    sh = (
-        sh.withColumn("__pc", F.count(F.lit(1)).over(pw))
-        .filter(F.col("__pc") >= 2)
-        .drop("__pc")
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_i"), F.col(f"b.{id_col}").alias("doc_j")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _candidate_inter(sh, id_col)
     sa = sizes.select(F.col(id_col).alias("doc_i"), F.col("n_sh").alias("n_i"))
     sb = sizes.select(F.col(id_col).alias("doc_j"), F.col("n_sh").alias("n_j"))
     scored = (

@@ -116,7 +116,7 @@ def q_hourly_window_agg(spark, sf_dir):
     {TX_WITH},
     g AS (SELECT address, created_at, tx_hash,
             CASE WHEN epoch_us(created_at) - epoch_us(LAG(created_at) OVER (
-                   PARTITION BY address ORDER BY created_at, tx_hash)) > 1800000000
+                   PARTITION BY address ORDER BY created_at, tx_hash)) >= 1800000000
                  OR LAG(created_at) OVER (
                    PARTITION BY address ORDER BY created_at, tx_hash) IS NULL
                  THEN 1 ELSE 0 END AS new_session
@@ -134,6 +134,12 @@ def q_hourly_window_agg(spark, sf_dir):
 def q_user_sessions_native(spark, sf_dir):
     """Spark's NATIVE session_window (30-min gap) checked against the
     lag+cumsum SQL formulation — two independent algorithms, same result.
+    Boundary semantics pinned to Spark's: session_window ranges are
+    [start, last_event + gap), so an event arriving EXACTLY gap after
+    the previous one opens a NEW session — the oracle's lag test is
+    therefore >= gap, not > (the lag-based q_user_sessions in
+    relational_extra keeps its own internally-consistent > contract on
+    both sides).
     In streaming this same expression runs with a watermark for
     incremental sessionization."""
     t = transactions(spark, sf_dir)

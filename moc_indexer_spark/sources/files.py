@@ -79,8 +79,19 @@ def read_csv(
     delimiter: str = ",",
 ) -> tuple[DataFrame, DataFrame]:
     """CSV variant of `read_jsonl` with the same good/quarantine contract.
-    The header line (matched textually, not positionally — text scans give
-    no stable row order) is excluded before parsing."""
+
+    Header handling: matched textually, not positionally (text scans give
+    no stable row order), against a CANONICALIZED form — per-field quote
+    stripping, trimming, and lowercasing — so quoted/spaced/case-variant
+    headers of the same columns are removed too, not parsed into `good`
+    (an all-string schema would otherwise accept a foreign header as a
+    data row; typed schemas already quarantined it). Residual contract of
+    textual matching, documented rather than hidden: a DATA row whose
+    fields equal the column names case-insensitively is removed with the
+    header — if that row can exist in your data, read with header=False
+    and strip per file upstream. A header with DIFFERENT column names is
+    NOT removed (it parses or quarantines like any other line — visible
+    either way)."""
     opts = {
         "mode": "PERMISSIVE",
         "columnNameOfCorruptRecord": CORRUPT_COL,
@@ -88,8 +99,17 @@ def read_csv(
     }
     lines = spark.read.text(path).select(F.col("value").alias("raw_line"))
     if header:
-        header_line = delimiter.join(f.name for f in schema.fields)
-        lines = lines.filter(F.col("raw_line") != header_line)
+        canon = F.array_join(
+            F.transform(
+                F.split(F.col("raw_line"), delimiter),
+                lambda x: F.lower(
+                    F.trim(F.regexp_replace(F.trim(x), '^"|"$', ""))
+                ),
+            ),
+            delimiter,
+        )
+        header_canon = delimiter.join(f.name.lower() for f in schema.fields)
+        lines = lines.filter(canon != F.lit(header_canon))
     parsed = lines.select(
         "raw_line",
         F.from_csv(F.col("raw_line"), _with_corrupt(schema).simpleString(),

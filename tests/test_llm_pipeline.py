@@ -37,11 +37,26 @@ def test_pipeline_end_to_end_parquet(spark, sf_dir, tmp_path):
     for sid, m in manifest.items():
         assert m.n_docs == actual[sid].n
         assert m.total_chars == actual[sid].chars
-    # shard assignment is the documented doc_id % N_SHARDS
+    # shard assignment keys on the PACK identity (lang, pack_id): a pack
+    # is a training sequence whose member docs must land in ONE shard or
+    # no dataloader can reassemble it (doc_id % N scattered each pack
+    # across shards and multi-counted packs in the manifest)
     bad = corpus.filter(
-        F.pmod(F.col("doc_id"), F.lit(N_SHARDS)) != F.col("shard_id")
+        F.pmod(F.xxhash64(F.col("lang"), F.col("pack_id")),
+               F.lit(N_SHARDS)) != F.col("shard_id")
     ).count()
     assert bad == 0
+    # pack locality: every (lang, pack_id) lives in exactly one shard,
+    # so summing manifest n_packs counts each pack once
+    multi_shard = (
+        corpus.groupBy("lang", "pack_id")
+        .agg(F.countDistinct("shard_id").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert multi_shard == 0
+    n_packs_total = sum(m.n_packs for m in manifest.values())
+    assert n_packs_total == corpus.select("lang", "pack_id").distinct().count()
     # funnel.json persisted and matches
     assert json.load(open(f"{out}/funnel.json")) == funnel
 
