@@ -477,6 +477,15 @@ def run_event_pipeline(
                 )
                 for addr, token in sorted(token_contracts.items())
             ]
+            if not parts:
+                # {} is a valid "no tokens watched" config: emit an EMPTY
+                # relation with the transfers schema (Catalyst folds the
+                # false filter to a LocalRelation — no scan), not an
+                # IndexError and not the None-path default token
+                parts = [enrich_transfers(
+                    logs.filter(F.lit(False)), "RISKPRO", excl,
+                    registered_users,
+                )]
             transfers = parts[0]
             for p in parts[1:]:
                 transfers = transfers.unionByName(p)

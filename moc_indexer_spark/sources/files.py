@@ -20,6 +20,8 @@ relation verbatim.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -99,9 +101,14 @@ def read_csv(
     }
     lines = spark.read.text(path).select(F.col("value").alias("raw_line"))
     if header:
+        # F.split takes a Java REGEX: a regex-special delimiter ('|', '.')
+        # would split every character and the canonical form would never
+        # match header_canon — the header line would leak into parsing as
+        # a data row for all-string schemas. Escape it (re.escape emits
+        # backslash-punctuation, valid in Java regex too).
         canon = F.array_join(
             F.transform(
-                F.split(F.col("raw_line"), delimiter),
+                F.split(F.col("raw_line"), re.escape(delimiter)),
                 lambda x: F.lower(
                     F.trim(F.regexp_replace(F.trim(x), '^"|"$', ""))
                 ),

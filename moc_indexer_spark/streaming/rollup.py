@@ -46,8 +46,11 @@ class IncrementalRollup:
         self.n_buckets = n_buckets
         # finish/abort a swap a previous process crashed inside (state
         # would otherwise read as absent and the next batch would rebuild
-        # from one delta)
-        recover_swap(self.path)
+        # from one delta). _batch_id is a required completeness marker:
+        # Spark's _SUCCESS commits BEFORE _atomic_write appends it, so a
+        # crash in that gap must roll back — installing marker-less state
+        # would read _last_applied() == -1 and double-fold the redelivery
+        recover_swap(self.path, required=("_batch_id",))
 
     # -- state --------------------------------------------------------------
 
@@ -159,7 +162,7 @@ class IncrementalRollup:
             with open(os.path.join(tmp, "_batch_id"), "w") as fh:
                 fh.write(str(batch_id))
 
-        swap_dir(self.path, _write)
+        swap_dir(self.path, _write, required=("_batch_id",))
 
 
 class IncrementalCandles(IncrementalRollup):

@@ -110,10 +110,24 @@ def _stale_row(tx_hash: str, confs: int = 0) -> pd.DataFrame:
     )
 
 
+def _unpack_state(tup) -> tuple:
+    """(created_at, status, confs[, error_code]) -> always a 4-tuple.
+
+    STATE_SCHEMA grew a 4th field (error_code) in round 5; a stream
+    restarted from a pre-upgrade applyInPandasWithState /
+    transformWithState checkpoint still holds 3-field state tuples. Pad
+    the missing code to None instead of failing the unpack — the old
+    checkpoint stays usable across the upgrade, and a terminal row
+    written before it re-emits NULL until its next observation (the
+    pre-upgrade behavior) rather than crashing the stream."""
+    created_at, prev, confs, *rest = tup
+    return created_at, prev, confs, (rest[0] if rest else None)
+
+
 def _handle_timeout(state: GroupState) -> tuple[bool, int]:
     if not state.hasTimedOut:
         return False, 0
-    created_at, prev, confs, _err = state.get
+    created_at, prev, confs, _err = _unpack_state(state.get)
     if prev not in ("confirmed", "failed"):
         state.update((created_at, "failed", confs, "staleTransaction"))
     return True, confs
@@ -130,7 +144,7 @@ def _handle_rows(
     confs = 0
     err = None
     if state.exists:
-        created_at, prev_status, confs, err = state.get
+        created_at, prev_status, confs, err = _unpack_state(state.get)
 
     rows = pd.concat(list(pdfs)).sort_values("observed_at")
     last_observed = rows["observed_at"].max()

@@ -40,7 +40,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from .status import OUTPUT_SCHEMA, confirming_percent, transition
+from .status import OUTPUT_SCHEMA, _unpack_state, confirming_percent, transition
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -68,7 +68,11 @@ class StatusProcessor(StatefulProcessor):
         (tx_hash,) = key
         prev_status, created_at, confs, err = None, None, 0, None
         if self._state.exists():
-            created_at, prev_status, confs, err = self._state.get()
+            # defensive unpack: tolerates 3-field state from a pre-
+            # error_code checkpoint (see status._unpack_state)
+            created_at, prev_status, confs, err = _unpack_state(
+                self._state.get()
+            )
 
         pdf = pd.concat(list(rows)).sort_values("observed_at")
         last_observed = pdf["observed_at"].max()

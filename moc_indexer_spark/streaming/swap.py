@@ -44,11 +44,21 @@ def _old(path: str) -> str:
     return f"{path}__swap_old"
 
 
-def recover_swap(path: str) -> None:
+def recover_swap(path: str, required: tuple[str, ...] = ()) -> None:
     """Finish or roll back a crashed swap; sweep leftovers. Idempotent —
-    call at writer init and before every swap."""
+    call at writer init and before every swap.
+
+    `required` names extra marker files that must exist inside tmp for it
+    to count as complete. Spark stamps `_SUCCESS` when the DATA write
+    commits, which can predate commit markers the writer appends after it
+    (e.g. the rollup's `_batch_id`): a crash in that gap would otherwise
+    install state whose applied-batch marker is missing, and the
+    redelivered batch would be folded twice."""
     tmp, old = _tmp(path), _old(path)
-    complete = os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    complete = all(
+        os.path.exists(os.path.join(tmp, m))
+        for m in ("_SUCCESS", *required)
+    )
     if not os.path.exists(path):
         if complete:
             os.rename(tmp, path)
@@ -59,12 +69,15 @@ def recover_swap(path: str) -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
-def swap_dir(path: str, write_fn) -> None:
+def swap_dir(path: str, write_fn, required: tuple[str, ...] = ()) -> None:
     """Install new state at `path` via the recoverable protocol.
     `write_fn(tmp_path)` must leave a complete state dir (containing
-    _SUCCESS) at tmp_path — typically a Spark parquet write plus any
-    commit-marker files that must travel WITH the state."""
-    recover_swap(path)
+    _SUCCESS plus every `required` marker) at tmp_path — typically a
+    Spark parquet write plus any commit-marker files that must travel
+    WITH the state. Pass the markers write_fn appends AFTER the data
+    write as `required` so a crash between Spark's _SUCCESS and the
+    marker write is judged incomplete and rolled back."""
+    recover_swap(path, required)
     tmp, old = _tmp(path), _old(path)
     write_fn(tmp)
     if os.path.exists(path):

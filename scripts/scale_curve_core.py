@@ -273,6 +273,9 @@ def run_ingest(spark) -> dict:
             spark, FakeChain(CONTRACTS, USERS, 20),
             ScanRange(last_indexed=-1, tip=nb, blocks_recession=0),
             set(CONTRACTS),
+            # recession=0 scans to the tip: the default min_confirmations=1
+            # trips chain.py's drop-the-youngest-block guard
+            min_confirmations=0,
         ).cache()
         raw.count()
         outs = run_event_pipeline(raw, moc_contract=CONTRACTS[0],

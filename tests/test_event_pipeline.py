@@ -288,3 +288,13 @@ def test_transfer_routing_by_token_contract(spark):
     }  # the unmapped contract's Transfer is skipped entirely
     approvals = outs["approvals"].collect()
     assert {r.transactionHash for r in approvals} == {f"0x{4:064x}"}
+
+
+def test_empty_token_contracts_yields_empty_transfers(raw):
+    """token_contracts={} is a valid 'no tokens watched' config: the
+    transfers output must be an EMPTY relation with the normal transfers
+    schema — not an IndexError, and not silently the None-path default."""
+    base = E.run_event_pipeline(raw, only=("transfers",))["transfers"]
+    outs = E.run_event_pipeline(raw, token_contracts={}, only=("transfers",))
+    assert outs["transfers"].count() == 0
+    assert outs["transfers"].schema == base.schema

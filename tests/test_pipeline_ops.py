@@ -427,3 +427,41 @@ def test_rollup_exactly_once_survives_swap_crash(spark, workdir):
         assert total == events.count()
     finally:
         events.unpersist()
+
+
+def test_rollup_crash_between_success_and_batch_id_rolls_back(spark, workdir):
+    """Spark stamps _SUCCESS when the DATA write commits — BEFORE
+    _atomic_write appends _batch_id. A crash in that gap must be judged
+    an incomplete swap and rolled back: installing marker-less state
+    would read _last_applied() == -1 and the foreachBatch re-delivery
+    would be folded a second time (double-count)."""
+    from moc_indexer_spark.streaming.rollup import IncrementalRollup
+    from moc_indexer_spark.streaming.swap import _old, _tmp
+
+    events = _events(spark, sf_dir="/root/testdata/sf0.001").cache()
+    try:
+        p = f"{workdir}/roll_gap"
+        roll = IncrementalRollup(spark, p, width="1 hour")
+        b0 = events.filter(F.col("event_id") % 2 == 0)
+        b1 = events.filter(F.col("event_id") % 2 == 1)
+        roll.update(b0, batch_id=0)
+        baseline = _sorted_rows(roll.serve())
+
+        # stage the crash: batch-1 state fully written by Spark (parquet +
+        # _SUCCESS at tmp root) but the process died before _batch_id
+        shutil.copytree(p, f"{workdir}/staged_gap")
+        roll.update(b1, batch_id=1)
+        shutil.move(p, _tmp(p))
+        os.remove(os.path.join(_tmp(p), "_batch_id"))  # the gap
+        shutil.move(f"{workdir}/staged_gap", _old(p))
+
+        roll2 = IncrementalRollup(spark, p, width="1 hour")  # recovery
+        # rolled BACK to the pre-batch-1 state, marker intact
+        assert roll2._last_applied() == 0
+        assert _sorted_rows(roll2.serve()) == baseline
+        # the re-delivery now folds exactly once
+        roll2.update(b1, batch_id=1)
+        total = sum(r[2] for r in _sorted_rows(roll2.serve()))
+        assert total == events.count()
+    finally:
+        events.unpersist()

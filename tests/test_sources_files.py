@@ -102,3 +102,22 @@ def test_blank_and_null_lines_are_quarantined(spark, tmp_path):
     # nothing is silently dropped
     assert b.count() == 3
     assert g.filter(g.doc_id.isNull()).count() == 0
+
+
+def test_csv_regex_special_delimiter_header_removed(spark, tmp_path):
+    """'|' is regex-special: an unescaped F.split would split every
+    character, the canonical form would never equal header_canon, and the
+    header would leak into `good` as a data row for all-string schemas."""
+    p = str(tmp_path / "pipe.csv")
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("city", T.StringType()),
+        ]
+    )
+    _write_lines(p, ["name|city", '"Name" | CITY', "ada|london", "bob|paris"])
+    good, bad = FS.read_csv(spark, p, schema, delimiter="|")
+    rows = {(r.name, r.city) for r in good.collect()}
+    # both header variants (exact and quoted/spaced/case-variant) removed
+    assert rows == {("ada", "london"), ("bob", "paris")}
+    assert bad.count() == 0

@@ -440,3 +440,30 @@ def test_status_error_code_persists_after_failure():
     assert list(out2["status"]) == ["failed"]
     assert list(out2["error_code"]) == ["reverted"]   # code persists
     assert list(out2["confirmations"]) == [3]         # count not regressed
+
+
+def test_legacy_3field_state_unpacks_with_null_error_code():
+    """STATE_SCHEMA grew error_code in round 5; a stream restarted from a
+    pre-upgrade checkpoint hands the processor 3-field state tuples. The
+    unpack must pad the missing code to None — not crash the stream."""
+    import datetime as dt
+
+    from moc_indexer_spark.streaming.status import _unpack_state
+    from moc_indexer_spark.streaming.status_tws import StatusProcessor
+
+    t0 = dt.datetime(2024, 1, 1)
+    # pure helper: both arities normalize to a 4-tuple
+    assert _unpack_state((t0, "confirming", 3)) == (t0, "confirming", 3, None)
+    assert _unpack_state((t0, "failed", 3, "reverted")) == (
+        t0, "failed", 3, "reverted")
+
+    # end-to-end through the TWS twin with legacy state pre-loaded
+    proc = StatusProcessor()
+    proc._state = _FakeValueState()
+    proc._state.update((t0, "confirming", 3))  # 3-field legacy checkpoint
+    pdf = pd.DataFrame([_obs("z", 60, "confirmed", 12)], columns=OBS_COLS)
+    out = pd.concat(list(proc.handleInputRows(("z",), iter([pdf]), None)))
+    assert list(out["status"]) == ["confirmed"]
+    assert list(out["error_code"]) == [None]
+    # state was re-written in the new 4-field layout
+    assert len(proc._state.get()) == 4
