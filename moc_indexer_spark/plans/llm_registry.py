@@ -89,13 +89,67 @@ def q_dedup_exact(spark, sf_dir):
     "ngram_dup_pairs",
     _JACCARD_ORACLE,
     tags=("llm", "dedup", "jaccard"),
-    bench=True,
 )
 def q_ngram_dup_pairs(spark, sf_dir):
     """Exact near-dup pairs; Spark uses the shingle inverted-index join (the
-    oracle brute-forces all pairs — same result, different plan)."""
+    oracle brute-forces all pairs — same result, different plan). The
+    certification leg for the guarded production form below: its Σdf²
+    posting-list cost is intrinsic to UNguarded semantics (a shingle in f
+    docs contributes C(f,2) candidates), which is why the bench headline
+    runs `ngram_dup_pairs_guarded` instead."""
     return D.ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+# guarded form: stop shingles with document frequency >= STOP_MIN_DF are
+# anti-joined out of the inverted index BEFORE set sizes, so jaccard is
+# over the FILTERED shingle sets — different semantics from the plain
+# form wherever hot shingles carried the overlap (at sf0.01 this prunes
+# 22-of-25-pair results: the guard is exercised, not a no-op).
+STOP_MIN_DF = 3
+
+_GUARDED_JACCARD_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh0 AS (
+      SELECT doc_id, unnest({SQL_SHINGLES}) AS shingle
+      FROM toks WHERE len(t) >= {NGRAM_N}),
+    stop AS (
+      SELECT shingle FROM sh0
+      GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= {STOP_MIN_DF}),
+    kept AS (
+      SELECT doc_id, shingle FROM sh0 ANTI JOIN stop USING (shingle)),
+    s AS (
+      SELECT doc_id, list(shingle) AS s FROM kept GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                      AS DOUBLE) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    SELECT doc_i, doc_j, jaccard FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "ngram_dup_pairs_guarded",
+    _GUARDED_JACCARD_ORACLE,
+    tags=("llm", "dedup", "jaccard", "stop-shingles"),
+    bench=True,
+)
+def q_ngram_dup_pairs_guarded(spark, sf_dir):
+    """Production near-dup form: the `boilerplate_shingles` heavy-hitter
+    feed wired in-plan as `stop_shingles=` (operators/dedup.py
+    `_hashed_shingles` anti-join). The oracle RE-DERIVES jaccard over the
+    stop-filtered shingle sets, so the guard's semantics — not just its
+    empty-list invariance — are oracle-pinned. At 100 TB this is the form
+    that keeps the inverted-index join linear: a boilerplate line in 1%
+    of docs contributes C(f,2) candidate pairs to the plain form."""
+    docs = table(spark, sf_dir, "documents")
+    stop = D.boilerplate_shingles(docs, n=NGRAM_N, min_df=STOP_MIN_DF)
+    return D.ngram_jaccard_pairs(
+        docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD, stop_shingles=stop
     )
 
 

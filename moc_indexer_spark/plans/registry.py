@@ -61,72 +61,54 @@ def register(name, oracle, tags=(), bench=False):
 
 
 # The driver's correctness gate evaluates the FIRST 50 registered queries.
-# This explicit window curates those slots: every entry is oracle-gated and
-# the set maximizes distinct SURVEY.md §2 component coverage (tx-list family,
-# money/enrichment formulas F3-F7, J2 event pipeline incl. the raw-hex ABI
-# leg, joins J5/J6, serving S8/A3, window family, the dedup cascade incl.
-# clusters + line dedup, text analysis, and the similarity family incl. the
-# exact-by-construction IVF/PQ certifications). Everything else registers
-# after the window — oracle-gated queries first (the builder mirror and
-# judge spot-checks still exercise them), rows-only checks last.
+# This explicit window curates those slots: every entry is oracle-gated.
+# Round 6 rotates ALL 50 slots to retire the never-driver-certified
+# backlog (89 oracle-gated queries after round 5): every resident below
+# is a FIRST-TIME window entry. The 50 round-5 residents (tx_list family,
+# money math, event pipeline, dedup cascade, ANN certifications, ...)
+# hold five rounds of green driver rows (CORRECTNESS_r01-r05) and stay
+# oracle-gated right after the window — the builder mirror and judge
+# re-checks keep exercising them. Priority order follows the round-5
+# brief: the 17 SURVEY §2-mapped queries first, then the TPC-H shapes,
+# then the LLM/pipeline remainder (the ~39 still-unwindowed queries
+# rotate in next round).
 _DRIVER_WINDOW = [
-    # tx-list / relational core (P2-P5, O1-O3, A1-A2, J3-J4, J7, F10-F11,
-    # F15, T2; tx_latest / distinct_active_addresses ceded their round-3
-    # slots — both families stay covered by tx_list / latest_per_address /
-    # active_address_counts and remain mirror-gated)
-    "tx_list", "tx_list_with_total",
-    "latest_per_address", "asof_price", "price_variation_24h",
-    "active_address_counts", "confirming_status",
-    # money math + joins + serving (F3-F7, J1, P1/P8, J5/F17, J6, F12/S8,
-    # A3)
-    "tx_enrich_money", "registered_user_txs", "settlement_price_override",
-    "liquidation_fanout", "api_tx_list_formatted", "report_summary",
-    # event pipeline + functions (J2, F2 full raw-hex; P9 validated_sources
-    # ceded its round-3 slot — rlike validation stays mirror-gated)
-    "event_pipeline_demo", "event_pipeline_raw_hex", "abi_decode_roundtrip",
-    # window / time-series family (§2.8, T1/T10)
-    "hourly_window_agg", "user_sessions_native", "block_gap_report",
-    "top_event_per_address", "value_percentiles",
-    # dedup cascade (exact, inverted-index Jaccard, MinHash-LSH, clusters,
-    # line-level, fuzzy; dedup_report/tx_list_count/embedding_norms ceded
-    # their slots to the round-2 families below — still mirror-gated)
-    "dedup_exact", "ngram_dup_pairs", "minhash_dup_pairs", "dedup_clusters",
-    "line_dedup_docs", "typo_pairs",
-    # text analysis (doc_fingerprint/trigram_freqs/text_quality ceded slots
-    # to distinct families: winnowing keeps fingerprinting covered,
-    # cms_trigram_estimates keeps trigrams covered, training_corpus_filter
-    # keeps quality filtering covered)
-    # (lang_id_heuristic / token_count_bpe / doc_winnowing ceded round-3
-    # slots — text_stats + cms_trigram_estimates keep the family covered)
-    "text_stats",
-    "training_corpus_filter",
-    # similarity / ANN (brute-force baseline + exact-mode IVF and the
-    # closed-form SQ8 quantizer — fully oracle-gated end-to-end;
-    # pq_ann_exact ceded its round-4 slot to pca_gram_check: flat-PQ ADC
-    # machinery stays certified via ivfpq_ann_exact's residual-PQ leg and
-    # pq_ann_exact remains mirror-gated)
-    "cosine_topk", "embedding_dup_pairs",
-    "ivf_ann_exact", "sq8_ann_topk",
-    # round-2 families: lexical retrieval, iterative graph/ML
-    # certification, certifiable cardinality + frequency sketches,
-    # language modeling, importance weighting, in-plan trained ML,
-    # weighted sampling
-    "bm25_topk", "pagerank_trade_graph", "kmv_distinct_sketch",
-    "cms_trigram_estimates", "heldout_perplexity",
-    "dsir_importance_weights", "logreg_calibration",
-    "weighted_reservoir_sample",
-    # multimodal plumbing
-    "media_feature_extract", "media_exact_dedup",
-    # round-3 families: composed IVF+PQ (exact leg certifies the residual
-    # encoding + cell pruning machinery), certified HLL, bins-bounded
-    # mergeable histogram quantiles, Kneser-Ney LM, leakage-safe
-    # cluster-unit splits, exact tie-corrected ROC AUC
-    "ivfpq_ann_exact", "hll_distinct_certified",
-    "histogram_quantiles_certified", "kneser_ney_logprob",
-    "leakage_safe_splits", "classifier_auc",
-    # round-4 certification (judge-green in the round-4 re-check): the
-    # PCA Gram-matrix leg — the oracle-expressible half of PCA/whitening
-    "pca_gram_check",
+    # §2-mapped: report CLIs (S9/F16), API endpoints (S8), set ops (§2.6),
+    # state decode (F13), derived-price lag (F17), as-of-join scale form
+    # (J6/J3), interval window (F11)
+    "report_last_transactions", "report_pay_tc_holders",
+    "api_db_info", "api_pegout_list",
+    "users_purchase_and_signup", "users_purchase_never_error",
+    "state_decode", "price_lag_change",
+    "asof_join_price_at_click", "settlement_window_activity",
+    # §2.8 window/rank family: OHLC pivot, RANGE frame, EWMA recursion,
+    # ntile, day×event pivot matrix (the round-5 date-cast fix),
+    # cumulative distinct, cohort retention
+    "hourly_ohlc", "moving_hour_sum", "ewma_amount", "amount_quartiles",
+    "daily_event_matrix", "cumulative_unique_users", "retention_cohorts",
+    # TPC-H shapes over the synthetic SF tables: scan-agg, joins across
+    # the full schema graph, correlated/anti/semi subqueries, top-k
+    "pricing_summary", "top_revenue_orders", "daily_rollup",
+    "region_supplier_rollup", "order_priority_counts",
+    "local_supplier_volume", "shipmode_priority_counts",
+    "brand_revenue_share", "customer_returns_topk", "large_volume_orders",
+    "below_avg_qty_revenue", "returned_order_priority",
+    "part_supplier_variety", "idle_customer_balance",
+    "sole_blame_supplier", "cheapest_supplier_per_part",
+    "nation_pair_volume", "nation_market_share", "product_type_profit",
+    "important_part_stock", "customer_order_distribution",
+    "top_supplier_revenue", "disjunctive_revenue",
+    "excess_shipment_suppliers", "forecast_revenue",
+    # LLM/pipeline remainder: the round-6 guarded near-dup form (its
+    # oracle re-derives jaccard over stop-filtered shingle sets), the
+    # boilerplate heavy-hitter feeder, the PPJoin prefix leg, certified
+    # SimHash, keeper selection, skew-salting invariance, and the two
+    # round-5 drifted-bench queries (driver-pinning them closes VERDICT
+    # "What's wrong" #1 from the correctness side)
+    "ngram_dup_pairs_guarded", "boilerplate_shingles",
+    "ngram_dup_pairs_prefix", "simhash_pairs_certified",
+    "dedup_keeper_selection", "salted_hot_key_join",
+    "repetition_stats", "logreg_quality_scores",
 ]
 
 
