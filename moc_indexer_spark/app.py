@@ -27,6 +27,12 @@ from .streaming.sink import ParquetUpsertTable
 CONTRACTS = ["0x" + "ab" * 20, "0x" + "cd" * 20]
 USERS = ["0x" + f"{i:040x}" for i in range(1, 21)]
 
+# one delta shard per this many scanned blocks in a cycle (see the shard
+# gate in run_incremental): at 20 txs/block a 2000-block shard is ~40k
+# rows per write task — small enough to stream through one task quickly,
+# large enough that tick-sized cycles (10-500 blocks) stay single-file
+SHARD_BLOCKS = 2000
+
 
 class Indexer:
     """Holds the sink tables + checkpoint cursor for incremental scans."""
@@ -177,16 +183,33 @@ class Indexer:
             # the insert pass created.
             from concurrent.futures import ThreadPoolExecutor
 
+            # delta shard gate: the cycle's block count is known at the
+            # driver (no count job). A tick-sized cycle keeps the measured
+            # single-file append; a catch-up cycle (outage recovery) sheds
+            # the one serialization point in its write path — one shard
+            # per SHARD_BLOCKS blocks, capped at the session's parallelism
+            n_blocks = scan.end - scan.start + 1
+            shards = min(
+                self.spark.sparkContext.defaultParallelism,
+                max(1, n_blocks // SHARD_BLOCKS),
+            )
+
             def _fastbtc():
-                self.tables["fastbtc"].upsert(outs["fastbtc_new"])
-                self.tables["fastbtc"].upsert(outs["fastbtc_updates"], insert=False)
+                self.tables["fastbtc"].upsert(outs["fastbtc_new"],
+                                              shards=shards)
+                self.tables["fastbtc"].upsert(outs["fastbtc_updates"],
+                                              insert=False, shards=shards)
 
             jobs = [
-                lambda: self.tables["raw_transactions"].upsert(raw),
-                lambda: self.tables["transactions"].upsert(outs["transactions"]),
-                lambda: self.tables["transfers"].upsert(outs["transfers"]),
+                lambda: self.tables["raw_transactions"].upsert(
+                    raw, shards=shards),
+                lambda: self.tables["transactions"].upsert(
+                    outs["transactions"], shards=shards),
+                lambda: self.tables["transfers"].upsert(
+                    outs["transfers"], shards=shards),
                 _fastbtc,
-                lambda: self.tables["notifications"].upsert(outs["notifications"]),
+                lambda: self.tables["notifications"].upsert(
+                    outs["notifications"], shards=shards),
             ]
             with ThreadPoolExecutor(max_workers=5) as pool:
                 futures = [pool.submit(j) for j in jobs]

@@ -288,7 +288,9 @@ class ParquetUpsertTable:
             )
         return batch, existing
 
-    def upsert(self, batch: DataFrame, insert: bool = True) -> None:
+    def upsert(
+        self, batch: DataFrame, insert: bool = True, shards: int = 1
+    ) -> None:
         """MERGE batch into the table.
 
         insert=False -> update-only (T6): non-matching incoming keys dropped.
@@ -296,10 +298,17 @@ class ParquetUpsertTable:
         incoming.version >= existing.version (T8).
         Batches may carry a column subset (partial $set) — missing columns
         keep their existing values.
+        shards (MoR only) -> write the delta as up-to-`shards` files
+        instead of one: a catch-up cycle's whole batch would otherwise
+        fold through a single write task (the one serialization point in
+        the recovery path). The caller gates it on known batch size —
+        driver-side, no extra count job; tick-sized batches keep the
+        measured single-file default. CoW rewrites are bucket-partitioned
+        already and ignore it.
         """
         batch = self._dedup_incoming(batch)
         if self.mode == "mor":
-            self._upsert_mor(batch, insert)
+            self._upsert_mor(batch, insert, shards)
             return
         existing = self.read()
         if existing is None:
@@ -382,10 +391,12 @@ class ParquetUpsertTable:
 
     # -- merge-on-read write path -------------------------------------------
 
-    def _append_delta(self, batch: DataFrame) -> None:
+    def _append_delta(self, batch: DataFrame, shards: int = 1) -> None:
         """Append one batch as the next `__seq=N/` partition dir. The batch
         is written to a temp dir and renamed in — one atomic directory per
-        upsert, O(batch) bytes, no table rewrite."""
+        upsert, O(batch) bytes, no table rewrite. `shards` > 1 keeps the
+        write stage parallel for size-gated catch-up batches (read() is
+        multi-file-tolerant inside a `__seq=` dir)."""
         seqs = self._delta_seqs()
         nxt = (seqs[-1] + 1) if seqs else 0
         os.makedirs(self.path, exist_ok=True)
@@ -395,11 +406,18 @@ class ParquetUpsertTable:
         # never leave partial files where partition discovery will read them
         # (a garbage dir inside the path fails EVERY subsequent read)
         tmp = f"{self.path}__stage_{uuid.uuid4().hex[:8]}"
-        # coalesce, not repartition: the delta is one small file either way,
-        # and coalesce folds the single-file write into the batch's own
-        # stage instead of adding a shuffle stage per append (6 sinks x
-        # 1 stage per 3 s tick was measurable scheduling overhead)
-        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # tick path (shards=1): coalesce, not repartition — the delta is
+        # one small file either way, and coalesce folds the write into the
+        # batch's own stage instead of adding a shuffle stage per append
+        # (6 sinks x 1 stage per 3 s tick was measurable scheduling
+        # overhead). Catch-up path (shards>1): repartition, not coalesce —
+        # coalesce can only NARROW, and AQE may already have collapsed the
+        # enrichment shuffle to one partition for exactly the batch the
+        # gate wants spread out; an explicit numPartitions is respected by
+        # AQE, and one extra O(batch) shuffle on an outage-recovery batch
+        # is noise next to serializing its whole write through one task.
+        out = batch.coalesce(1) if shards <= 1 else batch.repartition(shards)
+        out.write.mode("overwrite").parquet(tmp)
         os.rename(tmp, os.path.join(self.path, f"__seq={nxt}"))
         if self._may_have_tombstones is not None and not os.path.exists(
             self._marker("__meta")
@@ -421,10 +439,12 @@ class ParquetUpsertTable:
         if len(seqs) + 1 >= self.compact_every:
             self.compact()
 
-    def _upsert_mor(self, batch: DataFrame, insert: bool) -> None:
+    def _upsert_mor(
+        self, batch: DataFrame, insert: bool, shards: int = 1
+    ) -> None:
         if not self.exists():
             if insert:
-                self._append_delta(batch)
+                self._append_delta(batch, shards)
             return
         raw_cols = [
             c for c in self._read_raw().columns
@@ -452,7 +472,7 @@ class ParquetUpsertTable:
             )
         # the T8 version guard needs no write-side join: resolution orders by
         # (version desc, seq desc), so a stale incoming version loses at read
-        self._append_delta(batch)
+        self._append_delta(batch, shards)
 
     def compact(self) -> None:
         """Fold deltas into a single base: the MoR maintenance action (Hudi

@@ -299,6 +299,37 @@ def run_ingest(spark) -> dict:
     out["event_pipeline_vs_batch"] = row
     print(json.dumps({"event_pipeline_vs_batch": row}), flush=True)
 
+    # 2a') catch-up write-stage parallelization: one 20k-block recovery
+    # cycle with the delta shard gate active vs forced single-file. The
+    # gate (app.SHARD_BLOCKS) only fires on catch-up shapes, so the
+    # 3 s-tick cycles above are unaffected by construction.
+    import moc_indexer_spark.app as app_mod
+
+    row = {}
+    saved_sb = app_mod.SHARD_BLOCKS
+    try:
+        for label, sb in (("single_file", 10**9), ("sharded", saved_sb)):
+            app_mod.SHARD_BLOCKS = sb
+            ts, nf = [], None
+            for _ in range(3):
+                d = tempfile.mkdtemp(prefix=f"scale_catchup_{label}_")
+                ix = Indexer(spark, d, FakeChain(CONTRACTS, USERS, 20),
+                             CONTRACTS, sink_mode="mor")
+                ix.run_incremental(tip=100)  # advance cursor past cold start
+                t0 = time.perf_counter()
+                ix.run_incremental(tip=20100)  # the 20k-block catch-up
+                ts.append(time.perf_counter() - t0)
+                seq = os.path.join(d, "raw_transactions", "__seq=1")
+                nf = sum(1 for f in os.listdir(seq)
+                         if f.endswith(".parquet"))
+            ts.sort()
+            row[label] = {"t_sec": round(ts[1], 2), "delta_files": nf,
+                          "blocks_per_sec": round(20000 / ts[1], 1)}
+    finally:
+        app_mod.SHARD_BLOCKS = saved_sb
+    out["mor_catchup_sharded_vs_single"] = row
+    print(json.dumps({"mor_catchup_sharded_vs_single": row}), flush=True)
+
     # 2b) upsert latency vs PRE-LOADED table size, fixed 2k batch — the
     # direct form of the MoR-vs-CoW contrast that the FakeChain histories
     # can't show (a 400k-row table rewrite still sits under the local

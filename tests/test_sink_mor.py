@@ -559,3 +559,48 @@ def test_swap_crash_windows_recover(spark, workdir):
     t2 = ParquetUpsertTable(spark, m, keys=["k"], mode="mor")
     assert {(r_.k, r_.v) for r_ in t2.read().collect()} == before
     assert t2._delta_seqs() == [2]  # the fold was installed, history kept
+
+
+def test_sharded_delta_append_parity_and_file_count(spark, workdir):
+    """shards>1 must only change the FILE layout of a delta dir (the
+    catch-up write-stage parallelization), never the read view: same
+    merge semantics as the single-file append, multiple parquet files
+    inside the __seq dir, and compaction still folds it."""
+    import os
+
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v", "ver"])
+    big = [(i, f"v{i}", 1) for i in range(200)]
+
+    one = ParquetUpsertTable(spark, f"{workdir}/one", keys=["k"],
+                             version_col="ver", mode="mor")
+    sharded = ParquetUpsertTable(spark, f"{workdir}/sh", keys=["k"],
+                                 version_col="ver", mode="mor")
+    one.upsert(mk(big))
+    sharded.upsert(mk(big).repartition(8), shards=4)
+    assert _snapshot(one) == _snapshot(sharded)
+
+    seq0 = os.path.join(f"{workdir}/sh", "__seq=0")
+    n_files = sum(1 for f in os.listdir(seq0) if f.endswith(".parquet"))
+    assert n_files > 1, "sharded append should write multiple files"
+
+    # merge semantics unaffected: update + version guard across shard files
+    sharded.upsert(mk([(0, "new", 2), (1, "stale", 0)]), shards=4)
+    one.upsert(mk([(0, "new", 2), (1, "stale", 0)]))
+    assert _snapshot(one) == _snapshot(sharded)
+
+    sharded.compact()
+    assert _snapshot(one) == _snapshot(sharded)
+
+
+def test_indexer_shard_gate_is_tick_safe():
+    """The gate derives shards from the cycle's block count driver-side:
+    tick-sized cycles stay single-file; a 20k-block catch-up shards."""
+    from moc_indexer_spark.app import SHARD_BLOCKS
+
+    def gate(n_blocks, parallelism=32):
+        return min(parallelism, max(1, n_blocks // SHARD_BLOCKS))
+
+    assert gate(10) == 1          # 3 s tick
+    assert gate(500) == 1         # bench catch-up shape
+    assert gate(20_000) == 10     # outage recovery parallelizes
+    assert gate(1_000_000) == 32  # capped at session parallelism
