@@ -231,13 +231,15 @@ def main() -> None:
                     help="measure on the Zipf-vocab corpora (all three "
                          "scales synthetic) instead of the sf0.1-matched "
                          "ones; results land under zipf_results")
+    ap.add_argument("--scales", default="1,3,10",
+                    help="comma list of multipliers, e.g. 1,3,10,30")
     args = ap.parse_args()
 
     from moc_indexer_spark.plans.registry import registry
     from moc_indexer_spark.session import get_spark
     from moc_indexer_spark.tables import enable_layout_mirror
 
-    scales = [1, 3, 10]
+    scales = [int(s) for s in args.scales.split(",")]
     if args.zipf:
         names = (args.queries.split(",") if args.queries else
                  ["ngram_dup_pairs", "ngram_dup_pairs_prefix",
@@ -286,7 +288,11 @@ def main() -> None:
         with open(out_path) as fh:
             doc = json.load(fh)
     if args.zipf:
-        doc["zipf_results"] = results
+        # merge per-query (same contract as `results` below): a targeted
+        # --queries re-measure must not drop the other zipf rows
+        zmerged = doc.get("zipf_results", {})
+        zmerged.update(results)
+        doc["zipf_results"] = zmerged
         doc.setdefault("scales", scales)
     else:
         # merge per-query: a targeted --queries re-measure (e.g. after a

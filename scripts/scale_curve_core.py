@@ -163,12 +163,12 @@ def time_query(spark, build, sf_dir: str, runs: int) -> float:
     return round(ts[len(ts) // 2], 3)
 
 
-def run_queries(spark, dirs, scales, runs) -> dict:
+def run_queries(spark, dirs, scales, runs, names=None) -> dict:
     from moc_indexer_spark.plans.registry import registry
 
     by = {s.name: s for s in registry()}
     results: dict[str, dict] = {}
-    for name in CORE_QUERIES:
+    for name in (names or CORE_QUERIES):
         spec = by[name]
         row: dict = {"t": {}}
         for s in scales:
@@ -429,12 +429,16 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--skip-ingest", action="store_true")
     ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--queries", default="",
+                    help="comma list; targeted re-measure merges per-query")
+    ap.add_argument("--scales", default="1,3,10",
+                    help="comma list of multipliers, e.g. 1,3,10,30")
     args = ap.parse_args()
 
     from moc_indexer_spark.session import get_spark
     from moc_indexer_spark.tables import enable_layout_mirror
 
-    scales = [1, 3, 10]
+    scales = [int(s) for s in args.scales.split(",")]
     dirs = build_corpora(args.out, [s for s in scales if s != 1])
     dirs[1] = SF01
 
@@ -443,7 +447,8 @@ def main() -> None:
     enable_layout_mirror()
 
     core_results = {} if args.skip_queries else run_queries(
-        spark, dirs, scales, args.runs
+        spark, dirs, scales, args.runs,
+        names=args.queries.split(",") if args.queries else None,
     )
     ingest_results = {} if args.skip_ingest else run_ingest(spark)
 
@@ -457,7 +462,11 @@ def main() -> None:
             doc = json.load(fh)
     if core_results:
         doc["core_scales"] = scales
-        doc["core_results"] = core_results
+        # merge per-query: a targeted --queries/--scales re-measure must
+        # not drop the other recorded core rows
+        merged = doc.get("core_results", {})
+        merged.update(core_results)
+        doc["core_results"] = merged
     if ingest_results:
         doc["ingest_results"] = ingest_results
     with open(out_path, "w") as fh:

@@ -334,3 +334,13 @@ def test_classifier_auc_ranks_distinct_scores_not_rows(spark, sf_dir):
     # tree prints top-down: Window above the single-partition exchange,
     # which sits above the per-score aggregate that shrinks the input
     assert iw < sp < agg
+
+
+def test_ngram_guarded_stop_list_broadcast_anti(spark, sf_dir):
+    """The stop-shingle guard must stay a BROADCAST anti-join (the stop
+    list is heavy-hitters only — tiny by construction) and the candidate
+    join must stay hash-based: a SortMergeJoin anywhere here would resort
+    the whole inverted index."""
+    plan = _plan(spark, sf_dir, "ngram_dup_pairs_guarded")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
