@@ -1068,6 +1068,110 @@ def semantic_dedup(
     ).agg(F.min("cand").alias("dup_of"))
 
 
+def semantic_dedup_scaled(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    target_cell_rows: int = 256,
+    train_sample: int | None = None,
+    lloyd_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup at corpus scale: `semantic_dedup`'s keeper rule, but the
+    clusters come from a sample-trained spherical k-means whose cell
+    COUNT scales with the corpus (n_cells ~= n / target_cell_rows). That
+    is the property the fixed-cluster form lacks: with clusters
+    proportional to n (the label column, or any fixed-k clustering),
+    within-cluster pair work is Th(n^2) no matter how it is expressed —
+    the round-6 30x curve measured exactly that wall on the pair-emitting
+    LSH form (output itself n^2: 3.8k/36k/404k/3.6M pairs at 1/3/10/30x).
+    Scaling k with n caps expected occupancy at target_cell_rows, so
+    total pair work is ~n * target_cell_rows (linear at fixed occupancy)
+    and the output is exactly ONE row per vector: (vec_id, cell, dup_of)
+    with dup_of = smallest-id earlier same-cell vector whose cosine
+    clears `threshold`, NULL for keepers.
+
+    Approximate in RECALL only (a near-dup pair split across a cell
+    boundary is missed — the standard SemDeDup trade, pinned against the
+    label-cluster exact form in pytest); every emitted dup_of is verified
+    by its true cosine, so precision is exact. Skew note: a pathological
+    corpus could still overload one cell; production re-trains with more
+    Lloyd iterations or recursively splits hot cells — at the fixture
+    scales the measured occupancy tracks the target.
+
+    100 TB shape: quantizer trains on a bounded driver-side sample (IVF
+    practice); one Arrow pass assigns cells (map-only); ONE shuffle on
+    the cell key; per-cell keeper selection is a bounded BLAS self-matmul
+    inside applyInPandas. Store the corpus partitioned by cell (as
+    build_ivf_index does) and even that shuffle disappears."""
+    import numpy as np
+    import pandas as pd
+
+    n = corpus.count()
+    n_cells = min(4096, max(16, n // target_cell_rows))
+    if train_sample is None:
+        train_sample = min(32768, max(2048, 8 * n_cells))
+
+    Xn = _collect_train_sample(corpus, id_col, vec_col, train_sample)
+    if Xn is None:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, cell int, dup_of long"
+        )
+    C = _train_spherical_kmeans(Xn, n_cells, lloyd_iters)
+    bc = corpus.sparkSession.sparkContext.broadcast(C)
+
+    def assign(batches):
+        C_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "v": list(M),
+                    "cell": (Mn @ C_.T).argmax(axis=1).astype("int32"),
+                }
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, v array<double>, cell int"
+    )
+
+    out_schema = f"{id_col} long, cell int, dup_of long"
+
+    def keeper_in_cell(key, pdf):
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)  # keeper rule is id-ordered
+        ids_s = ids[order]
+        M = np.array(list(pdf["v"]), dtype=np.float64)[order]
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = np.round(Mn @ Mn.T, round_digits)
+        ok = np.tril(S >= threshold, k=-1)  # strictly-earlier ids only
+        has = ok.any(axis=1)
+        # argmax returns the FIRST True column — the smallest earlier id,
+        # because rows/cols are id-sorted
+        first = ok.argmax(axis=1)
+        dup = np.where(has, ids_s[first], 0)
+        return pd.DataFrame(
+            {
+                id_col: ids_s,
+                "cell": np.full(len(ids_s), key[0], dtype="int32"),
+                "dup_of": pd.array(
+                    [int(d) if h else None for d, h in zip(dup, has)],
+                    dtype="Int64",
+                ),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        keeper_in_cell, schema=out_schema
+    )
+
+
 # --- persisted IVF index: cell-partitioned storage + pruned probes ---------
 
 

@@ -998,6 +998,24 @@ def q_semantic_dedup_report(spark, sf_dir):
     )
 
 
+@register(
+    "semantic_dedup_scaled",
+    None,
+    tags=("llm", "dedup", "similarity", "semdedup", "scale-path"),
+)
+def q_semantic_dedup_scaled(spark, sf_dir):
+    """The 100 TB production form of semantic dedup (rows-only: the
+    k-means cells are engine-specific; `semantic_dedup_report` is the
+    oracle-gated exact sibling and pytest pins precision + recall against
+    it): cell count scales with the corpus, so total pair work is linear
+    at fixed target occupancy and the output is one row per vector. The
+    round-6 30x curve motivated this — every pair-emitting form is
+    output-bound Th(n^2) on cluster-structured corpora by semantics."""
+    return S.semantic_dedup_scaled(
+        table(spark, sf_dir, "embeddings"), threshold=COSINE_DUP_THRESHOLD
+    )
+
+
 SPAN_MIN_TOKENS = 8
 
 @register(

@@ -618,3 +618,83 @@ def test_ann_operators_empty_corpus_typed_empty(spark):
         assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
     with _pytest.raises(ValueError, match="empty corpus"):
         S.build_ivf_index(empty, "/tmp/never_written_ivf", n_cells=4)
+
+
+def test_semantic_dedup_scaled_precision_and_shape(spark, sf_dir):
+    """The scaled SemDeDup form: exactly one row per vector; every
+    non-NULL dup_of is a TRUE same-cell earlier near-dup (precision
+    exact by re-derivation); two builds agree (quantizer is
+    deterministic-sample trained)."""
+    import numpy as np
+
+    from moc_indexer_spark.operators.similarity import semantic_dedup_scaled
+    from moc_indexer_spark.plans.llm_registry import COSINE_DUP_THRESHOLD
+    from moc_indexer_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_scaled(emb, threshold=COSINE_DUP_THRESHOLD)
+    rows = out.collect()
+    n = emb.count()
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    cell = {r.vec_id: r.cell for r in rows}
+    dup_rows = [r for r in rows if r.dup_of is not None]
+    assert dup_rows, "fixture should contain semantic dups"
+    for r in dup_rows:
+        assert r.dup_of < r.vec_id
+        assert cell[r.dup_of] == r.cell, "dup_of must be same-cell"
+        a, b = vecs[r.vec_id], vecs[r.dup_of]
+        cos = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+        assert cos >= COSINE_DUP_THRESHOLD
+
+    again = {(r.vec_id, r.cell, r.dup_of)
+             for r in semantic_dedup_scaled(
+                 emb, threshold=COSINE_DUP_THRESHOLD).collect()}
+    assert again == {(r.vec_id, r.cell, r.dup_of) for r in rows}
+
+
+def test_semantic_dedup_scaled_vs_global_ground_truth(spark, sf_dir):
+    """Measured against the GLOBAL all-pairs ground truth (a vector is a
+    true dup iff ANY earlier vector clears the cosine threshold —
+    `embedding_dup_pairs`): the scaled form's precision must be exact
+    (a same-cell pair >= t IS a global pair), and its recall must beat
+    the label-cluster form's — cosine-trained cells group near-dup mass
+    better than the corpus's label column, which only ever compares
+    same-label pairs (measured: 0.37 vs 0.08 at sf0.001, 0.34 vs 0.13
+    at sf0.01). Both are partial by design; neither misses silently —
+    this pin keeps the scale path at least as good as the certified
+    fixed-cluster form."""
+    from moc_indexer_spark.operators.similarity import (
+        semantic_dedup, semantic_dedup_scaled,
+    )
+    from moc_indexer_spark.plans.llm_registry import (
+        COSINE_DUP_THRESHOLD, q_embedding_dup_pairs,
+    )
+    from moc_indexer_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    sf = sf_dir  # q_* builders take the dir
+    pairs = q_embedding_dup_pairs(spark, sf).collect()
+    global_dup = {max(r.vec_i, r.vec_j) for r in pairs}
+    assert global_dup, "fixture should contain near-dup pairs"
+    label_dups = {
+        r.vec_id
+        for r in semantic_dedup(
+            emb, "label", threshold=COSINE_DUP_THRESHOLD).collect()
+        if r.dup_of is not None
+    }
+    scaled_dups = {
+        r.vec_id
+        for r in semantic_dedup_scaled(
+            emb, threshold=COSINE_DUP_THRESHOLD).collect()
+        if r.dup_of is not None
+    }
+    # precision vs ground truth is exact
+    assert scaled_dups <= global_dup
+    r_scaled = len(scaled_dups & global_dup) / len(global_dup)
+    r_label = len(label_dups & global_dup) / len(global_dup)
+    assert r_scaled >= r_label, (r_scaled, r_label)
+    assert r_scaled >= 0.25, f"recall vs global {r_scaled:.2f}"
