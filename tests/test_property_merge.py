@@ -216,3 +216,146 @@ def test_null_and_predicate_ops_match_reference(spark, tmp_path_factory,
             else {r.k: (r.ver, r.v) for r in df.collect()}
         )
         assert got == ref, mode
+
+
+# -- randomized rollup maintenance: any slicing + replays == one batch agg ---
+
+_event_pool = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),   # event_id (uniqued)
+        st.integers(min_value=0, max_value=179),      # minute offset
+        st.sampled_from(["purchase", "signup", "error"]),
+        st.integers(min_value=-500, max_value=500),   # value*100 (exact)
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+def _rollup_rows(events):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    return [
+        (eid, t0 + dt.timedelta(minutes=m), et, v / 100.0)
+        for eid, m, et, v in events
+    ]
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=_event_pool,
+    cuts=st.lists(st.integers(min_value=0, max_value=3), min_size=1,
+                  max_size=30),
+    replays=st.sets(st.integers(min_value=0, max_value=3)),
+    direct_last=st.booleans(),
+)
+def test_rollup_any_slicing_and_replay_equals_batch(spark, tmp_path_factory,
+                                                    events, cuts, replays,
+                                                    direct_last):
+    """IncrementalRollup folded over ANY partition of the events into
+    micro-batches, with ANY subset of batches re-delivered (same
+    batch_id — the foreachBatch failure/replay contract) and optionally
+    a trailing DIRECT (batch_id=None) update, must serve exactly the
+    one-shot batch tumbling aggregate of all events. Exact additive
+    types make slicing irrelevant; the applied-id marker makes replays
+    no-ops; a direct update must fold once and not disturb stream
+    progress."""
+    from moc_indexer_spark.streaming.rollup import IncrementalRollup
+    from moc_indexer_spark.streaming.windows import tumbling_agg
+
+    rows = _rollup_rows(events)
+    # assign each event to one of up to 4 batches (cuts cycles over rows)
+    n_b = max(cuts) + 1
+    batches = [[] for _ in range(n_b)]
+    for i, r in enumerate(rows):
+        batches[cuts[i % len(cuts)]].append(r)
+
+    cols = ["event_id", "ts", "event_type", "value"]
+    path = str(tmp_path_factory.mktemp("rollprop")) + "/roll"
+    roll = IncrementalRollup(spark, path, width="1 hour")
+    direct_rows = None
+    for bid, batch in enumerate(batches):
+        if not batch:
+            continue
+        if direct_last and bid == n_b - 1:
+            direct_rows = batch  # folded below WITHOUT a batch_id
+            continue
+        bdf = spark.createDataFrame(batch, cols)
+        roll.update(bdf, batch_id=bid)
+        if bid in replays:  # failure re-delivery: must be a no-op
+            roll.update(bdf, batch_id=bid)
+    if direct_rows is not None:
+        roll.update(spark.createDataFrame(direct_rows, cols))
+
+    applied = [r for b in batches for r in b]
+    expected = tumbling_agg(
+        spark.createDataFrame(applied, cols), "1 hour"
+    )
+    got = sorted(tuple(r) for r in roll.serve().collect())
+    want = sorted(tuple(r) for r in expected.collect())
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=_event_pool,
+    cuts=st.lists(st.integers(min_value=0, max_value=3), min_size=1,
+                  max_size=30),
+    order=st.permutations([0, 1, 2, 3]),
+    replays=st.sets(st.integers(min_value=0, max_value=3)),
+)
+def test_candles_any_slicing_order_replay_equals_batch(
+        spark, tmp_path_factory, events, cuts, order, replays):
+    """IncrementalCandles state is MERGEABLE, not additive: open/close are
+    struct-min/max over (ts, event_id, value). Folding ANY partition of
+    the events, in ANY batch order, with ANY subset re-delivered, must
+    equal the one-shot candle — associativity/commutativity of the merge
+    is exactly what this asserts (ties impossible: event_id is unique).
+    Re-delivery is the foreachBatch contract's immediate retry (same
+    batch_id, straight after the first delivery)."""
+    import datetime as dt
+
+    from moc_indexer_spark.streaming.rollup import IncrementalCandles
+
+    rows = _rollup_rows(events)
+    n_b = max(cuts) + 1
+    batches = [[] for _ in range(n_b)]
+    for i, r in enumerate(rows):
+        batches[cuts[i % len(cuts)]].append(r)
+
+    cols = ["event_id", "ts", "event_type", "value"]
+    path = str(tmp_path_factory.mktemp("candprop")) + "/cand"
+    cand = IncrementalCandles(spark, path, width="1 hour")
+    # batch_id must be monotone in DELIVERY order for the replay guard,
+    # so re-number the permuted batches by delivery position
+    delivered = [b for b in order if b < n_b and batches[b]]
+    for pos, b in enumerate(delivered):
+        bdf = spark.createDataFrame(batches[b], cols)
+        cand.update(bdf, batch_id=pos)
+        if b in replays:
+            cand.update(bdf, batch_id=pos)  # re-delivery: must no-op
+
+    all_rows = [r for b in batches for r in b]
+    key = F.struct("ts", "event_id", "value")
+    expected = (
+        spark.createDataFrame(all_rows, cols)
+        .groupBy(F.window("ts", "1 hour")["start"].alias("window_start"),
+                 "event_type")
+        .agg(
+            F.min(key).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key).getField("value").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            (F.sum(F.col("value").cast("decimal(18,6)"))
+             .cast("decimal(18,4)").cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("avg_price"),
+        )
+    )
+    got = sorted(tuple(r) for r in cand.serve().collect())
+    want = sorted(tuple(r) for r in expected.collect())
+    assert got == want
