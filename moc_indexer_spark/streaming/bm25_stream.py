@@ -193,12 +193,19 @@ def run_bm25_index_stream_available_now(
     index_dir: str,
     checkpoint_dir: str,
     schema=None,
+    max_files_per_trigger: int | None = 1,
 ) -> IncrementalBm25Index:
     """Drain all available document files into the index (deterministic
-    replay mode; production uses a processing-time trigger)."""
+    replay mode; production uses a processing-time trigger). One slice
+    file per micro-batch by default — availableNow otherwise folds every
+    pending file into a single batch and the incremental fold never
+    exercises more than one update."""
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     idx = IncrementalBm25Index(spark, index_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -84,12 +84,22 @@ def run_corpus_stream_available_now(
     out_path: str,
     checkpoint_dir: str,
     schema=None,
+    max_files_per_trigger: int | None = 1,
 ) -> ParquetUpsertTable:
     """Drain all available document files into the corpus table (the
-    deterministic-replay mode; production uses a processing-time trigger)."""
+    deterministic-replay mode; production uses a processing-time trigger).
+
+    max_files_per_trigger defaults to 1 so each slice FILE is one
+    micro-batch: without it, availableNow folds every pending file into
+    a single batch and the incremental paths these runners exist to
+    exercise (cross-batch dedup, retro-invalidation) never run — the
+    round-6 probe measured exactly one batch for a two-file source."""
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     tbl = corpus_table(spark, out_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -190,6 +200,7 @@ def run_near_dedup_stream_available_now(
     state_dir: str,
     checkpoint_dir: str,
     schema=None,
+    max_files_per_trigger: int | None = 1,
 ) -> ParquetUpsertTable:
     """Incremental MinHash-LSH near-dedup: documents stream in; each batch
     computes signatures ONCE, collides its band buckets against the
@@ -211,7 +222,10 @@ def run_near_dedup_stream_available_now(
     """
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:  # slice file == micro-batch (see corpus runner)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     bands_tbl = ParquetUpsertTable(
         spark, f"{state_dir}/bands", keys=["band", "bucket", "doc_id"]
     )
@@ -336,6 +350,7 @@ def run_line_dedup_stream_available_now(
     state_dir: str,
     checkpoint_dir: str,
     schema=None,
+    max_files_per_trigger: int | None = 1,
 ) -> ParquetUpsertTable:
     """Incrementally-maintained line-dedup view: as documents stream in,
     any line reaching LINE_MIN_DUP_DOCS distinct docs becomes boilerplate
@@ -355,7 +370,10 @@ def run_line_dedup_stream_available_now(
     """
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:  # slice file == micro-batch (see corpus runner)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     lines_tbl = ParquetUpsertTable(
         spark, f"{state_dir}/lines", keys=["doc_id", "pos"]
     )

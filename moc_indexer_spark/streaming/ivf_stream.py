@@ -447,12 +447,19 @@ def run_ivf_index_stream_available_now(
     index_dir: str,
     checkpoint_dir: str,
     schema=None,
+    max_files_per_trigger: int | None = 1,
 ) -> IncrementalIvfIndex:
     """Drain all available vector files into the index. The quantizer
-    must already be trained (train() on a bootstrap corpus first)."""
+    must already be trained (train() on a bootstrap corpus first). One
+    slice file per micro-batch by default — availableNow otherwise folds
+    every pending file into a single batch and the incremental fold
+    never exercises more than one update."""
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     idx = IncrementalIvfIndex(spark, index_dir)
     if not idx.is_trained():
         raise ValueError("train() the quantizer before streaming updates")

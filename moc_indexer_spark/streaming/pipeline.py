@@ -169,6 +169,7 @@ def run_stream_available_now(
     schema=None,
     coalesce_key: str | None = None,
     sink_mode: str = "cow",
+    max_files_per_trigger: int | None = 1,
 ) -> None:
     """Incremental run draining all available input then stopping — the
     deterministic-replay test mode (reference analog: the forced
@@ -179,7 +180,14 @@ def run_stream_available_now(
     choice for short triggers (see PLANS.md)."""
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
-    raw_stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        # one slice file per micro-batch: availableNow otherwise folds
+        # every pending file into a SINGLE batch, and the incremental
+        # merge/replay behavior this runner exists to exercise reduces to
+        # one big batch upsert (round-6 probe: 2 files -> 1 batch)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw_stream = reader.parquet(source_dir)
     tbl = ParquetUpsertTable(spark, out_path, keys=["tx_hash"], mode=sink_mode)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
