@@ -217,3 +217,53 @@ def test_line_dedup_replay_after_partial_crash_converges(
         for r in q_line_dedup_docs(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_line_dedup_stream_random_slicings_property(spark, tmp_path, sf_dir):
+    """Hypothesis-style slicing sweep (seeded, not @given — each case
+    runs a full stream): the incremental line-dedup view must equal the
+    batch answer for ARBITRARY partitions of the corpus into slice
+    files, not just the even/odd split the targeted test uses. Retro
+    invalidation fires whenever a shared line's doc_count crosses the
+    threshold only in a later batch — random assignments hit crossing
+    patterns (1-then-2, 2-then-1, singleton slices) the fixed split
+    cannot."""
+    import random
+
+    from moc_indexer_spark.plans.llm_registry import q_line_dedup_docs
+    from moc_indexer_spark.streaming.corpus import (
+        run_line_dedup_stream_available_now,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    want = sorted(
+        (r.doc_id, r.clean_text, r.n_lines, r.n_kept)
+        for r in q_line_dedup_docs(spark, sf_dir).collect()
+    )
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+
+    for case, (seed, n_slices) in enumerate([(11, 3), (23, 4), (37, 2)]):
+        rng = random.Random(seed)
+        assign = {i: rng.randrange(n_slices) for i in ids}
+        amap = spark.createDataFrame(
+            list(assign.items()), ["doc_id", "slice"]
+        )
+        sliced = docs.join(F.broadcast(amap), "doc_id")
+        src = f"{tmp_path}/src_{case}"
+        os.makedirs(src)
+        for s in range(n_slices):
+            part = sliced.filter(F.col("slice") == s).drop("slice")
+            stage = f"{tmp_path}/stage_{case}_{s}"
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            for f_ in os.listdir(stage):
+                if f_.endswith(".parquet"):
+                    shutil.copy(f"{stage}/{f_}", f"{src}/s{s}.parquet")
+        tbl = run_line_dedup_stream_available_now(
+            spark, src, f"{tmp_path}/state_{case}", f"{tmp_path}/ck_{case}",
+            schema=docs.schema,
+        )
+        got = sorted(
+            (r.doc_id, r.clean_text, r.n_lines, r.n_kept)
+            for r in tbl.read().collect()
+        )
+        assert got == want, f"slicing case {case} (seed={seed}) diverged"
