@@ -267,3 +267,53 @@ def test_line_dedup_stream_random_slicings_property(spark, tmp_path, sf_dir):
             for r in tbl.read().collect()
         )
         assert got == want, f"slicing case {case} (seed={seed}) diverged"
+
+
+def test_near_dedup_stream_random_slicings_property(spark, tmp_path, sf_dir):
+    """Same seeded slicing sweep for the incremental MinHash-LSH pairs:
+    cross-batch candidates (new docs vs the persisted bucket index) plus
+    in-batch candidates must together recover the batch pair set for
+    ARBITRARY corpus partitions — a pair can arrive same-batch, split
+    1/2, or split 2/1, and each route must meet exactly once."""
+    import random
+
+    from moc_indexer_spark.operators.dedup import minhash_lsh_pairs
+    from moc_indexer_spark.streaming.corpus import (
+        NEAR_N, NEAR_THRESHOLD, run_near_dedup_stream_available_now,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    want = sorted(
+        (r.doc_i, r.doc_j, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(
+            docs, n=NEAR_N, threshold=NEAR_THRESHOLD
+        ).collect()
+    )
+    assert len(want) > 0
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+
+    for case, (seed, n_slices) in enumerate([(5, 3), (41, 4)]):
+        rng = random.Random(seed)
+        assign = {i: rng.randrange(n_slices) for i in ids}
+        amap = spark.createDataFrame(
+            list(assign.items()), ["doc_id", "slice"]
+        )
+        sliced = docs.join(F.broadcast(amap), "doc_id")
+        src = f"{tmp_path}/nd_src_{case}"
+        os.makedirs(src)
+        for s in range(n_slices):
+            part = sliced.filter(F.col("slice") == s).drop("slice")
+            stage = f"{tmp_path}/nd_stage_{case}_{s}"
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            for f_ in os.listdir(stage):
+                if f_.endswith(".parquet"):
+                    shutil.copy(f"{stage}/{f_}", f"{src}/s{s}.parquet")
+        tbl = run_near_dedup_stream_available_now(
+            spark, src, f"{tmp_path}/nd_state_{case}",
+            f"{tmp_path}/nd_ck_{case}", schema=docs.schema,
+        )
+        got = sorted(
+            (r.doc_i, r.doc_j, round(r.jaccard, 9))
+            for r in tbl.read().collect()
+        )
+        assert got == want, f"slicing case {case} (seed={seed}) diverged"
