@@ -40,10 +40,12 @@ os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
 SF01 = "/root/testdata/sf0.1"
 
 DOC_QUERIES = [
-    "dedup_exact", "ngram_dup_pairs", "minhash_dup_pairs", "simhash_pairs",
+    "dedup_exact", "ngram_dup_pairs", "ngram_dup_pairs_guarded",
+    "minhash_dup_pairs", "simhash_pairs",
     "line_dedup_docs", "bm25_topk", "text_stats", "tfidf_top_terms",
     "dsir_importance_weights", "kneser_ney_logprob",
 ]
+EMB_EXTRA = ["semantic_dedup_scaled"]  # O(n)-output SemDeDup scale path
 EMB_QUERIES = [
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "pq_ann_topk",
     "ivfpq_ann_topk", "embedding_dup_pairs_lsh",
@@ -243,11 +245,11 @@ def main() -> None:
     if args.zipf:
         names = (args.queries.split(",") if args.queries else
                  ["ngram_dup_pairs", "ngram_dup_pairs_prefix",
-                  "minhash_dup_pairs"])
+                  "ngram_dup_pairs_guarded", "minhash_dup_pairs"])
         dirs = build_zipf_corpora(args.out, scales)
     else:
         names = (args.queries.split(",") if args.queries
-                 else DOC_QUERIES + EMB_QUERIES)
+                 else DOC_QUERIES + EMB_QUERIES + EMB_EXTRA)
         dirs = build_corpora(args.out, [s for s in scales if s != 1])
         dirs[1] = SF01
 
