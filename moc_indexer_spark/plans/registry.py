@@ -111,6 +111,27 @@ _DRIVER_WINDOW = [
     "repetition_stats", "logreg_quality_scores",
 ]
 
+# Round-7 rotation queue: the 40 oracle-gated queries still never
+# driver-certified after the round-6 full rotation (40 fit in one more
+# window, retiring the backlog entirely). Swap these in, move the
+# round-6 residents out — they stay oracle-gated behind the window.
+_ROUND7_ROTATION_QUEUE = [
+    "semantic_dedup_report", "shared_span_pairs", "containment_dup_pairs",
+    "novel_ngram_rate", "lsh_ann_exact", "repeat_purchase_rate",
+    "column_profile", "stratified_sample", "sequence_packing",
+    "rollup_cascade", "text_scrub", "label_centroids",
+    "replica_reconciliation", "source_quota_sample",
+    "benchmark_contamination", "numeric_correlation",
+    "value_zscore_outliers", "doc_chunking", "source_temperature_sample",
+    "value_histogram", "training_shards", "bloom_decontamination",
+    "kmeans_clusters", "doc_chunking_udtf", "unigram_logprob",
+    "cross_doc_ngram_frac", "quality_weighted_sample", "tfidf_top_terms",
+    "token_entropy", "constraint_report", "bigram_logprob",
+    "vocab_coverage", "robust_outliers_mad", "unregistered_user_txs",
+    "payload_json_histogram", "user_running_total", "user_sessions",
+    "recent_price_enrichment", "signup_purchase_funnel", "event_rollup",
+]
+
 
 def registry() -> list[QuerySpec]:
     # side-effect registration

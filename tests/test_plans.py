@@ -344,3 +344,20 @@ def test_ngram_guarded_stop_list_broadcast_anti(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ngram_dup_pairs_guarded")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_round7_rotation_queue_is_exactly_the_backlog():
+    """The queued names must all be registered, oracle-gated, outside the
+    current window, and duplicate-free — so next round's rotation is a
+    verified one-edit swap."""
+    from moc_indexer_spark.plans.registry import (
+        _DRIVER_WINDOW, _ROUND7_ROTATION_QUEUE, registry,
+    )
+
+    specs = {s.name: s for s in registry()}
+    q = _ROUND7_ROTATION_QUEUE
+    assert len(q) == len(set(q)) == 40
+    for name in q:
+        assert name in specs, name
+        assert specs[name].oracle, f"{name} is rows-only"
+        assert name not in _DRIVER_WINDOW, name
