@@ -519,14 +519,27 @@ def lsh_bucket_topk(
     corpus: DataFrame,
     k: int = 5,
     n_tables: int = 16,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    target_occupancy: int = 128,
 ) -> DataFrame:
     """ANN via random-hyperplane LSH: `n_tables` independent tables of
     `n_planes`-bit sign buckets; brute-force verify within buckets; union
     tables; top-k per query. Approximate — recall grows with n_tables.
+
+    n_planes defaults ADAPTIVELY: ceil(log2(n / target_occupancy)),
+    floored at 4. A fixed plane count fixes the BUCKET count (2^planes
+    per table), so occupancy grows with the corpus and the within-bucket
+    self-matmul sums to ~n^2/2^planes per table — with 16 tables and 4
+    planes that is literally full brute force, bucketed (the round-6 30x
+    point measured local exponent ~1.5). Scaling planes with log(n) caps
+    expected occupancy, making per-table work ~n * target_occupancy —
+    linear at fixed occupancy. The recall trade is the standard one:
+    more planes lose more moderate-similarity neighbors per table (the
+    fixture recall floor is pinned in pytest; production tunes n_tables
+    up as planes grow).
 
     The plane matrix is a fixed-seed numpy draw broadcast to executors —
     reproducible everywhere with no stored model (same property as the
@@ -534,6 +547,11 @@ def lsh_bucket_topk(
     Arrow batch instead of n_tables*n_planes interpreted dot-product
     expressions per row, which dominated the operator).
     """
+    import math
+
+    if n_planes is None:
+        n = corpus.count()
+        n_planes = max(4, math.ceil(math.log2(max(2, n / target_occupancy))))
     buckets = _lsh_buckets(corpus, n_tables, n_planes, id_col, vec_col)
     if buckets is None:  # empty corpus
         return corpus.sparkSession.createDataFrame(
@@ -644,13 +662,15 @@ def ivf_topk(
         n = corpus.count()
         n_cells = max(8, int(math.isqrt(max(1, n))))
     if n_probe is None:
-        # A FIXED small probe count, not a fraction of n_cells — the same
-        # O(1)-in-n shape the round-4 measurement forced on IVFADC
-        # (exponent 1.63 -> 0.18): a fractional default makes per-query
-        # candidate work O(n) no matter how many cells exist. FAISS
-        # production probes are likewise recall-tuned constants
-        # (typically <= a few % of cells).
-        n_probe = max(4, n_cells // 8)
+        # A genuinely BOUNDED probe count. Round 5's `n_cells // 8`
+        # claimed to be O(1)-in-n but grows as sqrt(n) (n_cells ~ sqrt n),
+        # so per-query candidates were n_probe * n/n_cells = n/8 — a
+        # fraction again; the round-6 30x point measured the wall
+        # (ivf local 10->30x exponent ~1.2). The cap makes the default a
+        # recall-tuned CONSTANT at scale (FAISS practice), per-query work
+        # O(sqrt n); small corpora keep the old value (cap inactive below
+        # n_cells=128, i.e. n ~ 16k).
+        n_probe = min(16, max(4, n_cells // 8))
     n_probe = min(n_probe, n_cells)
 
     Xn = _collect_train_sample(corpus, id_col, vec_col, train_sample)
@@ -1360,15 +1380,18 @@ def ivfpq_topk(
         n = corpus.count()
         n_cells = max(8, int(math.isqrt(max(1, n))))
     if n_probe is None:
-        # A FIXED small probe count, not a fraction of n_cells: per-query
-        # candidate work is n_probe * n/n_cells = O(sqrt n), total
-        # O(n^1.5) for the self-ANN form instead of O(n^2) — the round-4
-        # scale-curve measurement caught the previous n_cells//2 default
-        # at exponent 1.63 (41x time at 10x data): every query probed
-        # HALF the corpus and the per-cell k*refine shortlists multiplied
-        # through the merge window. FAISS production probes are likewise
-        # O(1) in n_cells (recall-tuned, typically <= a few % of cells).
-        n_probe = max(4, n_cells // 8)
+        # A genuinely BOUNDED probe count (see ivf_topk): round 5's
+        # `n_cells // 8` grew as sqrt(n) despite its O(1) claim, making
+        # per-query candidates n/8 — the round-6 30x point measured the
+        # wall here too (ivfpq local 10->30x exponent ~2 with the probe
+        # growth compounding the per-cell k*refine shortlists). With the
+        # cap, per-query candidate work is n_probe * n/n_cells =
+        # O(sqrt n), total O(n^1.5) for the self-ANN benchmark shape —
+        # the intrinsic n-queries-times-per-query product; the SERVING
+        # per-query scaling is the streaming-index probe leg (measured
+        # 0.10 in SCALE_CURVE stream_results). Round 4's n_cells//2
+        # default measured exponent 1.63 before any of this.
+        n_probe = min(16, max(4, n_cells // 8))
     n_probe = min(n_probe, n_cells)
     kk_short = (k * refine) if refine is not None else (1 << 31)
 
