@@ -645,10 +645,11 @@ def ivf_topk(
     n_cells defaults to ~sqrt(N) (the FAISS rule of thumb) so candidate
     work per query stays ~n_probe*sqrt(N) instead of a fixed fraction of
     the corpus — the property that makes IVF the scale path. n_probe
-    defaults to max(4, n_cells//8) — an O(1)-in-n probe COUNT, not a
-    fraction: the round-4 scale curve caught IVFADC's old n_cells//2
-    default at exponent 1.63 (every query scanned half the corpus), and
-    the same shape lived here until round 5. Recall on structureless
+    defaults to min(16, max(4, n_cells//8)) — a genuinely BOUNDED probe
+    count: round 4's n_cells//2 measured exponent 1.63 (every query
+    scanned half the corpus), and round 5's uncapped n_cells//8 still
+    grew as sqrt(n) (per-query candidates n/8 — the round-6 30x point
+    measured that wall before the cap). Recall on structureless
     uniform vectors (the synthetic fixture, IVF's worst case) drops with
     a narrower probe; widen n_probe per corpus, or use
     `ivf_ann_exact`'s n_probe == n_cells pin for certification.

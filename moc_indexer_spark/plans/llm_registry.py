@@ -398,9 +398,10 @@ def q_ivf_ann_topk(spark, sf_dir):
     spherical-k-means cells, n_probe probed cells per query, exact verify.
     Approximate, so rows-only here — pytest measures recall vs brute force
     (0.67 @ n_probe=3 of 8 cells on the uniform synthetic vectors; real
-    clustered embeddings probe far better). Default n_probe is an
-    O(1)-in-n probe count (max(4, n_cells//8), similarity.py) — the
-    round-5 fix mirroring IVFADC's round-4 exponent 1.63 -> 0.18 repair;
+    clustered embeddings probe far better). Default n_probe is a BOUNDED
+    probe count (min(16, max(4, n_cells//8)), similarity.py) — the
+    round-6 cap on round 5's sqrt(n)-growing default, itself the repair
+    of IVFADC's round-4 exponent 1.63;
     `ivf_ann_exact` (n_probe == n_cells) stays the certification pin."""
     return S.ivf_topk(table(spark, sf_dir, "embeddings"), k=5)
 
