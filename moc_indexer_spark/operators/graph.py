@@ -110,41 +110,49 @@ def pagerank(
         .persist()
     )
 
+    # FIXED-POINT update state: ranks are BIGINT micro-units (1e-12), and
+    # every per-step operation is integer floor division / multiply — no
+    # float appears until the final single cast. Round 5 kept the state
+    # in DECIMAL(20,12) but fed it through ROUND(double/double, 12): a
+    # quotient landing within an ulp of a 12-digit boundary lets each
+    # engine round a DIFFERENT way, and the round-6 sf0.1 oracle sweep
+    # measured exactly that (node c:10, one-ulp rank mismatch — invisible
+    # at sf0.01). Integer ops are bit-identical in every engine: Spark's
+    # `div` and DuckDB's `//` both truncate (equal on the non-negative
+    # values here), int64->double conversion is exact below 2^53, and the
+    # closing divide-by-1e12 (exactly representable) is one IEEE op both
+    # sides share. Floor drift leaks < iters * n_nodes * 1e-12 total mass
+    # — the mass-conservation pytest bounds it.
+    UNIT = 10**12
+    TELEPORT_UNITS = (UNIT * 15) // 100  # 0.15, exact in units
     ranks = nodes.select(
         "node",
-        F.round(F.lit(1.0) / F.col("n_nodes").cast("double"), 12)
-        .cast("decimal(20,12)")
-        .alias("rank"),
+        F.expr(f"CAST({UNIT} AS BIGINT) div n_nodes").alias("rank"),
     )
     for _ in range(iters):
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
             edges.join(rank_side, edges.src == ranks.node)
             .join(F.broadcast(outdeg), "src")
-            .select(
-                "dst",
-                F.round(
-                    F.col("rank").cast("double")
-                    / F.col("outdeg").cast("double"),
-                    12,
-                ).cast("decimal(20,12)").alias("c"),
-            )
+            .select("dst", F.expr("rank div outdeg").alias("c"))
         )
-        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
-        teleport = F.round(
-            F.lit(TELEPORT) / F.col("n_nodes").cast("double"), 12
-        ).cast("decimal(20,12)")
-        damped = F.lit("0.85").cast("decimal(3,2)") * F.coalesce(
-            F.col("inflow"), F.lit(0).cast("decimal(20,12)")
+        inflow = contrib.groupBy("dst").agg(
+            F.sum("c").cast("bigint").alias("inflow")
         )
+        # damped = floor(0.85 * inflow) in units: inflow <= 1e12, so
+        # inflow * 85 < 2^63 — no overflow
+        teleport = F.expr(f"CAST({TELEPORT_UNITS} AS BIGINT) div n_nodes")
         inflow_side = F.broadcast(inflow) if broadcast_ranks else inflow
         ranks = (
             nodes.join(inflow_side, nodes.node == inflow.dst, "left")
             .select(
                 "node",
-                F.round(teleport + damped, 12)
-                .cast("decimal(20,12)")
-                .alias("rank"),
+                (
+                    teleport
+                    + F.expr(
+                        "(coalesce(inflow, CAST(0 AS BIGINT)) * 85) div 100"
+                    )
+                ).cast("bigint").alias("rank"),
             )
         )
     # Materialize the (|V|-sized) result and release the iteration caches:
@@ -154,7 +162,8 @@ def pagerank(
     # it without recomputing the loop; the NEXT call frees it (bounded at
     # one live cache per session).
     out = ranks.select(
-        "node", F.col("rank").cast("double").alias("rank")
+        "node",
+        (F.col("rank").cast("double") / F.lit(float(UNIT))).alias("rank"),
     ).persist()
     out.count()
     edges.unpersist()
@@ -166,8 +175,13 @@ def pagerank(
 
 
 def pagerank_oracle_sql(iters: int = ITERS) -> str:
-    """The same damped power iteration as DuckDB SQL (generated CTE per
-    iteration; identical expression shapes)."""
+    """The same FIXED-POINT damped power iteration as DuckDB SQL
+    (generated CTE per iteration; identical integer expression shapes —
+    DuckDB's `//` floor division matches Spark's `div` on the
+    non-negative values here, so the two engines are bit-identical; see
+    the integer-state note in `pagerank`)."""
+    unit = 10**12
+    teleport_units = (unit * 15) // 100
     parts = [
         """edges AS (
           SELECT src, dst FROM (
@@ -183,40 +197,34 @@ def pagerank_oracle_sql(iters: int = ITERS) -> str:
         "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg "
         "FROM edges GROUP BY src)",
         "counts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)",
-        "r0 AS (SELECT node, n_nodes, CAST(ROUND(1.0 / CAST(n_nodes AS "
-        "DOUBLE), 12) AS DECIMAL(20,12)) AS rank FROM nodes CROSS JOIN "
-        "counts)",
+        f"r0 AS (SELECT node, n_nodes, CAST({unit} AS BIGINT) // n_nodes "
+        "AS rank FROM nodes CROSS JOIN counts)",
     ]
     prev = "r0"
     for i in range(iters):
         parts.append(
             f"""c{i} AS (
-              SELECT e.dst,
-                     CAST(ROUND(CAST(r.rank AS DOUBLE)
-                                / CAST(o.outdeg AS DOUBLE), 12)
-                          AS DECIMAL(20,12)) AS c
+              SELECT e.dst, r.rank // o.outdeg AS c
               FROM edges e
               JOIN {prev} r ON r.node = e.src
               JOIN outdeg o ON o.src = e.src)"""
         )
         parts.append(
-            f"i{i} AS (SELECT dst, SUM(c) AS inflow FROM c{i} GROUP BY dst)"
+            f"i{i} AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS inflow "
+            f"FROM c{i} GROUP BY dst)"
         )
         parts.append(
             f"""r{i + 1} AS (
               SELECT r.node, r.n_nodes,
-                     CAST(ROUND(
-                       CAST(ROUND(CAST({TELEPORT} AS DOUBLE)
-                                  / CAST(r.n_nodes AS DOUBLE), 12)
-                            AS DECIMAL(20,12))
-                       + CAST(0.85 AS DECIMAL(3,2))
-                         * COALESCE(i.inflow, CAST(0 AS DECIMAL(20,12))),
-                       12) AS DECIMAL(20,12)) AS rank
+                     CAST({teleport_units} AS BIGINT) // r.n_nodes
+                     + (COALESCE(i.inflow, CAST(0 AS BIGINT)) * 85) // 100
+                     AS rank
               FROM {prev} r LEFT JOIN i{i} i ON i.dst = r.node)"""
         )
         prev = f"r{i + 1}"
     body = ",\n".join(parts)
     return (
         f"WITH {body}\n"
-        f"SELECT node, CAST(rank AS DOUBLE) AS rank FROM {prev}"
+        f"SELECT node, CAST(rank AS DOUBLE) / {float(unit)} AS rank "
+        f"FROM {prev}"
     )
