@@ -95,9 +95,14 @@ def main() -> None:
         "driver_mem": spark.conf.get("spark.driver.memory", "default-1g"),
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "spark_version": spark.version,
-        # resolve "*" to the actual core count: the field exists to make
-        # runs from different boxes comparable on their face
-        "cpus": os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count()),
+        # resolve unset AND the explicit "*" (session.py's local[*] form)
+        # to the actual core count: the field exists to make runs from
+        # different boxes comparable on their face
+        "cpus": (
+            str(os.cpu_count())
+            if os.environ.get("SPARK_GRAFT_CPUS") in (None, "", "*")
+            else os.environ["SPARK_GRAFT_CPUS"]
+        ),
     }
     # Ingest-path numbers in the same per-round artifact (round-4 verdict:
     # the MoR cycle's 3 s-tick headroom had no recorded trend). Opt-out via

@@ -524,10 +524,14 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     round_digits: int = 6,
     target_occupancy: int = 128,
+    n: int | None = None,
 ) -> DataFrame:
     """ANN via random-hyperplane LSH: `n_tables` independent tables of
     `n_planes`-bit sign buckets; brute-force verify within buckets; union
     tables; top-k per query. Approximate — recall grows with n_tables.
+    Pass `n` (the corpus size) if the caller already knows it — the
+    adaptive plane default otherwise pays one count() job, which on a
+    DERIVED corpus plan re-materializes it once before the bucket build.
 
     n_planes defaults ADAPTIVELY: ceil(log2(n / target_occupancy)),
     floored at 4. A fixed plane count fixes the BUCKET count (2^planes
@@ -550,7 +554,8 @@ def lsh_bucket_topk(
     import math
 
     if n_planes is None:
-        n = corpus.count()
+        if n is None:
+            n = corpus.count()
         n_planes = max(4, math.ceil(math.log2(max(2, n / target_occupancy))))
     buckets = _lsh_buckets(corpus, n_tables, n_planes, id_col, vec_col)
     if buckets is None:  # empty corpus

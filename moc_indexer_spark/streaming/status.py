@@ -116,10 +116,18 @@ def _unpack_state(tup) -> tuple:
     STATE_SCHEMA grew a 4th field (error_code) in round 5; a stream
     restarted from a pre-upgrade applyInPandasWithState /
     transformWithState checkpoint still holds 3-field state tuples. Pad
-    the missing code to None instead of failing the unpack — the old
-    checkpoint stays usable across the upgrade, and a terminal row
-    written before it re-emits NULL until its next observation (the
-    pre-upgrade behavior) rather than crashing the stream."""
+    the missing code to None instead of failing the unpack — a terminal
+    row written before the upgrade re-emits NULL until its next
+    observation (the pre-upgrade behavior) rather than crashing inside
+    the handler.
+
+    Honesty note on reach: with the DEFAULT
+    spark.sql.streaming.stateStore.stateSchemaCheck=true, Spark itself
+    rejects the restarted query at startup before any state.get runs —
+    the supported migration for a pre-upgrade checkpoint is a NEW
+    checkpoint dir (documented here as the schema-change contract). The
+    defensive unpack covers deployments running with the schema check
+    disabled, and any state handed over via TWS initial-state import."""
     created_at, prev, confs, *rest = tup
     return created_at, prev, confs, (rest[0] if rest else None)
 

@@ -12,10 +12,14 @@ import math
 import time
 
 
-def fit_exponent(scales: list[float], times: list[float]) -> float:
+def fit_exponent(scales: list[float], times: list[float]) -> float | None:
     """Least-squares slope on (log scale, log seconds): the observed
     scaling exponent. Times are clamped at 1 ms — below that the
-    measurement is scheduler noise, and log(~0) would dominate the fit."""
+    measurement is scheduler noise, and log(~0) would dominate the fit.
+    A single-point series has no slope — returns None instead of
+    dividing by zero (reachable via the --scales flags)."""
+    if len(set(scales)) < 2:
+        return None
     xs = [math.log(s) for s in scales]
     ys = [math.log(max(t, 1e-3)) for t in times]
     mx, my = sum(xs) / len(xs), sum(ys) / len(ys)

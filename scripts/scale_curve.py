@@ -275,8 +275,11 @@ def main() -> None:
             row["exponent"] = fit_exponent(
                 scales, [row["t"][str(s)] for s in scales]
             )
-            row["ratio_10x"] = round(
-                row["t"]["10"] / max(row["t"]["1"], 1e-9), 2
+            # last/first ratio — keyed by the ACTUAL scales, not a
+            # hardcoded 1/10 (the --scales flag accepts any list)
+            row[f"ratio_{scales[-1]}x"] = round(
+                row["t"][str(scales[-1])]
+                / max(row["t"][str(scales[0])], 1e-9), 2
             )
         results[name] = row
         print(json.dumps({name: row}), flush=True)
@@ -289,6 +292,10 @@ def main() -> None:
     if os.path.exists(out_path):
         with open(out_path) as fh:
             doc = json.load(fh)
+    # per-row t-dict keys carry each row's own scales; the global scales
+    # field only describes a FULL default-set run — a targeted --queries
+    # re-measure must not relabel rows it didn't touch
+    full_run = not args.queries
     if args.zipf:
         # merge per-query (same contract as `results` below): a targeted
         # --queries re-measure must not drop the other zipf rows
@@ -302,18 +309,22 @@ def main() -> None:
         # rest of the recorded curve
         merged = doc.get("results", {})
         merged.update(results)
-        doc.update({"scales": scales, "runs": args.runs, "results": merged})
+        doc["results"] = merged
+        if full_run:
+            doc.update({"scales": scales, "runs": args.runs})
     with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=2)
-    print("\n| query | t(1x) s | t(3x) s | t(10x) s | 10x ratio | exponent |")
-    print("|---|---|---|---|---|---|")
+    cols = " | ".join(f"t({s}x) s" for s in scales)
+    print(f"\n| query | {cols} | last/first | exponent |")
+    print("|---" * (len(scales) + 3) + "|")
     for name, row in results.items():
         if "err" in row:
-            print(f"| {name} | ERR {row['err']} | | | | |")
+            print(f"| {name} | ERR {row['err']} |")
         else:
             t = row["t"]
-            print(f"| {name} | {t['1']} | {t['3']} | {t['10']} | "
-                  f"{row['ratio_10x']} | {row['exponent']} |")
+            ts = " | ".join(str(t[str(s)]) for s in scales)
+            print(f"| {name} | {ts} | {row[f'ratio_{scales[-1]}x']} | "
+                  f"{row['exponent']} |")
     spark.stop()
 
 

@@ -181,7 +181,9 @@ def run_queries(spark, dirs, scales, runs, names=None) -> dict:
             row["exponent"] = _fit_exponent(
                 scales, [row["t"][str(s)] for s in scales]
             )
-            row["ratio_10x"] = round(
+            # keyed by the ACTUAL last scale (the --scales flag accepts
+            # any list — 'ratio_10x' would mislabel a 1,3,10,30 run)
+            row[f"ratio_{scales[-1]}x"] = round(
                 row["t"][str(scales[-1])] / max(row["t"][str(scales[0])], 1e-9), 2
             )
         results[name] = row
@@ -461,7 +463,11 @@ def main() -> None:
         with open(out_path) as fh:
             doc = json.load(fh)
     if core_results:
-        doc["core_scales"] = scales
+        # the global core_scales field describes a FULL default-set run;
+        # a targeted --queries re-measure must not relabel rows it didn't
+        # touch (each row's t-dict keys carry its own scales anyway)
+        if not args.queries:
+            doc["core_scales"] = scales
         # merge per-query: a targeted --queries/--scales re-measure must
         # not drop the other recorded core rows
         merged = doc.get("core_results", {})
