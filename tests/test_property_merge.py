@@ -359,3 +359,42 @@ def test_candles_any_slicing_order_replay_equals_batch(
     got = sorted(tuple(r) for r in cand.serve().collect())
     want = sorted(tuple(r) for r in expected.collect())
     assert got == want
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=_event_pool,
+    cuts=st.lists(st.integers(min_value=0, max_value=3), min_size=1,
+                  max_size=30),
+    order=st.permutations([0, 1, 2, 3]),
+)
+def test_moments_any_slicing_order_equals_batch(spark, tmp_path_factory,
+                                                events, cuts, order):
+    """IncrementalMoments: n / Σx / Σx² in exact decimals are the
+    universal mergeable form — ANY partition of the events folded in ANY
+    order must serve exactly the one-shot mean/std (doubles appear only
+    in serve(), so fold order cannot perturb the state)."""
+    from moc_indexer_spark.streaming.rollup import IncrementalMoments
+
+    rows = _rollup_rows(events)
+    n_b = max(cuts) + 1
+    batches = [[] for _ in range(n_b)]
+    for i, r in enumerate(rows):
+        batches[cuts[i % len(cuts)]].append(r)
+
+    cols = ["event_id", "ts", "event_type", "value"]
+    path = str(tmp_path_factory.mktemp("momprop")) + "/mom"
+    mom = IncrementalMoments(spark, path, width="1 hour")
+    for b in order:
+        if b < n_b and batches[b]:
+            mom.update(spark.createDataFrame(batches[b], cols))
+
+    all_rows = [r for b in batches for r in b]
+    one = IncrementalMoments(
+        spark, str(tmp_path_factory.mktemp("momref")) + "/mom", width="1 hour"
+    )
+    one.update(spark.createDataFrame(all_rows, cols))
+    got = sorted(tuple(r) for r in mom.serve().collect())
+    want = sorted(tuple(r) for r in one.serve().collect())
+    assert got == want
