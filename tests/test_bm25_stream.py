@@ -344,3 +344,33 @@ def test_compaction_leaves_no_marker_in_live_partition(spark, tmp_path):
     compact_index(idx)
     assert not os.path.exists(os.path.join(base, "batch=2", _FOLD_MARKER))
     assert _rows(idx.probe(queries=[(0, "common")], k=60)) == want
+
+
+def test_stream_index_random_slicings_converge(spark, sf_dir, tmp_path):
+    """Seeded random partitions of the corpus into slice files (one
+    micro-batch each under the runner's per-file default) must all build
+    an index whose probe equals the batch operator — document-frequency
+    and length-stats folds are order-free only if the merge really is
+    associative over arbitrary splits, not just the contiguous ranges
+    the targeted test uses."""
+    import random
+
+    docs = table(spark, sf_dir, "documents")
+    want = _rows(bm25_topk(docs))
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+
+    for case, (seed, n_slices) in enumerate([(7, 3), (29, 4)]):
+        rng = random.Random(seed)
+        assign = {i: rng.randrange(n_slices) for i in ids}
+        amap = spark.createDataFrame(list(assign.items()),
+                                     ["doc_id", "slice"])
+        sliced = docs.join(F.broadcast(amap), "doc_id")
+        src = str(tmp_path / f"rnd{case}")
+        for s in range(n_slices):
+            (sliced.filter(F.col("slice") == s).drop("slice")
+             .coalesce(1).write.mode("overwrite").parquet(f"{src}/f{s}"))
+        idx = run_bm25_index_stream_available_now(
+            spark, src + "/*", str(tmp_path / f"idx{case}"),
+            str(tmp_path / f"ck{case}"), schema=docs.schema,
+        )
+        assert _rows(idx.probe()) == want, f"case {case} diverged"
