@@ -34,16 +34,44 @@ USERS = ["0x" + f"{i:040x}" for i in range(1, 21)]
 SHARD_BLOCKS = 2000
 
 
+def _delta_shards(n_blocks: int, parallelism: int) -> int:
+    """Delta shard gate: how many files a cycle's delta append writes.
+
+    Derived from the cycle's block count driver-side (no count job): a
+    tick-sized cycle keeps the measured single-file append; a catch-up
+    cycle (outage recovery) sheds the one serialization point in its
+    write path — one shard per SHARD_BLOCKS blocks, capped at the
+    session's parallelism. `run_incremental` and the tick-safety pin in
+    tests/test_sink_mor.py both use THIS function, so the gate cannot
+    drift from its test."""
+    return min(parallelism, max(1, n_blocks // SHARD_BLOCKS))
+
+
 class Indexer:
     """Holds the sink tables + checkpoint cursor for incremental scans."""
 
     def __init__(self, spark: SparkSession, data_dir: str, fetcher: BlockFetcher,
                  contracts: list[str] | None = None, sink_mode: str = "cow",
-                 config=None):
+                 config=None, compact_every: int = 16):
         """sink_mode="mor" appends delta batches instead of rewriting the
         sink tables each cycle — the low-latency shape for the 3-second
         incremental tick (measured in PLANS.md); "cow" (default) keeps
         reads cheapest for batch/serving-heavy use.
+
+        `compact_every` is the AUTO-COMPACTION policy (MoR only): each
+        sink folds its deltas back into a single base once that many
+        delta dirs accrete, so a daemon running for months never rides
+        the delta-accretion slope (SCALE_CURVE.json mor_cycle_vs_history
+        measured 1.95 s at 60k blocks WITHOUT the policy vs 1.44-1.59 s
+        fresh; mor_read_vs_deltas shows the resolve cost growing with
+        dir count and the post-compact map-only fast path reclaiming
+        it). The fold is amortized maintenance: one cycle per
+        compact_every pays the O(table) rewrite (bounded spike, see the
+        mor_cycle_policy_longrun axis), and every cycle in between reads
+        the single-dir fast path. 16 here vs the sink's 64 default: an
+        indexer tick appends to SIX sinks per cycle, so dir counts grow
+        six tables at a time and the serving reads (§3.2) sit on the
+        same tables.
 
         `config` (moc_indexer_spark.config.IndexerConfig) supplies the scan
         knobs (blocks_recession / blocks_look_behind, the forced
@@ -59,30 +87,34 @@ class Indexer:
         self.contracts = contracts
         self.last_indexed = -1
         m = sink_mode
+        ce = compact_every
         self.tables = {
             "raw_transactions": ParquetUpsertTable(
                 spark, f"{data_dir}/raw_transactions",
-                keys=["hash", "blockNumber"], mode=m,
+                keys=["hash", "blockNumber"], mode=m, compact_every=ce,
             ),
             "transactions": ParquetUpsertTable(
                 spark, f"{data_dir}/transactions",
                 keys=["transactionHash", "address", "event"], mode=m,
+                compact_every=ce,
             ),
             "transfers": ParquetUpsertTable(
                 spark, f"{data_dir}/transfers",
                 keys=["transactionHash", "address", "event"], mode=m,
+                compact_every=ce,
             ),
             "fastbtc": ParquetUpsertTable(
                 spark, f"{data_dir}/fastbtc", keys=["transferId"],
-                version_col="updated", mode=m,
+                version_col="updated", mode=m, compact_every=ce,
             ),
             "notifications": ParquetUpsertTable(
                 spark, f"{data_dir}/notifications",
                 keys=["transactionHash", "logIndex", "event"], mode=m,
+                compact_every=ce,
             ),
             "user_state": ParquetUpsertTable(
                 spark, f"{data_dir}/user_state", keys=["address"],
-                version_col="block_height", mode=m,
+                version_col="block_height", mode=m, compact_every=ce,
             ),
         }
 
@@ -183,15 +215,9 @@ class Indexer:
             # the insert pass created.
             from concurrent.futures import ThreadPoolExecutor
 
-            # delta shard gate: the cycle's block count is known at the
-            # driver (no count job). A tick-sized cycle keeps the measured
-            # single-file append; a catch-up cycle (outage recovery) sheds
-            # the one serialization point in its write path — one shard
-            # per SHARD_BLOCKS blocks, capped at the session's parallelism
             n_blocks = scan.end - scan.start + 1
-            shards = min(
-                self.spark.sparkContext.defaultParallelism,
-                max(1, n_blocks // SHARD_BLOCKS),
+            shards = _delta_shards(
+                n_blocks, self.spark.sparkContext.defaultParallelism
             )
 
             def _fastbtc():

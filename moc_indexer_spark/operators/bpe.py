@@ -134,6 +134,76 @@ def bpe_train(
     )
 
 
+def bpe_oracle_sql(
+    n_merges: int = N_MERGES,
+    min_freq: int = 2,
+    max_vocab_words: int = 1_000_000,
+    table: str = "documents",
+) -> str:
+    """DuckDB replay of `bpe_train` — the greedy merge fold, which was
+    rows-only since round 2, IS SQL-expressible once each word's symbol
+    list is encoded as a sentinel-delimited string: every symbol is
+    wrapped chr(31)+sym+chr(31), so one round's merge of (a, b) is ONE
+    left-to-right non-overlapping `replace(enc, ⟨a⟩⟨b⟩, ⟨ab⟩)` — exactly
+    the greedy adjacent-pair semantics of `_merge_pair_in_syms` (the
+    doubled sentinel between symbols makes consecutive matches share no
+    characters, so 'l l l l' merges to 'll ll', not 'll l l'). Each of
+    the `n_merges` rounds is 3 CTEs: pair counts (split + unnest),
+    argmax under the SAME total order as `learn_merges` (count DESC,
+    left ASC, right ASC — both engines compare strings by codepoint),
+    and the conditional rewrite (rounds after the <2-count stop carry
+    the words through unchanged and emit no merge row). CTEs are
+    MATERIALIZED: DuckDB inlines plain CTEs and each round references
+    the previous several times — inlining is exponential in rounds.
+
+    chr(31) (ASCII unit separator) never appears in whitespace-split
+    tokens, so the encoding is unambiguous for any corpus word."""
+    d = "chr(31)"
+    dd = f"{d}||{d}"
+    toks = "list_filter(str_split(text, ' '), x -> x <> '')"
+    parts = [
+        f"WITH wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) "
+        f"AS freq FROM (SELECT unnest({toks}) AS word FROM {table}) "
+        f"GROUP BY word)",
+        f"wfb AS MATERIALIZED (SELECT word, freq FROM wf "
+        f"WHERE freq >= {min_freq} "
+        f"ORDER BY freq DESC, word LIMIT {max_vocab_words})",
+        f"w0 AS MATERIALIZED (SELECT freq, array_to_string(list_transform("
+        f"list_append(list_transform(range(1, length(word) + 1), "
+        f"i -> substr(word, CAST(i AS INT), 1)), '{END_OF_WORD}'), "
+        f"s -> {d} || s || {d}), '') AS enc FROM wfb)",
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT s1, s2, SUM(freq) AS c FROM ("
+            f"SELECT freq, syms[CAST(i AS INT)] AS s1, "
+            f"syms[CAST(i AS INT) + 1] AS s2 FROM "
+            f"(SELECT freq, str_split(substr(enc, 2, length(enc) - 2), "
+            f"{dd}) AS syms FROM w{r}) t, "
+            f"UNNEST(range(1, len(syms))) AS u(i)) GROUP BY s1, s2)"
+        )
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT {r} AS rank, s1, s2, c FROM p{r} "
+            f"WHERE c >= 2 ORDER BY c DESC, s1, s2 LIMIT 1)"
+        )
+        parts.append(
+            f"w{r + 1} AS MATERIALIZED (SELECT freq, "
+            f"CASE WHEN EXISTS (SELECT 1 FROM b{r}) THEN "
+            f"replace(enc, (SELECT {d}||s1||{dd}||s2||{d} FROM b{r}), "
+            f"(SELECT {d}||s1||s2||{d} FROM b{r})) ELSE enc END AS enc "
+            f"FROM w{r})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM b{r}" for r in range(n_merges)
+    )
+    return (
+        ",\n".join(parts)
+        + '\nSELECT CAST(rank AS INT) AS rank, s1 AS "left", '
+        's2 AS "right", CAST(c AS BIGINT) AS pair_count '
+        f"FROM ({union}) ORDER BY rank"
+    )
+
+
 def bpe_segment(
     docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
 ) -> DataFrame:

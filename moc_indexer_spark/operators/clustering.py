@@ -42,7 +42,40 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _quantized(emb: DataFrame, dim: int, id_col: str, vec_col: str) -> DataFrame:
+def _quantized(
+    emb: DataFrame, dim: int, id_col: str, vec_col: str,
+    normalize: bool = False,
+) -> DataFrame:
+    """Coordinate freeze; `normalize=True` first divides by the vector's
+    L2 norm (the spherical-k-means preprocessing). Cross-engine exactness
+    of the normalized path: the squared-norm is an exact decimal sum of
+    round(x*x,12) terms, the norm ONE IEEE sqrt on its double cast, each
+    coordinate ONE IEEE divide — identical single expressions in DuckDB
+    (see kmeans_oracle_sql), then the same round-6 decimal freeze as the
+    plain path."""
+    if normalize:
+        # staged projections: nrm must become a real column ATTRIBUTE
+        # before the 64 per-coordinate divisions reference it — inlining
+        # the 64-term ssq+sqrt tree into every coordinate (one fat select)
+        # multiplies the plan by dim and was measured at 8x the runtime
+        # of the plain path on pure analysis/codegen weight. Catalyst
+        # keeps multi-referenced non-cheap aliases un-collapsed.
+        raw = emb.select(
+            F.col(id_col),
+            *[F.col(vec_col)[i].cast("double").alias(f"r{i}")
+              for i in range(dim)],
+        )
+        ssq = reduce(
+            lambda a, b: a + b,
+            [F.round(F.col(f"r{i}") * F.col(f"r{i}"), 12)
+             .cast("decimal(20,12)") for i in range(dim)],
+        )
+        nn = raw.select("*", F.sqrt(ssq.cast("double")).alias("nrm"))
+        return nn.select(
+            F.col(id_col),
+            *[F.round(F.col(f"r{i}") / F.col("nrm"), 6)
+              .cast("decimal(18,6)").alias(f"x{i}") for i in range(dim)],
+        )
     cols = [F.col(id_col)] + [
         F.round(F.col(vec_col)[i].cast("double"), 6)
         .cast("decimal(18,6)")
@@ -72,17 +105,23 @@ def kmeans_assign(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = False,
 ) -> DataFrame:
     """Run `iters` full Lloyd iterations; return (id_col, cluster_id) —
     the assignment under the final centroids. cluster_id is the 0-based
     rank of the init point (by ascending id) that seeded the cluster.
+
+    `normalize=True` runs the SPHERICAL form: unit-normalized inputs, so
+    argmin Euclidean distance == argmax cosine (centroid means are not
+    re-normalized between iterations — Lloyd on the unit sphere's chord
+    metric; deterministic either way).
 
     A cluster emptied by an iteration (possible when init points are
     exact duplicates — ties assign to the lower cluster id) simply drops
     out of the next broadcast; the algorithm stays well-defined and
     deterministic.
     """
-    q = _quantized(emb, dim, id_col, vec_col)
+    q = _quantized(emb, dim, id_col, vec_col, normalize=normalize)
     wj = Window.orderBy(id_col)
     init = (
         q.orderBy(id_col)
@@ -125,22 +164,51 @@ def kmeans_assign(
     return assign.select(id_col, F.col("j").cast("int").alias("cluster_id"))
 
 
-def kmeans_oracle_sql(
-    k: int = 8, iters: int = 2, dim: int = 64, table: str = "embeddings",
-    id_col: str = "vec_id", vec_col: str = "embedding",
-) -> str:
-    """The SAME algorithm as DuckDB SQL (generated — ~3*dim expressions per
-    iteration), for the cross-engine certification oracle."""
-    xs = ", ".join(
-        f"CAST(ROUND(CAST({vec_col}[{i + 1}] AS DOUBLE), 6) AS DECIMAL(18,6)) AS x{i}"
-        for i in range(dim)
-    )
-    parts = [
-        f"WITH ex AS (SELECT {id_col}, {xs} FROM {table})",
-        f"init AS (SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS j, "
-        + ", ".join(f"x{i} AS c{i}" for i in range(dim))
-        + f" FROM (SELECT * FROM ex ORDER BY {id_col} LIMIT {k}))",
-    ]
+def _kmeans_oracle_parts(
+    k, iters: int, dim: int, table: str, id_col: str, vec_col: str,
+    normalize: bool = False, k_sql: str | None = None,
+) -> list[str]:
+    """CTE list replaying kmeans_assign in DuckDB; the final assignment
+    CTE is `a{iters-1}` with columns ({id_col}, j). `k_sql` (a scalar SQL
+    expression) makes the cluster count DATA-DEPENDENT — the corpus-scaled
+    form — instead of the literal `k`; `normalize` mirrors the spherical
+    preprocessing (same single-IEEE-op expressions as _quantized)."""
+    if normalize:
+        rs = ", ".join(
+            f"CAST({vec_col}[{i + 1}] AS DOUBLE) AS r{i}" for i in range(dim)
+        )
+        ssq = " + ".join(
+            f"CAST(ROUND(r{i} * r{i}, 12) AS DECIMAL(20,12))"
+            for i in range(dim)
+        )
+        nx = ", ".join(
+            f"CAST(ROUND(r{i} / nrm, 6) AS DECIMAL(18,6)) AS x{i}"
+            for i in range(dim)
+        )
+        parts = [
+            f"WITH raw AS (SELECT {id_col}, {rs} FROM {table})",
+            f"nn AS (SELECT *, SQRT(CAST(({ssq}) AS DOUBLE)) AS nrm FROM raw)",
+            f"ex AS (SELECT {id_col}, {nx} FROM nn)",
+        ]
+    else:
+        xs = ", ".join(
+            f"CAST(ROUND(CAST({vec_col}[{i + 1}] AS DOUBLE), 6) "
+            f"AS DECIMAL(18,6)) AS x{i}"
+            for i in range(dim)
+        )
+        parts = [f"WITH ex AS (SELECT {id_col}, {xs} FROM {table})"]
+    cs = ", ".join(f"x{i} AS c{i}" for i in range(dim))
+    if k_sql is not None:
+        parts.append(
+            f"init AS (SELECT rn - 1 AS j, {cs} FROM ("
+            f"SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) AS rn, * FROM ex"
+            f") WHERE rn <= ({k_sql}))"
+        )
+    else:
+        parts.append(
+            f"init AS (SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS j, "
+            f"{cs} FROM (SELECT * FROM ex ORDER BY {id_col} LIMIT {k}))"
+        )
     cent, cent_decimal = "init", True
     cprefix = "c"
     for it in range(iters):
@@ -173,8 +241,100 @@ def kmeans_oracle_sql(
         )
         parts.append(f"cent{it} AS (SELECT j, {means} FROM m{it})")
         cent, cent_decimal, cprefix = f"cent{it}", False, "m"
+    return parts
+
+
+def kmeans_oracle_sql(
+    k: int = 8, iters: int = 2, dim: int = 64, table: str = "embeddings",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    """The SAME algorithm as DuckDB SQL (generated — ~3*dim expressions per
+    iteration), for the cross-engine certification oracle."""
+    parts = _kmeans_oracle_parts(k, iters, dim, table, id_col, vec_col)
     body = ",\n".join(parts)
     return (
         f"{body}\n"
         f"SELECT {id_col}, CAST(j AS INT) AS cluster_id FROM a{iters - 1}"
+    )
+
+
+def semantic_dedup_scaled_certified(
+    emb: DataFrame,
+    threshold: float,
+    target_cell_rows: int = 256,
+    iters: int = 2,
+    dim: int = 64,
+    n: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The CERTIFICATION twin of `semantic_dedup_scaled` (similarity.py):
+    identical contract — corpus-scaled cell count
+    (min(4096, max(16, n // target_cell_rows))), spherical quantizer with
+    first-n init and fixed Lloyd iterations, one output row per vector
+    with dup_of = smallest-id earlier same-cell vector whose 6dp-rounded
+    cosine clears `threshold` — but every step is the exact-decimal
+    replayable form, so a DuckDB oracle (semdedup_scaled_oracle_sql)
+    hash-pins the full (vec_id, cell, dup_of) output. The production
+    operator keeps its sample-trained numpy quantizer (BLAS accumulation
+    order is engine-specific by nature); THIS leg is what carries the
+    hard cross-engine signal for the family, exactly as `kmeans_clusters`
+    does for the IVF coarse quantizer and `lsh_ann_exact` for LSH."""
+    from .similarity import semantic_dedup
+
+    if n is None:
+        n = emb.count()
+    k = min(4096, max(16, n // target_cell_rows))
+    cells = kmeans_assign(
+        emb, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col,
+        normalize=True,
+    ).withColumnRenamed("cluster_id", "cell")
+    out = semantic_dedup(
+        emb.join(cells, id_col), cluster_col="cell", threshold=threshold,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return out.select(
+        id_col, F.col("cluster").cast("int").alias("cell"), "dup_of"
+    )
+
+
+def semdedup_scaled_oracle_sql(
+    threshold: float,
+    target_cell_rows: int = 256,
+    iters: int = 2,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of semantic_dedup_scaled_certified: the spherical
+    dynamic-k kmeans CTEs (cluster count computed FROM the data, so one
+    oracle string is correct at every SF) + the proven 6dp-rounded-cosine
+    keeper rule (the `semantic_dedup_report` pattern)."""
+    k_sql = (
+        f"SELECT LEAST(4096, GREATEST(16, COUNT(*) // {target_cell_rows})) "
+        f"FROM {table}"
+    )
+    parts = _kmeans_oracle_parts(
+        None, iters, dim, table, id_col, vec_col,
+        normalize=True, k_sql=k_sql,
+    )
+    parts.append(f"cells AS (SELECT {id_col}, j AS cell FROM a{iters - 1})")
+    parts.append(
+        f"ev AS (SELECT e.{id_col}, c.cell, e.v FROM "
+        f"(SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}) e "
+        f"JOIN cells c USING ({id_col}))"
+    )
+    parts.append(
+        f"p AS (SELECT a.{id_col}, a.cell, "
+        f"MIN(CASE WHEN ROUND(list_cosine_similarity(a.v, b.v), 6) "
+        f">= {threshold} THEN b.{id_col} END) AS dup_of "
+        f"FROM ev a LEFT JOIN ev b "
+        f"ON a.cell = b.cell AND b.{id_col} < a.{id_col} "
+        f"GROUP BY a.{id_col}, a.cell)"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT {id_col}, CAST(cell AS INT) AS cell, dup_of FROM p"
     )

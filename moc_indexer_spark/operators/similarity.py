@@ -1103,6 +1103,7 @@ def semantic_dedup_scaled(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    n: int | None = None,
 ) -> DataFrame:
     """SemDeDup at corpus scale: `semantic_dedup`'s keeper rule, but the
     clusters come from a sample-trained spherical k-means whose cell
@@ -1131,10 +1132,8 @@ def semantic_dedup_scaled(
     the cell key; per-cell keeper selection is a bounded BLAS self-matmul
     inside applyInPandas. Store the corpus partitioned by cell (as
     build_ivf_index does) and even that shuffle disappears."""
-    import numpy as np
-    import pandas as pd
-
-    n = corpus.count()
+    if n is None:  # pass n= (catalog/footer stats) to skip the count job
+        n = corpus.count()
     n_cells = min(4096, max(16, n // target_cell_rows))
     if train_sample is None:
         train_sample = min(32768, max(2048, 8 * n_cells))
@@ -1145,7 +1144,27 @@ def semantic_dedup_scaled(
             [], f"{id_col} long, cell int, dup_of long"
         )
     C = _train_spherical_kmeans(Xn, n_cells, lloyd_iters)
-    bc = corpus.sparkSession.sparkContext.broadcast(C)
+    return semantic_dedup_with_centroids(
+        corpus, C, threshold, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    )
+
+
+def semantic_dedup_assign(
+    corpus: DataFrame,
+    C,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The assign stage of the scaled SemDeDup under FIXED centroids C
+    (numpy array): one Arrow map-only pass -> (id, v array<double>,
+    cell). Factored out so the incremental maintainer
+    (streaming/semdedup_stream.py) assigns micro-batches under the
+    identical numerics as the batch operator."""
+    import numpy as np
+    import pandas as pd
+
+    bc = corpus.sparkSession.sparkContext.broadcast(np.asarray(C))
 
     def assign(batches):
         C_ = bc.value
@@ -1163,9 +1182,24 @@ def semantic_dedup_scaled(
                 }
             )
 
-    assigned = corpus.select(id_col, vec_col).mapInPandas(
+    return corpus.select(id_col, vec_col).mapInPandas(
         assign, schema=f"{id_col} long, v array<double>, cell int"
     )
+
+
+def semantic_dedup_keep(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """The keeper stage of the scaled SemDeDup over an (id, v, cell)
+    relation: per-cell bounded BLAS self-matmul, dup_of = smallest-id
+    earlier same-cell vector whose 6dp cosine clears `threshold`.
+    Factored out (see semantic_dedup_assign) — the stream maintainer
+    recomputes exactly this over the cells a micro-batch touches."""
+    import numpy as np
+    import pandas as pd
 
     out_schema = f"{id_col} long, cell int, dup_of long"
 
@@ -1195,6 +1229,24 @@ def semantic_dedup_scaled(
 
     return assigned.groupBy("cell").applyInPandas(
         keeper_in_cell, schema=out_schema
+    )
+
+
+def semantic_dedup_with_centroids(
+    corpus: DataFrame,
+    C,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Scaled SemDeDup under a FIXED quantizer: assign + keeper. This is
+    the batch-reference semantics the incremental maintainer converges
+    to (its parity tests call exactly this with the index's persisted
+    centroids)."""
+    return semantic_dedup_keep(
+        semantic_dedup_assign(corpus, C, id_col=id_col, vec_col=vec_col),
+        threshold, id_col=id_col, round_digits=round_digits,
     )
 
 

@@ -388,8 +388,16 @@ def q_embedding_dup_pairs(spark, sf_dir):
 @register("lsh_ann_topk", None, tags=("llm", "similarity", "ann", "lsh"))
 def q_lsh_ann_topk(spark, sf_dir):
     """Random-hyperplane LSH ANN (the 100 TB scale path; approximate, so
-    rows-only here — pytest measures recall vs the brute-force baseline)."""
-    return S.lsh_bucket_topk(table(spark, sf_dir, "embeddings"), k=5)
+    rows-only here — pytest measures recall vs the brute-force baseline).
+    The corpus size feeding the adaptive plane count comes from the
+    parquet footer (`parquet_rows`), so BUILDING this plan costs no Spark
+    job (a count() here ran eagerly on every registry sweep)."""
+    from ..tables import parquet_rows
+
+    return S.lsh_bucket_topk(
+        table(spark, sf_dir, "embeddings"), k=5,
+        n=parquet_rows(sf_dir, "embeddings"),
+    )
 
 
 @register("ivf_ann_topk", None, tags=("llm", "similarity", "ann", "ivf"), bench=True)
@@ -1003,6 +1011,7 @@ def q_semantic_dedup_report(spark, sf_dir):
     "semantic_dedup_scaled",
     None,
     tags=("llm", "dedup", "similarity", "semdedup", "scale-path"),
+    bench=True,
 )
 def q_semantic_dedup_scaled(spark, sf_dir):
     """The 100 TB production form of semantic dedup (rows-only: the
@@ -1012,8 +1021,50 @@ def q_semantic_dedup_scaled(spark, sf_dir):
     at fixed target occupancy and the output is one row per vector. The
     round-6 30x curve motivated this — every pair-emitting form is
     output-bound Th(n^2) on cluster-structured corpora by semantics."""
+    from ..tables import parquet_rows
+
     return S.semantic_dedup_scaled(
-        table(spark, sf_dir, "embeddings"), threshold=COSINE_DUP_THRESHOLD
+        table(spark, sf_dir, "embeddings"), threshold=COSINE_DUP_THRESHOLD,
+        n=parquet_rows(sf_dir, "embeddings"),  # footer, no count() job
+    )
+
+
+SEMDEDUP_TARGET_CELL_ROWS = 256  # = semantic_dedup_scaled's default
+
+
+def _semdedup_certified_oracle() -> str:
+    from ..operators.clustering import semdedup_scaled_oracle_sql
+
+    return semdedup_scaled_oracle_sql(
+        threshold=COSINE_DUP_THRESHOLD,
+        target_cell_rows=SEMDEDUP_TARGET_CELL_ROWS,
+    )
+
+
+@register(
+    "semantic_dedup_scaled_certified",
+    _semdedup_certified_oracle(),
+    tags=("llm", "dedup", "similarity", "semdedup", "scale-path"),
+)
+def q_semantic_dedup_scaled_certified(spark, sf_dir):
+    """The hash-gated leg of the 100 TB semantic-dedup path: the SAME
+    contract as `semantic_dedup_scaled` (corpus-scaled cell count,
+    spherical first-n-init fixed-iteration quantizer, one row per vector,
+    smallest-earlier-id cosine keeper) with every step in the
+    exact-decimal replayable form — the DuckDB oracle re-runs the full
+    dynamic-k spherical k-means AND the keeper rule, so (vec_id, cell,
+    dup_of) is value-hash-pinned cross-engine at any SF. The production
+    operator keeps its numpy sample-trained quantizer (BLAS-order
+    engine-specific); pytest pins the two forms against each other
+    (operators/clustering.py docstring)."""
+    from ..operators.clustering import semantic_dedup_scaled_certified
+    from ..tables import parquet_rows
+
+    return semantic_dedup_scaled_certified(
+        table(spark, sf_dir, "embeddings"),
+        threshold=COSINE_DUP_THRESHOLD,
+        target_cell_rows=SEMDEDUP_TARGET_CELL_ROWS,
+        n=parquet_rows(sf_dir, "embeddings"),
     )
 
 
@@ -1066,16 +1117,16 @@ def q_shared_span_pairs(spark, sf_dir):
     "embedding_dup_pairs_lsh",
     None,
     tags=("llm", "dedup", "similarity", "lsh", "scale-path"),
-    bench=True,
 )
 def q_embedding_dup_pairs_lsh(spark, sf_dir):
-    """The SCALE form of embedding_dup_pairs: LSH bucket candidates +
-    exact cosine threshold (precision exact; recall measured vs the
-    all-pairs form in pytest). Rows-only here — hyperplane buckets have
-    no cross-engine oracle; the exact all-pairs query IS the sf-scale
-    oracle for this operator's output contract. HEADLINED in the bench
-    (the O(n^2) exact form stays certification-only, mirroring
-    pq_ann_exact vs pq_ann_topk)."""
+    """The pair-emitting LSH form of embedding_dup_pairs: bucket
+    candidates + exact cosine threshold (precision exact; recall measured
+    vs the all-pairs form in pytest). Round 6 proved the PAIR OUTPUT
+    itself is Th(n^2) by semantics on cluster-structured corpora
+    (3.8k/36k/404k/3.63M pairs at 1/3/10/30x), so this is now the
+    DIAGNOSTIC/observability leg; `semantic_dedup_scaled` (O(n) output,
+    exponent 0.11 to 30x) is the production path and carries the bench
+    headline slot."""
     return S.lsh_dup_pairs(
         table(spark, sf_dir, "embeddings"), threshold=COSINE_DUP_THRESHOLD
     )
@@ -1213,7 +1264,10 @@ def q_ann_recall_report(spark, sf_dir):
     certifies operationally is the evaluation harness a production
     pipeline runs after every index rebuild. One exact-baseline pass is
     shared across all three methods."""
+    from ..tables import parquet_rows
+
     emb = table(spark, sf_dir, "embeddings")
+    n_emb = parquet_rows(sf_dir, "embeddings")  # footer, no count() job
     exact = S.brute_force_topk_blocked(emb, k=5).select(
         F.col("query_id"), F.col("neighbor_id")
     ).persist()
@@ -1221,7 +1275,7 @@ def q_ann_recall_report(spark, sf_dir):
         n_pairs = exact.count()  # materialize once; |Q|*5 rows
         rows = []
         for method, df in (
-            ("lsh", S.lsh_bucket_topk(emb, k=5)),
+            ("lsh", S.lsh_bucket_topk(emb, k=5, n=n_emb)),
             ("ivf", S.ivf_topk(emb, k=5)),
             ("pq", S.pq_topk(emb, k=5)),
             ("ivfpq", S.ivfpq_topk(emb, k=5)),

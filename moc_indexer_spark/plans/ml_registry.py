@@ -77,16 +77,26 @@ def q_logreg(spark, sf_dir):
     return M.logreg_predictions(table(spark, sf_dir, "documents"))
 
 
+def _bpe_oracle() -> str:
+    from ..operators import bpe as B
+
+    return B.bpe_oracle_sql()
+
+
 @register(
     "bpe_merges",
-    None,
+    _bpe_oracle(),
     tags=("llm", "tokenizer", "bpe"),
 )
 def q_bpe_merges(spark, sf_dir):
     """Learned BPE merge table (20 merges) — distributed word-frequency
-    reduction + bounded driver-side merge loop. Rows-only (the greedy
-    merge fold has no SQL equivalent); pytest certifies exact equality
-    vs an independent pure-Python BPE."""
+    reduction + bounded driver-side merge loop. Oracle-gated since
+    round 7: the greedy merge fold IS SQL-replayable via the
+    sentinel-delimited encoding (operators/bpe.py `bpe_oracle_sql` —
+    one string replace per round is exactly the greedy adjacent merge),
+    so the driver hash-pins the full (rank, left, right, pair_count)
+    table; pytest additionally certifies exact equality vs an
+    independent pure-Python BPE."""
     from ..operators import bpe as B
 
     return B.bpe_train(table(spark, sf_dir, "documents"))

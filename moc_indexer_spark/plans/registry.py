@@ -62,60 +62,22 @@ def register(name, oracle, tags=(), bench=False):
 
 # The driver's correctness gate evaluates the FIRST 50 registered queries.
 # This explicit window curates those slots: every entry is oracle-gated.
-# Round 6 rotates ALL 50 slots to retire the never-driver-certified
-# backlog (89 oracle-gated queries after round 5): every resident below
-# is a FIRST-TIME window entry. The 50 round-5 residents (tx_list family,
-# money math, event pipeline, dedup cascade, ANN certifications, ...)
-# hold five rounds of green driver rows (CORRECTNESS_r01-r05) and stay
-# oracle-gated right after the window — the builder mirror and judge
-# re-checks keep exercising them. Priority order follows the round-5
-# brief: the 17 SURVEY §2-mapped queries first, then the TPC-H shapes,
-# then the LLM/pipeline remainder (the ~39 still-unwindowed queries
-# rotate in next round).
+# Round 7 rotates in the FINAL 40 never-driver-certified oracle-gated
+# queries (the complete round-6 rotation queue), retiring the
+# certification backlog for good: after this window lands green, EVERY
+# oracle-gated query in the registry has a hard driver CORRECTNESS row
+# in some round. The remaining 10 slots carry (a) the three queries
+# oracle-gated new THIS round — the serving-path api_price_variation
+# (the 4th API endpoint's own module), semantic_dedup_scaled_certified
+# (the 100 TB semantic-dedup path's replay-oracle twin), and bpe_merges
+# (the greedy merge fold, SQL-replayable since round 7) — and (b) seven
+# round-1 residents whose last driver rows are the oldest in the
+# registry, re-certified so the window keeps cycling. The round-6
+# residents hold fresh green rows (CORRECTNESS_r06) and stay
+# oracle-gated right behind the window — the builder mirror and judge
+# re-checks keep exercising them.
 _DRIVER_WINDOW = [
-    # §2-mapped: report CLIs (S9/F16), API endpoints (S8), set ops (§2.6),
-    # state decode (F13), derived-price lag (F17), as-of-join scale form
-    # (J6/J3), interval window (F11)
-    "report_last_transactions", "report_pay_tc_holders",
-    "api_db_info", "api_pegout_list",
-    "users_purchase_and_signup", "users_purchase_never_error",
-    "state_decode", "price_lag_change",
-    "asof_join_price_at_click", "settlement_window_activity",
-    # §2.8 window/rank family: OHLC pivot, RANGE frame, EWMA recursion,
-    # ntile, day×event pivot matrix (the round-5 date-cast fix),
-    # cumulative distinct, cohort retention
-    "hourly_ohlc", "moving_hour_sum", "ewma_amount", "amount_quartiles",
-    "daily_event_matrix", "cumulative_unique_users", "retention_cohorts",
-    # TPC-H shapes over the synthetic SF tables: scan-agg, joins across
-    # the full schema graph, correlated/anti/semi subqueries, top-k
-    "pricing_summary", "top_revenue_orders", "daily_rollup",
-    "region_supplier_rollup", "order_priority_counts",
-    "local_supplier_volume", "shipmode_priority_counts",
-    "brand_revenue_share", "customer_returns_topk", "large_volume_orders",
-    "below_avg_qty_revenue", "returned_order_priority",
-    "part_supplier_variety", "idle_customer_balance",
-    "sole_blame_supplier", "cheapest_supplier_per_part",
-    "nation_pair_volume", "nation_market_share", "product_type_profit",
-    "important_part_stock", "customer_order_distribution",
-    "top_supplier_revenue", "disjunctive_revenue",
-    "excess_shipment_suppliers", "forecast_revenue",
-    # LLM/pipeline remainder: the round-6 guarded near-dup form (its
-    # oracle re-derives jaccard over stop-filtered shingle sets), the
-    # boilerplate heavy-hitter feeder, the PPJoin prefix leg, certified
-    # SimHash, keeper selection, skew-salting invariance, and the two
-    # round-5 drifted-bench queries (driver-pinning them closes VERDICT
-    # "What's wrong" #1 from the correctness side)
-    "ngram_dup_pairs_guarded", "boilerplate_shingles",
-    "ngram_dup_pairs_prefix", "simhash_pairs_certified",
-    "dedup_keeper_selection", "salted_hot_key_join",
-    "repetition_stats", "logreg_quality_scores",
-]
-
-# Round-7 rotation queue: the 40 oracle-gated queries still never
-# driver-certified after the round-6 full rotation (40 fit in one more
-# window, retiring the backlog entirely). Swap these in, move the
-# round-6 residents out — they stay oracle-gated behind the window.
-_ROUND7_ROTATION_QUEUE = [
+    # the complete never-windowed backlog (round-6 queue, verbatim)
     "semantic_dedup_report", "shared_span_pairs", "containment_dup_pairs",
     "novel_ngram_rate", "lsh_ann_exact", "repeat_purchase_rate",
     "column_profile", "stratified_sample", "sequence_packing",
@@ -130,6 +92,12 @@ _ROUND7_ROTATION_QUEUE = [
     "vocab_coverage", "robust_outliers_mad", "unregistered_user_txs",
     "payload_json_histogram", "user_running_total", "user_sessions",
     "recent_price_enrichment", "signup_purchase_funnel", "event_rollup",
+    # oracle-gated new in round 7
+    "api_price_variation", "semantic_dedup_scaled_certified", "bpe_merges",
+    # oldest-resident re-certification (round-1 window, last rows r1-r5)
+    "tx_list", "asof_price", "latest_per_address",
+    "active_address_counts", "tx_enrich_money", "minhash_dup_pairs",
+    "event_pipeline_demo",
 ]
 
 

@@ -37,6 +37,39 @@ def q_api_tx_list_formatted(spark, sf_dir):
 
 
 @register(
+    "api_price_variation",
+    f"""
+    {TX_WITH},
+    prices AS (SELECT tx_hash, created_at, amount FROM transactions WHERE event = 'purchase'),
+    tip AS (SELECT MAX(created_at) AS tip_ts FROM prices),
+    cur AS (SELECT amount AS current_amount FROM prices
+            ORDER BY created_at DESC, tx_hash DESC LIMIT 1),
+    old AS (SELECT amount AS asof_amount FROM prices, tip
+            WHERE created_at >= DATE_TRUNC('day', tip_ts - INTERVAL 24 HOUR)
+              AND created_at < tip_ts - INTERVAL 24 HOUR
+            ORDER BY created_at DESC, tx_hash DESC LIMIT 1)
+    SELECT current_amount, asof_amount,
+           (current_amount - asof_amount) / asof_amount AS variation
+    FROM cur, old
+    """,
+    tags=("S8", "J4", "api"),
+)
+def q_api_price_variation(spark, sf_dir):
+    """GET /price/variation through the SERVING operator itself
+    (operators/serving.py:71 — webservice/bp_prices.py:44-60): the 4th
+    API endpoint's production code path, hash-gated like the other three
+    (api_db_info, api_pegout_list, api_tx_list_formatted). The semantics
+    twin `price_variation_24h` (plans/registry.py) certifies the same
+    floor-to-midnight as-of rule built inline; THIS entry pins the
+    endpoint module the HTTP shell serves, so a drift inside serving.py
+    turns a driver row red, not just an HTTP test."""
+    prices = transactions(spark, sf_dir).filter(
+        F.col("event") == "purchase"
+    ).select("tx_hash", "created_at", "amount")
+    return SV.api_price_variation(prices, hours=24)
+
+
+@register(
     "users_purchase_and_signup",
     f"""
     {TX_WITH}

@@ -48,6 +48,7 @@ from .compaction import (  # noqa: F401
     list_committed_batches,
     read_batches_upto,
 )
+from .triggers import apply_max_files_per_trigger
 # (_FOLD_MARKER re-exported for the fault-injection tests)
 
 
@@ -203,8 +204,7 @@ def run_bm25_index_stream_available_now(
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    reader = apply_max_files_per_trigger(reader, max_files_per_trigger)
     stream = reader.parquet(source_dir)
     idx = IncrementalBm25Index(spark, index_dir)
 

@@ -30,6 +30,7 @@ from .sink import ParquetUpsertTable
 # converge to (a local 5/0.35 copy once did exactly that: docs admitted
 # here were rejected by the batch filter)
 from ..plans.llm_registry import MIN_TOKENS, QUALITY_GATE as MIN_QUALITY
+from .triggers import apply_max_files_per_trigger
 
 
 def quality_gate(docs: DataFrame) -> DataFrame:
@@ -97,8 +98,7 @@ def run_corpus_stream_available_now(
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    reader = apply_max_files_per_trigger(reader, max_files_per_trigger)
     stream = reader.parquet(source_dir)
     tbl = corpus_table(spark, out_path)
 
@@ -223,8 +223,7 @@ def run_near_dedup_stream_available_now(
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:  # slice file == micro-batch (see corpus runner)
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    reader = apply_max_files_per_trigger(reader, max_files_per_trigger)
     stream = reader.parquet(source_dir)
     bands_tbl = ParquetUpsertTable(
         spark, f"{state_dir}/bands", keys=["band", "bucket", "doc_id"]
@@ -371,8 +370,7 @@ def run_line_dedup_stream_available_now(
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:  # slice file == micro-batch (see corpus runner)
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    reader = apply_max_files_per_trigger(reader, max_files_per_trigger)
     stream = reader.parquet(source_dir)
     lines_tbl = ParquetUpsertTable(
         spark, f"{state_dir}/lines", keys=["doc_id", "pos"]

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .compaction import list_committed_batches, read_batches_upto
+from .triggers import apply_max_files_per_trigger
 
 
 class IncrementalIvfIndex:
@@ -457,8 +458,7 @@ def run_ivf_index_stream_available_now(
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    reader = apply_max_files_per_trigger(reader, max_files_per_trigger)
     stream = reader.parquet(source_dir)
     idx = IncrementalIvfIndex(spark, index_dir)
     if not idx.is_trained():

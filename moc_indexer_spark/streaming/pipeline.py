@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .sink import ParquetUpsertTable
+from .triggers import apply_max_files_per_trigger
 
 CONFIRM_BLOCKS = 10  # settings-moc-mainnet2.json:19
 BLOCK_SECONDS = 30
@@ -181,12 +182,7 @@ def run_stream_available_now(
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        # one slice file per micro-batch: availableNow otherwise folds
-        # every pending file into a SINGLE batch, and the incremental
-        # merge/replay behavior this runner exists to exercise reduces to
-        # one big batch upsert (round-6 probe: 2 files -> 1 batch)
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    reader = apply_max_files_per_trigger(reader, max_files_per_trigger)
     raw_stream = reader.parquet(source_dir)
     tbl = ParquetUpsertTable(spark, out_path, keys=["tx_hash"], mode=sink_mode)
 

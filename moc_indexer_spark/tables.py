@@ -111,6 +111,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a catalog table from the parquet FOOTER — no
+    Spark job, no scan. For operators whose PLAN shape depends on the
+    corpus size (the LSH adaptive plane count, the SemDeDup cell count),
+    building the DataFrame must not itself run a count() job: registry
+    sweeps and error paths construct plans they never execute. Footer
+    metadata is what a lakehouse catalog serves for free at 100 TB
+    (table statistics); this is the local-parquet analog."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
 # per-path cache of the LTZ-coerced read schema (footer reads are cheap but
 # table() is called inside every registry query build)
 _LTZ_SCHEMA_CACHE: dict = {}

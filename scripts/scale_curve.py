@@ -275,12 +275,16 @@ def main() -> None:
             row["exponent"] = fit_exponent(
                 scales, [row["t"][str(s)] for s in scales]
             )
-            # last/first ratio — keyed by the ACTUAL scales, not a
-            # hardcoded 1/10 (the --scales flag accepts any list)
-            row[f"ratio_{scales[-1]}x"] = round(
+            # last/first ratio under FIXED keys: merged JSON docs from
+            # targeted --queries/--scales re-runs otherwise accumulate
+            # heterogeneous ratio_10x/ratio_30x keys and external readers
+            # of one spelling break silently. ratio_scale records which
+            # scale the ratio is against.
+            row["ratio_last"] = round(
                 row["t"][str(scales[-1])]
                 / max(row["t"][str(scales[0])], 1e-9), 2
             )
+            row["ratio_scale"] = scales[-1]
         results[name] = row
         print(json.dumps({name: row}), flush=True)
 
@@ -323,7 +327,7 @@ def main() -> None:
         else:
             t = row["t"]
             ts = " | ".join(str(t[str(s)]) for s in scales)
-            print(f"| {name} | {ts} | {row[f'ratio_{scales[-1]}x']} | "
+            print(f"| {name} | {ts} | {row['ratio_last']} | "
                   f"{row['exponent']} |")
     spark.stop()
 

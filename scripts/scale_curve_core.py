@@ -181,11 +181,13 @@ def run_queries(spark, dirs, scales, runs, names=None) -> dict:
             row["exponent"] = _fit_exponent(
                 scales, [row["t"][str(s)] for s in scales]
             )
-            # keyed by the ACTUAL last scale (the --scales flag accepts
-            # any list — 'ratio_10x' would mislabel a 1,3,10,30 run)
-            row[f"ratio_{scales[-1]}x"] = round(
+            # FIXED keys regardless of the --scales list: merged JSON
+            # docs otherwise accumulate ratio_10x beside ratio_30x rows
+            # across targeted re-runs (ratio_scale records the scale)
+            row["ratio_last"] = round(
                 row["t"][str(scales[-1])] / max(row["t"][str(scales[0])], 1e-9), 2
             )
+            row["ratio_scale"] = scales[-1]
         results[name] = row
         print(json.dumps({name: row}), flush=True)
     return results
@@ -425,12 +427,67 @@ def run_ingest(spark) -> dict:
     return out
 
 
+def run_policy_longrun(
+    spark, history: int = 60_000, cycles: int = 40, step: int = 10
+) -> dict:
+    """mor_cycle_policy_longrun: the Indexer's auto-compaction policy under
+    a long-running daemon. Two arms over an identical 60k-block catch-up +
+    `cycles` tick-sized (10-block) cycles: policy ON (the Indexer default
+    compact_every=16) vs OFF (disabled). Per arm: median/p90/max cycle,
+    the first-10 vs last-10 medians (the accretion slope a months-long
+    daemon rides), and how many cycles absorbed a compaction fold. The
+    ON arm's max cycle is the amortized maintenance spike (all six sinks
+    cross the threshold on the same cycle — they append one delta per
+    cycle each); every other cycle reads the post-compact single-dir
+    fast path."""
+    from moc_indexer_spark.app import CONTRACTS, USERS, Indexer
+    from moc_indexer_spark.sources.chain import FakeChain
+
+    out = {}
+    for label, ce in (("policy_on", 16), ("policy_off", 10**9)):
+        d = tempfile.mkdtemp(prefix=f"scale_policy_{label}_")
+        ix = Indexer(spark, d, FakeChain(CONTRACTS, USERS, 20), CONTRACTS,
+                     sink_mode="mor", compact_every=ce)
+        t0 = time.perf_counter()
+        ix.run_incremental(tip=history)
+        catchup = time.perf_counter() - t0
+        tip = history
+        for _ in range(2):  # untimed warm cycles (see _cycle_median)
+            tip += step
+            ix.run_incremental(tip=tip)
+        lat, compactions = [], 0
+        for _ in range(cycles):
+            before = len(ix.tables["raw_transactions"].history())
+            tip += step
+            t0 = time.perf_counter()
+            ix.run_incremental(tip=tip)
+            lat.append(time.perf_counter() - t0)
+            after = len(ix.tables["raw_transactions"].history())
+            if after < before + 1:  # the fold reset the delta-dir count
+                compactions += 1
+        s = sorted(lat)
+        out[label] = {
+            "cycles": cycles,
+            "catchup_sec": round(catchup, 1),
+            "median": round(s[len(s) // 2], 3),
+            "p90": round(s[int(len(s) * 0.9)], 3),
+            "max": round(max(lat), 3),
+            "first10_median": round(statistics.median(lat[:10]), 3),
+            "last10_median": round(statistics.median(lat[-10:]), 3),
+            "compaction_cycles": compactions,
+        }
+        print(json.dumps({label: out[label]}), flush=True)
+    return {"mor_cycle_policy_longrun": out}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/moc_scale_core")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--skip-ingest", action="store_true")
     ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--policy-longrun", action="store_true",
+                    help="run the auto-compaction long-run axis")
     ap.add_argument("--queries", default="",
                     help="comma list; targeted re-measure merges per-query")
     ap.add_argument("--scales", default="1,3,10",
@@ -453,6 +510,8 @@ def main() -> None:
         names=args.queries.split(",") if args.queries else None,
     )
     ingest_results = {} if args.skip_ingest else run_ingest(spark)
+    if args.policy_longrun:
+        ingest_results.update(run_policy_longrun(spark))
 
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -474,7 +533,11 @@ def main() -> None:
         merged.update(core_results)
         doc["core_results"] = merged
     if ingest_results:
-        doc["ingest_results"] = ingest_results
+        # merge per-axis: a targeted run (e.g. --skip-queries
+        # --policy-longrun) must not drop the other recorded axes
+        merged_i = doc.get("ingest_results", {})
+        merged_i.update(ingest_results)
+        doc["ingest_results"] = merged_i
     with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=2)
     print(json.dumps({"written": out_path}))

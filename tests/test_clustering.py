@@ -62,3 +62,58 @@ def test_duplicate_init_points_stay_welldefined(spark):
     out = kmeans_assign(df, k=3, iters=2, dim=4)
     assert out.count() == 4
     assert out.filter(F.col("cluster_id") == 1).count() == 0
+
+
+def test_spherical_normalize_is_scale_invariant(spark):
+    """normalize=True clusters by DIRECTION: scaling any vector by a
+    positive constant must not change its assignment (the property that
+    makes the spherical form the right quantizer for cosine dedup)."""
+    df = _blobs(spark)
+    scaled = df.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x * (1.0 + (F.col("vec_id") % 3).cast("double")),
+        ).alias("embedding"),
+    )
+    base = {r.vec_id: r.cluster_id
+            for r in kmeans_assign(df, k=2, iters=2, dim=8,
+                                   normalize=True).collect()}
+    after = {r.vec_id: r.cluster_id
+             for r in kmeans_assign(scaled, k=2, iters=2, dim=8,
+                                    normalize=True).collect()}
+    assert base == after
+
+
+def test_semantic_dedup_certified_contract(spark, sf_dir):
+    """The certified twin of semantic_dedup_scaled keeps the SAME output
+    contract: one row per vector; every non-NULL dup_of is an earlier
+    same-cell vector whose 6dp cosine clears the threshold (precision
+    exact by re-derivation); deterministic across builds. Cross-engine
+    hash parity is covered registry-wide by test_oracle_parity."""
+    import numpy as np
+
+    from moc_indexer_spark.operators.clustering import (
+        semantic_dedup_scaled_certified,
+    )
+    from moc_indexer_spark.plans.llm_registry import COSINE_DUP_THRESHOLD
+    from moc_indexer_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_scaled_certified(
+        emb, threshold=COSINE_DUP_THRESHOLD)
+    rows = out.collect()
+    n = emb.count()
+    assert len(rows) == n and len({r.vec_id for r in rows}) == n
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    cell = {r.vec_id: r.cell for r in rows}
+    dup_rows = [r for r in rows if r.dup_of is not None]
+    assert dup_rows, "fixture should contain semantic dups"
+    for r in dup_rows:
+        assert r.dup_of < r.vec_id
+        assert cell[r.dup_of] == r.cell
+        a, b = vecs[r.vec_id], vecs[r.dup_of]
+        cos = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+        assert cos >= COSINE_DUP_THRESHOLD

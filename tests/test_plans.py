@@ -346,18 +346,15 @@ def test_ngram_guarded_stop_list_broadcast_anti(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_round7_rotation_queue_is_exactly_the_backlog():
-    """The queued names must all be registered, oracle-gated, outside the
-    current window, and duplicate-free — so next round's rotation is a
-    verified one-edit swap."""
-    from moc_indexer_spark.plans.registry import (
-        _DRIVER_WINDOW, _ROUND7_ROTATION_QUEUE, registry,
-    )
+def test_driver_window_is_50_oracle_gated_slots():
+    """The driver evaluates the FIRST 50 registered queries: the curated
+    window must be exactly 50 unique names, every one oracle-gated, and
+    registry() must surface them first in order."""
+    from moc_indexer_spark.plans.registry import _DRIVER_WINDOW, registry
 
-    specs = {s.name: s for s in registry()}
-    q = _ROUND7_ROTATION_QUEUE
-    assert len(q) == len(set(q)) == 40
-    for name in q:
-        assert name in specs, name
-        assert specs[name].oracle, f"{name} is rows-only"
-        assert name not in _DRIVER_WINDOW, name
+    specs = registry()
+    w = _DRIVER_WINDOW
+    assert len(w) == len(set(w)) == 50
+    assert [s.name for s in specs[:50]] == list(w)
+    for s in specs[:50]:
+        assert s.oracle, f"{s.name} is rows-only"

@@ -594,13 +594,40 @@ def test_sharded_delta_append_parity_and_file_count(spark, workdir):
 
 def test_indexer_shard_gate_is_tick_safe():
     """The gate derives shards from the cycle's block count driver-side:
-    tick-sized cycles stay single-file; a 20k-block catch-up shards."""
-    from moc_indexer_spark.app import SHARD_BLOCKS
+    tick-sized cycles stay single-file; a 20k-block catch-up shards.
+    Exercises the REAL gate (`app._delta_shards`, the function
+    run_incremental calls) — not a re-derived formula that could stay
+    green while the production gate drifts."""
+    from moc_indexer_spark.app import _delta_shards as gate
 
-    def gate(n_blocks, parallelism=32):
-        return min(parallelism, max(1, n_blocks // SHARD_BLOCKS))
+    assert gate(10, 32) == 1          # 3 s tick
+    assert gate(500, 32) == 1         # bench catch-up shape
+    assert gate(20_000, 32) == 10     # outage recovery parallelizes
+    assert gate(1_000_000, 32) == 32  # capped at session parallelism
 
-    assert gate(10) == 1          # 3 s tick
-    assert gate(500) == 1         # bench catch-up shape
-    assert gate(20_000) == 10     # outage recovery parallelizes
-    assert gate(1_000_000) == 32  # capped at session parallelism
+
+def test_indexer_auto_compaction_policy(spark, workdir):
+    """The Indexer threads its compact_every policy into every MoR sink:
+    after enough tick cycles the tables FOLD (delta-dir count resets to a
+    single base) and the resolved read view is unchanged by the fold —
+    the long-running-daemon guarantee the mor_cycle_policy_longrun axis
+    measures at 60k-block scale."""
+    from moc_indexer_spark.app import CONTRACTS, USERS, Indexer
+    from moc_indexer_spark.sources.chain import FakeChain
+
+    ix = Indexer(spark, f"{workdir}/ix", FakeChain(CONTRACTS, USERS, 5),
+                 CONTRACTS, sink_mode="mor", compact_every=3)
+    tip = 20
+    for _ in range(5):
+        ix.run_incremental(tip=tip)
+        tip += 10
+    raw = ix.tables["raw_transactions"]
+    # 5 cycles appended 5 deltas; the policy folded at least once
+    assert len(raw.history()) < 5
+
+    def snap():  # rows carry array columns (logs) — stringify to compare
+        return sorted(map(str, raw.read().collect()))
+
+    before = snap()
+    raw.compact()  # explicit fold on top must be a read-view no-op
+    assert snap() == before
