@@ -224,6 +224,46 @@ def time_query(spark, build, sf_dir: str, runs: int) -> float:
     return round(ts[len(ts) // 2], 3)
 
 
+def run_lsh_recall(spark, dirs, scales, n_tables_list=(16, 32, 64, 128)):
+    """lsh_recall_curve: recall@5 AND wall time of `lsh_bucket_topk` vs
+    n_tables at each scale — turning the documented low-recall default
+    operating point (0.394 @ 16 tables at 10x, round 6) into a priced
+    trade ("recall >= X costs Y") instead of a footnote. Exact baseline
+    is one blocked brute-force pass per scale, shared across points.
+    IVFADC remains the production ANN; this is the observability record
+    for choosing n_tables when LSH is preferred (e.g. no train step)."""
+    from moc_indexer_spark.operators import similarity as S
+    from moc_indexer_spark.tables import parquet_rows, table
+
+    out: dict = {}
+    for s in scales:
+        emb = table(spark, dirs[s], "embeddings")
+        n = parquet_rows(dirs[s], "embeddings")
+        exact = S.brute_force_topk_blocked(emb, k=5).select(
+            "query_id", "neighbor_id"
+        ).persist()
+        try:
+            n_pairs = exact.count()
+            row = {}
+            for nt in n_tables_list:
+                df = S.lsh_bucket_topk(emb, k=5, n_tables=nt, n=n)
+                df.write.format("noop").mode("overwrite").save()  # warm
+                t0 = time.perf_counter()
+                hits = df.select("query_id", "neighbor_id").join(
+                    exact, ["query_id", "neighbor_id"]
+                ).count()
+                row[str(nt)] = {
+                    "recall_at_5": round(hits / n_pairs, 4),
+                    "sec": round(time.perf_counter() - t0, 3),
+                }
+                print(json.dumps({f"x{s}/tables={nt}": row[str(nt)]}),
+                      flush=True)
+            out[str(s)] = {"n_vectors": n, "by_tables": row}
+        finally:
+            exact.unpersist()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/moc_scale")
@@ -235,6 +275,9 @@ def main() -> None:
                          "ones; results land under zipf_results")
     ap.add_argument("--scales", default="1,3,10",
                     help="comma list of multipliers, e.g. 1,3,10,30")
+    ap.add_argument("--lsh-recall", action="store_true",
+                    help="measure the LSH recall-vs-n_tables cost curve "
+                         "instead of the operator timings")
     args = ap.parse_args()
 
     from moc_indexer_spark.plans.registry import registry
@@ -256,6 +299,25 @@ def main() -> None:
     spark = get_spark(app_name="scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
     enable_layout_mirror()
+
+    if args.lsh_recall:
+        curve = run_lsh_recall(spark, dirs, scales)
+        out_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SCALE_CURVE.json",
+        )
+        doc = {}
+        if os.path.exists(out_path):
+            with open(out_path) as fh:
+                doc = json.load(fh)
+        merged = doc.get("lsh_recall_curve", {})
+        merged.update(curve)
+        doc["lsh_recall_curve"] = merged
+        with open(out_path, "w") as fh:
+            json.dump(doc, fh, indent=2)
+        print(json.dumps({"written": out_path}))
+        spark.stop()
+        return
 
     by = {s.name: s for s in registry()}
     results: dict[str, dict] = {}
