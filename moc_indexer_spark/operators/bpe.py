@@ -158,8 +158,37 @@ def bpe_oracle_sql(
 
     chr(31) (ASCII unit separator) never appears in whitespace-split
     tokens, so the encoding is unambiguous for any corpus word."""
-    d = "chr(31)"
-    dd = f"{d}||{d}"
+    parts = _bpe_merge_cte_parts(n_merges, min_freq, max_vocab_words, table)
+    union = " UNION ALL ".join(
+        f"SELECT * FROM b{r}" for r in range(n_merges)
+    )
+    return (
+        ",\n".join(parts)
+        + '\nSELECT CAST(rank AS INT) AS rank, s1 AS "left", '
+        's2 AS "right", CAST(c AS BIGINT) AS pair_count '
+        f"FROM ({union}) ORDER BY rank"
+    )
+
+
+_D = "chr(31)"
+_DD = f"{_D}||{_D}"
+
+
+def _sql_word_enc(word_expr: str) -> str:
+    """Sentinel-delimited symbol encoding of a word: chars + END_OF_WORD,
+    each wrapped chr(31)+sym+chr(31)."""
+    return (
+        f"array_to_string(list_transform("
+        f"list_append(list_transform(range(1, length({word_expr}) + 1), "
+        f"i -> substr({word_expr}, CAST(i AS INT), 1)), '{END_OF_WORD}'), "
+        f"s -> {_D} || s || {_D}), '')"
+    )
+
+
+def _bpe_merge_cte_parts(
+    n_merges: int, min_freq: int, max_vocab_words: int, table: str
+) -> list[str]:
+    """The merge-learning CTE chain; final merges live in b0..b{n-1}."""
     toks = "list_filter(str_split(text, ' '), x -> x <> '')"
     parts = [
         f"WITH wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) "
@@ -168,10 +197,8 @@ def bpe_oracle_sql(
         f"wfb AS MATERIALIZED (SELECT word, freq FROM wf "
         f"WHERE freq >= {min_freq} "
         f"ORDER BY freq DESC, word LIMIT {max_vocab_words})",
-        f"w0 AS MATERIALIZED (SELECT freq, array_to_string(list_transform("
-        f"list_append(list_transform(range(1, length(word) + 1), "
-        f"i -> substr(word, CAST(i AS INT), 1)), '{END_OF_WORD}'), "
-        f"s -> {d} || s || {d}), '') AS enc FROM wfb)",
+        f"w0 AS MATERIALIZED (SELECT freq, {_sql_word_enc('word')} AS enc "
+        f"FROM wfb)",
     ]
     for r in range(n_merges):
         parts.append(
@@ -179,7 +206,7 @@ def bpe_oracle_sql(
             f"SELECT freq, syms[CAST(i AS INT)] AS s1, "
             f"syms[CAST(i AS INT) + 1] AS s2 FROM "
             f"(SELECT freq, str_split(substr(enc, 2, length(enc) - 2), "
-            f"{dd}) AS syms FROM w{r}) t, "
+            f"{_DD}) AS syms FROM w{r}) t, "
             f"UNNEST(range(1, len(syms))) AS u(i)) GROUP BY s1, s2)"
         )
         parts.append(
@@ -189,18 +216,58 @@ def bpe_oracle_sql(
         parts.append(
             f"w{r + 1} AS MATERIALIZED (SELECT freq, "
             f"CASE WHEN EXISTS (SELECT 1 FROM b{r}) THEN "
-            f"replace(enc, (SELECT {d}||s1||{dd}||s2||{d} FROM b{r}), "
-            f"(SELECT {d}||s1||s2||{d} FROM b{r})) ELSE enc END AS enc "
+            f"replace(enc, (SELECT {_D}||s1||{_DD}||s2||{_D} FROM b{r}), "
+            f"(SELECT {_D}||s1||s2||{_D} FROM b{r})) ELSE enc END AS enc "
             f"FROM w{r})"
         )
-    union = " UNION ALL ".join(
-        f"SELECT * FROM b{r}" for r in range(n_merges)
+    return parts
+
+
+def bpe_segment_oracle_sql(
+    n_merges: int = N_MERGES,
+    min_freq: int = 2,
+    max_vocab_words: int = 1_000_000,
+    table: str = "documents",
+) -> str:
+    """DuckDB replay of the train-then-apply query (`bpe_token_counts`):
+    the merge chain above, then every DISTINCT corpus word is encoded and
+    folded through the learned merges IN RANK ORDER (one replace per
+    merge — same greedy semantics as `_merge_pair_in_syms`, including
+    words the min_freq training floor excluded: segmentation applies to
+    ALL words), then per-doc token counts = sum of each occurrence's
+    symbol count. Docs with no tokens keep an explicit 0 via the left
+    join."""
+    toks = "list_filter(str_split(text, ' '), x -> x <> '')"
+    parts = _bpe_merge_cte_parts(n_merges, min_freq, max_vocab_words, table)
+    parts.append(
+        f"occ AS MATERIALIZED (SELECT doc_id, unnest({toks}) AS word "
+        f"FROM {table})"
+    )
+    parts.append(
+        f"seg0 AS MATERIALIZED (SELECT word, {_sql_word_enc('word')} AS enc "
+        f"FROM (SELECT DISTINCT word FROM occ))"
+    )
+    for r in range(n_merges):
+        parts.append(
+            f"seg{r + 1} AS MATERIALIZED (SELECT word, "
+            f"CASE WHEN EXISTS (SELECT 1 FROM b{r}) THEN "
+            f"replace(enc, (SELECT {_D}||s1||{_DD}||s2||{_D} FROM b{r}), "
+            f"(SELECT {_D}||s1||s2||{_D} FROM b{r})) ELSE enc END AS enc "
+            f"FROM seg{r})"
+        )
+    parts.append(
+        f"wl AS MATERIALIZED (SELECT word, len(str_split("
+        f"substr(enc, 2, length(enc) - 2), {_DD})) AS n_syms "
+        f"FROM seg{n_merges})"
+    )
+    parts.append(
+        "per_doc AS (SELECT occ.doc_id, SUM(wl.n_syms) AS n "
+        "FROM occ JOIN wl USING (word) GROUP BY occ.doc_id)"
     )
     return (
         ",\n".join(parts)
-        + '\nSELECT CAST(rank AS INT) AS rank, s1 AS "left", '
-        's2 AS "right", CAST(c AS BIGINT) AS pair_count '
-        f"FROM ({union}) ORDER BY rank"
+        + f"\nSELECT d.doc_id, CAST(COALESCE(p.n, 0) AS BIGINT) "
+        f"AS n_bpe_tokens FROM {table} d LEFT JOIN per_doc p USING (doc_id)"
     )
 
 

@@ -102,14 +102,23 @@ def q_bpe_merges(spark, sf_dir):
     return B.bpe_train(table(spark, sf_dir, "documents"))
 
 
+def _bpe_segment_oracle() -> str:
+    from ..operators import bpe as B
+
+    return B.bpe_segment_oracle_sql()
+
+
 @register(
     "bpe_token_counts",
-    None,
+    _bpe_segment_oracle(),
     tags=("llm", "tokenizer", "bpe", "map-only"),
 )
 def q_bpe_token_counts(spark, sf_dir):
     """Train-then-apply: segment the corpus with the learned merge table
-    (map-only Arrow stage) and report per-doc BPE token counts."""
+    (map-only Arrow stage) and report per-doc BPE token counts.
+    Oracle-gated since round 7: the oracle replays BOTH stages — the
+    merge chain and the rank-ordered greedy application to every
+    distinct word (operators/bpe.py `bpe_segment_oracle_sql`)."""
     from ..operators import bpe as B
 
     docs = table(spark, sf_dir, "documents")

@@ -32,6 +32,29 @@ def test_simhash_finds_exact_duplicate_token_bags(spark, sf_dir):
     assert found / len(exact) >= 0.8, f"simhash recall {found}/{len(exact)}"
 
 
+def test_lsh_default_operating_point_recall(spark, sf_dir):
+    """The DEFAULT call (adaptive plane count, 16 tables — exactly what
+    q_lsh_ann_topk runs) must hold recall@5 >= 0.8 at fixture scale
+    (measured 0.89-0.92 at sf0.001/0.01/0.1). The recall-vs-n_tables
+    cost curve at 10x/30x lives in SCALE_CURVE.json lsh_recall_curve
+    (scripts/scale_curve.py --lsh-recall); this pin guards the default
+    against plane/table regressions."""
+    from moc_indexer_spark.tables import parquet_rows
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = parquet_rows(sf_dir, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk_np(emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_bucket_topk(emb, k=5, n=n).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"default LSH recall {recall:.2f}"
+
+
 def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").limit(200)
     exact = {
