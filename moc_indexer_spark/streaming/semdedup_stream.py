@@ -68,11 +68,18 @@ class IncrementalSemDeDup:
         self.spark = spark
         self.path = path.rstrip("/") or path
         os.makedirs(self.path, exist_ok=True)
+        # MoR state: both tables GROW WITH THE CORPUS, so a CoW MERGE
+        # would rewrite O(index) bytes per micro-batch — the exact wall
+        # the sink's merge-on-read mode exists to avoid. Appends are
+        # O(batch); the sink's own compact_every policy bounds the
+        # resolve window (the Indexer lesson, mor_cycle_policy_longrun).
+        # Retro-invalidation rides the seq ordering: a recomputed dup row
+        # re-MERGEs its key and the latest write wins.
         self.vectors = ParquetUpsertTable(
-            spark, f"{self.path}/vectors", keys=["vec_id"]
+            spark, f"{self.path}/vectors", keys=["vec_id"], mode="mor"
         )
         self.dups = ParquetUpsertTable(
-            spark, f"{self.path}/dups", keys=["vec_id"]
+            spark, f"{self.path}/dups", keys=["vec_id"], mode="mor"
         )
 
     # -- quantizer ----------------------------------------------------------

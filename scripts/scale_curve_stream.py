@@ -182,9 +182,73 @@ def run_ivf(spark, runs: int) -> dict:
     return out
 
 
+SEMDEDUP_SIZES = [2_000, 6_000, 20_000, 60_000]  # vectors in the index
+UPDATE_SEMDEDUP_VECS = 50
+
+
+def run_semdedup(spark, runs: int) -> dict:
+    """semdedup_update_vs_index_size: one fixed 50-vector update after the
+    index holds 1x/3x/10x/30x vectors. The maintainer's per-batch work is
+    bounded by touched_cells * occupancy^2 with touched_cells <= batch
+    size — so once the corpus-scaled cell count exceeds the batch size
+    (here from the 20k point on: 78 and 234 cells vs 50 new vectors),
+    update cost is INDEPENDENT of index size. The 2k/6k points sit below
+    that regime (16/23 cells, occupancy still filling toward the 256
+    target) — expect the curve to flatten from 20k->60k, which is the
+    claim that matters at 100 TB. State tables are MoR, so the MERGE
+    side is O(batch) appends at any size."""
+    import numpy as np
+
+    from moc_indexer_spark.streaming.semdedup_stream import (
+        IncrementalSemDeDup,
+    )
+
+    src = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    vecs = [list(r.embedding) for r in src.select("embedding").collect()]
+    rng = np.random.default_rng(13)
+    row: dict = {"t": {}}
+    for n in SEMDEDUP_SIZES:
+        d = tempfile.mkdtemp(prefix=f"scale_semdedup_{n}_")
+        idx = IncrementalSemDeDup(spark, os.path.join(d, "ix"))
+        idx.train(src, expected_corpus_rows=n)
+        done = 0
+        while done < n:
+            m = min(LOAD_BATCH_VECS, n - done)
+            pick = rng.integers(0, len(vecs), size=m)
+            rows = [(done + j, vecs[int(p)]) for j, p in enumerate(pick)]
+            idx.update(spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"))
+            done += m
+
+        def one_update():
+            nonlocal done
+            pick = rng.integers(0, len(vecs), size=UPDATE_SEMDEDUP_VECS)
+            rows = [(done + j, vecs[int(p)]) for j, p in enumerate(pick)]
+            idx.update(spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"))
+            done += UPDATE_SEMDEDUP_VECS
+
+        one_update()  # warm
+        row["t"][str(n)] = _median_times(one_update, runs)
+        print(json.dumps({f"semdedup_update@{n}": row["t"][str(n)]}),
+              flush=True)
+    row["exponent"] = _fit_exponent(
+        [n / SEMDEDUP_SIZES[0] for n in SEMDEDUP_SIZES],
+        [row["t"][str(n)] for n in SEMDEDUP_SIZES],
+    )
+    row["exponent_tail"] = _fit_exponent(
+        [1, 3], [row["t"]["20000"], row["t"]["60000"]],
+    )
+    out = {"semdedup_update_vs_index_size": row}
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--only", default="",
+                    help="comma list of axes: bm25,ivf,semdedup")
     args = ap.parse_args()
 
     from moc_indexer_spark.session import get_spark, ship_package
@@ -193,9 +257,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)
 
+    only = set(args.only.split(",")) if args.only else None
     results = {}
-    results.update(run_bm25(spark, args.runs))
-    results.update(run_ivf(spark, args.runs))
+    if only is None or "bm25" in only:
+        results.update(run_bm25(spark, args.runs))
+    if only is None or "ivf" in only:
+        results.update(run_ivf(spark, args.runs))
+    if only is None or "semdedup" in only:
+        results.update(run_semdedup(spark, args.runs))
 
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -208,7 +277,8 @@ def main() -> None:
     merged = doc.get("stream_results", {})
     merged.update(results)
     doc["stream_results"] = merged
-    doc["stream_scales"] = {"bm25_docs": BM25_SIZES, "ivf_vectors": IVF_SIZES}
+    doc["stream_scales"] = {"bm25_docs": BM25_SIZES, "ivf_vectors": IVF_SIZES,
+                            "semdedup_vectors": SEMDEDUP_SIZES}
     with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=2)
     print(json.dumps({"written": out_path}), flush=True)
