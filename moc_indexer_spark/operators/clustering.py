@@ -86,15 +86,29 @@ def _quantized(
 
 
 def _dist_to(centroid_prefix: str, dim: int, centroid_is_decimal: bool):
-    """Exact-decimal squared distance between the point's x{i} columns and
-    the centroid's {prefix}{i} columns."""
+    """Squared distance between the point's x{i} columns and the
+    centroid's {prefix}{i} columns, as a PURE-DOUBLE fixed-order
+    expression sum. Cross-engine exactness argument: x and c are either
+    exact decimals cast to double or doubles both engines derived
+    through identical single IEEE ops, so every (x-c)*(x-c) term is
+    bit-identical; the `+` chain is an EXPRESSION (not an aggregate), and
+    both Spark and DuckDB parse it left-associative and never
+    reassociate FP adds — so the total is bit-identical too, and the
+    argmin (ordered by dist, then j) cannot diverge. The earlier
+    round(d*d, 12)->decimal freeze per term was strictly WORSE: rounding
+    a derived double sits on engine-specific half-way behavior, and the
+    round-7 sf0.1 oracle sweep caught exactly one such boundary flip
+    (vec 1178, k=16) — the same defect class as round 6's PageRank ulp.
+    Decimal freezing remains where it is load-bearing: the coordinate
+    quantization (input to the ORDER-UNDEFINED M-step aggregate sums),
+    never on expression-order-deterministic derived values."""
     terms = []
     for i in range(dim):
         x = F.col(f"x{i}").cast("double")
         c = F.col(f"{centroid_prefix}{i}")
         c = c.cast("double") if centroid_is_decimal else c
         d = x - c
-        terms.append(F.round(d * d, 12).cast("decimal(20,12)"))
+        terms.append(d * d)
     return reduce(lambda a, b: a + b, terms)
 
 
@@ -213,9 +227,13 @@ def _kmeans_oracle_parts(
     cprefix = "c"
     for it in range(iters):
         cast = "CAST({c} AS DOUBLE)" if cent_decimal else "{c}"
+        # pure-double fixed-order sum — mirrors _dist_to (see its
+        # docstring: expression `+` chains are left-associative and
+        # never FP-reassociated in either engine, so no rounding step
+        # is needed and none is SAFE on these derived values)
         dist = " + ".join(
-            "CAST(ROUND((CAST(e.x{i} AS DOUBLE) - {c}) * "
-            "(CAST(e.x{i} AS DOUBLE) - {c}), 12) AS DECIMAL(20,12))".format(
+            "(CAST(e.x{i} AS DOUBLE) - {c}) * "
+            "(CAST(e.x{i} AS DOUBLE) - {c})".format(
                 i=i, c=cast.format(c=f"t.{cprefix}{i}")
             )
             for i in range(dim)
