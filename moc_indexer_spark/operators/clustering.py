@@ -65,12 +65,14 @@ def _quantized(
             *[F.col(vec_col)[i].cast("double").alias(f"r{i}")
               for i in range(dim)],
         )
+        # pure-double fixed-order sum (see _dist_to: expression + chains
+        # are left-associative and never FP-reassociated in either
+        # engine; rounding derived doubles is the boundary-flip hazard)
         ssq = reduce(
             lambda a, b: a + b,
-            [F.round(F.col(f"r{i}") * F.col(f"r{i}"), 12)
-             .cast("decimal(20,12)") for i in range(dim)],
+            [F.col(f"r{i}") * F.col(f"r{i}") for i in range(dim)],
         )
-        nn = raw.select("*", F.sqrt(ssq.cast("double")).alias("nrm"))
+        nn = raw.select("*", F.sqrt(ssq).alias("nrm"))
         return nn.select(
             F.col(id_col),
             *[F.round(F.col(f"r{i}") / F.col("nrm"), 6)
@@ -191,17 +193,14 @@ def _kmeans_oracle_parts(
         rs = ", ".join(
             f"CAST({vec_col}[{i + 1}] AS DOUBLE) AS r{i}" for i in range(dim)
         )
-        ssq = " + ".join(
-            f"CAST(ROUND(r{i} * r{i}, 12) AS DECIMAL(20,12))"
-            for i in range(dim)
-        )
+        ssq = " + ".join(f"r{i} * r{i}" for i in range(dim))
         nx = ", ".join(
             f"CAST(ROUND(r{i} / nrm, 6) AS DECIMAL(18,6)) AS x{i}"
             for i in range(dim)
         )
         parts = [
             f"WITH raw AS (SELECT {id_col}, {rs} FROM {table})",
-            f"nn AS (SELECT *, SQRT(CAST(({ssq}) AS DOUBLE)) AS nrm FROM raw)",
+            f"nn AS (SELECT *, SQRT({ssq}) AS nrm FROM raw)",
             f"ex AS (SELECT {id_col}, {nx} FROM nn)",
         ]
     else:
