@@ -166,29 +166,37 @@ class IncrementalSemDeDup:
             .drop("__rn", "__h")
         )
         new.persist()
+        new_ids = new
         try:
-            touched = [r[0] for r in new.select("cell").distinct().collect()]
-            if not touched:
-                return
             stored = self.vectors.read()
             if stored is not None:
+                # first-seen vector wins for a re-sent id: the id is
+                # dropped HERE, before both the keeper recompute and the
+                # state MERGE, so the dup rows and the stored vector can
+                # never disagree about which payload the id carries
+                # (a true re-assignment of an id is an upstream
+                # correction -> rebuild, like retraining)
+                new_ids = new.join(
+                    stored.select("vec_id"), "vec_id", "left_anti"
+                ).persist()
+            touched = [
+                r[0] for r in new_ids.select("cell").distinct().collect()
+            ]
+            if not touched:
+                return
+            if stored is not None:
                 cell_rows = stored.filter(F.col("cell").isin(touched))
-                # first-seen vector wins for a re-sent id (the MERGE
-                # below keeps stored state; re-assignments of an id are
-                # an upstream correction -> rebuild, like retraining)
-                allv = cell_rows.unionByName(
-                    new.join(
-                        stored.select("vec_id"), "vec_id", "left_anti"
-                    )
-                )
+                allv = cell_rows.unionByName(new_ids)
             else:
-                allv = new
+                allv = new_ids
             fresh = semantic_dedup_keep(
                 allv, threshold, round_digits=round_digits
             )
             self.dups.upsert(fresh)
-            self.vectors.upsert(new, insert=True)
+            self.vectors.upsert(new_ids, insert=True)
         finally:
+            if new_ids is not new:
+                new_ids.unpersist()
             new.unpersist()
 
     # -- reads ----------------------------------------------------------------

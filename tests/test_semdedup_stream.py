@@ -118,3 +118,30 @@ def test_semdedup_train_refusal_and_empty_guard(spark, sf_dir, tmp_path):
         IncrementalSemDeDup(spark, str(tmp_path / "e")).train(
             emb.filter(F.lit(False))
         )
+
+
+def test_semdedup_resent_id_keeps_first_seen_vector_consistently(
+    spark, sf_dir, tmp_path
+):
+    """A re-delivered id carrying a DIFFERENT payload must be dropped
+    from BOTH the keeper recompute and the vector state (first-seen
+    wins) — updating one but not the other would let the dup table and
+    the stored vector disagree about what the id contains."""
+    emb = table(spark, sf_dir, "embeddings").limit(100)
+    idx = _mk_index(spark, str(tmp_path / "idx"), emb)
+    idx.update(emb)
+    before_vecs = sorted(
+        (r.vec_id, tuple(r.v)) for r in idx.vectors.read().collect()
+    )
+    before_dups = _rows(idx.duplicates())
+
+    # re-send every id with a corrupted payload (negated vectors)
+    corrupted = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    idx.update(corrupted)
+    assert sorted(
+        (r.vec_id, tuple(r.v)) for r in idx.vectors.read().collect()
+    ) == before_vecs
+    assert _rows(idx.duplicates()) == before_dups
