@@ -87,6 +87,13 @@ class Indexer:
         self.contracts = contracts
         self.last_indexed = -1
         m = sink_mode
+        # STAGGERED thresholds (compact_every + table index): every sink
+        # appends one delta per cycle, so equal thresholds make all six
+        # folds land on the SAME cycle — the policy-longrun axis measured
+        # that co-scheduled spike at 3.69 s, over the 3 s tick. Distinct
+        # thresholds desynchronize permanently (each table folds every
+        # ce_i cycles from its own last fold), so a cycle absorbs at most
+        # one table rewrite.
         ce = compact_every
         self.tables = {
             "raw_transactions": ParquetUpsertTable(
@@ -96,25 +103,25 @@ class Indexer:
             "transactions": ParquetUpsertTable(
                 spark, f"{data_dir}/transactions",
                 keys=["transactionHash", "address", "event"], mode=m,
-                compact_every=ce,
+                compact_every=ce + 1,
             ),
             "transfers": ParquetUpsertTable(
                 spark, f"{data_dir}/transfers",
                 keys=["transactionHash", "address", "event"], mode=m,
-                compact_every=ce,
+                compact_every=ce + 2,
             ),
             "fastbtc": ParquetUpsertTable(
                 spark, f"{data_dir}/fastbtc", keys=["transferId"],
-                version_col="updated", mode=m, compact_every=ce,
+                version_col="updated", mode=m, compact_every=ce + 3,
             ),
             "notifications": ParquetUpsertTable(
                 spark, f"{data_dir}/notifications",
                 keys=["transactionHash", "logIndex", "event"], mode=m,
-                compact_every=ce,
+                compact_every=ce + 4,
             ),
             "user_state": ParquetUpsertTable(
                 spark, f"{data_dir}/user_state", keys=["address"],
-                version_col="block_height", mode=m, compact_every=ce,
+                version_col="block_height", mode=m, compact_every=ce + 5,
             ),
         }
 
