@@ -65,13 +65,13 @@ class Indexer:
         measured 1.95 s at 60k blocks WITHOUT the policy vs 1.44-1.59 s
         fresh; mor_read_vs_deltas shows the resolve cost growing with
         dir count and the post-compact map-only fast path reclaiming
-        it). The fold is amortized maintenance: one cycle per
-        compact_every pays the O(table) rewrite (bounded spike, see the
-        mor_cycle_policy_longrun axis), and every cycle in between reads
-        the single-dir fast path. 16 here vs the sink's 64 default: an
-        indexer tick appends to SIX sinks per cycle, so dir counts grow
-        six tables at a time and the serving reads (§3.2) sit on the
-        same tables.
+        it). The fold is amortized maintenance under a CYCLE BUDGET: the
+        Indexer folds at most ONE crossed table per cycle
+        (_maybe_compact_one — a tick never absorbs two rewrites), every
+        other cycle reads the single-dir fast path, and the sinks keep a
+        4x-threshold backstop for use outside run_incremental. 16 here
+        vs the bare sink's 64: an indexer tick appends to SIX sinks per
+        cycle and the serving reads (§3.2) sit on the same tables.
 
         `config` (moc_indexer_spark.config.IndexerConfig) supplies the scan
         knobs (blocks_recession / blocks_look_behind, the forced
@@ -87,14 +87,14 @@ class Indexer:
         self.contracts = contracts
         self.last_indexed = -1
         m = sink_mode
-        # STAGGERED thresholds (compact_every + table index): every sink
-        # appends one delta per cycle, so equal thresholds make all six
-        # folds land on the SAME cycle — the policy-longrun axis measured
-        # that co-scheduled spike at 3.69 s, over the 3 s tick. Distinct
-        # thresholds desynchronize permanently (each table folds every
-        # ce_i cycles from its own last fold), so a cycle absorbs at most
-        # one table rewrite.
-        ce = compact_every
+        # The INDEXER owns the fold policy (see _maybe_compact_one: at
+        # most one sink fold per cycle — a hard invariant; per-table
+        # threshold staggering still collides at lcm points). The sinks
+        # keep a 4x backstop so state stays bounded even if someone
+        # drives these tables outside run_incremental.
+        self._compact_threshold = compact_every
+        self._compact_rr = 0  # round-robin cursor over self.tables
+        ce = 4 * compact_every
         self.tables = {
             "raw_transactions": ParquetUpsertTable(
                 spark, f"{data_dir}/raw_transactions",
@@ -103,27 +103,49 @@ class Indexer:
             "transactions": ParquetUpsertTable(
                 spark, f"{data_dir}/transactions",
                 keys=["transactionHash", "address", "event"], mode=m,
-                compact_every=ce + 1,
+                compact_every=ce,
             ),
             "transfers": ParquetUpsertTable(
                 spark, f"{data_dir}/transfers",
                 keys=["transactionHash", "address", "event"], mode=m,
-                compact_every=ce + 2,
+                compact_every=ce,
             ),
             "fastbtc": ParquetUpsertTable(
                 spark, f"{data_dir}/fastbtc", keys=["transferId"],
-                version_col="updated", mode=m, compact_every=ce + 3,
+                version_col="updated", mode=m, compact_every=ce,
             ),
             "notifications": ParquetUpsertTable(
                 spark, f"{data_dir}/notifications",
                 keys=["transactionHash", "logIndex", "event"], mode=m,
-                compact_every=ce + 4,
+                compact_every=ce,
             ),
             "user_state": ParquetUpsertTable(
                 spark, f"{data_dir}/user_state", keys=["address"],
-                version_col="block_height", mode=m, compact_every=ce + 5,
+                version_col="block_height", mode=m, compact_every=ce,
             ),
         }
+
+    def _maybe_compact_one(self) -> str | None:
+        """Fold AT MOST ONE MoR sink whose delta-dir count crossed the
+        policy threshold — called once per cycle, so a tick never absorbs
+        two table rewrites (review finding: per-table threshold
+        staggering only shifts the collision to lcm points; a cycle-level
+        budget is the real invariant). Tables that cross together queue
+        behind the round-robin cursor and fold on the following cycles —
+        their dir count overshoots the threshold by at most the table
+        count while waiting, which the sinks' 4x backstop dwarfs. Returns
+        the folded table's name (None if nothing crossed)."""
+        names = list(self.tables)
+        for k in range(len(names)):
+            name = names[(self._compact_rr + k) % len(names)]
+            t = self.tables[name]
+            if t.mode == "mor" and (
+                len(t.history()) >= self._compact_threshold
+            ):
+                t.compact()
+                self._compact_rr = (self._compact_rr + k + 1) % len(names)
+                return name
+        return None
 
     def run_balance_refresh(self, queue_df, tip: int) -> int:
         """Task-7 analog (scan_moc_user.py:33-78 + moc_balances.py:110-171):
@@ -207,6 +229,8 @@ class Indexer:
                 # ever-growing window (every block since the last matching
                 # tx) on every tick until the 3 s cadence can't keep up
                 self.last_indexed = scan.end
+                # quiet cycles are the CHEAPEST place to pay maintenance
+                self._maybe_compact_one()
                 return {"last_indexed": self.last_indexed}
             outs = run_event_pipeline(
                 raw, moc_contract=self.contracts[0],
@@ -249,6 +273,7 @@ class Indexer:
                 for f in futures:
                     f.result()  # surface the first failure
             self.last_indexed = scan.end
+            self._maybe_compact_one()
             if not report_counts:
                 return {"last_indexed": self.last_indexed}
             return {name: (t.read().count() if t.read() is not None else 0)

@@ -1155,16 +1155,20 @@ def semantic_dedup_assign(
     C,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bc=None,
 ) -> DataFrame:
     """The assign stage of the scaled SemDeDup under FIXED centroids C
     (numpy array): one Arrow map-only pass -> (id, v array<double>,
     cell). Factored out so the incremental maintainer
     (streaming/semdedup_stream.py) assigns micro-batches under the
-    identical numerics as the batch operator."""
+    identical numerics as the batch operator. Pass `bc` (an existing
+    Broadcast of C) to reuse one broadcast across micro-batches — a
+    3 s-tick daemon must not register a fresh broadcast per batch."""
     import numpy as np
     import pandas as pd
 
-    bc = corpus.sparkSession.sparkContext.broadcast(np.asarray(C))
+    if bc is None:
+        bc = corpus.sparkSession.sparkContext.broadcast(np.asarray(C))
 
     def assign(batches):
         C_ = bc.value

@@ -9,36 +9,50 @@ THIS index's persisted quantizer: one row per vector, dup_of =
 smallest-id same-cell vector with a strictly smaller id whose
 6dp-rounded cosine clears the threshold, NULL for keepers.
 
-Design (the corpus.py MERGE shape, not the ivf_stream partition-per-batch
-shape, because dup_of rows are RETROACTIVELY INVALIDATED):
+Design — the ivf_stream cell-partitioned batch layout for the VECTOR
+state + one keyed MERGE table for the dup rows (which ARE retroactively
+invalidated and need last-writer-wins):
 
 * The quantizer trains ONCE on a bootstrap sample with the cell count
   scaled to the EXPECTED corpus (n_cells = min(4096, max(16,
-  n // target_cell_rows)) — the same formula as the batch operator);
-  centroids + threshold persist beside the state, retraining is refused
-  (stored cells depend on the centroids; re-clustering is an offline
-  rebuild, exactly the IVF-stream contract).
+  n // target_cell_rows)) — the batch operator's formula); centroids +
+  threshold persist beside the state, retraining is refused (stored
+  cells depend on the centroids; re-clustering is an offline rebuild,
+  exactly the IVF-stream contract). The loaded model and its Spark
+  broadcast are cached on the instance — a 3 s-tick daemon must not
+  re-read JSON and register a new broadcast every batch.
 * Each micro-batch: one Arrow assign pass (the batch operator's own
   `semantic_dedup_assign`), then the keeper rule is RECOMPUTED over the
-  full content of just the cells the batch touches (stored ∪ new), and
-  the result MERGEs into the dup table keyed by vec_id. Recomputing the
-  whole touched cell is what makes late arrivals correct: a
-  smaller-id vector arriving AFTER a larger-id one must flip the
-  larger one's dup_of to itself (or to an even-smaller match) — a
-  pure append could never retract the stale row. Cost is bounded by
-  cell occupancy (~target_cell_rows), not corpus size.
-* State is two keyed MERGE tables (the sink's idempotent upsert): the
-  cell-assigned vectors and the dup assignments. Replays and slice
-  reorderings converge to the batch answer — same rows re-MERGE to the
-  same keys (tested: parity under 1-file and 3-file slicings, replay
-  idempotence, and late-small-id retro-invalidation).
+  full content of just the cells the batch touches, and the result
+  MERGEs into the dup table keyed by vec_id. Recomputing the whole
+  touched cell is what makes late arrivals correct: a smaller-id vector
+  arriving AFTER a larger-id one must flip the larger one's dup_of to
+  itself (or an even-smaller match) — a pure append could never retract
+  the stale row.
+* Vectors land as `vectors/batch=N/cell=K/` partitions (overwrite —
+  the partition-per-batch idempotence trick; `batch_id <=
+  committed_batch` replays are no-ops, the shared commit-resolution
+  protocol of the BM25/IVF indexes). The per-update read is PRUNED TO
+  THE TOUCHED CELLS at the scan (partition directories), so update cost
+  is bounded by touched_cells * occupancy — independent of index size.
+  The first cut of this maintainer kept the vectors in a keyed MERGE
+  table and paid a full-table window-resolve + global id anti-join per
+  batch (measured: 50-vector update 2.0 -> 2.9 s from a 2k to a 60k
+  index); the cell-pruned layout is what the module always claimed.
+* New-id detection is CELL-LOCAL: a redelivered id carrying the same
+  payload lands in the same cell (the quantizer is deterministic) and
+  is dropped there. An id re-sent with a materially DIFFERENT payload
+  is an upstream correction — outside the contract (ids are stable,
+  payloads immutable, the corpus-stream rule), handled like retraining:
+  rebuild the index.
 
-100 TB shape: the assign pass is map-only with a broadcast centroid
-matrix (KBs); the touched-cell read is partition-pruned when the vector
-state is stored partitioned by cell (ivf_stream's layout — here the
-MERGE table keeps it simple and the read filters on the cell column);
-per-cell keeper work is one bounded BLAS self-matmul. A batch touching
-B cells costs O(B * target_cell_rows^2) flops independent of index size.
+100 TB shape: the assign pass is map-only with one cached broadcast
+(KBs); the touched-cell read prunes partitions at the scan; per-cell
+keeper work is one bounded BLAS self-matmul. A batch touching B cells
+costs O(B * target_cell_rows^2) flops and reads O(B * target_cell_rows)
+rows regardless of index size. `compact()` folds the batch partitions
+(shared crash-consistent protocol, compaction.py) and the dup table's
+MoR deltas.
 """
 
 from __future__ import annotations
@@ -56,6 +70,11 @@ from ..operators.similarity import (
     semantic_dedup_keep,
     semantic_dedup_with_centroids,
 )
+from .compaction import (
+    compact_batched_dir,
+    list_committed_batches,
+    read_batches_upto,
+)
 from .sink import ParquetUpsertTable
 from .triggers import apply_max_files_per_trigger
 
@@ -68,24 +87,19 @@ class IncrementalSemDeDup:
         self.spark = spark
         self.path = path.rstrip("/") or path
         os.makedirs(self.path, exist_ok=True)
-        # MoR state: both tables GROW WITH THE CORPUS, so a CoW MERGE
-        # would rewrite O(index) bytes per micro-batch — the exact wall
-        # the sink's merge-on-read mode exists to avoid. Appends are
-        # O(batch); the sink's own compact_every policy bounds the
-        # resolve window (the Indexer lesson, mor_cycle_policy_longrun).
-        # Retro-invalidation rides the seq ordering: a recomputed dup row
-        # re-MERGEs its key and the latest write wins.
-        self.vectors = ParquetUpsertTable(
-            spark, f"{self.path}/vectors", keys=["vec_id"], mode="mor"
-        )
         self.dups = ParquetUpsertTable(
             spark, f"{self.path}/dups", keys=["vec_id"], mode="mor"
         )
+        self._model_cache = None
+        self._bc = None
 
     # -- quantizer ----------------------------------------------------------
 
     def _model_path(self) -> str:
         return f"{self.path}/_model.json"
+
+    def _vectors_dir(self) -> str:
+        return f"{self.path}/vectors"
 
     def is_trained(self) -> bool:
         return os.path.exists(self._model_path())
@@ -133,29 +147,62 @@ class IncrementalSemDeDup:
                 fh,
             )
 
-    def _load_model(self):
-        import numpy as np
+    def _model(self):
+        """(C, threshold, round_digits), loaded once per instance."""
+        if self._model_cache is None:
+            import numpy as np
 
-        with open(self._model_path()) as fh:
-            m = json.load(fh)
-        return (
-            np.array(m["centroids"], dtype=np.float64),
-            m["threshold"],
-            m["round_digits"],
+            with open(self._model_path()) as fh:
+                m = json.load(fh)
+            self._model_cache = (
+                np.array(m["centroids"], dtype=np.float64),
+                m["threshold"],
+                m["round_digits"],
+            )
+        return self._model_cache
+
+    def _broadcast(self):
+        """One broadcast of the centroid matrix per instance lifetime."""
+        if self._bc is None:
+            self._bc = self.spark.sparkContext.broadcast(self._model()[0])
+        return self._bc
+
+    # -- state ----------------------------------------------------------------
+
+    def committed_batch(self) -> int:
+        b = list_committed_batches(self._vectors_dir())
+        return b[-1] if b else -1
+
+    def _read_upto(self, upto: int) -> DataFrame | None:
+        """Committed vectors from batches <= upto, (vec_id, v, cell).
+        basePath read (with_batch_col): the cell partitions live under
+        per-batch roots, so a bare multi-path read trips partition
+        discovery ([CONFLICTING_DIRECTORY_STRUCTURES]); the inferred
+        batch column is dropped at the edge."""
+        df = read_batches_upto(
+            self.spark, self._vectors_dir(), upto, with_batch_col=True
         )
+        return None if df is None else df.select("vec_id", "v", "cell")
+
+    def vectors_df(self) -> DataFrame | None:
+        """All committed vectors (vec_id, v, cell)."""
+        return self._read_upto(self.committed_batch())
 
     # -- maintenance ----------------------------------------------------------
 
-    def update(self, batch_vectors: DataFrame) -> None:
-        """Fold one micro-batch in (foreachBatch body). Keyed MERGEs make
-        this idempotent under replay and order-free across slices; the
-        keeper rule is recomputed over the full touched cells so late
-        smaller ids retro-invalidate stale dup rows."""
+    def update(self, batch_vectors: DataFrame, batch_id: int) -> None:
+        """Fold one micro-batch in (foreachBatch body). Idempotent under
+        replay (batch partitions commit at most once); the keeper rule is
+        recomputed over the full touched cells — read PARTITION-PRUNED to
+        those cells — so late smaller ids retro-invalidate stale dup
+        rows at a cost independent of index size."""
         if not self.is_trained():
             raise ValueError("train() the quantizer before streaming updates")
-        C, threshold, round_digits = self._load_model()
+        if batch_id <= self.committed_batch():
+            return
+        C, threshold, round_digits = self._model()
 
-        new = semantic_dedup_assign(batch_vectors, C)
+        new = semantic_dedup_assign(batch_vectors, C, bc=self._broadcast())
         # in-batch duplicate ids: keep one row deterministically by
         # CONTENT (a replayed slice must rebuild the identical state)
         w = Window.partitionBy("vec_id").orderBy("__h")
@@ -168,24 +215,29 @@ class IncrementalSemDeDup:
         new.persist()
         new_ids = new
         try:
-            stored = self.vectors.read()
-            if stored is not None:
-                # first-seen vector wins for a re-sent id: the id is
-                # dropped HERE, before both the keeper recompute and the
-                # state MERGE, so the dup rows and the stored vector can
-                # never disagree about which payload the id carries
-                # (a true re-assignment of an id is an upstream
-                # correction -> rebuild, like retraining)
-                new_ids = new.join(
-                    stored.select("vec_id"), "vec_id", "left_anti"
-                ).persist()
-            touched = [
-                r[0] for r in new_ids.select("cell").distinct().collect()
-            ]
+            touched = [r[0] for r in new.select("cell").distinct().collect()]
             if not touched:
                 return
-            if stored is not None:
-                cell_rows = stored.filter(F.col("cell").isin(touched))
+            seen = self._read_upto(batch_id - 1)
+            if seen is not None:
+                # the cell filter prunes batch=*/cell=* directories at the
+                # scan — this read costs O(touched cells), not O(index)
+                cell_rows = seen.filter(F.col("cell").isin(touched))
+                # cell-local first-seen-wins: a redelivered id (same
+                # payload -> same cell, the quantizer is deterministic)
+                # is dropped before both the keeper recompute and the
+                # state write, so the dup rows and the stored vector can
+                # never disagree about the id's payload
+                new_ids = new.join(
+                    cell_rows.select("vec_id"), "vec_id", "left_anti"
+                ).persist()
+                if new_ids.isEmpty():
+                    # a fully-redelivered batch: nothing to add, nothing
+                    # to recompute, and writing an EMPTY batch partition
+                    # would poison read_batches_upto's schema inference.
+                    # Replays of this batch id stay no-ops through this
+                    # same anti-join (idempotent without a commit record).
+                    return
                 allv = cell_rows.unionByName(new_ids)
             else:
                 allv = new_ids
@@ -193,11 +245,36 @@ class IncrementalSemDeDup:
                 allv, threshold, round_digits=round_digits
             )
             self.dups.upsert(fresh)
-            self.vectors.upsert(new_ids, insert=True)
+            # vectors land LAST: a crash before this write leaves dup rows
+            # a replay of the same batch recomputes identically (the MERGE
+            # re-converges), because the batch partition never committed
+            new_ids.write.mode("overwrite").partitionBy("cell").parquet(
+                f"{self._vectors_dir()}/batch={batch_id}"
+            )
         finally:
             if new_ids is not new:
                 new_ids.unpersist()
             new.unpersist()
+
+    def compact(self) -> int:
+        """Fold committed vector batches into one partition (the shared
+        crash-consistent protocol) and the dup table's MoR deltas —
+        OUT-OF-BAND maintenance, like the BM25/IVF folds."""
+        committed = self.committed_batch()
+        folded = 0
+        if committed >= 0:
+            folded = compact_batched_dir(
+                self._vectors_dir(),
+                committed,
+                lambda: list_committed_batches(self._vectors_dir()),
+                lambda upto: self._read_upto(upto),
+                lambda df, tmp, n: df.repartition("cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(tmp),
+            )
+        self.dups.compact()
+        return folded
 
     # -- reads ----------------------------------------------------------------
 
@@ -211,7 +288,7 @@ class IncrementalSemDeDup:
         """What the BATCH operator answers for `corpus` under this
         index's persisted quantizer — the convergence target the parity
         tests compare against."""
-        C, threshold, round_digits = self._load_model()
+        C, threshold, round_digits = self._model()
         return semantic_dedup_with_centroids(
             corpus, C, threshold, round_digits=round_digits
         )
@@ -242,7 +319,7 @@ def run_semdedup_stream_available_now(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        idx.update(batch_df)
+        idx.update(batch_df, batch_id)
 
     (
         stream.writeStream.foreachBatch(process_batch)

@@ -236,8 +236,9 @@ def run_semdedup(spark, runs: int) -> dict:
         [n / SEMDEDUP_SIZES[0] for n in SEMDEDUP_SIZES],
         [row["t"][str(n)] for n in SEMDEDUP_SIZES],
     )
+    tail = SEMDEDUP_SIZES[-2:]  # derived, not hardcoded: sizes may change
     row["exponent_tail"] = _fit_exponent(
-        [1, 3], [row["t"]["20000"], row["t"]["60000"]],
+        [n / tail[0] for n in tail], [row["t"][str(n)] for n in tail],
     )
     out = {"semdedup_update_vs_index_size": row}
     print(json.dumps(out), flush=True)

@@ -3,7 +3,8 @@ incremental state must converge to the batch scaled-SemDeDup answer
 under the index's own quantizer — for any slicing, any slice order, and
 under replay — and late smaller ids must RETRO-INVALIDATE stale dup
 rows (the property that forces per-touched-cell recomputation instead of
-pure appends)."""
+pure appends). The vector state is the ivf_stream cell-partitioned batch
+layout, so the per-update read must prune to the touched cells."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -19,6 +20,12 @@ THRESHOLD = 0.35
 
 def _rows(df):
     return sorted((r.vec_id, r.cell, r.dup_of) for r in df.collect())
+
+
+def _vec_rows(idx):
+    return sorted(
+        (r.vec_id, r.cell, tuple(r.v)) for r in idx.vectors_df().collect()
+    )
 
 
 def _mk_index(spark, path, emb):
@@ -50,11 +57,11 @@ def test_stream_semdedup_equals_batch(spark, sf_dir, tmp_path):
 
 def test_semdedup_stream_slicing_and_order_free(spark, sf_dir, tmp_path):
     """A reversed 2-slice arrival and a single-batch arrival both land on
-    the identical state — the keyed-MERGE order-freedom claim."""
+    the identical state."""
     emb = table(spark, sf_dir, "embeddings").limit(200)
 
     one = _mk_index(spark, str(tmp_path / "one"), emb)
-    one.update(emb)
+    one.update(emb, 0)
     want = _rows(one.duplicates())
     assert want == _rows(one.batch_reference(emb))
 
@@ -62,22 +69,34 @@ def test_semdedup_stream_slicing_and_order_free(spark, sf_dir, tmp_path):
     rev.train(emb, threshold=THRESHOLD)
     hi = emb.filter(F.col("vec_id") >= 100)
     lo = emb.filter(F.col("vec_id") < 100)
-    rev.update(hi)   # larger ids FIRST
-    rev.update(lo)   # smaller ids arrive late
+    rev.update(hi, 0)   # larger ids FIRST
+    rev.update(lo, 1)   # smaller ids arrive late
     assert _rows(rev.duplicates()) == want
 
 
-def test_semdedup_stream_replay_is_idempotent(spark, sf_dir, tmp_path):
+def test_semdedup_stream_replay_and_redelivery_are_noops(
+    spark, sf_dir, tmp_path
+):
+    """Replays of a committed batch id are gated out; a LATER batch
+    redelivering old ids (at-least-once delivery, a NEW batch id — the
+    gate cannot catch it) is dropped by the cell-local anti-join, so
+    neither the dup rows nor the stored vectors move."""
     emb = table(spark, sf_dir, "embeddings").limit(150)
     idx = _mk_index(spark, str(tmp_path / "idx"), emb)
     first = emb.filter(F.col("vec_id") < 75)
-    idx.update(first)
+    idx.update(first, 0)
     before = _rows(idx.duplicates())
-    idx.update(first)  # replayed slice
+    idx.update(first, 0)  # replayed batch id -> commit-gate no-op
     assert _rows(idx.duplicates()) == before
-    idx.update(emb)    # redelivery of old vectors plus the rest
+    idx.update(emb, 1)    # redelivery of old ids plus the rest
     assert _rows(idx.duplicates()) == _rows(idx.batch_reference(emb))
-    assert idx.vectors.read().count() == 150  # no duplicate state rows
+    assert idx.vectors_df().count() == 150  # no duplicate state rows
+
+    vecs_before = _vec_rows(idx)
+    dups_before = _rows(idx.duplicates())
+    idx.update(first, 2)  # fully-redelivered batch under a fresh id
+    assert _vec_rows(idx) == vecs_before
+    assert _rows(idx.duplicates()) == dups_before
 
 
 def test_semdedup_late_small_id_retro_invalidates(spark, sf_dir, tmp_path):
@@ -96,14 +115,53 @@ def test_semdedup_late_small_id_retro_invalidates(spark, sf_dir, tmp_path):
     late = IncrementalSemDeDup(spark, str(tmp_path / "late"))
     late.train(emb, threshold=THRESHOLD)
     rest = emb.filter(F.col("vec_id") != a_id)
-    late.update(rest)
+    late.update(rest, 0)
     snap = {r.vec_id: r.dup_of for r in late.duplicates().collect()}
     assert snap[b_id] != a_id  # A hasn't arrived; B can't point at it
-    late.update(emb.filter(F.col("vec_id") == a_id))  # A arrives late
+    late.update(emb.filter(F.col("vec_id") == a_id), 1)  # A arrives late
     snap2 = {r.vec_id: r.dup_of for r in late.duplicates().collect()}
     assert snap2[b_id] == a_id
     # and the full state equals the batch answer over everything
     assert _rows(late.duplicates()) == _rows(ref)
+
+
+def test_semdedup_update_read_prunes_to_touched_cells(
+    spark, sf_dir, tmp_path
+):
+    """The scale property the layout exists for: with the index holding
+    many cells, an update touching ONE cell must read only that cell's
+    partition directories, not the index (PartitionFilters on cell)."""
+    emb = table(spark, sf_dir, "embeddings")
+    idx = _mk_index(spark, str(tmp_path / "idx"), emb)
+    idx.update(emb.filter(F.col("vec_id") < 400), 0)
+    seen = idx.vectors_df()
+    one_cell = [r[0] for r in seen.select("cell").distinct().limit(1).collect()]
+    pruned = seen.filter(F.col("cell").isin(one_cell))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    n_all = seen.count()
+    assert pruned.count() < n_all  # the filter actually excludes cells
+
+
+def test_semdedup_compact_preserves_state(spark, sf_dir, tmp_path):
+    emb = table(spark, sf_dir, "embeddings").limit(200)
+    idx = _mk_index(spark, str(tmp_path / "idx"), emb)
+    for i, (lo, hi) in enumerate([(0, 80), (80, 160), (160, 10**9)]):
+        idx.update(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), i
+        )
+    dups_before = _rows(idx.duplicates())
+    vecs_before = _vec_rows(idx)
+    folded = idx.compact()
+    assert folded >= 2
+    assert _rows(idx.duplicates()) == dups_before
+    assert _vec_rows(idx) == vecs_before
+    # maintenance composes with further updates
+    extra = emb.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    ).limit(20)
+    idx.update(extra, idx.committed_batch() + 1)
+    assert idx.vectors_df().count() == 220
 
 
 def test_semdedup_train_refusal_and_empty_guard(spark, sf_dir, tmp_path):
@@ -113,35 +171,8 @@ def test_semdedup_train_refusal_and_empty_guard(spark, sf_dir, tmp_path):
         idx.train(emb)
     untrained = IncrementalSemDeDup(spark, str(tmp_path / "u"))
     with pytest.raises(ValueError, match="train"):
-        untrained.update(emb)
+        untrained.update(emb, 0)
     with pytest.raises(ValueError, match="empty"):
         IncrementalSemDeDup(spark, str(tmp_path / "e")).train(
             emb.filter(F.lit(False))
         )
-
-
-def test_semdedup_resent_id_keeps_first_seen_vector_consistently(
-    spark, sf_dir, tmp_path
-):
-    """A re-delivered id carrying a DIFFERENT payload must be dropped
-    from BOTH the keeper recompute and the vector state (first-seen
-    wins) — updating one but not the other would let the dup table and
-    the stored vector disagree about what the id contains."""
-    emb = table(spark, sf_dir, "embeddings").limit(100)
-    idx = _mk_index(spark, str(tmp_path / "idx"), emb)
-    idx.update(emb)
-    before_vecs = sorted(
-        (r.vec_id, tuple(r.v)) for r in idx.vectors.read().collect()
-    )
-    before_dups = _rows(idx.duplicates())
-
-    # re-send every id with a corrupted payload (negated vectors)
-    corrupted = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: -x).alias("embedding"),
-    )
-    idx.update(corrupted)
-    assert sorted(
-        (r.vec_id, tuple(r.v)) for r in idx.vectors.read().collect()
-    ) == before_vecs
-    assert _rows(idx.duplicates()) == before_dups
