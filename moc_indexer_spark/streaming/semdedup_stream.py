@@ -29,16 +29,20 @@ invalidated and need last-writer-wins):
   arriving AFTER a larger-id one must flip the larger one's dup_of to
   itself (or an even-smaller match) — a pure append could never retract
   the stale row.
-* Vectors land as `vectors/batch=N/cell=K/` partitions (overwrite —
-  the partition-per-batch idempotence trick; `batch_id <=
+* Vectors land as FLAT `vectors/batch=N/` single-file partitions
+  (overwrite — the partition-per-batch idempotence trick; `batch_id <=
   committed_batch` replays are no-ops, the shared commit-resolution
-  protocol of the BM25/IVF indexes). The per-update read is PRUNED TO
-  THE TOUCHED CELLS at the scan (partition directories), so update cost
-  is bounded by touched_cells * occupancy — independent of index size.
-  The first cut of this maintainer kept the vectors in a keyed MERGE
-  table and paid a full-table window-resolve + global id anti-join per
-  batch (measured: 50-vector update 2.0 -> 2.9 s from a 2k to a 60k
-  index); the cell-pruned layout is what the module always claimed.
+  protocol of the BM25/IVF indexes); `compact()` periodically folds
+  them into ONE cell-partitioned dir. The per-update read is then
+  PRUNED TO THE TOUCHED CELLS: the fold (the bulk of the index) prunes
+  on the cell partition directories, the small post-fold tail pushes
+  the cell predicate to its parquet scans — so update cost is bounded
+  by touched_cells * occupancy plus the maintenance-cadence-bounded
+  tail, independent of index size. Two earlier cuts were measured and
+  rejected: a keyed MERGE table (full-table window-resolve + global id
+  anti-join per batch: 50-vector update 2.0 -> 2.9 s from 2k to 60k)
+  and per-batch partitionBy("cell") (up to |batch| tiny directories
+  per tick; slower than what it replaced at every size).
 * New-id detection is CELL-LOCAL: a redelivered id carrying the same
   payload lands in the same cell (the quantizer is deterministic) and
   is dropped there. An id re-sent with a materially DIFFERENT payload
@@ -70,11 +74,7 @@ from ..operators.similarity import (
     semantic_dedup_keep,
     semantic_dedup_with_centroids,
 )
-from .compaction import (
-    compact_batched_dir,
-    list_committed_batches,
-    read_batches_upto,
-)
+from .compaction import compact_batched_dir, list_committed_batches
 from .sink import ParquetUpsertTable
 from .triggers import apply_max_files_per_trigger
 
@@ -173,16 +173,52 @@ class IncrementalSemDeDup:
         b = list_committed_batches(self._vectors_dir())
         return b[-1] if b else -1
 
+    def _is_fold(self, b: int) -> bool:
+        d = f"{self._vectors_dir()}/batch={b}"
+        return os.path.isdir(d) and any(
+            f.startswith("cell=") for f in os.listdir(d)
+        )
+
     def _read_upto(self, upto: int) -> DataFrame | None:
         """Committed vectors from batches <= upto, (vec_id, v, cell).
-        basePath read (with_batch_col): the cell partitions live under
-        per-batch roots, so a bare multi-path read trips partition
-        discovery ([CONFLICTING_DIRECTORY_STRUCTURES]); the inferred
-        batch column is dropped at the edge."""
-        df = read_batches_upto(
-            self.spark, self._vectors_dir(), upto, with_batch_col=True
-        )
-        return None if df is None else df.select("vec_id", "v", "cell")
+
+        MIXED-LAYOUT read: micro-batch partitions are FLAT single files
+        (a per-batch partitionBy("cell") wrote up to |batch| tiny
+        directories per tick and was measured SLOWER than the state it
+        replaced); compaction folds everything into ONE cell-partitioned
+        batch dir. So the bulk of the index (the fold) is read with
+        basePath and prunes on the cell partition column, while the
+        small post-fold tail (bounded by the maintenance cadence) is a
+        plain read whose cell predicate pushes to the parquet scan. The
+        two halves carry identical columns and union."""
+        cols = ["vec_id", "v", "cell"]
+        batches = [
+            b for b in list_committed_batches(self._vectors_dir())
+            if b <= upto
+        ]
+        if not batches:
+            return None
+        folds = [b for b in batches if self._is_fold(b)]
+        flats = [b for b in batches if b not in folds]
+        parts = []
+        if folds:
+            parts.append(
+                self.spark.read.option("basePath", self._vectors_dir())
+                .parquet(
+                    *[f"{self._vectors_dir()}/batch={b}" for b in folds]
+                )
+                .select(*cols)
+            )
+        if flats:
+            parts.append(
+                self.spark.read.parquet(
+                    *[f"{self._vectors_dir()}/batch={b}" for b in flats]
+                ).select(*cols)
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     def vectors_df(self) -> DataFrame | None:
         """All committed vectors (vec_id, v, cell)."""
@@ -193,9 +229,9 @@ class IncrementalSemDeDup:
     def update(self, batch_vectors: DataFrame, batch_id: int) -> None:
         """Fold one micro-batch in (foreachBatch body). Idempotent under
         replay (batch partitions commit at most once); the keeper rule is
-        recomputed over the full touched cells — read PARTITION-PRUNED to
-        those cells — so late smaller ids retro-invalidate stale dup
-        rows at a cost independent of index size."""
+        recomputed over the full touched cells — read pruned to those
+        cells (see _read_upto) — so late smaller ids retro-invalidate
+        stale dup rows at a cost independent of index size."""
         if not self.is_trained():
             raise ValueError("train() the quantizer before streaming updates")
         if batch_id <= self.committed_batch():
@@ -247,8 +283,10 @@ class IncrementalSemDeDup:
             self.dups.upsert(fresh)
             # vectors land LAST: a crash before this write leaves dup rows
             # a replay of the same batch recomputes identically (the MERGE
-            # re-converges), because the batch partition never committed
-            new_ids.write.mode("overwrite").partitionBy("cell").parquet(
+            # re-converges), because the batch partition never committed.
+            # FLAT single-file write — the cell layout is compaction's job
+            # (see _read_upto's mixed-layout contract)
+            new_ids.coalesce(1).write.mode("overwrite").parquet(
                 f"{self._vectors_dir()}/batch={batch_id}"
             )
         finally:

@@ -128,12 +128,14 @@ def test_semdedup_late_small_id_retro_invalidates(spark, sf_dir, tmp_path):
 def test_semdedup_update_read_prunes_to_touched_cells(
     spark, sf_dir, tmp_path
 ):
-    """The scale property the layout exists for: with the index holding
-    many cells, an update touching ONE cell must read only that cell's
-    partition directories, not the index (PartitionFilters on cell)."""
+    """The scale property the layout exists for: after compaction (the
+    maintained-index steady state) the fold is cell-partitioned, so a
+    read filtered to one cell PRUNES partition directories; the small
+    post-fold tail batches push the cell predicate to their scans."""
     emb = table(spark, sf_dir, "embeddings")
     idx = _mk_index(spark, str(tmp_path / "idx"), emb)
     idx.update(emb.filter(F.col("vec_id") < 400), 0)
+    idx.compact()
     seen = idx.vectors_df()
     one_cell = [r[0] for r in seen.select("cell").distinct().limit(1).collect()]
     pruned = seen.filter(F.col("cell").isin(one_cell))
@@ -141,6 +143,11 @@ def test_semdedup_update_read_prunes_to_touched_cells(
     assert "PartitionFilters" in plan and "cell" in plan
     n_all = seen.count()
     assert pruned.count() < n_all  # the filter actually excludes cells
+    # a post-fold flat tail batch unions in and pushes the predicate
+    idx.update(emb.filter(F.col("vec_id") >= 400), idx.committed_batch() + 1)
+    mixed = idx.vectors_df().filter(F.col("cell").isin(one_cell))
+    mixed_plan = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in mixed_plan or "PartitionFilters" in mixed_plan
 
 
 def test_semdedup_compact_preserves_state(spark, sf_dir, tmp_path):
