@@ -100,6 +100,12 @@ _DRIVER_WINDOW = [
     "event_pipeline_demo",
 ]
 
+# Round-8 rotation note: the never-certified backlog is RETIRED once this
+# window lands green — every oracle-gated query then has a driver row in
+# some round's CORRECTNESS artifact. From round 8 on, rotate by AGE:
+# fill the window with the queries whose last driver row is oldest
+# (the r1-r5 residents first), plus any newly oracle-gated entries.
+
 
 def registry() -> list[QuerySpec]:
     # side-effect registration
