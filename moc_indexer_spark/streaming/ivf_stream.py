@@ -123,7 +123,15 @@ class IncrementalIvfIndex:
     ) -> None:
         """Assign one micro-batch to cells and append it (foreachBatch
         body). Idempotent under replay: the batch partition is an
-        overwrite, and new-id detection sees only earlier batches."""
+        overwrite, and new-id detection sees only earlier batches —
+        pruned to the batch's own cells (the round-7 semdedup-maintainer
+        review finding applies here too: anti-joining against ALL stored
+        ids reads O(index) per batch; a redelivered id carries the same
+        payload, the quantizer is deterministic, so it lands in the SAME
+        cell and the cell-pruned read catches it — the batch dirs are
+        cell-partitioned, so the filter prunes directories at the scan.
+        An id re-sent with a different payload is an upstream
+        correction -> rebuild, the shared maintainer contract)."""
         if batch_id <= self.committed_batch():
             return
         import numpy as np
@@ -146,11 +154,6 @@ class IncrementalIvfIndex:
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        seen = self._read_upto(batch_id - 1)
-        if seen is not None:
-            batch = batch.join(
-                seen.select(id_col), id_col, "left_anti"
-            )
 
         def assign(batches):
             C_ = bc.value
@@ -170,10 +173,25 @@ class IncrementalIvfIndex:
 
         assigned = batch.mapInPandas(
             assign, schema=f"{id_col} long, {vec_col} array<double>, cell int"
-        )
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(
-            f"{self.path}/vectors/batch={batch_id}"
-        )
+        ).persist()
+        try:
+            touched = [
+                r[0] for r in assigned.select("cell").distinct().collect()
+            ]
+            seen = self._read_upto(batch_id - 1)
+            if seen is not None and touched:
+                assigned_new = assigned.join(
+                    seen.filter(F.col("cell").isin(touched)).select(id_col),
+                    id_col,
+                    "left_anti",
+                )
+            else:
+                assigned_new = assigned
+            assigned_new.write.mode("overwrite").partitionBy("cell").parquet(
+                f"{self.path}/vectors/batch={batch_id}"
+            )
+        finally:
+            assigned.unpersist()
 
     # -- probe ---------------------------------------------------------------
 
@@ -339,10 +357,6 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        seen = self._read_upto(batch_id - 1)
-        if seen is not None:
-            batch = batch.join(seen.select(id_col), id_col, "left_anti")
-
         def assign_encode(batches):
             C_, B_ = bc.value
             for pdf in batches:
@@ -374,10 +388,28 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
                 f"{id_col} long, v array<double>, nrm double, "
                 "codes array<int>, cell int"
             ),
-        )
-        encoded.write.mode("overwrite").partitionBy("cell").parquet(
-            f"{self.path}/vectors/batch={batch_id}"
-        )
+        ).persist()
+        try:
+            # cell-pruned new-id detection (same contract as the flat-IVF
+            # update above: same payload -> same cell, the anti-join scan
+            # prunes to the batch's own cell directories)
+            touched = [
+                r[0] for r in encoded.select("cell").distinct().collect()
+            ]
+            seen = self._read_upto(batch_id - 1)
+            if seen is not None and touched:
+                encoded_new = encoded.join(
+                    seen.filter(F.col("cell").isin(touched)).select(id_col),
+                    id_col,
+                    "left_anti",
+                )
+            else:
+                encoded_new = encoded
+            encoded_new.write.mode("overwrite").partitionBy("cell").parquet(
+                f"{self.path}/vectors/batch={batch_id}"
+            )
+        finally:
+            encoded.unpersist()
 
     def probe(
         self,
