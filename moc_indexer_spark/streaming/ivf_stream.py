@@ -187,9 +187,14 @@ class IncrementalIvfIndex:
                 )
             else:
                 assigned_new = assigned
-            assigned_new.write.mode("overwrite").partitionBy("cell").parquet(
-                f"{self.path}/vectors/batch={batch_id}"
-            )
+            # coalesce(1): the anti-join's shuffle otherwise fans the
+            # micro-batch write into one file PER SHUFFLE PARTITION per
+            # cell dir (measured: probe 1.2 -> 5.3 s and compact 1.8 ->
+            # 24 s at 20k from the file-count explosion alone); a tick-
+            # sized batch is one write task, exactly as before
+            assigned_new.coalesce(1).write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(f"{self.path}/vectors/batch={batch_id}")
         finally:
             assigned.unpersist()
 
@@ -405,9 +410,11 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
                 )
             else:
                 encoded_new = encoded
-            encoded_new.write.mode("overwrite").partitionBy("cell").parquet(
-                f"{self.path}/vectors/batch={batch_id}"
-            )
+            # coalesce(1): see the flat-IVF update above (anti-join
+            # shuffle fan-out would multiply files per cell dir)
+            encoded_new.coalesce(1).write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(f"{self.path}/vectors/batch={batch_id}")
         finally:
             encoded.unpersist()
 
