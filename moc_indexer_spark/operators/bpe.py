@@ -25,9 +25,13 @@ corpus pass it never touches the corpus again:
    (merges ride into the Arrow stage as a closure) — linear, no shuffle.
 
 The learned merge table is deterministic (no RNG, total-order argmax)
-but not SQL-replayable (the greedy fold has no DuckDB equivalent), so
-the registry entry is rows-only; pytest certifies exact equality of
-merges AND segmentations against an independent pure-Python BPE.
+AND SQL-replayable since round 7: `bpe_oracle_sql` /
+`bpe_segment_oracle_sql` replay the greedy fold in DuckDB via a
+sentinel-string encoding (see their docstrings, including the
+chr(31)-free-corpus precondition), so `bpe_merges` and
+`bpe_token_counts` are fully oracle-gated; pytest additionally
+certifies exact equality of merges AND segmentations against an
+independent pure-Python BPE.
 """
 
 from __future__ import annotations
@@ -156,8 +160,15 @@ def bpe_oracle_sql(
     MATERIALIZED: DuckDB inlines plain CTEs and each round references
     the previous several times — inlining is exponential in rounds.
 
-    chr(31) (ASCII unit separator) never appears in whitespace-split
-    tokens, so the encoding is unambiguous for any corpus word."""
+    PRECONDITION (oracle-only, not an operator limit): the corpus must
+    be chr(31)-free. U+001F (unit separator) is NOT whitespace, so a
+    token containing it survives the whitespace split and would make
+    this sentinel encoding ambiguous — the replay could then diverge
+    from `bpe_train`, which handles such words fine (its fold works on
+    real symbol lists, not encoded strings). The test fixtures and the
+    testdata `documents` table are chr(31)-free, so the oracle is sound
+    where it runs; a corpus carrying control characters needs a scrub
+    (`text_scrub` strips C0 controls) before this replay applies."""
     parts = _bpe_merge_cte_parts(n_merges, min_freq, max_vocab_words, table)
     union = " UNION ALL ".join(
         f"SELECT * FROM b{r}" for r in range(n_merges)
@@ -236,7 +247,9 @@ def bpe_segment_oracle_sql(
     words the min_freq training floor excluded: segmentation applies to
     ALL words), then per-doc token counts = sum of each occurrence's
     symbol count. Docs with no tokens keep an explicit 0 via the left
-    join."""
+    join. Same chr(31)-free-corpus PRECONDITION as `bpe_oracle_sql` —
+    and it binds harder here, because segmentation encodes EVERY
+    distinct corpus word, not just the training vocabulary."""
     toks = "list_filter(str_split(text, ' '), x -> x <> '')"
     parts = _bpe_merge_cte_parts(n_merges, min_freq, max_vocab_words, table)
     parts.append(

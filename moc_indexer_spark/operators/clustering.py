@@ -48,11 +48,27 @@ def _quantized(
 ) -> DataFrame:
     """Coordinate freeze; `normalize=True` first divides by the vector's
     L2 norm (the spherical-k-means preprocessing). Cross-engine exactness
-    of the normalized path: the squared-norm is an exact decimal sum of
-    round(x*x,12) terms, the norm ONE IEEE sqrt on its double cast, each
+    of the normalized path: the squared-norm is a PURE-DOUBLE fixed-order
+    sum — a left-associative `+` expression chain over r_i*r_i terms that
+    both Spark and DuckDB parse identically and never FP-reassociate (see
+    _dist_to for the full argument; no rounding of any derived value
+    inside the sum) — the norm ONE IEEE sqrt on that double, each
     coordinate ONE IEEE divide — identical single expressions in DuckDB
     (see kmeans_oracle_sql), then the same round-6 decimal freeze as the
-    plain path."""
+    plain path.
+
+    Residual hazard, documented deliberately: the final round(r_i/nrm, 6)
+    rounds a DERIVED double, the same defect class as the round(d*d,12)
+    boundary flip _dist_to's history records. It is kept because the
+    M-step aggregate needs exact-decimal inputs (its sums are
+    order-undefined), so SOME freeze of the quotient is unavoidable; 6dp
+    is believed safe here because a quotient of two bit-identical doubles
+    is bit-identical in both engines, so a flip requires the quotient to
+    land within one ulp of a 6dp half-way point AND the engines to break
+    that tie differently — empirically certified by the recurring sf0.1
+    oracle sweep (178 queries, this family included), which is the pin
+    that would catch a future flip. Not safe by construction; safe by
+    measurement with a standing tripwire."""
     if normalize:
         # staged projections: nrm must become a real column ATTRIBUTE
         # before the 64 per-coordinate divisions reference it — inlining

@@ -78,6 +78,34 @@ def read_batches_upto(spark, d: str, upto: int, with_batch_col: bool = False):
     return reader.parquet(*[f"{d}/batch={b}" for b in batches])
 
 
+def assert_unique_ids(df: DataFrame, id_col: str, context: str) -> None:
+    """Maintenance-time invariant: the folded state must hold one row per
+    id. The cell-pruned anti-joins in the vector maintainers (ivf_stream,
+    semdedup_stream) assume redelivered ids carry an UNCHANGED payload —
+    an id re-sent with a different payload lands in a different cell,
+    escapes the pruned anti-join, and silently duplicates vector state.
+    That is out-of-contract (upstream correction -> rebuild), but a
+    violation should surface here, during out-of-band compact(), instead
+    of silently corrupting probe/dedup results. One bounded aggregate
+    (limit(1)) on the maintenance path; never on the per-batch hot path."""
+    from pyspark.sql import functions as F
+
+    dup = (
+        df.groupBy(id_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"{context}: duplicate {id_col}={dup[0][0]} in folded state — "
+            "an id was redelivered with a changed payload (out of the "
+            "maintainer contract); rebuild the index from the corrected "
+            "source"
+        )
+
+
 def compact_batched_dir(
     base: str,
     committed: int,

@@ -185,6 +185,13 @@ class IncrementalIvfIndex:
                     id_col,
                     "left_anti",
                 )
+                if assigned_new.isEmpty():
+                    # a batch fully redelivered under a NEW batch id:
+                    # writing an EMPTY batch=N partition (with _SUCCESS)
+                    # would poison read_batches_upto's schema inference —
+                    # the same guard semdedup_stream.update carries.
+                    # Replays stay no-ops through this same anti-join.
+                    return
             else:
                 assigned_new = assigned
             # coalesce(1): the anti-join's shuffle otherwise fans the
@@ -408,6 +415,11 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
                     id_col,
                     "left_anti",
                 )
+                if encoded_new.isEmpty():
+                    # fully-redelivered batch under a new id — see the
+                    # flat-IVF update: an empty batch=N partition would
+                    # poison read_batches_upto's schema inference
+                    return
             else:
                 encoded_new = encoded
             # coalesce(1): see the flat-IVF update above (anti-join
@@ -459,16 +471,27 @@ def compact_index(idx: IncrementalIvfIndex) -> int:
     swap protocol as the BM25 index — see streaming/compaction.py for
     the recovery-state matrix; out-of-band under the single-writer lock.
     Returns the number of batch partitions folded away."""
-    from .compaction import compact_batched_dir
+    from .compaction import assert_unique_ids, compact_batched_dir
 
     committed = idx.committed_batch()
     if committed < 0:
         return 0
+
+    def _read_checked(upto: int) -> DataFrame:
+        df = idx._read_upto(upto)
+        # contract tripwire (ADVICE r7): a changed-payload redelivery
+        # escapes the cell-pruned anti-join; surface it here rather than
+        # silently corrupting probe results. The id is the first stored
+        # column (update() writes `{id_col} long, ...`), whatever name
+        # the caller chose.
+        assert_unique_ids(df, df.columns[0], f"compact_index({idx.path})")
+        return df
+
     return compact_batched_dir(
         base=f"{idx.path}/vectors",
         committed=committed,
         list_batches=idx._batches,
-        read_upto=lambda upto: idx._read_upto(upto),
+        read_upto=_read_checked,
         # drop the partition-inferred `batch` column before writing: the
         # basePath read materializes it, and persisting the (now-stale)
         # ids INSIDE the fold's data files would leave correctness hanging

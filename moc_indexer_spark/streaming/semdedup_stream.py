@@ -298,14 +298,27 @@ class IncrementalSemDeDup:
         """Fold committed vector batches into one partition (the shared
         crash-consistent protocol) and the dup table's MoR deltas —
         OUT-OF-BAND maintenance, like the BM25/IVF folds."""
+        from .compaction import assert_unique_ids
+
         committed = self.committed_batch()
         folded = 0
+
+        def _read_checked(upto):
+            df = self._read_upto(upto)
+            # contract tripwire (ADVICE r7): an id redelivered with a
+            # CHANGED payload lands in a different cell and escapes the
+            # cell-pruned anti-join in update(); surface the corruption
+            # here during maintenance instead of silently poisoning the
+            # keeper recompute
+            assert_unique_ids(df, "vec_id", f"semdedup.compact({self.path})")
+            return df
+
         if committed >= 0:
             folded = compact_batched_dir(
                 self._vectors_dir(),
                 committed,
                 lambda: list_committed_batches(self._vectors_dir()),
-                lambda upto: self._read_upto(upto),
+                _read_checked,
                 lambda df, tmp, n: df.repartition("cell")
                 .write.mode("overwrite")
                 .partitionBy("cell")

@@ -179,3 +179,73 @@ def test_ivf_probe_self_exclusion_is_optional(spark, sf_dir, tmp_path):
     assert {r.query_id for r in got_all} == qids
     for r in got_all:
         assert r.neighbor_id == r.query_id and r.cosine_sim == 1.0
+
+
+def test_ivf_full_redelivery_new_id_writes_no_empty_partition(
+    spark, sf_dir, tmp_path
+):
+    """A batch fully redelivered under a NEW batch id must not commit an
+    empty batch=N partition (its _SUCCESS would poison
+    read_batches_upto's schema inference) — the guard semdedup_stream
+    has always carried, transplanted to both IVF maintainers."""
+    import os
+
+    from moc_indexer_spark.streaming.ivf_stream import IncrementalIvfPqIndex
+
+    emb = table(spark, sf_dir, "embeddings").limit(80)
+    first = emb.filter(F.col("vec_id") < 40)
+    for cls, name in [
+        (IncrementalIvfIndex, "flat"),
+        (IncrementalIvfPqIndex, "pq"),
+    ]:
+        idx = cls(spark, str(tmp_path / name))
+        idx.train(emb)
+        idx.update(first, 0)
+        before = _rows(idx.probe(_queries(emb, 3)))
+        idx.update(first, 1)  # full redelivery, fresh batch id
+        dirs = [
+            d
+            for d in os.listdir(f"{idx.path}/vectors")
+            if d.startswith("batch=")
+        ]
+        assert dirs == ["batch=0"], name
+        assert idx.committed_batch() == 0, name
+        assert _rows(idx.probe(_queries(emb, 3))) == before, name
+        # and the state still reads cleanly (no schema poisoning)
+        assert idx._read_upto(idx.committed_batch()).count() == 40
+
+
+def test_ivf_compact_detects_changed_payload_redelivery(
+    spark, sf_dir, tmp_path
+):
+    """Contract tripwire (ADVICE r7): an id redelivered with a CHANGED
+    payload lands in a different cell, escapes the cell-pruned
+    anti-join, and duplicates vector state — out-of-contract, but
+    compact() must surface it instead of silently corrupting probes."""
+    import numpy as np
+    import pytest
+
+    from moc_indexer_spark.streaming.ivf_stream import compact_index
+
+    emb = table(spark, sf_dir, "embeddings").limit(100)
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "idx"))
+    idx.train(emb)
+
+    # pick two corpus vectors the quantizer assigns to DIFFERENT cells
+    C = idx._load_centroids()
+    rows = emb.orderBy("vec_id").limit(50).collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    cells = np.argmax(
+        (X / np.linalg.norm(X, axis=1, keepdims=True)) @ C.T, axis=1
+    )
+    j = int(np.argmax(cells != cells[0]))
+    assert cells[j] != cells[0]
+
+    schema = "vec_id long, embedding array<double>"
+    a = [float(x) for x in X[0]]
+    b = [float(x) for x in X[j]]
+    idx.update(spark.createDataFrame([(7, a), (8, b)], schema), 0)
+    # id 7 redelivered with payload b -> different cell, escapes anti-join
+    idx.update(spark.createDataFrame([(7, b)], schema), 1)
+    with pytest.raises(ValueError, match="vec_id=7"):
+        compact_index(idx)

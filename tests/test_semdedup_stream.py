@@ -183,3 +183,33 @@ def test_semdedup_train_refusal_and_empty_guard(spark, sf_dir, tmp_path):
         IncrementalSemDeDup(spark, str(tmp_path / "e")).train(
             emb.filter(F.lit(False))
         )
+
+
+def test_semdedup_compact_detects_changed_payload_redelivery(
+    spark, sf_dir, tmp_path
+):
+    """Same tripwire as the IVF maintainers: a changed-payload
+    redelivery (different cell -> escapes the pruned anti-join) must
+    fail loudly at compact() time, not silently poison the keeper
+    recompute."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").limit(100)
+    idx = _mk_index(spark, str(tmp_path / "idx"), emb)
+
+    C, _, _ = idx._model()
+    rows = emb.orderBy("vec_id").limit(50).collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    cells = np.argmax(
+        (X / np.linalg.norm(X, axis=1, keepdims=True)) @ np.array(C).T, axis=1
+    )
+    j = int(np.argmax(cells != cells[0]))
+    assert cells[j] != cells[0]
+
+    schema = "vec_id long, embedding array<double>"
+    a = [float(x) for x in X[0]]
+    b = [float(x) for x in X[j]]
+    idx.update(spark.createDataFrame([(7, a), (8, b)], schema), 0)
+    idx.update(spark.createDataFrame([(7, b)], schema), 1)
+    with pytest.raises(ValueError, match="vec_id=7"):
+        idx.compact()
