@@ -274,14 +274,33 @@ def q_pca_project_embeddings(spark, sf_dir):
     embedding compression). One distributed Gram-matrix pass (d^2-row
     partial aggregates — shuffle bounded by dimension, not data), a
     dimension-bounded driver eigendecomposition, then a map-only
-    broadcast projection. Rows-only at the driver gate
-    (eigendecomposition is not SQL-replayable), but the Gram/mean/count
-    accumulators it eigendecomposes ARE oracle-certified via the
-    `pca_gram_check` sibling; tests/test_pca.py pins the exact Gram
-    identity, orthonormality, determinism (sign convention),
-    reconstruction monotonicity, whitening variance, the zero-Exchange
-    projection plan, and the bridge between the certified leg and the
-    production BLAS partial."""
+    broadcast projection.
+
+    Rows-only BY CONSTRUCTION, not by effort (the explicit
+    non-replayability note, same standard as `semantic_dedup_scaled`):
+    a cross-engine hash oracle here requires replaying the model fit
+    under this repo's exactness rules — either exact decimal arithmetic
+    or a FIXED expression tree evaluated identically by both engines
+    (the `_dist_to` argument). Neither exists for eigh: LAPACK's
+    symmetric eigensolver (dsyevd/dsyevr) is an ITERATIVE rotation /
+    divide-and-conquer algorithm whose flop count and order are
+    implementation-defined and data-dependent — there is no fixed
+    expression tree to transcribe into SQL, and every eigenvector
+    coordinate is a derived double after an unbounded chain of
+    reassociated operations, exactly the value class the repo refuses
+    to round-and-compare (the round-7 boundary-flip lesson). Unrolled
+    SQL power iteration was considered and rejected: staying exact
+    needs per-iteration decimal re-quantization of DERIVED quotients
+    (the hazard class itself) or unbounded decimal scale growth.
+    Certification therefore splits at the eigh boundary: everything
+    UPSTREAM of it (the Gram/mean/count accumulators, in the exact
+    decimal form the model consumes) is hash-certified by the
+    `pca_gram_check` sibling, and everything AROUND it is property-
+    pinned in tests/test_pca.py — exact Gram identity, orthonormality,
+    variance ordering, determinism across fits (sign convention),
+    reconstruction-error monotonicity, whitening variance, the
+    zero-Exchange projection plan, and the bridge between the certified
+    leg and the production BLAS partial."""
     return M.pca_project(
         table(spark, sf_dir, "embeddings"), n_components=16
     )

@@ -62,49 +62,49 @@ def register(name, oracle, tags=(), bench=False):
 
 # The driver's correctness gate evaluates the FIRST 50 registered queries.
 # This explicit window curates those slots: every entry is oracle-gated.
-# Round 7 rotates in the FINAL 40 never-driver-certified oracle-gated
-# queries (the complete round-6 rotation queue), retiring the
-# certification backlog for good: after this window lands green, EVERY
-# oracle-gated query in the registry has a hard driver CORRECTNESS row
-# in some round. The remaining 10 slots carry (a) the three queries
-# oracle-gated new THIS round — the serving-path api_price_variation
-# (the 4th API endpoint's own module), semantic_dedup_scaled_certified
-# (the 100 TB semantic-dedup path's replay-oracle twin), and bpe_merges
-# (the greedy merge fold, SQL-replayable since round 7) — and (b) seven
-# round-1 residents whose last driver rows are the oldest in the
-# registry, re-certified so the window keeps cycling. The round-6
-# residents hold fresh green rows (CORRECTNESS_r06) and stay
-# oracle-gated right behind the window — the builder mirror and judge
-# re-checks keep exercising them.
+#
+# Round 8 starts the AGE-BASED RE-CERTIFICATION ROTATION (the round-7
+# backlog retirement made this the window's steady-state job): slots go
+# to the oracle-gated queries whose last green driver CORRECTNESS row is
+# OLDEST, because the code under a 6-round-old row has been refactored
+# many times since its hash last ran under the driver. The order is
+# computed from CORRECTNESS_r01..r07 (last green round per query,
+# ascending; name ascending within a round — deterministic and
+# reproducible; see COVERAGE.md "Driver-window rotation" for the
+# procedure and the full queue). This window: `bpe_token_counts` (gated
+# in r7, the single query with NO driver row yet) + the 9 r1-resident +
+# 6 r2 + 6 r3 + 1 r4 + the first 27 r5 residents. Newly oracle-gated
+# queries, when a round adds any, take slots ahead of the age queue
+# (none this round). The queries rotated OUT hold fresh r6/r7 rows and
+# stay oracle-gated right behind the window — the builder mirror, the
+# sf0.1 sweep and judge re-checks keep exercising them.
 _DRIVER_WINDOW = [
-    # the complete never-windowed backlog (round-6 queue, verbatim)
-    "semantic_dedup_report", "shared_span_pairs", "containment_dup_pairs",
-    "novel_ngram_rate", "lsh_ann_exact", "repeat_purchase_rate",
-    "column_profile", "stratified_sample", "sequence_packing",
-    "rollup_cascade", "text_scrub", "label_centroids",
-    "replica_reconciliation", "source_quota_sample",
-    "benchmark_contamination", "numeric_correlation",
-    "value_zscore_outliers", "doc_chunking", "source_temperature_sample",
-    "value_histogram", "training_shards", "bloom_decontamination",
-    "kmeans_clusters", "doc_chunking_udtf", "unigram_logprob",
-    "cross_doc_ngram_frac", "quality_weighted_sample", "tfidf_top_terms",
-    "token_entropy", "constraint_report", "bigram_logprob",
-    "vocab_coverage", "robust_outliers_mad", "unregistered_user_txs",
-    "payload_json_histogram", "user_running_total", "user_sessions",
-    "recent_price_enrichment", "signup_purchase_funnel", "event_rollup",
-    # oracle-gated new in round 7
-    "api_price_variation", "semantic_dedup_scaled_certified", "bpe_merges",
-    # oldest-resident re-certification (round-1 window, last rows r1-r5)
-    "tx_list", "asof_price", "latest_per_address",
-    "active_address_counts", "tx_enrich_money", "minhash_dup_pairs",
-    "event_pipeline_demo",
+    # never driver-certified (gated round 7; judge-green at sf0.01)
+    "bpe_token_counts",
+    # last driver row: round 1
+    "activity_heatmap", "decile_share", "dedup_report",
+    "embedding_norms", "event_journeys", "event_transitions",
+    "first_touch_attribution", "session_duration_stats", "tx_list_count",
+    # last driver row: round 2
+    "bool_coercion", "doc_fingerprint", "json_result_envelope",
+    "text_quality", "trigram_freqs", "unix_epoch_roundtrip",
+    # last driver row: round 3
+    "distinct_active_addresses", "doc_winnowing", "lang_id_heuristic",
+    "token_count_bpe", "tx_latest", "validated_sources",
+    # last driver row: round 4
+    "pq_ann_exact",
+    # last driver row: round 5 (first 27 by name; the rest queue for r9)
+    "abi_decode_roundtrip", "api_tx_list_formatted", "block_gap_report",
+    "bm25_topk", "classifier_auc", "cms_trigram_estimates",
+    "confirming_status", "cosine_topk", "dedup_clusters", "dedup_exact",
+    "dsir_importance_weights", "embedding_dup_pairs",
+    "event_pipeline_raw_hex", "heldout_perplexity",
+    "histogram_quantiles_certified", "hll_distinct_certified",
+    "hourly_window_agg", "ivf_ann_exact", "ivfpq_ann_exact",
+    "kmv_distinct_sketch", "kneser_ney_logprob", "leakage_safe_splits",
+    "line_dedup_docs", "liquidation_fanout", "logreg_calibration",
+    "media_exact_dedup", "media_feature_extract",
 ]
-
-# Round-8 rotation note: the never-certified backlog is RETIRED once this
-# window lands green — every oracle-gated query then has a driver row in
-# some round's CORRECTNESS artifact. From round 8 on, rotate by AGE:
-# fill the window with the queries whose last driver row is oldest
-# (the r1-r5 residents first), plus any newly oracle-gated entries.
 
 
 def registry() -> list[QuerySpec]:
