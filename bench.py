@@ -45,10 +45,16 @@ def main() -> None:
     enable_layout_mirror()
 
     # warmup: JVM/codegen spin-up + parquet footer reads, so per-query
-    # numbers reflect steady-state execution, not first-query session cost
-
+    # numbers reflect steady-state execution, not first-query session cost.
+    # Its wall time is recorded in the config block as a BOX-SPEED PROBE:
+    # the same fixed work every round, so a loaded/hot driver box is
+    # identifiable from the artifact alone (the round-7 official sample
+    # read +21% vs three idle-box runs of the same tree — see BENCH.md's
+    # adjudication rule; this field is what makes that call cheap).
+    t_warm = time.perf_counter()
     for name in TABLE_NAMES:
         table(spark, sf_dir, name).count()
+    warmup_sec = round(time.perf_counter() - t_warm, 3)
 
     specs = [s for s in registry() if s.bench]
     timings: dict[str, float] = {}
@@ -103,6 +109,10 @@ def main() -> None:
             if os.environ.get("SPARK_GRAFT_CPUS") in (None, "", "*")
             else os.environ["SPARK_GRAFT_CPUS"]
         ),
+        # fixed-work box-speed probe (see the warmup comment): compare
+        # across rounds before comparing query times — a high value says
+        # the box was hot, not that a plan regressed
+        "warmup_sec": warmup_sec,
     }
     # Ingest-path numbers in the same per-round artifact (round-4 verdict:
     # the MoR cycle's 3 s-tick headroom had no recorded trend). Opt-out via
