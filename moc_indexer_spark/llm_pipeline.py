@@ -6,21 +6,35 @@ No reference analog (BASELINE.json north star). Stages (each is an
 already-certified operator; this module only sequences them):
 
   ingest (JSONL w/ quarantine | parquet) -> quality gate (corpus.py's
-  stateless expressions) -> exact dedup (min-doc_id keeper) -> benchmark
-  decontamination (broadcast 4-gram semi-join) -> DSIR importance
-  weights -> A-ES weighted fixed-size sampling (optional cap) ->
-  sequence packing -> sharded parquet write + manifest + stage-count
-  funnel report.
+  stateless expressions) -> exact dedup (min-doc_id keeper) ->
+  [--near-dedup: guarded n-gram-Jaccard near-dup keeper] ->
+  [--semantic-dedup EMB: scaled-SemDeDup keeper over an embedding
+  sidecar] -> benchmark decontamination (broadcast 4-gram semi-join) ->
+  DSIR importance weights -> A-ES weighted fixed-size sampling
+  (optional cap) -> sequence packing -> sharded parquet write +
+  manifest + stage-count funnel report.
+
+The two optional dedup tiers are the certified production forms wired
+in, not new logic: near-dedup is `ngram_dup_pairs_guarded`'s exact
+composition (boilerplate_shingles heavy-hitter guard ->
+ngram_jaccard_pairs -> dedup_clusters connected components) with the
+same min-id keeper policy as the exact tier; semantic dedup is
+`semantic_dedup_scaled` (corpus-scaled spherical cells, O(n) output)
+over an embedding sidecar parquet — (doc_id|vec_id, embedding) — with
+docs that have no embedding row passing through unjudged (an embedding
+store covers the corpus it embeds; the funnel can only narrow).
 
 Scale notes: every stage is shuffle-bounded as documented at its
-operator (gate: map-only; dedup: one md5 shuffle; decontamination: zero
-corpus shuffle; DSIR: one shuffle + broadcast; sample: salted two-phase
-top-k; pack: one shuffle on the pack group). The final write is
-`repartition(shard_id)` so file count == shard count regardless of
-upstream parallelism.
+operator (gate: map-only; dedup: one md5 shuffle; near-dedup: the
+guarded inverted-index join + O(diameter) label rounds on the tiny
+pair graph; semantic: one Arrow assign + ONE cell shuffle;
+decontamination: zero corpus shuffle; DSIR: one shuffle + broadcast;
+sample: salted two-phase top-k; pack: one shuffle on the pack group).
+The final write is `repartition(shard_id)` so file count == shard
+count regardless of upstream parallelism.
 
 Run: python -m moc_indexer_spark.llm_pipeline <in> <out_dir> [--jsonl]
-          [--sample-k K]
+          [--sample-k K] [--near-dedup] [--semantic-dedup EMB_PARQUET]
 """
 
 from __future__ import annotations
@@ -41,6 +55,9 @@ from .streaming.corpus import quality_gate
 N_SHARDS = 8
 NGRAM_N = 4
 PACK_BUDGET = 512
+# near-dup tier: same shape as the registry's ngram_dup_pairs_guarded
+NEAR_NGRAM_N = 3
+NEAR_STOP_MIN_DF = 3
 
 
 def _read(spark: SparkSession, path: str, jsonl: bool) -> tuple[DataFrame, DataFrame | None]:
@@ -68,8 +85,17 @@ def run_pipeline(
     jsonl: bool = False,
     bench_source: str = "src0",
     sample_k: int | None = None,
+    near_dedup: bool = False,
+    near_threshold: float = 0.8,
+    semantic_dedup: str | None = None,
+    semantic_threshold: float = 0.35,
 ) -> dict:
-    """Execute the full curation funnel; returns the funnel counts."""
+    """Execute the full curation funnel; returns the funnel counts.
+
+    `near_dedup` inserts the guarded n-gram-Jaccard keeper after exact
+    dedup; `semantic_dedup` (a path to an embedding sidecar parquet with
+    (doc_id|vec_id, embedding)) inserts the scaled-SemDeDup keeper after
+    that. Both record their count and parameters in the funnel."""
     raw, quarantine = _read(spark, in_path, jsonl)
     funnel = {"raw": raw.count()}
     if quarantine is not None:
@@ -94,6 +120,66 @@ def run_pipeline(
         ).persist()
         caches.append(deduped)
         funnel["after_exact_dedup"] = deduped.count()
+
+        if near_dedup:
+            from .operators.dedup import (
+                boilerplate_shingles,
+                dedup_clusters,
+                ngram_jaccard_pairs,
+            )
+
+            stop = boilerplate_shingles(
+                deduped, n=NEAR_NGRAM_N, min_df=NEAR_STOP_MIN_DF
+            )
+            pairs = ngram_jaccard_pairs(
+                deduped, n=NEAR_NGRAM_N, threshold=near_threshold,
+                stop_shingles=stop,
+            )
+            # min-id keeper over the connected components — the same
+            # policy as the exact tier, so the two compose monotonically
+            clusters = dedup_clusters(pairs)
+            # localCheckpoint truncates the iterative label-propagation
+            # lineage to a leaf: every later funnel stage re-references
+            # this frame (some twice — `final` joins `scored` with its
+            # own derivation), and Spark's plan-tree rendering expands
+            # shared subtrees multiplicatively — with the O(rounds)-deep
+            # cluster join tree inside, a plain persist() OOMed the
+            # driver in generateTreeString before any data moved. The
+            # drop list is dup-ids-sized, so the eager materialization
+            # is cheap; a multi-hour production run would use a reliable
+            # checkpoint dir instead (same lineage-cut, HDFS-backed).
+            drops = clusters.filter(
+                F.col("doc_id") != F.col("cluster_id")
+            ).select("doc_id").localCheckpoint()
+            deduped = deduped.join(drops, "doc_id", "left_anti").persist()
+            caches.append(deduped)
+            funnel["after_near_dedup"] = deduped.count()
+            funnel["near_dedup_params"] = {
+                "n": NEAR_NGRAM_N, "threshold": near_threshold,
+                "stop_min_df": NEAR_STOP_MIN_DF,
+            }
+
+        if semantic_dedup:
+            from .operators.similarity import semantic_dedup_scaled
+
+            emb = spark.read.parquet(semantic_dedup)
+            if "doc_id" not in emb.columns and "vec_id" in emb.columns:
+                emb = emb.withColumnRenamed("vec_id", "doc_id")
+            emb = emb.select("doc_id", "embedding")
+            have = deduped.select("doc_id").join(emb, "doc_id")
+            verdicts = semantic_dedup_scaled(
+                have, threshold=semantic_threshold, id_col="doc_id"
+            )
+            drops = verdicts.filter(
+                F.col("dup_of").isNotNull()
+            ).select("doc_id")
+            deduped = deduped.join(drops, "doc_id", "left_anti").persist()
+            caches.append(deduped)
+            funnel["after_semantic_dedup"] = deduped.count()
+            funnel["semantic_dedup_params"] = {
+                "threshold": semantic_threshold,
+                "embeddings": semantic_dedup,
+            }
 
         if bench_source:
             clean = _decontaminate(deduped, bench_source).persist()
@@ -191,6 +277,20 @@ def main() -> None:
     ap.add_argument("--jsonl", action="store_true")
     ap.add_argument("--sample-k", type=int, default=None)
     ap.add_argument(
+        "--near-dedup", action="store_true",
+        help="insert the guarded n-gram-Jaccard near-dup keeper "
+             "(ngram_dup_pairs_guarded + connected components, min-id "
+             "keeper) after exact dedup",
+    )
+    ap.add_argument("--near-threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--semantic-dedup", default=None, metavar="EMB_PARQUET",
+        help="insert the scaled-SemDeDup keeper (semantic_dedup_scaled) "
+             "over this embedding sidecar parquet ((doc_id|vec_id, "
+             "embedding)); docs without an embedding row pass through",
+    )
+    ap.add_argument("--semantic-threshold", type=float, default=0.35)
+    ap.add_argument(
         "--bench-source", default="src0",
         help="source name held out as the benchmark slice for 4-gram "
              "decontamination; pass an empty string to disable (no "
@@ -204,6 +304,10 @@ def main() -> None:
         spark, args.in_path, args.out_dir, jsonl=args.jsonl,
         bench_source=args.bench_source,
         sample_k=args.sample_k,
+        near_dedup=args.near_dedup,
+        near_threshold=args.near_threshold,
+        semantic_dedup=args.semantic_dedup,
+        semantic_threshold=args.semantic_threshold,
     )
     print(json.dumps(funnel, sort_keys=True))
 

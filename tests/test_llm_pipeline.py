@@ -96,3 +96,77 @@ def test_pipeline_rerun_is_idempotent(spark, sf_dir, tmp_path):
     f2 = run_pipeline(spark, f"{sf_dir}/documents.parquet", out)
     m2 = sorted(map(tuple, spark.read.parquet(f"{out}/manifest").collect()))
     assert f1 == f2 and m1 == m2
+
+
+def test_pipeline_near_and_semantic_tiers(spark, sf_dir, tmp_path):
+    """JSONL e2e through BOTH optional dedup tiers: a constructed text
+    near-twin must fall to the guarded n-gram keeper, a constructed
+    embedding clone must fall to the SemDeDup keeper, and the funnel
+    stays monotone with the new stages in the chain."""
+    docs = table(spark, sf_dir, "documents").limit(120).collect()
+    by_len = sorted(docs, key=lambda r: -len(r.text or ""))
+    donor = by_len[0]
+
+    src = str(tmp_path / "in.jsonl")
+    with open(src, "w") as fh:
+        for r in docs:
+            fh.write(json.dumps({
+                "doc_id": r.doc_id, "text": r.text, "lang": r.lang,
+                "source": r.source, "n_chars": r.n_chars,
+            }) + "\n")
+        # near-twin: same text with ONE middle token changed -> high
+        # 3-gram jaccard vs the donor, not an exact-hash duplicate
+        words = donor.text.split(" ")
+        words[len(words) // 2] = "zzzneartwin"
+        fh.write(json.dumps({
+            "doc_id": 99990, "text": " ".join(words), "lang": donor.lang,
+            "source": donor.source, "n_chars": len(" ".join(words)),
+        }) + "\n")
+        # semantic twin: textually unrelated (survives both text tiers
+        # AND the quality gate: all-distinct tokens, tc > 100 -> score
+        # 0.4 + 0.3 >= the 0.36 floor), embedding cloned below ->
+        # cosine 1.0 in the SemDeDup stage
+        sem_text = " ".join(f"semclone{i}" for i in range(110))
+        fh.write(json.dumps({
+            "doc_id": 99991, "text": sem_text, "lang": donor.lang,
+            "source": donor.source, "n_chars": len(sem_text),
+        }) + "\n")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_rows = {r.vec_id: list(r.embedding) for r in emb.limit(200).collect()}
+    side = [(r.doc_id, emb_rows[r.doc_id])
+            for r in docs if r.doc_id in emb_rows]
+    assert side, "sidecar must cover the corpus"
+    side.append((99991, side[0][1]))  # the clone
+    spark.createDataFrame(
+        side, "doc_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "emb"))
+
+    out = str(tmp_path / "out")
+    funnel = run_pipeline(
+        spark, src, out, jsonl=True,
+        near_dedup=True, semantic_dedup=str(tmp_path / "emb"),
+    )
+    # extended funnel monotonicity with both tiers in the chain
+    assert (
+        funnel["raw"]
+        >= funnel["after_quality_gate"]
+        >= funnel["after_exact_dedup"]
+        >= funnel["after_near_dedup"]
+        >= funnel["after_semantic_dedup"]
+        >= funnel["after_decontamination"]
+        == funnel["final_docs"]
+        > 0
+    )
+    # each constructed duplicate fell to its own tier
+    assert funnel["after_near_dedup"] < funnel["after_exact_dedup"]
+    assert funnel["after_semantic_dedup"] < funnel["after_near_dedup"]
+    corpus = spark.read.parquet(f"{out}/corpus")
+    survivors = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert 99990 not in survivors  # near-twin dropped (donor is older)
+    assert 99991 not in survivors  # embedding clone dropped
+    # stage parameters are recorded in the persisted funnel
+    persisted = json.load(open(f"{out}/funnel.json"))
+    assert persisted == funnel
+    assert persisted["near_dedup_params"]["threshold"] == 0.8
+    assert persisted["semantic_dedup_params"]["threshold"] == 0.35
