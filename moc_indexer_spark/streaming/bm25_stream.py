@@ -55,9 +55,25 @@ from .triggers import apply_max_files_per_trigger
 class IncrementalBm25Index:
     """Parquet-backed BM25 index maintained one micro-batch at a time."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        compact_every: int | None = None,
+    ):
+        """`compact_every` is the AUTO-COMPACTION policy — the Indexer's
+        threshold + per-cycle fold budget (app.py _maybe_compact_one)
+        transplanted: once a batched relation's dir count crosses the
+        threshold, fold it — but AT MOST ONE relation per update (the
+        postings and lengths folds round-robin behind a cursor, so an
+        update tick never absorbs two rewrites; the waiting relation
+        overshoots by at most one update). None (default) keeps the
+        bare out-of-band compact() contract the flat update exponents
+        previously assumed."""
         self.spark = spark
         self.path = path.rstrip("/") or path
+        self._compact_every = compact_every
+        self._compact_rr = 0  # round-robin cursor over batched relations
         os.makedirs(self.path, exist_ok=True)
 
     # -- state ---------------------------------------------------------------
@@ -118,6 +134,23 @@ class IncrementalBm25Index:
             self._write_generation(batch, batch_id, committed)
         finally:
             batch.unpersist()
+        self._maybe_compact_one()
+
+    def _maybe_compact_one(self) -> str | None:
+        """Fold AT MOST ONE batched relation whose dir count crossed the
+        policy threshold (cheap listdirs, no data read). Returns the
+        folded relation's name, None if nothing crossed or no policy."""
+        if self._compact_every is None:
+            return None
+        names = ("lengths", "postings")
+        committed = self.committed_batch()
+        for k in range(len(names)):
+            name = names[(self._compact_rr + k) % len(names)]
+            if len(self._batches(name)) >= self._compact_every:
+                _compact_relation(self, name, committed)
+                self._compact_rr = (self._compact_rr + k + 1) % len(names)
+                return name
+        return None
 
     def _write_generation(self, batch, batch_id: int, committed: int) -> None:
         postings, lengths, dfreq_delta, stats_delta = RT._index_relations(
@@ -195,18 +228,20 @@ def run_bm25_index_stream_available_now(
     checkpoint_dir: str,
     schema=None,
     max_files_per_trigger: int | None = 1,
+    compact_every: int | None = None,
 ) -> IncrementalBm25Index:
     """Drain all available document files into the index (deterministic
     replay mode; production uses a processing-time trigger). One slice
     file per micro-batch by default — availableNow otherwise folds every
     pending file into a single batch and the incremental fold never
-    exercises more than one update."""
+    exercises more than one update. `compact_every` enables the
+    auto-compaction policy (see IncrementalBm25Index)."""
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
     reader = apply_max_files_per_trigger(reader, max_files_per_trigger)
     stream = reader.parquet(source_dir)
-    idx = IncrementalBm25Index(spark, index_dir)
+    idx = IncrementalBm25Index(spark, index_dir, compact_every=compact_every)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

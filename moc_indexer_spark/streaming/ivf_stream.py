@@ -37,9 +37,23 @@ from .triggers import apply_max_files_per_trigger
 class IncrementalIvfIndex:
     """Parquet-backed IVF index maintained one micro-batch at a time."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        compact_every: int | None = None,
+    ):
+        """`compact_every` is the AUTO-COMPACTION policy (the Indexer's
+        threshold pattern, app.py: fold once the delta-dir count crosses
+        the threshold, at most one fold per update — an update never
+        absorbs two rewrites). Without it the measured flat update
+        exponents assume an operator calls compact() out-of-band; a
+        daemon that never does rides the flat-batch tail growth
+        (SCALE_CURVE.json *_stream_policy_longrun measures both arms).
+        None (default) keeps the bare out-of-band contract."""
         self.spark = spark
         self.path = path.rstrip("/") or path
+        self._compact_every = compact_every
         os.makedirs(self.path, exist_ok=True)
 
     # -- quantizer -----------------------------------------------------------
@@ -113,6 +127,18 @@ class IncrementalIvfIndex:
         )
 
     # -- maintenance ---------------------------------------------------------
+
+    def _maybe_compact(self) -> bool:
+        """Apply the auto-compaction policy after a committed update:
+        fold iff the batch-dir count crossed the threshold (a cheap
+        listdir — no data read). Returns True when a fold ran."""
+        if (
+            self._compact_every is not None
+            and len(self._batches()) >= self._compact_every
+        ):
+            compact_index(self)
+            return True
+        return False
 
     def update(
         self,
@@ -204,6 +230,7 @@ class IncrementalIvfIndex:
             ).parquet(f"{self.path}/vectors/batch={batch_id}")
         finally:
             assigned.unpersist()
+        self._maybe_compact()
 
     # -- probe ---------------------------------------------------------------
 
@@ -429,6 +456,7 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
             ).parquet(f"{self.path}/vectors/batch={batch_id}")
         finally:
             encoded.unpersist()
+        self._maybe_compact()
 
     def probe(
         self,
@@ -511,18 +539,20 @@ def run_ivf_index_stream_available_now(
     checkpoint_dir: str,
     schema=None,
     max_files_per_trigger: int | None = 1,
+    compact_every: int | None = None,
 ) -> IncrementalIvfIndex:
     """Drain all available vector files into the index. The quantizer
     must already be trained (train() on a bootstrap corpus first). One
     slice file per micro-batch by default — availableNow otherwise folds
     every pending file into a single batch and the incremental fold
-    never exercises more than one update."""
+    never exercises more than one update. `compact_every` enables the
+    auto-compaction policy (see IncrementalIvfIndex)."""
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
     reader = apply_max_files_per_trigger(reader, max_files_per_trigger)
     stream = reader.parquet(source_dir)
-    idx = IncrementalIvfIndex(spark, index_dir)
+    idx = IncrementalIvfIndex(spark, index_dir, compact_every=compact_every)
     if not idx.is_trained():
         raise ValueError("train() the quantizer before streaming updates")
 

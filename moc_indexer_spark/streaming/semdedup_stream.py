@@ -83,13 +83,27 @@ class IncrementalSemDeDup:
     """Parquet-backed scaled-SemDeDup state maintained one micro-batch at
     a time."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        compact_every: int | None = None,
+    ):
+        """`compact_every` is the AUTO-COMPACTION policy (the Indexer's
+        threshold + per-cycle fold budget, app.py _maybe_compact_one):
+        once the vector batch-dir count or the dup table's MoR delta
+        count crosses the threshold, fold it — AT MOST ONE of the two
+        per update (round-robin cursor), so a tick never absorbs two
+        rewrites. None (default) keeps the bare out-of-band compact()
+        contract the flat update exponent previously assumed."""
         self.spark = spark
         self.path = path.rstrip("/") or path
         os.makedirs(self.path, exist_ok=True)
         self.dups = ParquetUpsertTable(
             spark, f"{self.path}/dups", keys=["vec_id"], mode="mor"
         )
+        self._compact_every = compact_every
+        self._compact_rr = 0  # round-robin over (vectors, dups)
         self._model_cache = None
         self._bc = None
 
@@ -293,15 +307,16 @@ class IncrementalSemDeDup:
             if new_ids is not new:
                 new_ids.unpersist()
             new.unpersist()
+        self._maybe_compact_one()
 
-    def compact(self) -> int:
-        """Fold committed vector batches into one partition (the shared
-        crash-consistent protocol) and the dup table's MoR deltas —
-        OUT-OF-BAND maintenance, like the BM25/IVF folds."""
+    def _compact_vectors(self) -> int:
+        """Fold committed vector batches into one cell-partitioned
+        partition (the shared crash-consistent protocol)."""
         from .compaction import assert_unique_ids
 
         committed = self.committed_batch()
-        folded = 0
+        if committed < 0:
+            return 0
 
         def _read_checked(upto):
             df = self._read_upto(upto)
@@ -313,19 +328,45 @@ class IncrementalSemDeDup:
             assert_unique_ids(df, "vec_id", f"semdedup.compact({self.path})")
             return df
 
-        if committed >= 0:
-            folded = compact_batched_dir(
-                self._vectors_dir(),
-                committed,
-                lambda: list_committed_batches(self._vectors_dir()),
-                _read_checked,
-                lambda df, tmp, n: df.repartition("cell")
-                .write.mode("overwrite")
-                .partitionBy("cell")
-                .parquet(tmp),
-            )
+        return compact_batched_dir(
+            self._vectors_dir(),
+            committed,
+            lambda: list_committed_batches(self._vectors_dir()),
+            _read_checked,
+            lambda df, tmp, n: df.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(tmp),
+        )
+
+    def compact(self) -> int:
+        """Fold committed vector batches into one partition (the shared
+        crash-consistent protocol) and the dup table's MoR deltas —
+        OUT-OF-BAND maintenance, like the BM25/IVF folds."""
+        folded = self._compact_vectors()
         self.dups.compact()
         return folded
+
+    def _maybe_compact_one(self) -> str | None:
+        """Fold AT MOST ONE state relation whose accretion crossed the
+        policy threshold (cheap listdirs — no data read). Returns the
+        folded unit's name, None if nothing crossed or no policy."""
+        if self._compact_every is None:
+            return None
+        units = (
+            ("vectors", lambda: len(
+                list_committed_batches(self._vectors_dir())
+            ), self._compact_vectors),
+            ("dups", lambda: len(self.dups.history()),
+             self.dups.compact),
+        )
+        for k in range(len(units)):
+            name, count, fold = units[(self._compact_rr + k) % len(units)]
+            if count() >= self._compact_every:
+                fold()
+                self._compact_rr = (self._compact_rr + k + 1) % len(units)
+                return name
+        return None
 
     # -- reads ----------------------------------------------------------------
 
@@ -352,18 +393,21 @@ def run_semdedup_stream_available_now(
     checkpoint_dir: str,
     schema=None,
     max_files_per_trigger: int | None = 1,
+    compact_every: int | None = None,
 ) -> IncrementalSemDeDup:
     """Drain all available embedding files into the SemDeDup index
     (deterministic replay mode; production uses a processing-time
     trigger). One slice file per micro-batch by default — availableNow
     otherwise folds every pending file into a single batch and the
-    incremental fold never exercises more than one update."""
+    incremental fold never exercises more than one update.
+    `compact_every` enables the auto-compaction policy (see
+    IncrementalSemDeDup)."""
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
     reader = apply_max_files_per_trigger(reader, max_files_per_trigger)
     stream = reader.parquet(source_dir)
-    idx = IncrementalSemDeDup(spark, index_dir)
+    idx = IncrementalSemDeDup(spark, index_dir, compact_every=compact_every)
     if not idx.is_trained():
         raise ValueError("train() the quantizer before streaming updates")
 

@@ -374,3 +374,36 @@ def test_stream_index_random_slicings_converge(spark, sf_dir, tmp_path):
             str(tmp_path / f"ck{case}"), schema=docs.schema,
         )
         assert _rows(idx.probe()) == want, f"case {case} diverged"
+
+
+def test_bm25_auto_compaction_policy_bounds_dirs(spark, sf_dir, tmp_path):
+    """compact_every folds at most one relation per update (round-robin
+    over lengths/postings), keeps both dir counts bounded, and leaves
+    probe results identical to the bare twin."""
+    import os
+
+    from moc_indexer_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents").limit(120)
+    bare = IncrementalBm25Index(spark, str(tmp_path / "bare"))
+    auto = IncrementalBm25Index(
+        spark, str(tmp_path / "auto"), compact_every=3
+    )
+    slices = [(0, 20), (20, 40), (40, 60), (60, 80), (80, 100), (100, 10**9)]
+    folded = set()
+    for i, (lo, hi) in enumerate(slices):
+        s = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        bare.update(s, i)
+        before = {
+            n: len(auto._batches(n)) for n in ("lengths", "postings")
+        }
+        auto.update(s, i)
+        for n in ("lengths", "postings"):
+            after = len(auto._batches(n))
+            if after < before[n] + 1:
+                folded.add(n)
+            assert after <= 4, n  # threshold + one waiting overshoot
+    assert folded == {"lengths", "postings"}  # the cursor reached both
+    b = sorted(map(tuple, bare.probe().collect()))
+    a = sorted(map(tuple, auto.probe().collect()))
+    assert a == b

@@ -249,3 +249,36 @@ def test_ivf_compact_detects_changed_payload_redelivery(
     idx.update(spark.createDataFrame([(7, b)], schema), 1)
     with pytest.raises(ValueError, match="vec_id=7"):
         compact_index(idx)
+
+
+def test_ivf_auto_compaction_policy_bounds_dirs(spark, sf_dir, tmp_path):
+    """compact_every keeps the batch-dir count bounded across a long
+    update sequence without changing any probe result vs the bare
+    out-of-band twin."""
+    import os
+
+    emb = table(spark, sf_dir, "embeddings").limit(120)
+    bare = IncrementalIvfIndex(spark, str(tmp_path / "bare"))
+    auto = IncrementalIvfIndex(
+        spark, str(tmp_path / "auto"), compact_every=3
+    )
+    bare.train(emb)
+    auto.train(emb)
+    slices = [(0, 20), (20, 40), (40, 60), (60, 80), (80, 100), (100, 10**9)]
+    for i, (lo, hi) in enumerate(slices):
+        s = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        bare.update(s, i)
+        auto.update(s, i)
+        n_dirs = len(
+            [d for d in os.listdir(f"{auto.path}/vectors")
+             if d.startswith("batch=")]
+        )
+        assert n_dirs <= 3  # the policy folds at the threshold
+    qs = _queries(emb, 4)
+    assert _rows(auto.probe(qs)) == _rows(bare.probe(qs))
+    # the bare twin accreted one dir per update (the contract the policy
+    # exists to relieve)
+    assert len(
+        [d for d in os.listdir(f"{bare.path}/vectors")
+         if d.startswith("batch=")]
+    ) == len(slices)

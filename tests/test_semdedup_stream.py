@@ -213,3 +213,41 @@ def test_semdedup_compact_detects_changed_payload_redelivery(
     idx.update(spark.createDataFrame([(7, b)], schema), 1)
     with pytest.raises(ValueError, match="vec_id=7"):
         idx.compact()
+
+
+def test_semdedup_auto_compaction_policy_bounds_state(
+    spark, sf_dir, tmp_path
+):
+    """The policy folds at most ONE unit per update (vectors fold or dup
+    MoR compaction, round-robin) and keeps both accretion counters
+    bounded, with duplicates() identical to the bare twin's."""
+    from moc_indexer_spark.streaming.compaction import (
+        list_committed_batches,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").limit(120)
+    bare = _mk_index(spark, str(tmp_path / "bare"), emb)
+    auto = IncrementalSemDeDup(
+        spark, str(tmp_path / "auto"), compact_every=3
+    )
+    auto.train(emb, threshold=THRESHOLD)
+    slices = [(0, 20), (20, 40), (40, 60), (60, 80), (80, 100), (100, 10**9)]
+    folded_units = set()
+    for i, (lo, hi) in enumerate(slices):
+        s = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        bare.update(s, i)
+        before_v = len(list_committed_batches(auto._vectors_dir()))
+        before_d = len(auto.dups.history())
+        auto.update(s, i)
+        after_v = len(list_committed_batches(auto._vectors_dir()))
+        after_d = len(auto.dups.history())
+        if after_v < before_v + 1:
+            folded_units.add("vectors")
+        if after_d < before_d + 1:
+            folded_units.add("dups")
+        # budget: never BOTH units folded by one update
+        assert not (after_v < before_v + 1 and after_d < before_d + 1)
+        assert after_v <= 4  # threshold + at most one waiting overshoot
+    assert folded_units == {"vectors", "dups"}  # round-robin reached both
+    assert _rows(auto.duplicates()) == _rows(bare.duplicates())
+    assert _vec_rows(auto) == _vec_rows(bare)
