@@ -200,17 +200,22 @@ class IncrementalIvfIndex:
         assigned = batch.mapInPandas(
             assign, schema=f"{id_col} long, {vec_col} array<double>, cell int"
         ).persist()
+        assigned_new = assigned
         try:
             touched = [
                 r[0] for r in assigned.select("cell").distinct().collect()
             ]
             seen = self._read_upto(batch_id - 1)
             if seen is not None and touched:
+                # persist BEFORE the emptiness probe: isEmpty() executes
+                # the anti-join, and without the cache the write below
+                # would execute it a second time (semdedup_stream's
+                # pattern — the guard must not double the hot path)
                 assigned_new = assigned.join(
                     seen.filter(F.col("cell").isin(touched)).select(id_col),
                     id_col,
                     "left_anti",
-                )
+                ).persist()
                 if assigned_new.isEmpty():
                     # a batch fully redelivered under a NEW batch id:
                     # writing an EMPTY batch=N partition (with _SUCCESS)
@@ -218,8 +223,6 @@ class IncrementalIvfIndex:
                     # the same guard semdedup_stream.update carries.
                     # Replays stay no-ops through this same anti-join.
                     return
-            else:
-                assigned_new = assigned
             # coalesce(1): the anti-join's shuffle otherwise fans the
             # micro-batch write into one file PER SHUFFLE PARTITION per
             # cell dir (measured: probe 1.2 -> 5.3 s and compact 1.8 ->
@@ -229,6 +232,8 @@ class IncrementalIvfIndex:
                 "cell"
             ).parquet(f"{self.path}/vectors/batch={batch_id}")
         finally:
+            if assigned_new is not assigned:
+                assigned_new.unpersist()
             assigned.unpersist()
         self._maybe_compact()
 
@@ -428,6 +433,7 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
                 "codes array<int>, cell int"
             ),
         ).persist()
+        encoded_new = encoded
         try:
             # cell-pruned new-id detection (same contract as the flat-IVF
             # update above: same payload -> same cell, the anti-join scan
@@ -437,24 +443,25 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
             ]
             seen = self._read_upto(batch_id - 1)
             if seen is not None and touched:
+                # persist before isEmpty — see the flat-IVF update
                 encoded_new = encoded.join(
                     seen.filter(F.col("cell").isin(touched)).select(id_col),
                     id_col,
                     "left_anti",
-                )
+                ).persist()
                 if encoded_new.isEmpty():
                     # fully-redelivered batch under a new id — see the
                     # flat-IVF update: an empty batch=N partition would
                     # poison read_batches_upto's schema inference
                     return
-            else:
-                encoded_new = encoded
             # coalesce(1): see the flat-IVF update above (anti-join
             # shuffle fan-out would multiply files per cell dir)
             encoded_new.coalesce(1).write.mode("overwrite").partitionBy(
                 "cell"
             ).parquet(f"{self.path}/vectors/batch={batch_id}")
         finally:
+            if encoded_new is not encoded:
+                encoded_new.unpersist()
             encoded.unpersist()
         self._maybe_compact()
 
