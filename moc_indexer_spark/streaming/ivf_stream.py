@@ -531,8 +531,16 @@ def compact_index(idx: IncrementalIvfIndex) -> int:
         # basePath read materializes it, and persisting the (now-stale)
         # ids INSIDE the fold's data files would leave correctness hanging
         # on Spark's partition-over-data precedence — any schema-explicit
-        # or non-Spark reader would see the wrong batch ids
+        # or non-Spark reader would see the wrong batch ids.
+        # repartition("cell") before the write (the semdedup fold's
+        # shape): without it each READ task writes one file per cell it
+        # holds, so a fold emits O(read_tasks x cells) files — and the
+        # bloat COMPOUNDS, because those files become the next fold's
+        # read tasks (measured at 200k vectors / 160 cells: 19,659 files
+        # after 12 policy folds, updates dominated by file opens). The
+        # one cell-keyed shuffle bounds every fold at one file per cell.
         write_fold=lambda df, tmp, n: df.drop("batch")
+        .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(tmp),

@@ -103,6 +103,15 @@ def test_ivf_stream_compaction_preserves_probes(spark, sf_dir, tmp_path):
     # wrong ids that Spark's partition-over-data precedence happens to mask
     fold_schema = spark.read.parquet(f"{base}/batch=2").schema.fieldNames()
     assert "batch" not in fold_schema
+    # fold file count is bounded by the CELL count (one cell-keyed
+    # shuffle before the write): without it each read task writes one
+    # file per cell it holds and the bloat compounds fold-over-fold
+    # (measured 19,659 files at 200k vectors / 160 cells before the fix)
+    import glob as _glob
+
+    n_files = len(_glob.glob(f"{base}/batch=2/cell=*/*.parquet"))
+    n_cells = len(_glob.glob(f"{base}/batch=2/cell=*"))
+    assert n_files <= n_cells
 
     # post-rename crash window: trash left behind after a completed swap
     # must only be deleted, never restored
