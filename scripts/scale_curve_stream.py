@@ -58,13 +58,17 @@ LOAD_COMPACT_EVERY = 16
 
 
 def _ivf_cells(n: int) -> int:
-    """Corpus-scaled cell count for the vector axes (IVF practice —
-    cells sized to the corpus the index grows into, as semdedup_stream's
-    train() does): 16 cells below 20k (the round-7 regime, unchanged
-    numbers), 160 at 200k (occupancy 1250). A fixed 16 at 200k would
-    make every update's cell-pruned anti-join read O(index/16 * 16) =
-    O(index) — the exact wall the corpus-scaled count exists to avoid."""
-    return min(4096, max(16, n // 1250))
+    """Corpus-scaled cell count for the vector axes — semdedup_stream's
+    occupancy-256 formula (IVF practice: cells sized to the corpus the
+    index grows into). The knob IS the scale story: a fixed 16 cells at
+    200k makes every cell-pruned anti-join read O(index); a first cut at
+    occupancy 1250 (160 cells at 200k) measured 8.98 s/update because a
+    200-vector batch touches ~114/160 cells and still reads ~71% of the
+    index. At occupancy 256 the cell count passes the batch size between
+    the 20k and 60k points, after which an update reads at most
+    touched_cells(<=batch) * 256 rows REGARDLESS of index size — the
+    saturation regime that holds at 100 TB."""
+    return min(4096, max(16, n // 256))
 
 
 from _curve_util import (  # noqa: E402
