@@ -10,10 +10,18 @@ is a single relation):
   re-clustering is an offline rebuild). Centroids persist beside the
   data, so assignment is deterministic for the index's lifetime.
 * Each micro-batch assigns its vectors to cells (Arrow pass, broadcast
-  centroids) and writes them to `vectors/batch=N/cell=K/` with
-  overwrite — the partition-per-batch idempotence trick. Because there
-  is only ONE relation, the batch directory's own `_SUCCESS` is the
-  commit record; no multi-relation ordering, no snapshots.
+  centroids) and writes them to `vectors/batch=N/` as ONE FLAT file
+  with overwrite — the partition-per-batch idempotence trick; `cell`
+  is a DATA column in the tail and becomes a PARTITION column only in
+  `compact_index`'s fold (semdedup_stream's mixed layout, ported here
+  after the round-8 200k scale axis measured the per-batch
+  partitionBy("cell") layout at 9.7 s/update and 7.7 s/probe: a
+  1000-vector batch spans ~650 of 781 cells, so every tail batch dir
+  held ~650 tiny files and each read paid thousands of file opens;
+  post-compact probe on the same index was 2.1 s — pure file-count
+  tax). Because there is only ONE relation, the batch directory's own
+  `_SUCCESS` is the commit record; no multi-relation ordering, no
+  snapshots.
 * New-vector detection anti-joins ids from batches < N, so replays
   rebuild identical deltas (blind to their own partial writes).
 * probe() picks each query's n_probe nearest centroids driver-side
@@ -30,7 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .compaction import list_committed_batches, read_batches_upto
+from .compaction import list_committed_batches
 from .triggers import apply_max_files_per_trigger
 
 
@@ -121,10 +129,42 @@ class IncrementalIvfIndex:
         b = self._batches()
         return b[-1] if b else -1
 
-    def _read_upto(self, upto: int) -> DataFrame | None:
-        return read_batches_upto(
-            self.spark, f"{self.path}/vectors", upto, with_batch_col=True
+    def _is_fold(self, b: int) -> bool:
+        d = f"{self.path}/vectors/batch={b}"
+        return os.path.isdir(d) and any(
+            f.startswith("cell=") for f in os.listdir(d)
         )
+
+    def _read_upto(self, upto: int) -> DataFrame | None:
+        """Committed vectors from batches <= upto, with the inferred
+        `batch` partition column (compact_index's fold write drops it).
+
+        MIXED-LAYOUT read — semdedup_stream's design: the fold (the
+        bulk of the index) is cell-PARTITIONED, so a cell predicate
+        prunes its directories at the scan; the post-fold tail batches
+        are FLAT single files carrying `cell` as a DATA column, so the
+        same predicate pushes to their parquet row groups and the tail
+        read cost is bounded by the compaction cadence. The two halves
+        cannot share one scan (partition discovery needs a consistent
+        layout), so they are read separately and unioned by name.
+        Schema-agnostic: works for the flat-IVF row shape and the PQ
+        subclass's wider rows alike."""
+        base = f"{self.path}/vectors"
+        batches = [b for b in list_committed_batches(base) if b <= upto]
+        if not batches:
+            return None
+        folds = [b for b in batches if self._is_fold(b)]
+        flats = [b for b in batches if b not in folds]
+        parts = [
+            self.spark.read.option("basePath", base)
+            .parquet(*[f"{base}/batch={b}" for b in group])
+            for group in (folds, flats)
+            if group
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     # -- maintenance ---------------------------------------------------------
 
@@ -154,10 +194,11 @@ class IncrementalIvfIndex:
         review finding applies here too: anti-joining against ALL stored
         ids reads O(index) per batch; a redelivered id carries the same
         payload, the quantizer is deterministic, so it lands in the SAME
-        cell and the cell-pruned read catches it — the batch dirs are
-        cell-partitioned, so the filter prunes directories at the scan.
-        An id re-sent with a different payload is an upstream
-        correction -> rebuild, the shared maintainer contract)."""
+        cell and the cell-pruned read catches it — the filter prunes the
+        fold's cell directories and pushes to the flat tail's row groups,
+        see _read_upto. An id re-sent with a different payload is an
+        upstream correction -> rebuild, the shared maintainer
+        contract)."""
         if batch_id <= self.committed_batch():
             return
         import numpy as np
@@ -219,18 +260,21 @@ class IncrementalIvfIndex:
                 if assigned_new.isEmpty():
                     # a batch fully redelivered under a NEW batch id:
                     # writing an EMPTY batch=N partition (with _SUCCESS)
-                    # would poison read_batches_upto's schema inference —
-                    # the same guard semdedup_stream.update carries.
+                    # would poison _read_upto's schema inference — the
+                    # same guard semdedup_stream.update carries.
                     # Replays stay no-ops through this same anti-join.
                     return
-            # coalesce(1): the anti-join's shuffle otherwise fans the
-            # micro-batch write into one file PER SHUFFLE PARTITION per
-            # cell dir (measured: probe 1.2 -> 5.3 s and compact 1.8 ->
-            # 24 s at 20k from the file-count explosion alone); a tick-
-            # sized batch is one write task, exactly as before
-            assigned_new.coalesce(1).write.mode("overwrite").partitionBy(
-                "cell"
-            ).parquet(f"{self.path}/vectors/batch={batch_id}")
+            # FLAT single-file write (coalesce(1) also absorbs the
+            # anti-join's shuffle fan-out) — the cell layout is
+            # compact_index's job. The previous per-batch
+            # partitionBy("cell") wrote one file per cell the batch
+            # touched (~650 for a 1000-vector preload batch at 781
+            # cells), and the round-8 200k axis measured the resulting
+            # tail at 9.7 s/update, 7.7 s/probe vs 2.1 s post-compact —
+            # the same defect class the round-7 semdedup review fixed.
+            assigned_new.coalesce(1).write.mode("overwrite").parquet(
+                f"{self.path}/vectors/batch={batch_id}"
+            )
         finally:
             if assigned_new is not assigned:
                 assigned_new.unpersist()
@@ -316,8 +360,9 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
     (batch / persisted / streaming) x (IVF / IVF+PQ).
 
     Same exactly-once skeleton as the parent (quantizer trains once;
-    each micro-batch is an idempotent overwrite of a cell-partitioned
-    `batch=N` directory; new-id detection anti-joins earlier batches),
+    each micro-batch is an idempotent overwrite of a flat `batch=N`
+    file, cell-partitioned only at the fold; new-id detection
+    anti-joins earlier batches),
     but rows additionally carry the residual PQ codes + the
     sequential-fold norm, and probe() is the shared codes-only ADC +
     exact-re-rank core from operators/similarity. The same
@@ -452,13 +497,14 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
                 if encoded_new.isEmpty():
                     # fully-redelivered batch under a new id — see the
                     # flat-IVF update: an empty batch=N partition would
-                    # poison read_batches_upto's schema inference
+                    # poison _read_upto's schema inference
                     return
-            # coalesce(1): see the flat-IVF update above (anti-join
-            # shuffle fan-out would multiply files per cell dir)
-            encoded_new.coalesce(1).write.mode("overwrite").partitionBy(
-                "cell"
-            ).parquet(f"{self.path}/vectors/batch={batch_id}")
+            # FLAT single-file write — see the flat-IVF update above
+            # (cell-partitioning is compact_index's job; per-batch
+            # partitionBy was the measured 200k-axis wall)
+            encoded_new.coalesce(1).write.mode("overwrite").parquet(
+                f"{self.path}/vectors/batch={batch_id}"
+            )
         finally:
             if encoded_new is not encoded:
                 encoded_new.unpersist()

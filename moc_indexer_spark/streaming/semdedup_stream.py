@@ -9,7 +9,9 @@ THIS index's persisted quantizer: one row per vector, dup_of =
 smallest-id same-cell vector with a strictly smaller id whose
 6dp-rounded cosine clears the threshold, NULL for keepers.
 
-Design — the ivf_stream cell-partitioned batch layout for the VECTOR
+Design — flat micro-batch files folded into a cell-partitioned dir
+(the mixed layout ivf_stream now shares, ported there in round 8 after
+its 200k axis measured the per-batch partitionBy tail) for the VECTOR
 state + one keyed MERGE table for the dup rows (which ARE retroactively
 invalidated and need last-writer-wins):
 

@@ -291,3 +291,41 @@ def test_ivf_auto_compaction_policy_bounds_dirs(spark, sf_dir, tmp_path):
         [d for d in os.listdir(f"{bare.path}/vectors")
          if d.startswith("batch=")]
     ) == len(slices)
+
+
+def test_ivf_tail_batches_are_flat_single_files(spark, sf_dir, tmp_path):
+    """Micro-batches land as ONE flat file with `cell` as a data column
+    (cell-partitioning is the fold's job): the round-8 200k axis
+    measured the per-batch partitionBy("cell") tail at 9.7 s/update and
+    7.7 s/probe vs 2.1 s post-compact — one directory per touched cell
+    per batch, pure file-open tax (the defect class the round-7
+    semdedup review fixed; this pins the port). The mixed-layout read
+    (cell-partitioned fold + flat tail) must keep probes identical
+    across a fold."""
+    import glob
+    import os
+
+    from moc_indexer_spark.streaming.ivf_stream import (
+        IncrementalIvfPqIndex,
+        compact_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").limit(120)
+    for cls, name in [
+        (IncrementalIvfIndex, "flat"),
+        (IncrementalIvfPqIndex, "pq"),
+    ]:
+        idx = cls(spark, str(tmp_path / name))
+        idx.train(emb, n_cells=8)
+        idx.update(emb.filter(F.col("vec_id") < 60), 0)
+        d = f"{idx.path}/vectors/batch=0"
+        assert not any(f.startswith("cell=") for f in os.listdir(d)), name
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, name
+        # fold, then add a flat tail on top: the mixed read must union
+        # the two layouts and the next fold must preserve every probe
+        compact_index(idx)
+        idx.update(emb.filter(F.col("vec_id") >= 60), 1)
+        qs = _queries(emb, 3)
+        want = _rows(idx.probe(qs, n_probe=8))
+        compact_index(idx)
+        assert _rows(idx.probe(qs, n_probe=8)) == want, name

@@ -3,7 +3,7 @@ incremental state must converge to the batch scaled-SemDeDup answer
 under the index's own quantizer — for any slicing, any slice order, and
 under replay — and late smaller ids must RETRO-INVALIDATE stale dup
 rows (the property that forces per-touched-cell recomputation instead of
-pure appends). The vector state is the ivf_stream cell-partitioned batch
+pure appends). The vector state is the flat-batch + cell-partitioned-fold
 layout, so the per-update read must prune to the touched cells."""
 
 import pytest
