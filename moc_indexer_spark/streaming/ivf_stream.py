@@ -62,6 +62,15 @@ class IncrementalIvfIndex:
         self.spark = spark
         self.path = path.rstrip("/") or path
         self._compact_every = compact_every
+        # relation cache for _read_upto (see its docstring): building a
+        # DataFrame over the fold re-lists its O(cells) partition dirs
+        # with a fresh distributed listing job EVERY read (measured at
+        # 200k/781 cells: a 781-task listing stage per probe, ~1.2 s of
+        # the 2.3 s steady probe). The fold only changes at compaction,
+        # so the relation is cached keyed by the exact batch-id group it
+        # reads — batch ids are monotonic and folds replace the group,
+        # so a key can never silently alias different on-disk states.
+        self._relation_cache: dict[tuple, DataFrame] = {}
         os.makedirs(self.path, exist_ok=True)
 
     # -- quantizer -----------------------------------------------------------
@@ -153,17 +162,35 @@ class IncrementalIvfIndex:
         batches = [b for b in list_committed_batches(base) if b <= upto]
         if not batches:
             return None
-        folds = [b for b in batches if self._is_fold(b)]
-        flats = [b for b in batches if b not in folds]
+        folds = tuple(b for b in batches if self._is_fold(b))
+        flats = tuple(b for b in batches if b not in folds)
         parts = [
-            self.spark.read.option("basePath", base)
-            .parquet(*[f"{base}/batch={b}" for b in group])
+            self._cached_relation(base, group)
             for group in (folds, flats)
             if group
         ]
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        return df
+
+    def _cached_relation(self, base: str, group: tuple) -> DataFrame:
+        """One DataFrame (and thus ONE file-index listing) per distinct
+        committed batch-id group. The fold group's key changes only at
+        compaction; the flat-tail group's key changes every update (its
+        listing is a handful of single-file dirs — cheap). Monotonic
+        batch ids + fold-replaces-group means a key is never reused for
+        different on-disk content; a replayed UNcommitted partial dir is
+        invisible here (no _SUCCESS -> not in list_committed_batches)."""
+        key = (base, group)
+        df = self._relation_cache.get(key)
+        if df is None:
+            if len(self._relation_cache) > 8:
+                self._relation_cache.clear()
+            df = self.spark.read.option("basePath", base).parquet(
+                *[f"{base}/batch={b}" for b in group]
+            )
+            self._relation_cache[key] = df
         return df
 
     # -- maintenance ---------------------------------------------------------

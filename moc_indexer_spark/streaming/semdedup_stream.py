@@ -106,6 +106,13 @@ class IncrementalSemDeDup:
         )
         self._compact_every = compact_every
         self._compact_rr = 0  # round-robin over (vectors, dups)
+        # relation cache for _read_upto — the ivf_stream design: building
+        # a DataFrame over the cell-partitioned fold re-lists its
+        # O(cells) partition dirs with a fresh distributed listing job
+        # every read; the fold only changes at compaction, so cache the
+        # relation keyed by the exact batch-id group (monotonic ids +
+        # fold-replaces-group => no key aliasing)
+        self._relation_cache: dict[tuple, DataFrame] = {}
         self._model_cache = None
         self._bc = None
 
@@ -214,26 +221,34 @@ class IncrementalSemDeDup:
         ]
         if not batches:
             return None
-        folds = [b for b in batches if self._is_fold(b)]
-        flats = [b for b in batches if b not in folds]
-        parts = []
-        if folds:
-            parts.append(
-                self.spark.read.option("basePath", self._vectors_dir())
-                .parquet(
-                    *[f"{self._vectors_dir()}/batch={b}" for b in folds]
-                )
-                .select(*cols)
-            )
-        if flats:
-            parts.append(
-                self.spark.read.parquet(
-                    *[f"{self._vectors_dir()}/batch={b}" for b in flats]
-                ).select(*cols)
-            )
+        folds = tuple(b for b in batches if self._is_fold(b))
+        flats = tuple(b for b in batches if b not in folds)
+        parts = [
+            self._cached_relation(group).select(*cols)
+            for group in (folds, flats)
+            if group
+        ]
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        return df
+
+    def _cached_relation(self, group: tuple) -> DataFrame:
+        """One DataFrame (one file-index listing) per distinct committed
+        batch-id group — see IncrementalIvfIndex._cached_relation for
+        the safety argument (monotonic ids, fold replaces its group,
+        uncommitted partials invisible)."""
+        key = group
+        df = self._relation_cache.get(key)
+        if df is None:
+            if len(self._relation_cache) > 8:
+                self._relation_cache.clear()
+            df = self.spark.read.option(
+                "basePath", self._vectors_dir()
+            ).parquet(
+                *[f"{self._vectors_dir()}/batch={b}" for b in group]
+            )
+            self._relation_cache[key] = df
         return df
 
     def vectors_df(self) -> DataFrame | None:

@@ -12,7 +12,7 @@ Axes, written into SCALE_CURVE.json under "stream_results":
   grows with the corpus, as it does under a real cadence). The update
   reads history only through the new-doc anti-join (doc-id column) and
   rewrites the vocab-sized dfreq / 1-row stats snapshots (BM25) or
-  appends one assigned partition (IVF) — expect sub-linear growth.
+  appends one flat assigned batch file (IVF) — expect sub-linear growth.
 - bm25_probe_vs_index_size / ivf_probe_vs_index_size: probe latency at
   the committed state for the same sizes, plus a post-compaction point
   at the largest size (the read tax compaction exists to bound).
