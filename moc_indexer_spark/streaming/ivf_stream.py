@@ -178,10 +178,15 @@ class IncrementalIvfIndex:
         """One DataFrame (and thus ONE file-index listing) per distinct
         committed batch-id group. The fold group's key changes only at
         compaction; the flat-tail group's key changes every update (its
-        listing is a handful of single-file dirs — cheap). Monotonic
-        batch ids + fold-replaces-group means a key is never reused for
-        different on-disk content; a replayed UNcommitted partial dir is
-        invisible here (no _SUCCESS -> not in list_committed_batches)."""
+        listing is a handful of single-file dirs — cheap). Batch ids are
+        monotonic and a committed batch's files are immutable BETWEEN
+        folds, so a key always names the same on-disk content — EXCEPT
+        across a fold, which rewrites batch=<committed> in place (the id
+        is reused: a singleton flat group `(N,)` cached before the fold
+        would alias the fold group `(N,)` after it, reading deleted
+        files). compact_index therefore clears this cache after every
+        fold; a replayed UNcommitted partial dir is invisible here (no
+        _SUCCESS -> not in list_committed_batches)."""
         key = (base, group)
         df = self._relation_cache.get(key)
         if df is None:
@@ -595,7 +600,7 @@ def compact_index(idx: IncrementalIvfIndex) -> int:
         assert_unique_ids(df, df.columns[0], f"compact_index({idx.path})")
         return df
 
-    return compact_batched_dir(
+    folded = compact_batched_dir(
         base=f"{idx.path}/vectors",
         committed=committed,
         list_batches=idx._batches,
@@ -618,6 +623,12 @@ def compact_index(idx: IncrementalIvfIndex) -> int:
         .partitionBy("cell")
         .parquet(tmp),
     )
+    if folded:
+        # the fold rewrote batch=<committed> IN PLACE (id reuse): any
+        # cached relation whose group contains that id now points at
+        # deleted part files — see _cached_relation's safety argument
+        idx._relation_cache.clear()
+    return folded
 
 
 def run_ivf_index_stream_available_now(

@@ -236,8 +236,9 @@ class IncrementalSemDeDup:
     def _cached_relation(self, group: tuple) -> DataFrame:
         """One DataFrame (one file-index listing) per distinct committed
         batch-id group — see IncrementalIvfIndex._cached_relation for
-        the safety argument (monotonic ids, fold replaces its group,
-        uncommitted partials invisible)."""
+        the safety argument (monotonic ids, uncommitted partials
+        invisible, cache cleared on fold because the fold reuses the
+        committed batch id in place)."""
         key = group
         df = self._relation_cache.get(key)
         if df is None:
@@ -345,7 +346,7 @@ class IncrementalSemDeDup:
             assert_unique_ids(df, "vec_id", f"semdedup.compact({self.path})")
             return df
 
-        return compact_batched_dir(
+        folded = compact_batched_dir(
             self._vectors_dir(),
             committed,
             lambda: list_committed_batches(self._vectors_dir()),
@@ -355,6 +356,13 @@ class IncrementalSemDeDup:
             .partitionBy("cell")
             .parquet(tmp),
         )
+        if folded:
+            # the fold rewrote batch=<committed> IN PLACE (id reuse):
+            # any cached relation whose group contains that id now
+            # points at deleted part files — see
+            # IncrementalIvfIndex._cached_relation's safety argument
+            self._relation_cache.clear()
+        return folded
 
     def compact(self) -> int:
         """Fold committed vector batches into one partition (the shared

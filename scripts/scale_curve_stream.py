@@ -350,13 +350,15 @@ LONGRUN_TICK_VECS = 50
 LONGRUN_COMPACT_EVERY = 8
 
 
-def _longrun_arms(mk_index, update_fn, count_state):
+def _longrun_arms(mk_index, update_fn, count_state,
+                  preload=None, tick=None, tick_key="tick_vecs"):
     """Shared two-arm long-run skeleton (the mor_cycle_policy_longrun
     pattern): identical preload + fold, then LONGRUN_CYCLES tick-sized
     updates per arm — policy ON (compact_every=LONGRUN_COMPACT_EVERY)
     vs OFF (out-of-band contract, never called). Reports the accretion
     slope a months-long daemon rides (first10 vs last10 medians) and
-    how many cycles absorbed a fold."""
+    how many cycles absorbed a fold. `preload`/`tick`/`tick_key` label
+    the arms (docs for BM25, vectors for the vector maintainers)."""
     import statistics
 
     out = {}
@@ -374,8 +376,8 @@ def _longrun_arms(mk_index, update_fn, count_state):
         s = sorted(lat)
         out[label] = {
             "cycles": LONGRUN_CYCLES,
-            "preload": LONGRUN_PRELOAD,
-            "tick_vecs": LONGRUN_TICK_VECS,
+            "preload": LONGRUN_PRELOAD if preload is None else preload,
+            tick_key: LONGRUN_TICK_VECS if tick is None else tick,
             "median": round(s[len(s) // 2], 3),
             "p90": round(s[int(len(s) * 0.9)], 3),
             "max": round(max(lat), 3),
@@ -385,6 +387,30 @@ def _longrun_arms(mk_index, update_fn, count_state):
         }
         print(json.dumps({label: out[label]}), flush=True)
     return out
+
+
+def _vec_preload(spark, idx, rng, vecs):
+    """Shared vector-maintainer preload: LONGRUN_PRELOAD vectors in
+    LOAD_BATCH_VECS batches, then one out-of-band fold so both arms
+    start from one identically-folded state — the ON/OFF contrast is
+    then purely the LONGRUN_CYCLES unattended cycles."""
+    bid = 0
+    done = 0
+    while done < LONGRUN_PRELOAD:
+        m = min(LOAD_BATCH_VECS, LONGRUN_PRELOAD - done)
+        pick = rng.integers(0, len(vecs), size=m)
+        rows = [(done + j, vecs[int(p)]) for j, p in enumerate(pick)]
+        idx.update(spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"), bid)
+        bid += 1
+        done += m
+    if hasattr(idx, "compact"):
+        idx.compact()
+    else:
+        from moc_indexer_spark.streaming.ivf_stream import compact_index
+
+        compact_index(idx)
+    return bid, done
 
 
 def run_policy_longrun(spark) -> dict:
@@ -408,25 +434,7 @@ def run_policy_longrun(spark) -> dict:
     vecs = [list(r.embedding) for r in src.select("embedding").collect()]
 
     def preload(idx, rng):
-        bid = 0
-        done = 0
-        while done < LONGRUN_PRELOAD:
-            m = min(LOAD_BATCH_VECS, LONGRUN_PRELOAD - done)
-            pick = rng.integers(0, len(vecs), size=m)
-            rows = [(done + j, vecs[int(p)]) for j, p in enumerate(pick)]
-            idx.update(spark.createDataFrame(
-                rows, "vec_id long, embedding array<float>"), bid)
-            bid += 1
-            done += m
-        # both arms start from one identically-folded state; the ON/OFF
-        # contrast is then purely the 40 unattended cycles
-        if hasattr(idx, "compact"):
-            idx.compact()
-        else:
-            from moc_indexer_spark.streaming.ivf_stream import compact_index
-
-            compact_index(idx)
-        return bid, done
+        return _vec_preload(spark, idx, rng, vecs)
 
     out = {}
 
@@ -485,11 +493,102 @@ def run_policy_longrun(spark) -> dict:
     return out
 
 
+BM25_LONGRUN_PRELOAD = 15_000   # docs (the 3x axis point)
+BM25_LONGRUN_TICK_DOCS = 250    # the axis' timed micro-batch size
+
+
+def run_policy_longrun_aux(spark) -> dict:
+    """bm25/ivf_stream_policy_longrun: the same two-arm long-run for the
+    remaining two stream maintainers (the text index and the exact-vector
+    IVF), completing the policy coverage across all four incremental
+    indexes — the round-7 VERDICT asked for at least SemDeDup and IVFADC;
+    these two make the policy's flat-unattended claim uniform."""
+    import numpy as np
+
+    from moc_indexer_spark.streaming.bm25_stream import (
+        IncrementalBm25Index,
+    )
+    from moc_indexer_spark.streaming.bm25_stream import (
+        compact_index as bm25_compact,
+    )
+    from moc_indexer_spark.streaming.ivf_stream import IncrementalIvfIndex
+
+    out = {}
+    state = {}
+
+    # --- BM25 maintainer -----------------------------------------------------
+    texts = [r.text for r in spark.read.parquet(
+        f"{SF01}/documents.parquet").select("text").collect()]
+
+    def mk_bm25(ce):
+        rng = np.random.default_rng(29)
+        d = tempfile.mkdtemp(prefix=f"longrun_bm25_{ce}_")
+        idx = IncrementalBm25Index(spark, os.path.join(d, "ix"),
+                                   compact_every=ce)
+        bid = 0
+        for ids, txts in _doc_batches(rng, texts, 0, BM25_LONGRUN_PRELOAD,
+                                      LOAD_BATCH_DOCS):
+            idx.update(spark.createDataFrame(
+                list(zip(ids, txts)), "doc_id long, text string"), bid)
+            bid += 1
+        # identical folded start for both arms (see _vec_preload)
+        bm25_compact(idx)
+        state[id(idx)] = [bid, BM25_LONGRUN_PRELOAD, rng]
+        return idx, None
+
+    def upd_bm25(idx, _c):
+        bid, done, rng = state[id(idx)]
+        ids, txts = next(_doc_batches(rng, texts, done,
+                                      BM25_LONGRUN_TICK_DOCS,
+                                      BM25_LONGRUN_TICK_DOCS))
+        idx.update(spark.createDataFrame(
+            list(zip(ids, txts)), "doc_id long, text string"), bid)
+        state[id(idx)] = [bid + 1, done + BM25_LONGRUN_TICK_DOCS, rng]
+
+    def count_bm25(idx):
+        return len(idx._batches("lengths")) + len(idx._batches("postings"))
+
+    out["bm25_stream_policy_longrun"] = _longrun_arms(
+        mk_bm25, upd_bm25, count_bm25,
+        preload=BM25_LONGRUN_PRELOAD, tick=BM25_LONGRUN_TICK_DOCS,
+        tick_key="tick_docs")
+
+    # --- exact-vector IVF maintainer ----------------------------------------
+    src = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    vecs = [list(r.embedding) for r in src.select("embedding").collect()]
+
+    def mk_ivf(ce):
+        rng = np.random.default_rng(31)
+        d = tempfile.mkdtemp(prefix=f"longrun_ivf_{ce}_")
+        idx = IncrementalIvfIndex(spark, os.path.join(d, "ix"),
+                                  compact_every=ce)
+        idx.train(src, n_cells=_ivf_cells(LONGRUN_PRELOAD))
+        bid, done = _vec_preload(spark, idx, rng, vecs)
+        state[id(idx)] = [bid, done, rng]
+        return idx, None
+
+    def upd_ivf(idx, _c):
+        bid, done, rng = state[id(idx)]
+        pick = rng.integers(0, len(vecs), size=LONGRUN_TICK_VECS)
+        rows = [(done + j, vecs[int(p)]) for j, p in enumerate(pick)]
+        idx.update(spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"), bid)
+        state[id(idx)] = [bid + 1, done + LONGRUN_TICK_VECS, rng]
+
+    def count_ivf(idx):
+        return len(idx._batches())
+
+    out["ivf_stream_policy_longrun"] = _longrun_arms(
+        mk_ivf, upd_ivf, count_ivf)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--only", default="",
                     help="comma list of axes: bm25,ivf,ivfpq,semdedup,"
+                         "longrun_aux,"
                          "longrun")
     args = ap.parse_args()
 
@@ -511,6 +610,8 @@ def main() -> None:
         results.update(run_semdedup(spark, args.runs))
     if only is not None and "longrun" in only:
         results.update(run_policy_longrun(spark))
+    if only is not None and "longrun_aux" in only:
+        results.update(run_policy_longrun_aux(spark))
 
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -329,3 +329,32 @@ def test_ivf_tail_batches_are_flat_single_files(spark, sf_dir, tmp_path):
         want = _rows(idx.probe(qs, n_probe=8))
         compact_index(idx)
         assert _rows(idx.probe(qs, n_probe=8)) == want, name
+
+
+def test_ivf_fold_id_reuse_invalidates_cached_relations(
+    spark, sf_dir, tmp_path
+):
+    """Regression (round 8): the fold rewrites batch=<committed> IN
+    PLACE, so a relation cached for the singleton flat group `(N,)`
+    (inside the fold's own pre-read) aliases the post-fold group `(N,)`
+    and points at deleted part files. compact_every=2 — every fold's
+    tail is a single flat batch — crashed the next update with
+    FAILED_READ_FILE before the cache was cleared on fold. The ce=3
+    sibling test misses this by one: its folds never see a singleton
+    tail."""
+    from moc_indexer_spark.streaming.ivf_stream import IncrementalIvfPqIndex
+
+    emb = table(spark, sf_dir, "embeddings").limit(120)
+    for cls, sub in ((IncrementalIvfIndex, "flat"),
+                     (IncrementalIvfPqIndex, "pq")):
+        bare = cls(spark, str(tmp_path / f"bare_{sub}"))
+        auto = cls(spark, str(tmp_path / f"auto_{sub}"), compact_every=2)
+        bare.train(emb)
+        auto.train(emb)
+        slices = [(0, 20), (20, 40), (40, 60), (60, 80), (80, 10**9)]
+        for i, (lo, hi) in enumerate(slices):
+            s = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            bare.update(s, i)
+            auto.update(s, i)  # crashed here pre-fix (stale file listing)
+        qs = _queries(emb, 4)
+        assert _rows(auto.probe(qs)) == _rows(bare.probe(qs))

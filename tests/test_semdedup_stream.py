@@ -251,3 +251,26 @@ def test_semdedup_auto_compaction_policy_bounds_state(
     assert folded_units == {"vectors", "dups"}  # round-robin reached both
     assert _rows(auto.duplicates()) == _rows(bare.duplicates())
     assert _vec_rows(auto) == _vec_rows(bare)
+
+
+def test_semdedup_fold_id_reuse_invalidates_cached_relations(
+    spark, sf_dir, tmp_path
+):
+    """Regression (round 8): same fold-id-reuse alias as the IVF
+    maintainers (see test_ivf_fold_id_reuse_invalidates_cached_relations)
+    — compact_every=2 folds with a single-flat-batch tail, whose
+    pre-read caches the `(N,)` relation the fold then rewrites. The
+    update after each fold read deleted files before _compact_vectors
+    cleared the cache."""
+    emb = table(spark, sf_dir, "embeddings").limit(120)
+    bare = _mk_index(spark, str(tmp_path / "bare"), emb)
+    auto = IncrementalSemDeDup(spark, str(tmp_path / "auto"),
+                               compact_every=2)
+    auto.train(emb, threshold=THRESHOLD)
+    slices = [(0, 20), (20, 40), (40, 60), (60, 80), (80, 10**9)]
+    for i, (lo, hi) in enumerate(slices):
+        s = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        bare.update(s, i)
+        auto.update(s, i)  # crashed here pre-fix (stale file listing)
+    assert _rows(auto.duplicates()) == _rows(bare.duplicates())
+    assert _vec_rows(auto) == _vec_rows(bare)
