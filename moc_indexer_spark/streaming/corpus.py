@@ -176,12 +176,16 @@ def _band_rows(feats: DataFrame) -> DataFrame:
 def _verify_pairs(cands: DataFrame, feats_all: DataFrame) -> DataFrame:
     """Exact-Jaccard verify over distinct candidate pairs, using the
     stored shingle-hash sets; same threshold semantics as the batch
-    operator (hash-set counts equal string-set counts)."""
+    operator (hash-set counts equal string-set counts). `cands` is
+    micro-batch-derived (bucket collisions of one tick) — broadcast it so
+    the corpus-sized feature table is scanned map-only, never shuffled."""
     si = feats_all.select(F.col("doc_id").alias("doc_i"), F.col("sh").alias("sh_i"))
     sj = feats_all.select(F.col("doc_id").alias("doc_j"), F.col("sh").alias("sh_j"))
+    # hint BOTH joins: the hint does not propagate through the first join,
+    # and the intermediate (cands + sh_i) is still candidate-bounded
+    one = F.broadcast(cands).join(si, "doc_i")
     v = (
-        cands.join(si, "doc_i")
-        .join(sj, "doc_j")
+        F.broadcast(one).join(sj, "doc_j")
         .withColumn("inter", F.size(F.array_intersect("sh_i", "sh_j")))
         .withColumn(
             "jaccard",
@@ -245,7 +249,16 @@ def run_near_dedup_stream_available_now(
             # cross-batch candidates: new docs vs the persisted index
             cand = None
             if stored_bands is not None:
-                nb = new_bands.alias("n")
+                # broadcast the BATCH side explicitly: the stored index is
+                # the corpus-sized relation, and a planner misestimate on
+                # a fresh (statistics-free) state read could sort-merge it
+                # — shuffling O(corpus x bands) rows per micro-batch. With
+                # the batch side broadcast, the state side is ONE map-only
+                # scan per tick — the honest LSH bound (bucket probes are
+                # uniform hash scatter, so there is no cell/partition
+                # analog to prune the scan the way the vector maintainers
+                # do; the scan IS the floor).
+                nb = F.broadcast(new_bands).alias("n")
                 sb = stored_bands.alias("o")
                 cross = (
                     nb.join(
@@ -288,13 +301,23 @@ def run_near_dedup_stream_available_now(
             cand = within if cand is None else cand.unionByName(within)
             cand = cand.dropDuplicates(["doc_i", "doc_j"])
             stored_feats = feats_tbl.read()
-            feats_all = (
-                feats.select("doc_id", "sh")
-                if stored_feats is None
-                else feats.select("doc_id", "sh").unionByName(
-                    stored_feats.select("doc_id", "sh")
-                ).dropDuplicates(["doc_id"])
-            )
+            if stored_feats is None:
+                feats_all = feats.select("doc_id", "sh")
+            else:
+                # prefer-the-batch-copy via a broadcast anti-join: the
+                # previous dropDuplicates(doc_id) SHUFFLED the full stored
+                # feature table every micro-batch to dedup against a
+                # handful of possibly-redelivered ids. Same result (a
+                # redelivered id carries the same payload — the shared
+                # maintainer contract — so either copy verifies alike),
+                # but the state side stays a map-only scan.
+                feats_all = feats.select("doc_id", "sh").unionByName(
+                    stored_feats.select("doc_id", "sh").join(
+                        F.broadcast(feats.select("doc_id")),
+                        "doc_id",
+                        "left_anti",
+                    )
+                )
             hits = _verify_pairs(cand, feats_all)
             pairs_tbl.upsert(hits)
             bands_tbl.upsert(new_bands)

@@ -317,3 +317,65 @@ def test_near_dedup_stream_random_slicings_property(spark, tmp_path, sf_dir):
             for r in tbl.read().collect()
         )
         assert got == want, f"slicing case {case} (seed={seed}) diverged"
+
+
+def test_near_dedup_state_joins_broadcast_the_batch_side(
+    spark, tmp_path, sf_dir
+):
+    """Scale pin (round 8): the per-tick joins against stored state must
+    broadcast the BATCH-derived side so the corpus-sized relations
+    (bands index, feature table) are scanned map-only — a statistics-free
+    state read that fell back to sort-merge would shuffle O(corpus)
+    rows per micro-batch. Also pins that the redelivery dedup is the
+    broadcast anti-join, not the old full-state dropDuplicates shuffle."""
+    from moc_indexer_spark.streaming.corpus import (
+        _band_rows, _doc_features, _verify_pairs,
+        run_near_dedup_stream_available_now,
+    )
+    from moc_indexer_spark.streaming.sink import ParquetUpsertTable
+
+    docs = table(spark, sf_dir, "documents")
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    stage = f"{tmp_path}/stage"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    for f_ in os.listdir(stage):
+        if f_.endswith(".parquet"):
+            shutil.copy(f"{stage}/{f_}", f"{src}/a.parquet")
+    run_near_dedup_stream_available_now(
+        spark, src, f"{tmp_path}/state", f"{tmp_path}/ck", schema=docs.schema
+    )
+
+    # reconstruct the batch body's two state joins against the built state
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    feats = _doc_features(batch)
+    nb = F.broadcast(_band_rows(feats)).alias("n")
+    sb = ParquetUpsertTable(
+        spark, f"{tmp_path}/state/bands", keys=["band", "bucket", "doc_id"]
+    ).read().alias("o")
+    cross = nb.join(
+        sb,
+        (F.col("n.band") == F.col("o.band"))
+        & (F.col("n.bucket") == F.col("o.bucket"))
+        & (F.col("n.doc_id") != F.col("o.doc_id")),
+    ).select(
+        F.least("n.doc_id", "o.doc_id").alias("doc_i"),
+        F.greatest("n.doc_id", "o.doc_id").alias("doc_j"),
+    )
+    stored_feats = ParquetUpsertTable(
+        spark, f"{tmp_path}/state/feats", keys=["doc_id"]
+    ).read()
+    feats_all = feats.select("doc_id", "sh").unionByName(
+        stored_feats.select("doc_id", "sh").join(
+            F.broadcast(feats.select("doc_id")), "doc_id", "left_anti"
+        )
+    )
+    hits = _verify_pairs(cross.dropDuplicates(["doc_i", "doc_j"]), feats_all)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # bands + verify x2
+    # the anti-join must be broadcast too (no full-state shuffle dedup)
+    assert "LeftAnti, BuildRight" in plan
+    hits.count()  # and it executes
