@@ -381,10 +381,13 @@ def run_line_dedup_stream_available_now(
     pipeline gets for free and a streaming one must do explicitly).
 
     Per batch: upsert the batch's (doc, pos, line) rows into the lines
-    table, find lines whose distinct-doc count crosses the threshold, and
-    rebuild ONLY the affected documents (docs containing a newly-dup line)
-    plus the batch's own docs — never the whole corpus. Returns the clean
-    docs table (doc_id, clean_text, n_lines, n_kept).
+    table, find lines whose distinct-doc count crosses the threshold
+    (recounted over the BATCH's lh set only — crossings cannot involve
+    other lines, see the in-body argument — so state is scanned map-only,
+    never re-aggregated whole), and rebuild ONLY the affected documents
+    (docs containing a newly-dup line) plus the batch's own docs — never
+    the whole corpus. Returns the clean docs table (doc_id, clean_text,
+    n_lines, n_kept).
 
     State = the lines table itself (the inverted index any line-dedup
     needs) — keyed, replay-idempotent MERGEs throughout, so slice order
@@ -422,9 +425,21 @@ def run_line_dedup_stream_available_now(
             #   (FAILED_READ_FILE when it finally evaluates).
             # Over-invalidation when a doc is re-ingested is harmless —
             # rebuilds are idempotent; under-invalidation is the bug.
+            # Batch-bounded recounts (round 8): a threshold crossing needs
+            # nd(lh) to CHANGE, and under the maintainer contract (a
+            # redelivered doc carries the same payload) the post-upsert
+            # state differs from the pre-batch state only by rows whose lh
+            # is in THIS batch — so both recounts are restricted to the
+            # batch's lh set. The previous form groupBy'd the ENTIRE
+            # lines table twice per tick (a full-state shuffle that grows
+            # with the corpus); these are map-only pushdown scans with a
+            # batch-bounded shuffle output. Recompute-from-truth keeps the
+            # replay argument above intact: every read is POST-upsert.
+            batch_lh = new_lines.select("lh").distinct()
+            relevant = all_lines.join(F.broadcast(batch_lh), "lh")
             if existed_before:
                 old_dup = (
-                    all_lines.join(
+                    relevant.join(
                         F.broadcast(new_lines.select("doc_id").distinct()),
                         "doc_id",
                         "left_anti",
@@ -436,14 +451,14 @@ def run_line_dedup_stream_available_now(
                 )
             else:
                 old_dup = None
-            dup = (
-                all_lines.groupBy("lh")
+            dup_batch = (
+                relevant.groupBy("lh")
                 .agg(F.countDistinct("doc_id").alias("nd"))
                 .filter(F.col("nd") >= LINE_MIN_DUP_DOCS)
                 .select("lh")
             )
             # lines that JUST crossed the threshold invalidate old docs
-            newly_dup = dup if old_dup is None else dup.join(
+            newly_dup = dup_batch if old_dup is None else dup_batch.join(
                 old_dup, "lh", "left_anti"
             )
             affected = (
@@ -453,7 +468,20 @@ def run_line_dedup_stream_available_now(
                 .distinct()
             )
             todo = all_lines.join(F.broadcast(affected), "doc_id")
-            kept = todo.join(F.broadcast(dup), "lh", "left_anti")
+            # the rebuild's dup test needs counts for every lh the
+            # affected docs contain (old boilerplate included, not just
+            # this batch's lh) — recount restricted to todo's vocabulary,
+            # the affected-docs-bounded set
+            dup_todo = (
+                all_lines.join(
+                    F.broadcast(todo.select("lh").distinct()), "lh"
+                )
+                .groupBy("lh")
+                .agg(F.countDistinct("doc_id").alias("nd"))
+                .filter(F.col("nd") >= LINE_MIN_DUP_DOCS)
+                .select("lh")
+            )
+            kept = todo.join(F.broadcast(dup_todo), "lh", "left_anti")
             rebuilt = kept.groupBy("doc_id").agg(
                 F.first("n_lines").alias("n_lines"),
                 F.count(F.lit(1)).cast("bigint").alias("n_kept"),

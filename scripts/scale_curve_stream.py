@@ -344,6 +344,91 @@ def run_semdedup(spark, runs: int) -> dict:
     return out
 
 
+TEXTDEDUP_SIZES = [5_000, 15_000, 50_000]   # docs in state (1x/3x/10x sf0.1)
+TEXTDEDUP_FILE_DOCS = 1_000                 # docs per arrival file
+TEXTDEDUP_UPDATE_DOCS = 250                 # the timed micro-batch
+
+
+def run_textdedup(spark, runs: int) -> dict:
+    """neardedup/linededup_update_vs_state_size: one fixed-size micro-batch
+    through the TEXT dedup stream maintainers (streaming/corpus.py) after
+    the state already holds 1x/3x/10x documents. The round-8 rewrites made
+    both maintainers' per-tick state interaction map-only scans (broadcast
+    batch side; batch-bounded recounts) — this axis is the measured form
+    of that claim. The timed unit is one availableNow run over ONE new
+    arrival file (stream startup overhead included — constant across
+    sizes, so the exponent is the state-size signal)."""
+    import numpy as np
+
+    from moc_indexer_spark.streaming.corpus import (
+        run_line_dedup_stream_available_now,
+        run_near_dedup_stream_available_now,
+    )
+
+    docs_src = spark.read.parquet(f"{SF01}/documents.parquet")
+    texts = [r.text for r in docs_src.select("text").collect()]
+    schema = "doc_id long, text string, source string"
+    out: dict[str, dict] = {}
+
+    def write_file(src_dir: str, path_name: str, ids, txts):
+        stage = tempfile.mkdtemp(prefix="textdedup_stage_")
+        spark.createDataFrame(
+            [(i, t, "s") for i, t in zip(ids, txts)], schema
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        import shutil
+
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(stage, f),
+                            os.path.join(src_dir, f"{path_name}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    for label, runner in (("neardedup", run_near_dedup_stream_available_now),
+                          ("linededup", run_line_dedup_stream_available_now)):
+        rng = np.random.default_rng(37)
+        row: dict = {"t": {}}
+        for n in TEXTDEDUP_SIZES:
+            base = tempfile.mkdtemp(prefix=f"textdedup_{label}_{n}_")
+            src = os.path.join(base, "src")
+            os.makedirs(src)
+            nfile = 0
+            for ids, txts in _doc_batches(rng, texts, 0, n,
+                                          TEXTDEDUP_FILE_DOCS):
+                write_file(src, f"f{nfile:05d}", ids, txts)
+                nfile += 1
+            runner(spark, src, os.path.join(base, "state"),
+                   os.path.join(base, "ck"),
+                   schema=docs_src.select("doc_id", "text", "source").schema,
+                   max_files_per_trigger=None)  # preload: one big batch
+            done = n
+
+            def one_update():
+                nonlocal nfile, done
+                ids, txts = next(_doc_batches(
+                    rng, texts, done, TEXTDEDUP_UPDATE_DOCS,
+                    TEXTDEDUP_UPDATE_DOCS))
+                write_file(src, f"f{nfile:05d}", ids, txts)
+                nfile += 1
+                done += TEXTDEDUP_UPDATE_DOCS
+                runner(spark, src, os.path.join(base, "state"),
+                       os.path.join(base, "ck"),
+                       schema=docs_src.select(
+                           "doc_id", "text", "source").schema)
+
+            one_update()  # warm
+            row["t"][str(n)] = _median_times(one_update, runs)
+            print(json.dumps({f"{label}_update@{n}": row["t"][str(n)]}),
+                  flush=True)
+        row["exponent"] = _fit_exponent(
+            [n / TEXTDEDUP_SIZES[0] for n in TEXTDEDUP_SIZES],
+            [row["t"][str(n)] for n in TEXTDEDUP_SIZES],
+        )
+        name = f"{label}_update_vs_state_size"
+        out[name] = row
+        print(json.dumps({name: row}), flush=True)
+    return out
+
+
 LONGRUN_PRELOAD = 20_000
 LONGRUN_CYCLES = 40
 LONGRUN_TICK_VECS = 50
@@ -612,6 +697,8 @@ def main() -> None:
         results.update(run_policy_longrun(spark))
     if only is not None and "longrun_aux" in only:
         results.update(run_policy_longrun_aux(spark))
+    if only is not None and "textdedup" in only:
+        results.update(run_textdedup(spark, args.runs))
 
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
