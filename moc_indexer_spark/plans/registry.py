@@ -63,47 +63,44 @@ def register(name, oracle, tags=(), bench=False):
 # The driver's correctness gate evaluates the FIRST 50 registered queries.
 # This explicit window curates those slots: every entry is oracle-gated.
 #
-# Round 8 starts the AGE-BASED RE-CERTIFICATION ROTATION (the round-7
+# Round 8 started the AGE-BASED RE-CERTIFICATION ROTATION (the round-7
 # backlog retirement made this the window's steady-state job): slots go
 # to the oracle-gated queries whose last green driver CORRECTNESS row is
 # OLDEST, because the code under a 6-round-old row has been refactored
 # many times since its hash last ran under the driver. The order is
-# computed from CORRECTNESS_r01..r07 (last green round per query,
+# computed from CORRECTNESS_r01..r08 (last green round per query,
 # ascending; name ascending within a round — deterministic and
 # reproducible; see COVERAGE.md "Driver-window rotation" for the
-# procedure and the full queue). This window: `bpe_token_counts` (gated
-# in r7, the single query with NO driver row yet) + the 9 r1-resident +
-# 6 r2 + 6 r3 + 1 r4 + the first 27 r5 residents. Newly oracle-gated
-# queries, when a round adds any, take slots ahead of the age queue
-# (none this round). The queries rotated OUT hold fresh r6/r7 rows and
+# procedure and the full queue; `scripts/rotation_queue.py --check`
+# recomputes it and tests/test_rotation_queue.py enforces it). This
+# round-9 window: the 16 remaining r5 residents + 34 r6 residents.
+# Newly oracle-gated queries, when a round adds any, take slots ahead
+# of the age queue. The queries rotated OUT hold fresh r7/r8 rows and
 # stay oracle-gated right behind the window — the builder mirror, the
 # sf0.1 sweep and judge re-checks keep exercising them.
 _DRIVER_WINDOW = [
-    # never driver-certified (gated round 7; judge-green at sf0.01)
-    "bpe_token_counts",
-    # last driver row: round 1
-    "activity_heatmap", "decile_share", "dedup_report",
-    "embedding_norms", "event_journeys", "event_transitions",
-    "first_touch_attribution", "session_duration_stats", "tx_list_count",
-    # last driver row: round 2
-    "bool_coercion", "doc_fingerprint", "json_result_envelope",
-    "text_quality", "trigram_freqs", "unix_epoch_roundtrip",
-    # last driver row: round 3
-    "distinct_active_addresses", "doc_winnowing", "lang_id_heuristic",
-    "token_count_bpe", "tx_latest", "validated_sources",
-    # last driver row: round 4
-    "pq_ann_exact",
-    # last driver row: round 5 (first 27 by name; the rest queue for r9)
-    "abi_decode_roundtrip", "api_tx_list_formatted", "block_gap_report",
-    "bm25_topk", "classifier_auc", "cms_trigram_estimates",
-    "confirming_status", "cosine_topk", "dedup_clusters", "dedup_exact",
-    "dsir_importance_weights", "embedding_dup_pairs",
-    "event_pipeline_raw_hex", "heldout_perplexity",
-    "histogram_quantiles_certified", "hll_distinct_certified",
-    "hourly_window_agg", "ivf_ann_exact", "ivfpq_ann_exact",
-    "kmv_distinct_sketch", "kneser_ney_logprob", "leakage_safe_splits",
-    "line_dedup_docs", "liquidation_fanout", "logreg_calibration",
-    "media_exact_dedup", "media_feature_extract",
+    # last driver row: round 5 (the 16 residents left after the r8 window)
+    "ngram_dup_pairs", "pagerank_trade_graph", "pca_gram_check",
+    "price_variation_24h", "registered_user_txs", "report_summary",
+    "settlement_price_override", "sq8_ann_topk", "text_stats",
+    "top_event_per_address", "training_corpus_filter",
+    "tx_list_with_total", "typo_pairs", "user_sessions_native",
+    "value_percentiles", "weighted_reservoir_sample",
+    # last driver row: round 6 (first 34 by name; the rest queue for r10)
+    "amount_quartiles", "api_db_info", "api_pegout_list",
+    "asof_join_price_at_click", "below_avg_qty_revenue",
+    "boilerplate_shingles", "brand_revenue_share",
+    "cheapest_supplier_per_part", "cumulative_unique_users",
+    "customer_order_distribution", "customer_returns_topk",
+    "daily_event_matrix", "daily_rollup", "dedup_keeper_selection",
+    "disjunctive_revenue", "ewma_amount", "excess_shipment_suppliers",
+    "forecast_revenue", "hourly_ohlc", "idle_customer_balance",
+    "important_part_stock", "large_volume_orders",
+    "local_supplier_volume", "logreg_quality_scores", "moving_hour_sum",
+    "nation_market_share", "nation_pair_volume",
+    "ngram_dup_pairs_guarded", "ngram_dup_pairs_prefix",
+    "order_priority_counts", "part_supplier_variety", "price_lag_change",
+    "pricing_summary", "product_type_profit",
 ]
 
 

@@ -115,7 +115,9 @@ def compact_batched_dir(
 ) -> int:
     """Fold every `batch=N <= committed` under `base` into one partition
     at `batch=<committed>`. Returns the number of partitions folded
-    away. `list_batches` must re-list the directory on each call (it is
+    away; a nonzero return ALSO covers a recovery-completed crashed swap
+    (callers key their relation-cache invalidation on it).
+    `list_batches` must re-list the directory on each call (it is
     consulted again after recovery); `write_fold(df, tmp, n_batches)`
     owns the fold write's layout (coalesce / partitionBy)."""
     tmp = f"{base}__fold_tmp"
@@ -152,13 +154,25 @@ def compact_batched_dir(
         shutil.rmtree(trash, ignore_errors=True)
 
     # recovery: a previous run crashed mid-flight iff trash exists
+    recovered_swap = False
     if os.path.isdir(trash):
         fold = _fold_id()
         if not os.path.isdir(tmp):
             shutil.rmtree(trash, ignore_errors=True)
             _drop_stale_markers()
+            # tmp consumed by the rename => the crashed run DID install
+            # its swap before dying; if that run was in THIS process, the
+            # caller's relation cache predates the install — signal so it
+            # clears (harmless extra clear after a process-death crash)
+            recovered_swap = True
         elif fold is not None:
             _complete_swap(fold)
+            # batch=<fold> was rewritten IN PLACE (id reuse). Signal it
+            # even if no fresh fold runs below: a same-process caller
+            # (in-process exception + retry, not process death) may hold
+            # cached relations over the now-deleted original part files,
+            # and its `if folded:` cache clear must fire (ADVICE r8).
+            recovered_swap = True
         else:
             for d in os.listdir(trash):
                 dst = os.path.join(base, d)
@@ -169,7 +183,7 @@ def compact_batched_dir(
 
     batches = [b for b in list_batches() if b <= committed]
     if len(batches) <= 1:
-        return 0
+        return 1 if recovered_swap else 0
     merged = read_upto(committed)
     write_fold(merged, tmp, len(batches))
     with open(os.path.join(tmp, _FOLD_MARKER), "w") as f:

@@ -673,7 +673,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--only", default="",
                     help="comma list of axes: bm25,ivf,ivfpq,semdedup,"
-                         "longrun_aux,"
+                         "textdedup,longrun_aux,"
                          "longrun")
     args = ap.parse_args()
 
@@ -711,8 +711,18 @@ def main() -> None:
     merged = doc.get("stream_results", {})
     merged.update(results)
     doc["stream_results"] = merged
-    doc["stream_scales"] = {"bm25_docs": BM25_SIZES, "ivf_vectors": IVF_SIZES,
-                            "semdedup_vectors": SEMDEDUP_SIZES}
+    # Merge, never overwrite: semdedup_1m_point.py / ivf_1m_point.py append
+    # saturation points into these axes, and a later rerun of this script
+    # must not clobber them. Only touch the axes actually run.
+    scales = doc.setdefault("stream_scales", {})
+    if only is None or "bm25" in only:
+        scales["bm25_docs"] = BM25_SIZES
+    if only is None or only & {"ivf", "ivfpq"}:
+        scales["ivf_vectors"] = IVF_SIZES
+    if only is None or "semdedup" in only:
+        scales["semdedup_vectors"] = SEMDEDUP_SIZES
+    if only is not None and "textdedup" in only:
+        scales["textdedup_docs"] = TEXTDEDUP_SIZES
     with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=2)
     print(json.dumps({"written": out_path}), flush=True)
