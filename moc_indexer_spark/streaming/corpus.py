@@ -173,19 +173,35 @@ def _band_rows(feats: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-def _verify_pairs(cands: DataFrame, feats_all: DataFrame) -> DataFrame:
+# Forced-broadcast safety bound (ADVICE r8): the second `_verify_pairs`
+# join broadcasts candidate pairs WITH one shingle-hash array attached
+# (~4 KB/row at the corpus's ~300-shingle docs), so a hot LSH bucket — a
+# heavily templated batch colliding with many stored docs — could push a
+# forced broadcast past the driver/broadcast table cap and fail the job
+# hard where a shuffle would have completed. Above this many candidate
+# pairs (~400 MB attached-array payload) fall back to unhinted joins and
+# let AQE plan from the materialized size.
+VERIFY_BROADCAST_MAX_CANDS = 100_000
+
+
+def _verify_pairs(
+    cands: DataFrame, feats_all: DataFrame, hint_broadcast: bool = True
+) -> DataFrame:
     """Exact-Jaccard verify over distinct candidate pairs, using the
     stored shingle-hash sets; same threshold semantics as the batch
     operator (hash-set counts equal string-set counts). `cands` is
     micro-batch-derived (bucket collisions of one tick) — broadcast it so
-    the corpus-sized feature table is scanned map-only, never shuffled."""
+    the corpus-sized feature table is scanned map-only, never shuffled —
+    unless the caller measured a pathological candidate volume
+    (hint_broadcast=False, see VERIFY_BROADCAST_MAX_CANDS)."""
+    bhint = F.broadcast if hint_broadcast else (lambda df: df)
     si = feats_all.select(F.col("doc_id").alias("doc_i"), F.col("sh").alias("sh_i"))
     sj = feats_all.select(F.col("doc_id").alias("doc_j"), F.col("sh").alias("sh_j"))
     # hint BOTH joins: the hint does not propagate through the first join,
     # and the intermediate (cands + sh_i) is still candidate-bounded
-    one = F.broadcast(cands).join(si, "doc_i")
+    one = bhint(cands).join(si, "doc_i")
     v = (
-        F.broadcast(one).join(sj, "doc_j")
+        bhint(one).join(sj, "doc_j")
         .withColumn("inter", F.size(F.array_intersect("sh_i", "sh_j")))
         .withColumn(
             "jaccard",
@@ -243,11 +259,11 @@ def run_near_dedup_stream_available_now(
         feats = _doc_features(batch_df)
         # one action per batch over the expensive aggregate: materialize
         feats.persist()
+        cand = None
         try:
             new_bands = _band_rows(feats)
             stored_bands = bands_tbl.read()
             # cross-batch candidates: new docs vs the persisted index
-            cand = None
             if stored_bands is not None:
                 # broadcast the BATCH side explicitly: the stored index is
                 # the corpus-sized relation, and a planner misestimate on
@@ -299,7 +315,11 @@ def run_near_dedup_stream_available_now(
                 .select(F.col("p.doc_i").alias("doc_i"), F.col("p.doc_j").alias("doc_j"))
             )
             cand = within if cand is None else cand.unionByName(within)
-            cand = cand.dropDuplicates(["doc_i", "doc_j"])
+            cand = cand.dropDuplicates(["doc_i", "doc_j"]).persist()
+            # measure before hinting (one cheap action on two-long rows):
+            # a hot bucket can make |cands| x shingle-arrays exceed the
+            # broadcast cap — fall back to AQE-planned joins past the bound
+            n_cand = cand.count()
             stored_feats = feats_tbl.read()
             if stored_feats is None:
                 feats_all = feats.select("doc_id", "sh")
@@ -318,12 +338,18 @@ def run_near_dedup_stream_available_now(
                         "left_anti",
                     )
                 )
-            hits = _verify_pairs(cand, feats_all)
+            hits = _verify_pairs(
+                cand,
+                feats_all,
+                hint_broadcast=n_cand <= VERIFY_BROADCAST_MAX_CANDS,
+            )
             pairs_tbl.upsert(hits)
             bands_tbl.upsert(new_bands)
             feats_tbl.upsert(feats)
         finally:
             feats.unpersist()
+            if cand is not None:
+                cand.unpersist()
 
     (
         stream.writeStream.foreachBatch(process_batch)
@@ -339,6 +365,17 @@ def run_near_dedup_stream_available_now(
 
 LINE_SEG_TOKENS = 8
 LINE_MIN_DUP_DOCS = 2
+
+# Forced-broadcast safety bound (ADVICE r8): the rebuild joins broadcast
+# the affected-doc set and the affected docs' line-hash vocabulary. Both
+# are batch-bounded in the COMMON case but not in the worst one — a
+# newly-dup boilerplate line that appears in very many stored docs fans
+# the retro-invalidation out to all of them. The binding payload is the
+# lh vocabulary (~tens of line hashes per doc, 8 bytes each), so the cap
+# is set where that broadcast stays well under 100 MB; past it fall back
+# to unhinted joins and let AQE plan from real sizes instead of failing
+# on the broadcast cap.
+LINE_BROADCAST_MAX_AFFECTED_DOCS = 200_000
 
 
 def _doc_lines(batch: DataFrame) -> DataFrame:
@@ -407,6 +444,7 @@ def run_line_dedup_stream_available_now(
         if batch_df.isEmpty():
             return
         new_lines = _doc_lines(batch_df).persist()
+        affected = None
         try:
             existed_before = lines_tbl.exists()
             lines_tbl.upsert(new_lines.select("doc_id", "pos", "line", "lh", "n_lines"))
@@ -466,15 +504,25 @@ def run_line_dedup_stream_available_now(
                 .select("doc_id")
                 .unionByName(new_lines.select("doc_id"))
                 .distinct()
+            ).persist()
+            # measure before hinting (one action on single-long rows): a
+            # boilerplate crossing can fan out to arbitrarily many stored
+            # docs — past the bound, unhinted joins (AQE plans from the
+            # materialized size); see LINE_BROADCAST_MAX_AFFECTED_DOCS
+            n_affected = affected.count()
+            bhint = (
+                F.broadcast
+                if n_affected <= LINE_BROADCAST_MAX_AFFECTED_DOCS
+                else (lambda df: df)
             )
-            todo = all_lines.join(F.broadcast(affected), "doc_id")
+            todo = all_lines.join(bhint(affected), "doc_id")
             # the rebuild's dup test needs counts for every lh the
             # affected docs contain (old boilerplate included, not just
             # this batch's lh) — recount restricted to todo's vocabulary,
             # the affected-docs-bounded set
             dup_todo = (
                 all_lines.join(
-                    F.broadcast(todo.select("lh").distinct()), "lh"
+                    bhint(todo.select("lh").distinct()), "lh"
                 )
                 .groupBy("lh")
                 .agg(F.countDistinct("doc_id").alias("nd"))
@@ -522,6 +570,8 @@ def run_line_dedup_stream_available_now(
             )
         finally:
             new_lines.unpersist()
+            if affected is not None:
+                affected.unpersist()
 
     (
         stream.writeStream.foreachBatch(process_batch)

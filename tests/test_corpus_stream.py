@@ -379,3 +379,58 @@ def test_near_dedup_state_joins_broadcast_the_batch_side(
     # the anti-join must be broadcast too (no full-state shuffle dedup)
     assert "LeftAnti, BuildRight" in plan
     hits.count()  # and it executes
+
+def test_dedup_streams_converge_with_broadcast_fallback(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """Forced-broadcast safety bound (ADVICE r8): with the thresholds
+    pinned to 0 every tick takes the unhinted fallback path (a hot LSH
+    bucket / boilerplate fan-out would otherwise blow the broadcast cap)
+    — and the answers must be IDENTICAL to the hinted plans' (the hint
+    is a physical-plan choice, never a semantic one)."""
+    from moc_indexer_spark.operators.dedup import minhash_lsh_pairs
+    from moc_indexer_spark.plans.llm_registry import q_line_dedup_docs
+    from moc_indexer_spark.streaming import corpus as C
+
+    monkeypatch.setattr(C, "VERIFY_BROADCAST_MAX_CANDS", 0)
+    monkeypatch.setattr(C, "LINE_BROADCAST_MAX_AFFECTED_DOCS", 0)
+
+    docs = table(spark, sf_dir, "documents")
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    for name, part in (
+        ("a", docs.filter(F.col("doc_id") % 2 == 0)),
+        ("b", docs.filter(F.col("doc_id") % 2 == 1)),
+    ):
+        stage = f"{tmp_path}/stage_{name}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        for f_ in os.listdir(stage):
+            if f_.endswith(".parquet"):
+                shutil.copy(f"{stage}/{f_}", f"{src}/{name}.parquet")
+
+    near = C.run_near_dedup_stream_available_now(
+        spark, src, f"{tmp_path}/nstate", f"{tmp_path}/nck", schema=docs.schema
+    )
+    got = sorted(
+        (r.doc_i, r.doc_j, round(r.jaccard, 9)) for r in near.read().collect()
+    )
+    want = sorted(
+        (r.doc_i, r.doc_j, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(
+            docs, n=C.NEAR_N, threshold=C.NEAR_THRESHOLD
+        ).collect()
+    )
+    assert len(want) > 0 and got == want
+
+    line = C.run_line_dedup_stream_available_now(
+        spark, src, f"{tmp_path}/lstate", f"{tmp_path}/lck", schema=docs.schema
+    )
+    got_l = sorted(
+        (r.doc_id, r.clean_text, r.n_lines, r.n_kept)
+        for r in line.read().collect()
+    )
+    want_l = sorted(
+        (r.doc_id, r.clean_text, r.n_lines, r.n_kept)
+        for r in q_line_dedup_docs(spark, sf_dir).collect()
+    )
+    assert len(want_l) > 0 and got_l == want_l
