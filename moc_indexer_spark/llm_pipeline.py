@@ -87,15 +87,26 @@ def run_pipeline(
     sample_k: int | None = None,
     near_dedup: bool = False,
     near_threshold: float = 0.8,
+    near_method: str = "ngram",
     semantic_dedup: str | None = None,
     semantic_threshold: float = 0.35,
+    semantic_centroids: str | None = None,
 ) -> dict:
     """Execute the full curation funnel; returns the funnel counts.
 
-    `near_dedup` inserts the guarded n-gram-Jaccard keeper after exact
-    dedup; `semantic_dedup` (a path to an embedding sidecar parquet with
+    `near_dedup` inserts a near-dup keeper after exact dedup —
+    `near_method="ngram"` (default) is the guarded n-gram-Jaccard form,
+    `"minhash"` the MinHash-LSH form (the streaming maintainer's pair
+    semantics: streaming/corpus.py NEAR_* parameters, exact-verified).
+    `semantic_dedup` (a path to an embedding sidecar parquet with
     (doc_id|vec_id, embedding)) inserts the scaled-SemDeDup keeper after
-    that. Both record their count and parameters in the funnel."""
+    that; `semantic_centroids` (a path to a persisted quantizer JSON —
+    the IncrementalSemDeDup `_model.json` format) reuses that quantizer
+    and ITS threshold/rounding instead of training a fresh one, the
+    production shape when a streaming index already holds the corpus
+    (the stored cell assignments depend on the centroids, so the batch
+    funnel must judge under the same model to agree with it). All tiers
+    record their count and parameters in the funnel."""
     raw, quarantine = _read(spark, in_path, jsonl)
     funnel = {"raw": raw.count()}
     if quarantine is not None:
@@ -122,19 +133,40 @@ def run_pipeline(
         funnel["after_exact_dedup"] = deduped.count()
 
         if near_dedup:
-            from .operators.dedup import (
-                boilerplate_shingles,
-                dedup_clusters,
-                ngram_jaccard_pairs,
-            )
+            from .operators.dedup import dedup_clusters
 
-            stop = boilerplate_shingles(
-                deduped, n=NEAR_NGRAM_N, min_df=NEAR_STOP_MIN_DF
-            )
-            pairs = ngram_jaccard_pairs(
-                deduped, n=NEAR_NGRAM_N, threshold=near_threshold,
-                stop_shingles=stop,
-            )
+            if near_method == "minhash":
+                from .operators.dedup import minhash_lsh_pairs
+                from .streaming.corpus import NEAR_BANDS, NEAR_K, NEAR_N
+
+                pairs = minhash_lsh_pairs(
+                    deduped, n=NEAR_N, k=NEAR_K, bands=NEAR_BANDS,
+                    threshold=near_threshold,
+                )
+                near_params = {
+                    "method": "minhash", "n": NEAR_N, "k": NEAR_K,
+                    "bands": NEAR_BANDS, "threshold": near_threshold,
+                }
+            elif near_method == "ngram":
+                from .operators.dedup import (
+                    boilerplate_shingles,
+                    ngram_jaccard_pairs,
+                )
+
+                stop = boilerplate_shingles(
+                    deduped, n=NEAR_NGRAM_N, min_df=NEAR_STOP_MIN_DF
+                )
+                pairs = ngram_jaccard_pairs(
+                    deduped, n=NEAR_NGRAM_N, threshold=near_threshold,
+                    stop_shingles=stop,
+                )
+                near_params = {
+                    "method": "ngram", "n": NEAR_NGRAM_N,
+                    "threshold": near_threshold,
+                    "stop_min_df": NEAR_STOP_MIN_DF,
+                }
+            else:
+                raise ValueError(f"unknown near_method: {near_method!r}")
             # min-id keeper over the connected components — the same
             # policy as the exact tier, so the two compose monotonically
             clusters = dedup_clusters(pairs)
@@ -154,119 +186,161 @@ def run_pipeline(
             deduped = deduped.join(drops, "doc_id", "left_anti").persist()
             caches.append(deduped)
             funnel["after_near_dedup"] = deduped.count()
-            funnel["near_dedup_params"] = {
-                "n": NEAR_NGRAM_N, "threshold": near_threshold,
-                "stop_min_df": NEAR_STOP_MIN_DF,
-            }
+            funnel["near_dedup_params"] = near_params
 
         if semantic_dedup:
-            from .operators.similarity import semantic_dedup_scaled
-
             emb = spark.read.parquet(semantic_dedup)
             if "doc_id" not in emb.columns and "vec_id" in emb.columns:
                 emb = emb.withColumnRenamed("vec_id", "doc_id")
             emb = emb.select("doc_id", "embedding")
             have = deduped.select("doc_id").join(emb, "doc_id")
-            verdicts = semantic_dedup_scaled(
-                have, threshold=semantic_threshold, id_col="doc_id"
-            )
+            if semantic_centroids is not None:
+                import numpy as np
+
+                from .operators.similarity import semantic_dedup_with_centroids
+
+                with open(semantic_centroids) as fh:
+                    m = json.load(fh)
+                verdicts = semantic_dedup_with_centroids(
+                    have,
+                    np.array(m["centroids"], dtype=np.float64),
+                    m["threshold"],
+                    id_col="doc_id",
+                    round_digits=m["round_digits"],
+                )
+                sem_params = {
+                    "threshold": m["threshold"],
+                    "embeddings": semantic_dedup,
+                    "centroids": semantic_centroids,
+                }
+            else:
+                from .operators.similarity import semantic_dedup_scaled
+
+                verdicts = semantic_dedup_scaled(
+                    have, threshold=semantic_threshold, id_col="doc_id"
+                )
+                sem_params = {
+                    "threshold": semantic_threshold,
+                    "embeddings": semantic_dedup,
+                }
             drops = verdicts.filter(
                 F.col("dup_of").isNotNull()
             ).select("doc_id")
             deduped = deduped.join(drops, "doc_id", "left_anti").persist()
             caches.append(deduped)
             funnel["after_semantic_dedup"] = deduped.count()
-            funnel["semantic_dedup_params"] = {
-                "threshold": semantic_threshold,
-                "embeddings": semantic_dedup,
-            }
+            funnel["semantic_dedup_params"] = sem_params
 
-        if bench_source:
-            clean = _decontaminate(deduped, bench_source).persist()
-            caches.append(clean)
-            funnel["after_decontamination"] = clean.count()
-        else:
-            # --bench-source '' : no held-out slice, nothing deleted
-            clean = deduped
-
-        weights = dsir_weights(clean)
-        scored = clean.join(weights.select("doc_id", "logw"), "doc_id", "left")
-
-        if sample_k is not None:
-            # A-ES fixed-size sample weighted by exp-normalized DSIR weight
-            # tiers (positive weights required; tier by logw sign)
-            wcol = (
-                F.when(F.col("logw") > 0, F.lit(1.0))
-                .when(F.col("logw") > -1.0, F.lit(0.5))
-                .otherwise(F.lit(0.25))
-                .cast("double")
-            )
-            keep = weighted_sample_topk(
-                scored.select("doc_id", "logw"), wcol, k=sample_k
-            ).select("doc_id")
-            scored = scored.join(keep, "doc_id")
-            funnel["after_sampling"] = scored.count()
-        scored = scored.persist()
-        caches.append(scored)
-
-        packed = pack_sequences(
-            scored,
-            group_col="lang",
-            order_col="doc_id",
-            token_col=F.size(T.tokens("text")),
-            budget=PACK_BUDGET,
+        _finish_funnel(
+            spark, deduped, funnel, out_dir, bench_source, sample_k, caches
         )
-        final = scored.join(
-            packed.select("doc_id", "pack_id"), "doc_id"
-        ).select(
-            "doc_id",
-            "text",
-            "lang",
-            "source",
-            "logw",
-            "pack_id",
-            # shard on the PACK identity, not doc_id: a pack is a ~512-
-            # token training sequence whose member docs must land in ONE
-            # shard file or no dataloader can reassemble it (doc_id % N
-            # scattered each pack across up to N shards and multi-counted
-            # packs in the manifest)
-            F.pmod(F.xxhash64(F.col("lang"), F.col("pack_id")),
-                   F.lit(N_SHARDS)).cast("bigint")
-            .alias("shard_id"),
-        ).persist()  # count + write: one pack-window/join pass, not two
-        caches.append(final)
-        funnel["final_docs"] = final.count()
-
-        (
-            final.repartition(N_SHARDS, "shard_id")
-            .write.mode("overwrite")
-            .partitionBy("shard_id")
-            .parquet(f"{out_dir}/corpus")
-        )
-        manifest = (
-            spark.read.parquet(f"{out_dir}/corpus")
-            .groupBy("shard_id")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                F.sum(F.length("text")).cast("bigint").alias("total_chars"),
-                F.min("doc_id").alias("min_doc_id"),
-                F.max("doc_id").alias("max_doc_id"),
-                # pack identity is (lang, pack_id): pack_sequences restarts
-                # pack_id at 0 within each lang group; the struct key is
-                # null-safe (COUNT DISTINCT a, b would drop null-lang rows)
-                F.countDistinct(F.struct("lang", "pack_id"))
-                .cast("bigint").alias("n_packs"),
-            )
-        )
-        manifest.coalesce(1).write.mode("overwrite").parquet(
-            f"{out_dir}/manifest"
-        )
-        os.makedirs(out_dir, exist_ok=True)
-        with open(f"{out_dir}/funnel.json", "w") as fh:
-            json.dump(funnel, fh, indent=2, sort_keys=True)
     finally:
         for df in caches:
             df.unpersist()
+    return funnel
+
+
+def _finish_funnel(
+    spark: SparkSession,
+    deduped: DataFrame,
+    funnel: dict,
+    out_dir: str,
+    bench_source: str,
+    sample_k: int | None,
+    caches: list[DataFrame],
+) -> dict:
+    """The funnel's tail — decontamination -> DSIR -> (sample) -> pack ->
+    sharded write + manifest + funnel.json — shared VERBATIM between the
+    batch CLI (run_pipeline) and the streaming funnel's publish step
+    (streaming/funnel.py), so the two cannot drift: the streaming form's
+    convergence test compares whole manifests, and any tail divergence
+    would be a silent fork of the product artifact. `deduped` is the
+    post-dedup-tier survivor frame (doc_id, text, lang, source, ...);
+    persisted frames are appended to `caches` for the CALLER's finally
+    block to release."""
+    if bench_source:
+        clean = _decontaminate(deduped, bench_source).persist()
+        caches.append(clean)
+        funnel["after_decontamination"] = clean.count()
+    else:
+        # --bench-source '' : no held-out slice, nothing deleted
+        clean = deduped
+
+    weights = dsir_weights(clean)
+    scored = clean.join(weights.select("doc_id", "logw"), "doc_id", "left")
+
+    if sample_k is not None:
+        # A-ES fixed-size sample weighted by exp-normalized DSIR weight
+        # tiers (positive weights required; tier by logw sign)
+        wcol = (
+            F.when(F.col("logw") > 0, F.lit(1.0))
+            .when(F.col("logw") > -1.0, F.lit(0.5))
+            .otherwise(F.lit(0.25))
+            .cast("double")
+        )
+        keep = weighted_sample_topk(
+            scored.select("doc_id", "logw"), wcol, k=sample_k
+        ).select("doc_id")
+        scored = scored.join(keep, "doc_id")
+        funnel["after_sampling"] = scored.count()
+    scored = scored.persist()
+    caches.append(scored)
+
+    packed = pack_sequences(
+        scored,
+        group_col="lang",
+        order_col="doc_id",
+        token_col=F.size(T.tokens("text")),
+        budget=PACK_BUDGET,
+    )
+    final = scored.join(
+        packed.select("doc_id", "pack_id"), "doc_id"
+    ).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "logw",
+        "pack_id",
+        # shard on the PACK identity, not doc_id: a pack is a ~512-
+        # token training sequence whose member docs must land in ONE
+        # shard file or no dataloader can reassemble it (doc_id % N
+        # scattered each pack across up to N shards and multi-counted
+        # packs in the manifest)
+        F.pmod(F.xxhash64(F.col("lang"), F.col("pack_id")),
+               F.lit(N_SHARDS)).cast("bigint")
+        .alias("shard_id"),
+    ).persist()  # count + write: one pack-window/join pass, not two
+    caches.append(final)
+    funnel["final_docs"] = final.count()
+
+    (
+        final.repartition(N_SHARDS, "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(f"{out_dir}/corpus")
+    )
+    manifest = (
+        spark.read.parquet(f"{out_dir}/corpus")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            # pack identity is (lang, pack_id): pack_sequences restarts
+            # pack_id at 0 within each lang group; the struct key is
+            # null-safe (COUNT DISTINCT a, b would drop null-lang rows)
+            F.countDistinct(F.struct("lang", "pack_id"))
+            .cast("bigint").alias("n_packs"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/manifest"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/funnel.json", "w") as fh:
+        json.dump(funnel, fh, indent=2, sort_keys=True)
     return funnel
 
 
@@ -284,12 +358,22 @@ def main() -> None:
     )
     ap.add_argument("--near-threshold", type=float, default=0.8)
     ap.add_argument(
+        "--near-method", default="ngram", choices=("ngram", "minhash"),
+        help="near-dup pair semantics: guarded n-gram Jaccard (default) "
+             "or MinHash-LSH (the streaming maintainer's form)",
+    )
+    ap.add_argument(
         "--semantic-dedup", default=None, metavar="EMB_PARQUET",
         help="insert the scaled-SemDeDup keeper (semantic_dedup_scaled) "
              "over this embedding sidecar parquet ((doc_id|vec_id, "
              "embedding)); docs without an embedding row pass through",
     )
     ap.add_argument("--semantic-threshold", type=float, default=0.35)
+    ap.add_argument(
+        "--semantic-centroids", default=None, metavar="MODEL_JSON",
+        help="reuse a persisted quantizer (IncrementalSemDeDup "
+             "_model.json) and its threshold instead of training fresh",
+    )
     ap.add_argument(
         "--bench-source", default="src0",
         help="source name held out as the benchmark slice for 4-gram "
@@ -306,8 +390,10 @@ def main() -> None:
         sample_k=args.sample_k,
         near_dedup=args.near_dedup,
         near_threshold=args.near_threshold,
+        near_method=args.near_method,
         semantic_dedup=args.semantic_dedup,
         semantic_threshold=args.semantic_threshold,
+        semantic_centroids=args.semantic_centroids,
     )
     print(json.dumps(funnel, sort_keys=True))
 

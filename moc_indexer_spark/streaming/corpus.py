@@ -68,15 +68,19 @@ def corpus_table(spark: SparkSession, path: str) -> ParquetUpsertTable:
     )
 
 
-def _prepare(batch: DataFrame) -> DataFrame:
+def _coalesce_keepers(gated_keys: DataFrame) -> DataFrame:
     # in-batch coalescing (T7 analog): one row per content hash, min doc_id
-    gated = quality_gate(batch).withColumn("neg_id", -F.col("doc_id"))
+    g = gated_keys.withColumn("neg_id", -F.col("doc_id"))
     w = Window.partitionBy("content_hash").orderBy(F.asc("doc_id"))
     return (
-        gated.withColumn("rn", F.row_number().over(w))
+        g.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def _prepare(batch: DataFrame) -> DataFrame:
+    return _coalesce_keepers(quality_gate(batch))
 
 
 def run_corpus_stream_available_now(
@@ -214,48 +218,40 @@ def _verify_pairs(
     )
 
 
-def run_near_dedup_stream_available_now(
-    spark: SparkSession,
-    source_dir: str,
-    state_dir: str,
-    checkpoint_dir: str,
-    schema=None,
-    max_files_per_trigger: int | None = 1,
-) -> ParquetUpsertTable:
-    """Incremental MinHash-LSH near-dedup: documents stream in; each batch
-    computes signatures ONCE, collides its band buckets against the
-    persisted bucket index (docs seen in any earlier batch) and within
-    itself, exact-verifies the candidates, and MERGEs the confirmed pairs.
-    Returns the pairs table; state tables live under `state_dir`.
+class IncrementalNearDup:
+    """Parquet-backed MinHash-LSH near-dup state maintained one
+    micro-batch at a time — the reusable core of
+    `run_near_dedup_stream_available_now`, also composed by the
+    streaming curation funnel (streaming/funnel.py). Converges to
+    `minhash_lsh_pairs(all ingested docs, n=NEAR_N, threshold=
+    NEAR_THRESHOLD)` (tested), and because a pair's collision + verify
+    depend only on the two texts, restricting the maintained pair set
+    to any doc subset S equals running the batch operator on S — the
+    property the funnel's publish step relies on."""
 
-    Equivalences that make this correct (and tested):
-    - signatures/buckets are the identical codegen'd expressions as the
-      batch operator — a (new, old) pair collides in the stream iff it
-      collides in batch mode;
-    - every cross-batch pair meets exactly once (new batch x stored
-      index), every in-batch pair once (bucket grouping), and the pairs
-      MERGE is keyed (doc_i, doc_j) — so replays and slice reorderings
-      converge to the batch answer (idempotent, order-free);
-    - state grows as O(docs x bands) 16-byte rows + one shingle-hash set
-      per doc (the stored doc-feature table any 100 TB pipeline keeps
-      anyway); no unbounded executor streaming state is used.
-    """
-    if schema is None:
-        schema = spark.read.parquet(source_dir).schema
-    reader = spark.readStream.schema(schema)
-    reader = apply_max_files_per_trigger(reader, max_files_per_trigger)
-    stream = reader.parquet(source_dir)
-    bands_tbl = ParquetUpsertTable(
-        spark, f"{state_dir}/bands", keys=["band", "bucket", "doc_id"]
-    )
-    feats_tbl = ParquetUpsertTable(spark, f"{state_dir}/feats", keys=["doc_id"])
-    pairs_tbl = ParquetUpsertTable(
-        spark, f"{state_dir}/pairs", keys=["doc_i", "doc_j"]
-    )
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.bands_tbl = ParquetUpsertTable(
+            spark, f"{state_dir}/bands", keys=["band", "bucket", "doc_id"]
+        )
+        self.feats_tbl = ParquetUpsertTable(
+            spark, f"{state_dir}/feats", keys=["doc_id"]
+        )
+        self.pairs_tbl = ParquetUpsertTable(
+            spark, f"{state_dir}/pairs", keys=["doc_i", "doc_j"]
+        )
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def pairs(self) -> DataFrame | None:
+        """Confirmed (doc_i, doc_j, jaccard) over all ingested docs."""
+        return self.pairs_tbl.read()
+
+    def update(self, batch_df: DataFrame) -> None:
+        """Fold one micro-batch of documents (doc_id, text, ...) in."""
         if batch_df.isEmpty():
             return
+        bands_tbl, feats_tbl, pairs_tbl = (
+            self.bands_tbl, self.feats_tbl, self.pairs_tbl
+        )
         feats = _doc_features(batch_df)
         # one action per batch over the expensive aggregate: materialize
         feats.persist()
@@ -351,14 +347,49 @@ def run_near_dedup_stream_available_now(
             if cand is not None:
                 cand.unpersist()
 
+def run_near_dedup_stream_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+    max_files_per_trigger: int | None = 1,
+) -> ParquetUpsertTable:
+    """Incremental MinHash-LSH near-dedup: documents stream in; each batch
+    computes signatures ONCE, collides its band buckets against the
+    persisted bucket index (docs seen in any earlier batch) and within
+    itself, exact-verifies the candidates, and MERGEs the confirmed pairs.
+    Returns the pairs table; state tables live under `state_dir`.
+
+    Equivalences that make this correct (and tested):
+    - signatures/buckets are the identical codegen'd expressions as the
+      batch operator — a (new, old) pair collides in the stream iff it
+      collides in batch mode;
+    - every cross-batch pair meets exactly once (new batch x stored
+      index), every in-batch pair once (bucket grouping), and the pairs
+      MERGE is keyed (doc_i, doc_j) — so replays and slice reorderings
+      converge to the batch answer (idempotent, order-free);
+    - state grows as O(docs x bands) 16-byte rows + one shingle-hash set
+      per doc (the stored doc-feature table any 100 TB pipeline keeps
+      anyway); no unbounded executor streaming state is used.
+    """
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    reader = apply_max_files_per_trigger(reader, max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    idx = IncrementalNearDup(spark, state_dir)
+
     (
-        stream.writeStream.foreachBatch(process_batch)
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: idx.update(batch_df)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
     )
-    return pairs_tbl
+    return idx.pairs_tbl
 
 
 # --- incremental line-level dedup (with retroactive re-cleaning) ------------

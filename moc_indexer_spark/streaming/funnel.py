@@ -1,0 +1,316 @@
+"""The streaming curation funnel: the END-TO-END incremental form of the
+batch corpus pipeline (llm_pipeline.run_pipeline) — one driver that runs
+every dedup tier's incremental maintainer against the same arrival
+source and periodically PUBLISHES the identical shard/manifest/funnel
+artifact the batch CLI writes.
+
+A 100 TB training-data pipeline runs its funnel continuously: documents
+arrive all day, and the expensive per-document work — quality scoring,
+content hashing, MinHash signatures + LSH collision + exact-Jaccard
+verification, embedding cell assignment — must be absorbed
+incrementally at arrival time, not re-run from the raw corpus at every
+release cut. This module composes the maintainers that already exist
+for each tier (streaming/corpus.py, streaming/semdedup_stream.py) and
+adds the publish step that derives the batch CLI's exact artifact from
+their state.
+
+Per micro-batch (foreachBatch body, all keyed idempotent MERGEs — a
+replayed slice converges to the same state):
+
+  1. quality gate (the SAME stateless expression block as the batch
+     tier — imported, batch/stream parity by construction) -> gated
+     docs MERGE into a doc store keyed by doc_id;
+  2. exact-dedup keeper state: content-hash-keyed corpus table with the
+     min-doc_id monotonic-version keeper (streaming/corpus.py);
+  3. near-dup state: IncrementalNearDup — signatures/buckets/verified
+     pairs over every GATED doc (see `publish` for why gated, not
+     post-exact survivors);
+  4. semantic state: IncrementalSemDeDup over the batch docs'
+     embedding rows — the quantizer trains once on the first batch
+     (cell count scaled to `expected_corpus_rows`) and persists, the
+     Arrow assign runs per tick, vectors land cell-partitioned;
+  5. a per-batch raw-count row (keyed by batch id: replay-idempotent)
+     so the published funnel can report the pre-gate arrival count.
+
+`publish(out_dir)` then derives the batch funnel EXACTLY:
+
+  * exact survivors = the corpus table's keeper ids — equal to the
+    batch tier's min-id-per-md5 keeper over all gated docs (tested).
+  * near tier: the maintained pair set RESTRICTED to exact survivors,
+    then the batch keeper (connected components, min-id). Equal to
+    running MinHash-LSH on the survivor set because a pair's collision
+    and verified Jaccard depend only on the two texts — pairs(S) =
+    pairs(all) ∩ S×S — and exact duplicates carry identical shingle
+    sets, so dropping them neither disconnects a component nor moves
+    its minimum.
+  * semantic tier: the maintainer's cell-partitioned vectors
+    RESTRICTED to the near survivors, re-judged with the batch keeper
+    stage (`semantic_dedup_keep`) under the PERSISTED quantizer. The
+    keeper verdict depends on which other vectors are present (dup_of
+    = smallest earlier same-cell vector in the INPUT SET), so the
+    incremental dup table — which judges against every ingested vector
+    — cannot be restricted after the fact; what IS incremental is the
+    expensive half (assign pass + the cell shuffle, both absorbed at
+    arrival), leaving publish one pruned scan + per-cell BLAS. The
+    batch oracle is `run_pipeline(..., semantic_centroids=
+    <this index's _model.json>)`: same model, same input set, same
+    keeper stage — equal by construction.
+  * decontamination -> DSIR -> (sampling) -> packing -> sharded write
+    + manifest + funnel.json: `llm_pipeline._finish_funnel`, the SAME
+    function object the batch CLI runs — zero drift possible.
+
+Convergence is tested end-to-end (tests/test_funnel_stream.py): sliced
+arrivals vs the one-shot batch CLI on the same fixture — equal
+funnel.json, equal manifests, equal corpus id sets; fresh-checkpoint
+replays idempotent.
+
+No reference analog (the reference's streaming is the tx indexer);
+this is the LLM-data growth area the survey's §2 extensions call for.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .corpus import (
+    IncrementalNearDup,
+    NEAR_BANDS,
+    NEAR_K,
+    NEAR_N,
+    NEAR_THRESHOLD,
+    _coalesce_keepers,
+    corpus_table,
+    quality_gate,
+)
+from .semdedup_stream import IncrementalSemDeDup
+from .sink import ParquetUpsertTable
+from .triggers import apply_max_files_per_trigger
+
+
+class StreamingCurationFunnel:
+    """Incrementally-maintained curation funnel state + publish."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        embeddings_path: str | None = None,
+        bench_source: str = "src0",
+        sample_k: int | None = None,
+        semantic_threshold: float = 0.35,
+        expected_corpus_rows: int | None = None,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.bench_source = bench_source
+        self.sample_k = sample_k
+        self.semantic_threshold = semantic_threshold
+        self.expected_corpus_rows = expected_corpus_rows
+        self.embeddings_path = embeddings_path
+        # gated doc payloads, keyed by doc_id (idempotent re-MERGE on
+        # redelivery — the maintainer contract: ids stable, payloads
+        # immutable)
+        self.docs_tbl = ParquetUpsertTable(
+            spark, f"{state_dir}/docs", keys=["doc_id"]
+        )
+        # exact-dedup keeper state (min-doc_id per content hash)
+        self.corpus_tbl = corpus_table(spark, f"{state_dir}/corpus")
+        self.near = IncrementalNearDup(spark, f"{state_dir}/near")
+        self.sem = (
+            IncrementalSemDeDup(spark, f"{state_dir}/sem")
+            if embeddings_path is not None
+            else None
+        )
+        # production ships embeddings IN the arrival stream; the sidecar
+        # join is the fixture shape (matches the batch CLI's sidecar)
+        if embeddings_path is not None:
+            emb = spark.read.parquet(embeddings_path)
+            if "vec_id" not in emb.columns and "doc_id" in emb.columns:
+                emb = emb.withColumnRenamed("doc_id", "vec_id")
+            self._emb = emb.select("vec_id", "embedding")
+        else:
+            self._emb = None
+        # replay-idempotent per-batch arrival counts (keyed by batch id)
+        self.counts_tbl = ParquetUpsertTable(
+            spark, f"{state_dir}/counts", keys=["batch_id"]
+        )
+
+    # -- per-tick maintenance -------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: fold one arrival micro-batch into every
+        tier's state. Each step is a keyed idempotent MERGE (or the
+        semdedup index's committed-batch protocol), so crash replays of
+        the same slice converge."""
+        if batch_df.isEmpty():
+            return
+        n_raw = batch_df.count()
+        gated_keys = quality_gate(batch_df)
+        gated = batch_df.join(gated_keys.select("doc_id"), "doc_id").persist()
+        try:
+            self.docs_tbl.upsert(
+                gated.select("doc_id", "text", "lang", "source")
+            )
+            self.corpus_tbl.upsert(_coalesce_keepers(gated_keys))
+            self.near.update(gated)
+            if self.sem is not None:
+                ids = gated.select(F.col("doc_id").alias("vec_id"))
+                ebatch = self._emb.join(F.broadcast(ids), "vec_id")
+                if not self.sem.is_trained() and not ebatch.isEmpty():
+                    self.sem.train(
+                        ebatch,
+                        threshold=self.semantic_threshold,
+                        expected_corpus_rows=self.expected_corpus_rows,
+                    )
+                if self.sem.is_trained():
+                    self.sem.update(ebatch, batch_id)
+            self.counts_tbl.upsert(
+                self.spark.createDataFrame(
+                    [(int(batch_id), int(n_raw))],
+                    "batch_id long, n_raw long",
+                )
+            )
+        finally:
+            gated.unpersist()
+
+    # -- publish ---------------------------------------------------------------
+
+    def publish(self, out_dir: str) -> dict:
+        """Derive the batch CLI's exact artifact (shards + manifest +
+        funnel.json) from the maintained state — a pure function of
+        state, so re-publishing is idempotent and a publish at any tick
+        equals the batch CLI over the docs ingested so far."""
+        from ..llm_pipeline import _finish_funnel
+        from ..operators.dedup import dedup_clusters
+        from ..operators.similarity import semantic_dedup_keep
+
+        spark = self.spark
+        docs = self.docs_tbl.read()
+        if docs is None:
+            raise ValueError("publish() before any document arrived")
+        counts = self.counts_tbl.read()
+        funnel: dict = {
+            "raw": int(counts.agg(F.sum("n_raw")).collect()[0][0])
+        }
+        funnel["after_quality_gate"] = docs.count()
+        caches: list[DataFrame] = []
+        try:
+            keep_e = self.corpus_tbl.read().select("doc_id")
+            deduped = docs.join(keep_e, "doc_id").persist()
+            caches.append(deduped)
+            funnel["after_exact_dedup"] = deduped.count()
+
+            pairs = self.near.pairs()
+            if pairs is not None:
+                # restrict the gated-corpus pair set to the exact
+                # survivors (= batch pairs over the survivor set, see
+                # module docstring), then the batch keeper policy
+                pr = pairs.join(
+                    keep_e.withColumnRenamed("doc_id", "doc_i"), "doc_i"
+                ).join(
+                    keep_e.withColumnRenamed("doc_id", "doc_j"), "doc_j"
+                )
+                clusters = dedup_clusters(pr)
+                # lineage cut, exactly as the batch tier does it (see
+                # run_pipeline's localCheckpoint note)
+                drops = clusters.filter(
+                    F.col("doc_id") != F.col("cluster_id")
+                ).select("doc_id").localCheckpoint()
+                deduped = deduped.join(drops, "doc_id", "left_anti").persist()
+                caches.append(deduped)
+            funnel["after_near_dedup"] = deduped.count()
+            funnel["near_dedup_params"] = {
+                "method": "minhash", "n": NEAR_N, "k": NEAR_K,
+                "bands": NEAR_BANDS, "threshold": NEAR_THRESHOLD,
+            }
+
+            if self.sem is not None and self.sem.is_trained():
+                vecs = self.sem.vectors_df()
+                if vecs is not None:
+                    _, thr, rd = self.sem._model()
+                    sv = vecs.join(
+                        deduped.select(F.col("doc_id").alias("vec_id")),
+                        "vec_id",
+                    )
+                    verdicts = semantic_dedup_keep(sv, thr, round_digits=rd)
+                    drops = verdicts.filter(
+                        F.col("dup_of").isNotNull()
+                    ).select(F.col("vec_id").alias("doc_id"))
+                    deduped = deduped.join(
+                        drops, "doc_id", "left_anti"
+                    ).persist()
+                    caches.append(deduped)
+                    funnel["after_semantic_dedup"] = deduped.count()
+                    funnel["semantic_dedup_params"] = {
+                        "threshold": thr,
+                        "embeddings": self.embeddings_path,
+                        "centroids": self.sem._model_path(),
+                    }
+
+            _finish_funnel(
+                spark, deduped, funnel, out_dir,
+                self.bench_source, self.sample_k, caches,
+            )
+        finally:
+            for df in caches:
+                df.unpersist()
+        return funnel
+
+
+def run_curation_funnel_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    out_dir: str | None = None,
+    embeddings_path: str | None = None,
+    bench_source: str = "src0",
+    sample_k: int | None = None,
+    semantic_threshold: float = 0.35,
+    expected_corpus_rows: int | None = None,
+    publish_every: int | None = None,
+    schema=None,
+    max_files_per_trigger: int | None = 1,
+) -> tuple[StreamingCurationFunnel, dict | None]:
+    """Drain all available document files through the funnel maintainers
+    (deterministic-replay mode; production uses a processing-time
+    trigger), publishing to `out_dir` every `publish_every` batches and
+    once at the end. Returns (funnel, last published funnel counts)."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    reader = apply_max_files_per_trigger(reader, max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    funnel = StreamingCurationFunnel(
+        spark, state_dir,
+        embeddings_path=embeddings_path,
+        bench_source=bench_source,
+        sample_k=sample_k,
+        semantic_threshold=semantic_threshold,
+        expected_corpus_rows=expected_corpus_rows,
+    )
+    state = {"published": None, "ticks": 0}
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        funnel.process_batch(batch_df, batch_id)
+        state["ticks"] += 1
+        if (
+            publish_every is not None
+            and out_dir is not None
+            and state["ticks"] % publish_every == 0
+        ):
+            state["published"] = funnel.publish(out_dir)
+
+    (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if out_dir is not None:
+        state["published"] = funnel.publish(out_dir)
+    return funnel, state["published"]

@@ -1,0 +1,127 @@
+"""Streaming curation funnel (streaming/funnel.py): the composed
+maintainers must publish EXACTLY the batch CLI's artifact — funnel.json,
+manifest, corpus id set — on a sliced fixture, with fresh-checkpoint
+replays idempotent and mid-stream publishes equal to the batch funnel
+over the prefix ingested so far."""
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from moc_indexer_spark.llm_pipeline import run_pipeline
+from moc_indexer_spark.streaming.funnel import (
+    run_curation_funnel_available_now,
+)
+from moc_indexer_spark.tables import table
+
+
+def _slice_to_files(spark, docs, src, n_slices, tmp_path):
+    os.makedirs(src, exist_ok=True)
+    for i in range(n_slices):
+        part = docs.filter(F.col("doc_id") % n_slices == i)
+        stage = f"{tmp_path}/stage_{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        for f_ in os.listdir(stage):
+            if f_.endswith(".parquet"):
+                shutil.copy(f"{stage}/{f_}", f"{src}/slice_{i}.parquet")
+
+
+def _manifest_rows(spark, out):
+    return sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/manifest").collect()
+    )
+
+
+def _corpus_ids(spark, out):
+    return sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/corpus").select("doc_id").collect()
+    )
+
+
+def test_streaming_funnel_publishes_the_batch_artifact(
+    spark, sf_dir, tmp_path
+):
+    docs = table(spark, sf_dir, "documents")
+    src = f"{tmp_path}/src"
+    _slice_to_files(spark, docs, src, 3, tmp_path)
+    emb_path = f"{sf_dir}/embeddings.parquet"
+
+    state = f"{tmp_path}/state"
+    out_s = f"{tmp_path}/out_stream"
+    funnel_obj, published = run_curation_funnel_available_now(
+        spark, src, state, f"{tmp_path}/ck", out_dir=out_s,
+        embeddings_path=emb_path, schema=docs.schema,
+    )
+    assert published is not None
+
+    # batch oracle: the one-shot CLI over the SAME files, the stream's
+    # pair semantics (minhash) and ITS persisted quantizer — the
+    # production contract when an incremental index already holds the
+    # corpus (stored cells depend on the centroids)
+    out_b = f"{tmp_path}/out_batch"
+    batch = run_pipeline(
+        spark, src, out_b,
+        near_dedup=True, near_method="minhash",
+        semantic_dedup=emb_path,
+        semantic_centroids=f"{state}/sem/_model.json",
+    )
+
+    assert published == batch
+    assert _manifest_rows(spark, out_s) == _manifest_rows(spark, out_b)
+    assert _corpus_ids(spark, out_s) == _corpus_ids(spark, out_b)
+    # the funnel narrowed at every tier (the fixture has exact, near
+    # AND semantic duplicates)
+    assert (
+        published["raw"]
+        >= published["after_quality_gate"]
+        >= published["after_exact_dedup"]
+        > published["after_near_dedup"]
+        >= published["after_semantic_dedup"]
+        >= published["after_decontamination"]
+        == published["final_docs"]
+        > 0
+    )
+    # persisted funnel.json matches the returned dict
+    assert json.load(open(f"{out_s}/funnel.json")) == batch
+
+    # fresh-checkpoint replay over the SAME state: every maintainer
+    # re-MERGEs idempotently; the re-published artifact is unchanged
+    _, republished = run_curation_funnel_available_now(
+        spark, src, state, f"{tmp_path}/ck2", out_dir=out_s,
+        embeddings_path=emb_path, schema=docs.schema,
+    )
+    assert republished == batch
+    assert _manifest_rows(spark, out_s) == _manifest_rows(spark, out_b)
+
+
+def test_streaming_funnel_mid_stream_publish_matches_prefix_batch(
+    spark, sf_dir, tmp_path
+):
+    """Incremental emission: a publish after the FIRST slice must equal
+    the batch CLI over that prefix alone — the funnel is correct at
+    every cut, not only at drain."""
+    docs = table(spark, sf_dir, "documents")
+    prefix = docs.filter(F.col("doc_id") % 2 == 0)
+    src1 = f"{tmp_path}/src1"
+    _slice_to_files(spark, prefix, src1, 1, tmp_path)
+    emb_path = f"{sf_dir}/embeddings.parquet"
+
+    state = f"{tmp_path}/state"
+    out_s = f"{tmp_path}/out_stream"
+    _, published = run_curation_funnel_available_now(
+        spark, src1, state, f"{tmp_path}/ck", out_dir=out_s,
+        embeddings_path=emb_path, schema=docs.schema,
+    )
+
+    out_b = f"{tmp_path}/out_batch"
+    batch = run_pipeline(
+        spark, src1, out_b,
+        near_dedup=True, near_method="minhash",
+        semantic_dedup=emb_path,
+        semantic_centroids=f"{state}/sem/_model.json",
+    )
+    assert published == batch
+    assert _manifest_rows(spark, out_s) == _manifest_rows(spark, out_b)
