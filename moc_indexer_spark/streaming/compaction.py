@@ -112,24 +112,38 @@ def compact_batched_dir(
     list_batches: Callable[[], list[int]],
     read_upto: Callable[[int], DataFrame],
     write_fold: Callable[[DataFrame, str, int], None],
+    min_batch: int = -1,
 ) -> int:
-    """Fold every `batch=N <= committed` under `base` into one partition
-    at `batch=<committed>`. Returns the number of partitions folded
-    away; a nonzero return ALSO covers a recovery-completed crashed swap
-    (callers key their relation-cache invalidation on it).
+    """Fold every `batch=N` with `min_batch < N <= committed` under
+    `base` into one partition at `batch=<committed>`. Returns the number
+    of partitions folded away; a nonzero return ALSO covers a
+    recovery-completed crashed swap (callers key their relation-cache
+    invalidation on it).
+
+    `min_batch=-1` (default) is the FULL fold. A caller passing the id
+    of its newest existing fold gets a MINOR fold — the tiered-
+    compaction shape: only the small post-fold tail is read and
+    rewritten (O(maintenance cadence) work, bounded regardless of index
+    size), earlier folds stay in place as levels, and the marker records
+    both bounds so a crashed minor swap can never sweep an earlier
+    level into trash. `read_upto` must respect the caller's own range
+    (this function only bounds the SWEEP); `write_fold(df, tmp,
+    n_batches)` owns the fold write's layout (coalesce / partitionBy).
     `list_batches` must re-list the directory on each call (it is
-    consulted again after recovery); `write_fold(df, tmp, n_batches)`
-    owns the fold write's layout (coalesce / partitionBy)."""
+    consulted again after recovery)."""
     tmp = f"{base}__fold_tmp"
     trash = f"{base}__fold_trash"
 
-    def _fold_id() -> int | None:
+    def _fold_bounds() -> tuple[int, int] | None:
         marker = os.path.join(tmp, _FOLD_MARKER)
         if not (os.path.exists(marker)
                 and os.path.exists(os.path.join(tmp, "_SUCCESS"))):
             return None
         with open(marker) as f:
-            return int(f.read().strip())
+            parts = f.read().split()
+        # legacy single-int markers (pre-minor-fold) are full folds
+        return (int(parts[0]), int(parts[1])) if len(parts) == 2 \
+            else (-1, int(parts[0]))
 
     def _drop_stale_markers() -> None:
         # the marker is only needed while tmp exists (it identifies the
@@ -141,8 +155,9 @@ def compact_batched_dir(
             if d.startswith("batch=") and os.path.exists(stale):
                 os.remove(stale)
 
-    def _complete_swap(fold_committed: int) -> None:
-        for b in [x for x in list_batches() if x <= fold_committed]:
+    def _complete_swap(fold_min: int, fold_committed: int) -> None:
+        for b in [x for x in list_batches()
+                  if fold_min < x <= fold_committed]:
             os.makedirs(trash, exist_ok=True)
             os.replace(f"{base}/batch={b}", os.path.join(trash, f"batch={b}"))
         dest = f"{base}/batch={fold_committed}"
@@ -156,7 +171,7 @@ def compact_batched_dir(
     # recovery: a previous run crashed mid-flight iff trash exists
     recovered_swap = False
     if os.path.isdir(trash):
-        fold = _fold_id()
+        bounds = _fold_bounds()
         if not os.path.isdir(tmp):
             shutil.rmtree(trash, ignore_errors=True)
             _drop_stale_markers()
@@ -165,8 +180,8 @@ def compact_batched_dir(
             # caller's relation cache predates the install — signal so it
             # clears (harmless extra clear after a process-death crash)
             recovered_swap = True
-        elif fold is not None:
-            _complete_swap(fold)
+        elif bounds is not None:
+            _complete_swap(*bounds)
             # batch=<fold> was rewritten IN PLACE (id reuse). Signal it
             # even if no fresh fold runs below: a same-process caller
             # (in-process exception + retry, not process death) may hold
@@ -181,12 +196,12 @@ def compact_batched_dir(
             shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
 
-    batches = [b for b in list_batches() if b <= committed]
+    batches = [b for b in list_batches() if min_batch < b <= committed]
     if len(batches) <= 1:
         return 1 if recovered_swap else 0
     merged = read_upto(committed)
     write_fold(merged, tmp, len(batches))
     with open(os.path.join(tmp, _FOLD_MARKER), "w") as f:
-        f.write(str(committed))
-    _complete_swap(committed)
+        f.write(f"{min_batch} {committed}")
+    _complete_swap(min_batch, committed)
     return len(batches) - 1

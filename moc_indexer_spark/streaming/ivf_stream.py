@@ -202,14 +202,17 @@ class IncrementalIvfIndex:
 
     def _maybe_compact(self) -> bool:
         """Apply the auto-compaction policy after a committed update:
-        fold iff the batch-dir count crossed the threshold (a cheap
-        listdir — no data read). Returns True when a fold ran."""
-        if (
-            self._compact_every is not None
-            and len(self._batches()) >= self._compact_every
-        ):
-            compact_index(self)
-            return True
+        MINOR-fold the flat tail iff its dir count crossed the threshold
+        (a cheap listdir — no data read). Minor = tiered (round 9): the
+        in-tick fold reads O(cadence) rows regardless of index size, so
+        the policy can never land an O(index) rewrite inside a tick;
+        fold LEVELS are re-merged only by the out-of-band
+        compact_index(idx). Returns True when a fold ran."""
+        if self._compact_every is not None:
+            n_flats = sum(1 for b in self._batches() if not self._is_fold(b))
+            if n_flats >= self._compact_every:
+                compact_index(self, minor=True)
+                return True
         return False
 
     def update(
@@ -577,26 +580,41 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
         )
 
 
-def compact_index(idx: IncrementalIvfIndex) -> int:
-    """Fold all committed vector batch partitions into one partition at
+def compact_index(idx: IncrementalIvfIndex, minor: bool = False) -> int:
+    """Fold committed vector batch partitions into one partition at
     the committed batch id, preserving the cell sub-partitioning (so
     probes keep their partition-pruned scans). Same crash-consistent
     swap protocol as the BM25 index — see streaming/compaction.py for
     the recovery-state matrix; out-of-band under the single-writer lock.
-    Returns the number of batch partitions folded away."""
+    Returns the number of batch partitions folded away.
+
+    `minor=True` is the TIERED in-tick form (semdedup_stream's round-9
+    design): fold only the flat tail since the newest fold level —
+    O(compaction cadence) rows regardless of index size — leaving
+    earlier levels in place (probes' mixed-layout read handles any
+    number of fold dirs). The full fold stays the OUT-OF-BAND contract."""
     from .compaction import assert_unique_ids, compact_batched_dir
 
     committed = idx.committed_batch()
     if committed < 0:
         return 0
+    lo = -1
+    if minor:
+        folds = [b for b in idx._batches() if idx._is_fold(b)]
+        lo = folds[-1] if folds else -1
 
     def _read_checked(upto: int) -> DataFrame:
-        df = idx._read_upto(upto)
+        if lo >= 0:
+            group = tuple(b for b in idx._batches() if lo < b <= upto)
+            df = idx._cached_relation(f"{idx.path}/vectors", group)
+        else:
+            df = idx._read_upto(upto)
         # contract tripwire (ADVICE r7): a changed-payload redelivery
         # escapes the cell-pruned anti-join; surface it here rather than
         # silently corrupting probe results. The id is the first stored
         # column (update() writes `{id_col} long, ...`), whatever name
-        # the caller chose.
+        # the caller chose. A minor fold checks its own range; cross-
+        # level duplicates are still covered by the full fold.
         assert_unique_ids(df, df.columns[0], f"compact_index({idx.path})")
         return df
 
@@ -622,6 +640,7 @@ def compact_index(idx: IncrementalIvfIndex) -> int:
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(tmp),
+        min_batch=lo,
     )
     if folded:
         # the fold rewrote batch=<committed> IN PLACE (id reuse): any

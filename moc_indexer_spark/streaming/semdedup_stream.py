@@ -327,22 +327,50 @@ class IncrementalSemDeDup:
             new.unpersist()
         self._maybe_compact_one()
 
-    def _compact_vectors(self) -> int:
+    def _compact_vectors(self, minor: bool = False) -> int:
         """Fold committed vector batches into one cell-partitioned
-        partition (the shared crash-consistent protocol)."""
+        partition (the shared crash-consistent protocol).
+
+        `minor=True` is the TIERED form the in-tick policy uses: only
+        the flat tail SINCE THE NEWEST FOLD is read and rewritten —
+        O(compaction cadence) rows, bounded regardless of index size —
+        and earlier folds stay in place as levels (_read_upto already
+        reads any number of fold dirs, each cell-pruned). The full fold
+        (minor=False) re-merges all levels; it stays the OUT-OF-BAND
+        compact() contract, because its cost is O(index) and a 3 s-tick
+        daemon must never absorb it in-cycle — the round-8 policy
+        long-run measured exactly that as the ON-arm p90 spike."""
         from .compaction import assert_unique_ids
 
         committed = self.committed_batch()
         if committed < 0:
             return 0
+        lo = -1
+        if minor:
+            folds = [
+                b for b in list_committed_batches(self._vectors_dir())
+                if self._is_fold(b)
+            ]
+            lo = folds[-1] if folds else -1
 
         def _read_checked(upto):
-            df = self._read_upto(upto)
+            if lo >= 0:
+                batches = tuple(
+                    b for b in list_committed_batches(self._vectors_dir())
+                    if lo < b <= upto
+                )
+                df = self._cached_relation(batches).select(
+                    "vec_id", "v", "cell"
+                )
+            else:
+                df = self._read_upto(upto)
             # contract tripwire (ADVICE r7): an id redelivered with a
             # CHANGED payload lands in a different cell and escapes the
             # cell-pruned anti-join in update(); surface the corruption
             # here during maintenance instead of silently poisoning the
-            # keeper recompute
+            # keeper recompute. A minor fold checks its own range; the
+            # full fold (and any cross-level duplicate) is still covered
+            # by compact().
             assert_unique_ids(df, "vec_id", f"semdedup.compact({self.path})")
             return df
 
@@ -355,6 +383,7 @@ class IncrementalSemDeDup:
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(tmp),
+            min_batch=lo,
         )
         if folded:
             # the fold rewrote batch=<committed> IN PLACE (id reuse):
@@ -379,9 +408,17 @@ class IncrementalSemDeDup:
         if self._compact_every is None:
             return None
         units = (
-            ("vectors", lambda: len(
-                list_committed_batches(self._vectors_dir())
-            ), self._compact_vectors),
+            # the in-tick vector fold is MINOR (tiered): only flat
+            # batches since the newest fold — O(cadence) work bounded
+            # regardless of index size, so the policy can never land an
+            # O(index) rewrite inside a tick (the round-8 long-run's
+            # ON-arm p90 spike). Accordingly the trigger counts FLAT
+            # batches, not fold levels; levels are re-merged only by
+            # the out-of-band compact().
+            ("vectors", lambda: sum(
+                1 for b in list_committed_batches(self._vectors_dir())
+                if not self._is_fold(b)
+            ), lambda: self._compact_vectors(minor=True)),
             ("dups", lambda: len(self.dups.history()),
              self.dups.compact),
         )

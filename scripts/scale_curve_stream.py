@@ -357,7 +357,16 @@ def run_textdedup(spark, runs: int) -> dict:
     batch side; batch-bounded recounts) — this axis is the measured form
     of that claim. The timed unit is one availableNow run over ONE new
     arrival file (stream startup overhead included — constant across
-    sizes, so the exponent is the state-size signal)."""
+    sizes, so the exponent is the state-size signal).
+
+    Variance control (round 9): the TIMED batches carry IDENTICAL content
+    at every state size (fresh ids only), and each size's PRELOAD is a
+    prefix-nested resample (rng reseeded per size). The round-8 axis
+    resampled fresh content everywhere; the line-dedup rebuild cost
+    depends on how many stored docs a batch's lines newly cross the
+    threshold for, so content variance swamped the state-size signal
+    (14.6/21.6/10.6 s, non-monotone). Fixed content makes the exponent
+    legible."""
     import numpy as np
 
     from moc_indexer_spark.streaming.corpus import (
@@ -369,6 +378,15 @@ def run_textdedup(spark, runs: int) -> dict:
     texts = [r.text for r in docs_src.select("text").collect()]
     schema = "doc_id long, text string, source string"
     out: dict[str, dict] = {}
+
+    # the fixed-content timed batches: one shared sequence, replayed from
+    # the top at every state size (ids differ, content does not)
+    upd_rng = np.random.default_rng(101)
+    upd_content = [
+        [texts[i] for i in upd_rng.integers(
+            0, len(texts), size=TEXTDEDUP_UPDATE_DOCS)]
+        for _ in range(8)
+    ]
 
     def write_file(src_dir: str, path_name: str, ids, txts):
         stage = tempfile.mkdtemp(prefix="textdedup_stage_")
@@ -385,9 +403,9 @@ def run_textdedup(spark, runs: int) -> dict:
 
     for label, runner in (("neardedup", run_near_dedup_stream_available_now),
                           ("linededup", run_line_dedup_stream_available_now)):
-        rng = np.random.default_rng(37)
         row: dict = {"t": {}}
         for n in TEXTDEDUP_SIZES:
+            rng = np.random.default_rng(37)  # prefix-nested preloads
             base = tempfile.mkdtemp(prefix=f"textdedup_{label}_{n}_")
             src = os.path.join(base, "src")
             os.makedirs(src)
@@ -401,15 +419,16 @@ def run_textdedup(spark, runs: int) -> dict:
                    schema=docs_src.select("doc_id", "text", "source").schema,
                    max_files_per_trigger=None)  # preload: one big batch
             done = n
+            upd_k = 0
 
             def one_update():
-                nonlocal nfile, done
-                ids, txts = next(_doc_batches(
-                    rng, texts, done, TEXTDEDUP_UPDATE_DOCS,
-                    TEXTDEDUP_UPDATE_DOCS))
+                nonlocal nfile, done, upd_k
+                txts = upd_content[upd_k]
+                ids = list(range(done, done + len(txts)))
+                upd_k += 1
                 write_file(src, f"f{nfile:05d}", ids, txts)
                 nfile += 1
-                done += TEXTDEDUP_UPDATE_DOCS
+                done += len(txts)
                 runner(spark, src, os.path.join(base, "state"),
                        os.path.join(base, "ck"),
                        schema=docs_src.select(

@@ -114,10 +114,13 @@ def test_ivf_stream_compaction_preserves_probes(spark, sf_dir, tmp_path):
     assert n_files <= n_cells
 
     # post-rename crash window: trash left behind after a completed swap
-    # must only be deleted, never restored
+    # must only be deleted, never restored — and the cleanup SIGNALS
+    # (nonzero return, round 9) so a same-process caller's relation
+    # cache clears; no data moves
     os.makedirs(f"{base}__fold_trash/batch=0", exist_ok=True)
-    assert compact_index(idx) == 0
+    assert compact_index(idx) == 1
     assert not os.path.isdir(f"{base}__fold_trash")
+    assert [d for d in os.listdir(base) if d.startswith("batch=")] == ["batch=2"]
     assert _rows(idx.probe(qs, n_probe=16)) == want
 
 

@@ -274,3 +274,58 @@ def test_semdedup_fold_id_reuse_invalidates_cached_relations(
         auto.update(s, i)  # crashed here pre-fix (stale file listing)
     assert _rows(auto.duplicates()) == _rows(bare.duplicates())
     assert _vec_rows(auto) == _vec_rows(bare)
+
+def test_semdedup_minor_fold_is_tiered_and_crash_safe(spark, sf_dir, tmp_path):
+    """Round 9: the in-tick policy fold is MINOR — it folds only the flat
+    tail since the newest fold, leaving earlier levels in place — and a
+    crashed minor swap recovers WITHOUT sweeping the earlier level into
+    trash (the min_batch bound in the fold marker)."""
+    import os
+    import shutil
+
+    from moc_indexer_spark.streaming.compaction import (
+        _FOLD_MARKER, list_committed_batches,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").limit(200)
+    bare = _mk_index(spark, str(tmp_path / "bare"), emb)
+    idx = _mk_index(spark, str(tmp_path / "idx"), emb)
+    slices = [(0, 40), (40, 80), (80, 120), (120, 160), (160, 10**9)]
+    for i, (lo, hi) in enumerate(slices[:3]):
+        s = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        idx.update(s, i)
+        bare.update(s, i)
+    # level 1: full fold of batches 0..2
+    idx._compact_vectors()
+    assert [b for b in list_committed_batches(idx._vectors_dir())
+            if idx._is_fold(b)] == [2]
+    for i, (lo, hi) in enumerate(slices[3:], start=3):
+        s = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        idx.update(s, i)
+        bare.update(s, i)
+    # level 2: MINOR fold of the tail only — level 1 must stay in place
+    folded = idx._compact_vectors(minor=True)
+    assert folded >= 1
+    folds = [b for b in list_committed_batches(idx._vectors_dir())
+             if idx._is_fold(b)]
+    assert folds == [2, 4]  # both levels present
+    assert _rows(idx.duplicates()) == _rows(bare.duplicates())
+    assert _vec_rows(idx) == _vec_rows(bare)
+
+    # crashed MINOR swap: reconstruct tmp (complete, marker "2 4") +
+    # trash, with level 1 (batch=2) still installed — recovery must
+    # complete the swap at the RECORDED range and leave level 1 alone
+    base = idx._vectors_dir()
+    shutil.copytree(f"{base}/batch=4", f"{base}__fold_tmp")
+    with open(f"{base}__fold_tmp/{_FOLD_MARKER}", "w") as fh:
+        fh.write("2 4")
+    shutil.move(f"{base}/batch=4", f"{base}__fold_trash/batch=4")
+    idx._relation_cache.clear()
+    folded = idx._compact_vectors(minor=True)
+    assert folded >= 1  # the recovery signal
+    folds = [b for b in list_committed_batches(idx._vectors_dir())
+             if idx._is_fold(b)]
+    assert folds == [2, 4]
+    assert not os.path.isdir(f"{base}__fold_trash")
+    assert _rows(idx.duplicates()) == _rows(bare.duplicates())
+    assert _vec_rows(idx) == _vec_rows(bare)
