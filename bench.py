@@ -131,6 +131,24 @@ def main() -> None:
     # stdout tail capture and left BENCH_r03.json with parsed:null. The
     # per-query spreads and error details now go to a side file; the final
     # stdout line stays small and parseable.
+    # per-query stability, compacted to two numbers so it fits the ~2 KB
+    # stdout line (full spreads stay in BENCH_DETAIL.json): the max/median
+    # ratio per query, aggregated as p50 + worst with the worst query
+    # named. A worst ratio near 1 certifies every median as steady-state;
+    # a high one names the query whose tail needs the side file.
+    ratios = {
+        n: (spreads[n][1] / timings[n]) if timings[n] > 0 else 1.0
+        for n in timings if n in spreads
+    }
+    jitter = None
+    if ratios:
+        rs = sorted(ratios.values())
+        worst = max(ratios, key=ratios.get)
+        jitter = {
+            "p50": round(rs[len(rs) // 2], 3),
+            "max": round(ratios[worst], 3),
+            "max_query": worst,
+        }
     payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -139,6 +157,8 @@ def main() -> None:
         "sf": sf_val,
         "config": config,
     }
+    if jitter is not None:
+        payload["jitter"] = jitter
     if ingest is not None:
         payload["ingest"] = ingest
     detail = {

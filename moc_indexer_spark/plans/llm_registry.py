@@ -881,16 +881,34 @@ def q_media_exact_dedup(spark, sf_dir):
 
 @register(
     "dedup_report",
+    # Inverted-index oracle (round 9): the original form computed jaccard
+    # over ALL O(n^2) doc pairs — 17 minutes at sf0.1, which had pushed
+    # this row into the sweep's rows-only set. Candidates sharing >= 1
+    # shingle are a LOSSLESS restriction for threshold > 0, and the
+    # intersection size falls out of the same co-occurrence GROUP BY
+    # (shingle lists are distinct, so COUNT(*) per (doc_i, doc_j) equals
+    # len(list_intersect)) — identical counts, 2.7 s at sf0.1. This is
+    # also the engine operator's own shape, but expressed in DuckDB SQL
+    # over raw shingle strings (no xxhash64, no Spark), so the two
+    # remain independent derivations of one answer.
     f"""
     WITH toks AS (
       SELECT doc_id, {SQL_TOKS} AS t FROM documents),
     sh AS (
       SELECT doc_id, {SQL_SHINGLES} AS s FROM toks WHERE len(t) >= {NGRAM_N}),
+    inv AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh),
+    ssz AS (
+      SELECT doc_id, len(s) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS isz
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
     near AS (
-      SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+      SELECT doc_i, doc_j FROM inter
+      JOIN ssz sa ON sa.doc_id = inter.doc_i
+      JOIN ssz sb ON sb.doc_id = inter.doc_j
+      WHERE CAST(isz AS DOUBLE) / CAST(sa.n + sb.n - isz AS DOUBLE)
             >= {JACCARD_THRESHOLD}),
     ex AS (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY md5(text))
     SELECT (SELECT COUNT(*) FROM documents) AS n_docs,

@@ -45,6 +45,7 @@ from .compaction import (  # noqa: F401
     _BATCH_RE,
     _FOLD_MARKER,
     compact_batched_dir,
+    heal_batched_dir,
     list_committed_batches,
     read_batches_upto,
 )
@@ -75,6 +76,11 @@ class IncrementalBm25Index:
         self._compact_every = compact_every
         self._compact_rr = 0  # round-robin cursor over batched relations
         os.makedirs(self.path, exist_ok=True)
+        # startup heal (round 9): a crash inside an in-tick policy fold
+        # leaves swept originals in __fold_trash; without this, every
+        # update until the next fold would read a hole in the state
+        for name in ("lengths", "postings"):
+            heal_batched_dir(self._dir(name))
 
     # -- state ---------------------------------------------------------------
 

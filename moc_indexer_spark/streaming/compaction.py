@@ -134,16 +134,64 @@ def compact_batched_dir(
     tmp = f"{base}__fold_tmp"
     trash = f"{base}__fold_trash"
 
-    def _fold_bounds() -> tuple[int, int] | None:
-        marker = os.path.join(tmp, _FOLD_MARKER)
-        if not (os.path.exists(marker)
-                and os.path.exists(os.path.join(tmp, "_SUCCESS"))):
-            return None
-        with open(marker) as f:
-            parts = f.read().split()
-        # legacy single-int markers (pre-minor-fold) are full folds
-        return (int(parts[0]), int(parts[1])) if len(parts) == 2 \
-            else (-1, int(parts[0]))
+    recovered_swap = heal_batched_dir(base, list_batches)
+
+    batches = [b for b in list_batches() if min_batch < b <= committed]
+    if len(batches) <= 1:
+        return 1 if recovered_swap else 0
+    merged = read_upto(committed)
+    write_fold(merged, tmp, len(batches))
+    with open(os.path.join(tmp, _FOLD_MARKER), "w") as f:
+        f.write(f"{min_batch} {committed}")
+    _complete_swap(base, tmp, trash, list_batches, min_batch, committed)
+    return len(batches) - 1
+
+
+def _tmp_fold_bounds(tmp: str) -> tuple[int, int] | None:
+    marker = os.path.join(tmp, _FOLD_MARKER)
+    if not (os.path.exists(marker)
+            and os.path.exists(os.path.join(tmp, "_SUCCESS"))):
+        return None
+    with open(marker) as f:
+        parts = f.read().split()
+    # legacy single-int markers (pre-minor-fold) are full folds
+    return (int(parts[0]), int(parts[1])) if len(parts) == 2 \
+        else (-1, int(parts[0]))
+
+
+def _complete_swap(
+    base: str, tmp: str, trash: str,
+    list_batches: Callable[[], list[int]],
+    fold_min: int, fold_committed: int,
+) -> None:
+    for b in [x for x in list_batches() if fold_min < x <= fold_committed]:
+        os.makedirs(trash, exist_ok=True)
+        os.replace(f"{base}/batch={b}", os.path.join(trash, f"batch={b}"))
+    dest = f"{base}/batch={fold_committed}"
+    os.replace(tmp, dest)
+    try:
+        os.remove(os.path.join(dest, _FOLD_MARKER))
+    except FileNotFoundError:
+        pass
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def heal_batched_dir(
+    base: str, list_batches: Callable[[], list[int]] | None = None
+) -> bool:
+    """Complete or roll back a compaction swap a previous run crashed
+    inside (the recovery-state matrix in the module docstring). Safe to
+    call any time under the single-writer lock; compact_batched_dir runs
+    it first, and the maintainers run it AT STARTUP — a crash inside an
+    in-tick policy fold otherwise leaves the swept originals invisible
+    in trash until the next fold happens to run, and every update in
+    between would read a hole in the state. Returns True when a swap was
+    installed (or found already installed), i.e. when batch=<fold id>
+    was rewritten in place and any relation cache must be cleared."""
+    if list_batches is None:
+        list_batches = lambda: list_committed_batches(base)  # noqa: E731
+    tmp = f"{base}__fold_tmp"
+    trash = f"{base}__fold_trash"
 
     def _drop_stale_markers() -> None:
         # the marker is only needed while tmp exists (it identifies the
@@ -155,23 +203,10 @@ def compact_batched_dir(
             if d.startswith("batch=") and os.path.exists(stale):
                 os.remove(stale)
 
-    def _complete_swap(fold_min: int, fold_committed: int) -> None:
-        for b in [x for x in list_batches()
-                  if fold_min < x <= fold_committed]:
-            os.makedirs(trash, exist_ok=True)
-            os.replace(f"{base}/batch={b}", os.path.join(trash, f"batch={b}"))
-        dest = f"{base}/batch={fold_committed}"
-        os.replace(tmp, dest)
-        try:
-            os.remove(os.path.join(dest, _FOLD_MARKER))
-        except FileNotFoundError:
-            pass
-        shutil.rmtree(trash, ignore_errors=True)
-
-    # recovery: a previous run crashed mid-flight iff trash exists
+    # a previous run crashed mid-flight iff trash exists
     recovered_swap = False
     if os.path.isdir(trash):
-        bounds = _fold_bounds()
+        bounds = _tmp_fold_bounds(tmp)
         if not os.path.isdir(tmp):
             shutil.rmtree(trash, ignore_errors=True)
             _drop_stale_markers()
@@ -181,9 +216,9 @@ def compact_batched_dir(
             # clears (harmless extra clear after a process-death crash)
             recovered_swap = True
         elif bounds is not None:
-            _complete_swap(*bounds)
+            _complete_swap(base, tmp, trash, list_batches, *bounds)
             # batch=<fold> was rewritten IN PLACE (id reuse). Signal it
-            # even if no fresh fold runs below: a same-process caller
+            # even if no fresh fold runs: a same-process caller
             # (in-process exception + retry, not process death) may hold
             # cached relations over the now-deleted original part files,
             # and its `if folded:` cache clear must fire (ADVICE r8).
@@ -195,13 +230,4 @@ def compact_batched_dir(
                     os.replace(os.path.join(trash, d), dst)
             shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
-
-    batches = [b for b in list_batches() if min_batch < b <= committed]
-    if len(batches) <= 1:
-        return 1 if recovered_swap else 0
-    merged = read_upto(committed)
-    write_fold(merged, tmp, len(batches))
-    with open(os.path.join(tmp, _FOLD_MARKER), "w") as f:
-        f.write(f"{min_batch} {committed}")
-    _complete_swap(min_batch, committed)
-    return len(batches) - 1
+    return recovered_swap

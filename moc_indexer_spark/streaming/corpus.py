@@ -19,6 +19,8 @@ for idempotent tx upserts (scan_raw_txs.py:51-54).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -218,6 +220,9 @@ def _verify_pairs(
     )
 
 
+_FOLD_LEVEL = "_FOLDLEVEL"  # marks a fold-level dir (Spark ignores _files)
+
+
 class IncrementalNearDup:
     """Parquet-backed MinHash-LSH near-dup state maintained one
     micro-batch at a time — the reusable core of
@@ -227,38 +232,134 @@ class IncrementalNearDup:
     NEAR_THRESHOLD)` (tested), and because a pair's collision + verify
     depend only on the two texts, restricting the maintained pair set
     to any doc subset S equals running the batch operator on S — the
-    property the funnel's publish step relies on."""
+    property the funnel's publish step relies on.
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    STATE LAYOUT (round 9). The original form kept bands/feats/pairs in
+    keyed CoW upsert tables; the 500k-doc point measured the wall that
+    implies — 0.12 s of map-only state READS per tick against 5.35 s of
+    CoW WRITE-BACK, each upsert rewriting O(corpus) rows to add a
+    batch-bounded delta (SCALE_CURVE.json neardedup at_500k, pre-fix).
+    Bands and feats rows are append-only by construction (a doc's
+    signature is immutable and rows are only added for ids never seen
+    before), so they now accrete as flat `batch=N` single-file dirs —
+    the BM25/IVF/semdedup protocol: O(batch) writes, replays resolved
+    by the committed-batch rule, folds (tiered: minor in-tick, full
+    out-of-band) bound the file count. The FEATS dir is written last
+    and is the COMMIT RECORD. The pairs table keeps MERGE semantics
+    (replays re-deliver the same keys) but is MoR — O(batch) delta
+    appends; readers pay the resolve until compaction.
+
+    Single-writer, like every maintainer here. `compact_every` is the
+    auto-compaction policy (the Indexer's per-cycle budget: at most one
+    unit folded per update, minor folds only — an in-tick fold reads
+    O(cadence) rows regardless of corpus size)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        compact_every: int | None = None,
+    ):
         self.spark = spark
-        self.bands_tbl = ParquetUpsertTable(
-            spark, f"{state_dir}/bands", keys=["band", "bucket", "doc_id"]
-        )
-        self.feats_tbl = ParquetUpsertTable(
-            spark, f"{state_dir}/feats", keys=["doc_id"]
-        )
+        self.state_dir = state_dir.rstrip("/") or state_dir
+        self._compact_every = compact_every
+        self._compact_rr = 0  # round-robin over (bands, feats, pairs)
+        self._relation_cache: dict[tuple, DataFrame] = {}
+        os.makedirs(self.state_dir, exist_ok=True)
+        from .compaction import heal_batched_dir
+
+        for name in ("bands", "feats"):
+            heal_batched_dir(self._dir(name))
         self.pairs_tbl = ParquetUpsertTable(
-            spark, f"{state_dir}/pairs", keys=["doc_i", "doc_j"]
+            spark, f"{self.state_dir}/pairs", keys=["doc_i", "doc_j"],
+            mode="mor",
+            compact_every=(4 * compact_every) if compact_every else 64,
         )
+
+    # -- state ----------------------------------------------------------------
+
+    def _dir(self, name: str) -> str:
+        return f"{self.state_dir}/{name}"
+
+    def committed_batch(self) -> int:
+        """Feats is written last => its newest committed dir is the
+        commit record; a bands dir beyond it is an orphan a replay will
+        overwrite."""
+        from .compaction import list_committed_batches
+
+        b = list_committed_batches(self._dir("feats"))
+        return b[-1] if b else -1
+
+    def _is_fold(self, name: str, b: int) -> bool:
+        return os.path.exists(
+            os.path.join(self._dir(name), f"batch={b}", _FOLD_LEVEL)
+        )
+
+    def _read_state(self, name: str, upto: int,
+                    above: int = -1) -> DataFrame | None:
+        from .compaction import list_committed_batches
+
+        base = self._dir(name)
+        group = tuple(
+            b for b in list_committed_batches(base) if above < b <= upto
+        )
+        if not group:
+            return None
+        key = (base, group)
+        df = self._relation_cache.get(key)
+        if df is None:
+            if len(self._relation_cache) > 8:
+                self._relation_cache.clear()
+            df = self.spark.read.parquet(
+                *[f"{base}/batch={b}" for b in group]
+            )
+            self._relation_cache[key] = df
+        return df
 
     def pairs(self) -> DataFrame | None:
         """Confirmed (doc_i, doc_j, jaccard) over all ingested docs."""
-        return self.pairs_tbl.read()
+        p = self.pairs_tbl.read()
+        return None if p is None else p.select("doc_i", "doc_j", "jaccard")
 
-    def update(self, batch_df: DataFrame) -> None:
-        """Fold one micro-batch of documents (doc_id, text, ...) in."""
+    def update(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        """Fold one micro-batch of documents (doc_id, text, ...) in.
+        `batch_id` is the stream's epoch (foreachBatch); None (direct
+        calls) continues from the committed batch. Replays of a
+        committed id are no-ops; a crash anywhere replays into the
+        identical state (pairs MERge re-converges, bands/feats dirs are
+        idempotent overwrites, feats commits last)."""
         if batch_df.isEmpty():
             return
-        bands_tbl, feats_tbl, pairs_tbl = (
-            self.bands_tbl, self.feats_tbl, self.pairs_tbl
-        )
+        committed = self.committed_batch()
+        if batch_id is None:
+            batch_id = committed + 1
+        if batch_id <= committed:
+            return
         feats = _doc_features(batch_df)
         # one action per batch over the expensive aggregate: materialize
         feats.persist()
+        new = feats
         cand = None
         try:
-            new_bands = _band_rows(feats)
-            stored_bands = bands_tbl.read()
+            stored_feats = self._read_state("feats", committed)
+            if stored_feats is not None:
+                # new-id detection with the state side MAP-ONLY: scan
+                # stored ids against the broadcast batch ids (their
+                # intersection is batch-bounded), then broadcast-anti the
+                # batch against that intersection. A redelivered id
+                # carries the same payload (the maintainer contract) and
+                # was fully paired when first committed, so it is dropped
+                # entirely.
+                redelivered = stored_feats.select("doc_id").join(
+                    F.broadcast(feats.select("doc_id")), "doc_id"
+                )
+                new = feats.join(
+                    F.broadcast(redelivered), "doc_id", "left_anti"
+                ).persist()
+                if new.isEmpty():
+                    return  # fully-redelivered batch: nothing to add
+            new_bands = _band_rows(new)
+            stored_bands = self._read_state("bands", committed)
             # cross-batch candidates: new docs vs the persisted index
             if stored_bands is not None:
                 # broadcast the BATCH side explicitly: the stored index is
@@ -272,7 +373,7 @@ class IncrementalNearDup:
                 # do; the scan IS the floor).
                 nb = F.broadcast(new_bands).alias("n")
                 sb = stored_bands.alias("o")
-                cross = (
+                cand = (
                     nb.join(
                         sb,
                         (F.col("n.band") == F.col("o.band"))
@@ -284,7 +385,6 @@ class IncrementalNearDup:
                         F.greatest("n.doc_id", "o.doc_id").alias("doc_j"),
                     )
                 )
-                cand = cross
             # in-batch candidates: same-bucket grouping
             within = (
                 new_bands.groupBy("band", "bucket")
@@ -316,36 +416,114 @@ class IncrementalNearDup:
             # a hot bucket can make |cands| x shingle-arrays exceed the
             # broadcast cap — fall back to AQE-planned joins past the bound
             n_cand = cand.count()
-            stored_feats = feats_tbl.read()
             if stored_feats is None:
-                feats_all = feats.select("doc_id", "sh")
+                feats_all = new.select("doc_id", "sh")
             else:
-                # prefer-the-batch-copy via a broadcast anti-join: the
-                # previous dropDuplicates(doc_id) SHUFFLED the full stored
-                # feature table every micro-batch to dedup against a
-                # handful of possibly-redelivered ids. Same result (a
-                # redelivered id carries the same payload — the shared
-                # maintainer contract — so either copy verifies alike),
-                # but the state side stays a map-only scan.
-                feats_all = feats.select("doc_id", "sh").unionByName(
-                    stored_feats.select("doc_id", "sh").join(
-                        F.broadcast(feats.select("doc_id")),
-                        "doc_id",
-                        "left_anti",
-                    )
+                # disjoint by construction (new was anti-joined), so the
+                # state side stays a map-only scan — no dedup needed
+                feats_all = new.select("doc_id", "sh").unionByName(
+                    stored_feats.select("doc_id", "sh")
                 )
             hits = _verify_pairs(
                 cand,
                 feats_all,
                 hint_broadcast=n_cand <= VERIFY_BROADCAST_MAX_CANDS,
             )
-            pairs_tbl.upsert(hits)
-            bands_tbl.upsert(new_bands)
-            feats_tbl.upsert(feats)
+            self.pairs_tbl.upsert(hits)
+            # appends commit the batch: bands first, feats LAST (the
+            # commit record) — a crash between them leaves an orphan
+            # bands dir the replay overwrites identically
+            new_bands.coalesce(1).write.mode("overwrite").parquet(
+                f"{self._dir('bands')}/batch={batch_id}"
+            )
+            new.coalesce(1).write.mode("overwrite").parquet(
+                f"{self._dir('feats')}/batch={batch_id}"
+            )
         finally:
             feats.unpersist()
+            if new is not feats:
+                new.unpersist()
             if cand is not None:
                 cand.unpersist()
+        self._maybe_compact_one()
+
+    # -- maintenance ------------------------------------------------------
+
+    def _compact_state(self, name: str, minor: bool = False) -> int:
+        """Fold `name`'s committed batch dirs (tiered: minor folds only
+        the tail since the newest fold level — O(cadence) rows — and is
+        the only form the in-tick policy runs; the full fold re-merges
+        all levels, out-of-band). Bands/feats have no pruning dimension
+        (LSH buckets are uniform hash scatter), so folds are flat
+        single-file merges whose only job is bounding the file count."""
+        from .compaction import compact_batched_dir, list_committed_batches
+
+        base = self._dir(name)
+        committed = self.committed_batch()
+        if committed < 0:
+            return 0
+        lo = -1
+        if minor:
+            folds = [
+                b for b in list_committed_batches(base)
+                if b <= committed and self._is_fold(name, b)
+            ]
+            lo = folds[-1] if folds else -1
+
+        def _write(df, tmp, n):
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            open(os.path.join(tmp, _FOLD_LEVEL), "w").close()
+
+        folded = compact_batched_dir(
+            base,
+            committed,
+            lambda: list_committed_batches(base),
+            lambda upto: self._read_state(name, upto, above=lo),
+            _write,
+            min_batch=lo,
+        )
+        if folded:
+            self._relation_cache.clear()
+        return folded
+
+    def compact(self) -> int:
+        """Full folds of bands + feats and the pairs MoR deltas —
+        OUT-OF-BAND maintenance, like the other maintainers' folds."""
+        n = self._compact_state("bands") + self._compact_state("feats")
+        self.pairs_tbl.compact()
+        return n
+
+    def _maybe_compact_one(self) -> str | None:
+        """Fold AT MOST ONE state unit whose accretion crossed the policy
+        threshold (cheap listdirs, no data read) — minor folds only, so
+        a tick never absorbs an O(corpus) rewrite."""
+        if self._compact_every is None:
+            return None
+        from .compaction import list_committed_batches
+
+        def flats(name):
+            return sum(
+                1 for b in list_committed_batches(self._dir(name))
+                if not self._is_fold(name, b)
+            )
+
+        units = (
+            ("bands", lambda: flats("bands"),
+             lambda: self._compact_state("bands", minor=True)),
+            ("feats", lambda: flats("feats"),
+             lambda: self._compact_state("feats", minor=True)),
+            # in-tick pairs maintenance is the delta-tail merge
+            # (O(cadence)); the full fold is compact()'s job
+            ("pairs", lambda: len(self.pairs_tbl.history()),
+             self.pairs_tbl.compact_deltas),
+        )
+        for k in range(len(units)):
+            name, count, fold = units[(self._compact_rr + k) % len(units)]
+            if count() >= self._compact_every:
+                fold()
+                self._compact_rr = (self._compact_rr + k + 1) % len(units)
+                return name
+        return None
 
 def run_near_dedup_stream_available_now(
     spark: SparkSession,
@@ -354,12 +532,13 @@ def run_near_dedup_stream_available_now(
     checkpoint_dir: str,
     schema=None,
     max_files_per_trigger: int | None = 1,
+    compact_every: int | None = None,
 ) -> ParquetUpsertTable:
     """Incremental MinHash-LSH near-dedup: documents stream in; each batch
     computes signatures ONCE, collides its band buckets against the
     persisted bucket index (docs seen in any earlier batch) and within
     itself, exact-verifies the candidates, and MERGEs the confirmed pairs.
-    Returns the pairs table; state tables live under `state_dir`.
+    Returns the pairs table; state lives under `state_dir`.
 
     Equivalences that make this correct (and tested):
     - signatures/buckets are the identical codegen'd expressions as the
@@ -371,18 +550,19 @@ def run_near_dedup_stream_available_now(
       converge to the batch answer (idempotent, order-free);
     - state grows as O(docs x bands) 16-byte rows + one shingle-hash set
       per doc (the stored doc-feature table any 100 TB pipeline keeps
-      anyway); no unbounded executor streaming state is used.
+      anyway), accreted as O(batch) appends (see IncrementalNearDup's
+      state-layout note); no unbounded executor streaming state is used.
     """
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
     reader = apply_max_files_per_trigger(reader, max_files_per_trigger)
     stream = reader.parquet(source_dir)
-    idx = IncrementalNearDup(spark, state_dir)
+    idx = IncrementalNearDup(spark, state_dir, compact_every=compact_every)
 
     (
         stream.writeStream.foreachBatch(
-            lambda batch_df, batch_id: idx.update(batch_df)
+            lambda batch_df, batch_id: idx.update(batch_df, batch_id)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

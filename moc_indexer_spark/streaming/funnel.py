@@ -155,7 +155,7 @@ class StreamingCurationFunnel:
                 gated.select("doc_id", "text", "lang", "source")
             )
             self.corpus_tbl.upsert(_coalesce_keepers(gated_keys))
-            self.near.update(gated)
+            self.near.update(gated, batch_id)
             if self.sem is not None:
                 ids = gated.select(F.col("doc_id").alias("vec_id"))
                 ebatch = self._emb.join(F.broadcast(ids), "vec_id")

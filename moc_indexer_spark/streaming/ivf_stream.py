@@ -38,7 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .compaction import list_committed_batches
+from .compaction import heal_batched_dir, list_committed_batches
 from .triggers import apply_max_files_per_trigger
 
 
@@ -72,6 +72,10 @@ class IncrementalIvfIndex:
         # so a key can never silently alias different on-disk states.
         self._relation_cache: dict[tuple, DataFrame] = {}
         os.makedirs(self.path, exist_ok=True)
+        # startup heal (round 9): a crash inside an in-tick policy fold
+        # leaves swept originals in __fold_trash; without this, every
+        # update until the next fold would read a hole in the state
+        heal_batched_dir(f"{self.path}/vectors")
 
     # -- quantizer -----------------------------------------------------------
 

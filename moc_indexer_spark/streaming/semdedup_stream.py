@@ -76,7 +76,11 @@ from ..operators.similarity import (
     semantic_dedup_keep,
     semantic_dedup_with_centroids,
 )
-from .compaction import compact_batched_dir, list_committed_batches
+from .compaction import (
+    compact_batched_dir,
+    heal_batched_dir,
+    list_committed_batches,
+)
 from .sink import ParquetUpsertTable
 from .triggers import apply_max_files_per_trigger
 
@@ -115,6 +119,10 @@ class IncrementalSemDeDup:
         self._relation_cache: dict[tuple, DataFrame] = {}
         self._model_cache = None
         self._bc = None
+        # startup heal (round 9): a crash inside an in-tick policy fold
+        # leaves swept originals in __fold_trash; without this, every
+        # update until the next fold would read a hole in the state
+        heal_batched_dir(self._vectors_dir())
 
     # -- quantizer ----------------------------------------------------------
 
@@ -419,8 +427,12 @@ class IncrementalSemDeDup:
                 1 for b in list_committed_batches(self._vectors_dir())
                 if not self._is_fold(b)
             ), lambda: self._compact_vectors(minor=True)),
+            # the dup table's in-tick maintenance is the delta-tail
+            # merge (O(cadence)), for the same reason: its full fold is
+            # O(table) and was the residual ON-arm spike after the
+            # vector fold went minor
             ("dups", lambda: len(self.dups.history()),
-             self.dups.compact),
+             self.dups.compact_deltas),
         )
         for k in range(len(units)):
             name, count, fold = units[(self._compact_rr + k) % len(units)]

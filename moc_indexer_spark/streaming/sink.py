@@ -225,6 +225,15 @@ class ParquetUpsertTable:
                         f"delta (__seq={seqs[0]}); earlier history was folded "
                         "by compaction"
                     )
+                if seqs and as_of_seq <= seqs[-1] and as_of_seq not in seqs:
+                    # seq numbers are assigned contiguously, so a GAP below
+                    # the newest dir is a point compact_deltas() folded into
+                    # a later delta; a prefix read would silently MISS those
+                    # rows — refuse, like the pre-base case above
+                    raise ValueError(
+                        f"as_of_seq={as_of_seq} was folded away by delta "
+                        "compaction (no surviving delta at that seq)"
+                    )
             raw = self._read_raw()
             if as_of_seq is not None:
                 raw = raw.filter(F.col("__seq") <= as_of_seq)
@@ -518,6 +527,55 @@ class ParquetUpsertTable:
             with open(self._marker("__meta"), "w") as fh:
                 fh.write('{"sink_layout": 2}')
         self._may_have_tombstones = False
+
+    def compact_deltas(self) -> int:
+        """MINOR MoR maintenance (round 9): fold the delta TAIL — every
+        dir above the oldest surviving one — into a single delta at a
+        fresh seq. O(tail) work bounded by the maintenance cadence,
+        where compact() rewrites O(table); this is the form an in-tick
+        policy may run (the Indexer's budget rule: a 3 s tick must never
+        absorb a table-sized rewrite — the round-8 policy long-runs
+        measured the full dup-table fold as the ON-arm p90/max spike).
+
+        Mechanism needs no new crash protocol: the merged rows APPEND as
+        a normal delta (atomic stage+rename), and only then are the
+        folded tail dirs pruned. A crash between the two leaves
+        duplicate rows that per-key resolution already settles (the
+        merged delta holds the newest seq), and a later minor fold
+        re-prunes. Refused for tables that may hold tombstones: the
+        version-ERA resolution needs the within-tail seq history this
+        fold collapses. Returns the number of delta dirs folded away."""
+        if self.mode != "mor":
+            return 0
+        if self._may_have_tombstones is not False:
+            raise ValueError(
+                "compact_deltas() on a table that may hold tombstones — "
+                "the era resolution needs per-delta seq history; run the "
+                "full compact() instead"
+            )
+        seqs = self._delta_seqs()
+        if len(seqs) <= 2:
+            return 0
+        tail = seqs[1:]
+        raw = self._read_raw().filter(F.col("__seq") >= tail[0])
+        # latest-per-key under the SAME ordering read() resolves with
+        # (version first, then seq) — the merged delta must carry exactly
+        # the tail's winning rows or a base row could beat the wrong one
+        order = (
+            [F.desc_nulls_last(self.version_col)] if self.version_col else []
+        ) + [F.desc("__seq")]
+        w = Window.partitionBy(*self.keys).orderBy(*order)
+        merged = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__seq")
+        )
+        self._append_delta(merged)
+        for s in tail:
+            shutil.rmtree(
+                os.path.join(self.path, f"__seq={s}"), ignore_errors=True
+            )
+        return len(tail)
 
     def delete_where(self, condition) -> None:
         """Retention delete (T9, mocsettlement.py:416-429). MoR appends

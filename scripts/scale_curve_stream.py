@@ -454,6 +454,9 @@ LONGRUN_TICK_VECS = 50
 LONGRUN_COMPACT_EVERY = 8
 
 
+LONGRUN_ENVELOPE_SEC = 3.0  # the reference's tightest tick
+
+
 def _longrun_arms(mk_index, update_fn, count_state,
                   preload=None, tick=None, tick_key="tick_vecs"):
     """Shared two-arm long-run skeleton (the mor_cycle_policy_longrun
@@ -461,23 +464,34 @@ def _longrun_arms(mk_index, update_fn, count_state,
     updates per arm — policy ON (compact_every=LONGRUN_COMPACT_EVERY)
     vs OFF (out-of-band contract, never called). Reports the accretion
     slope a months-long daemon rides (first10 vs last10 medians) and
-    how many cycles absorbed a fold. `preload`/`tick`/`tick_key` label
-    the arms (docs for BM25, vectors for the vector maintainers)."""
+    how many cycles absorbed a fold.
+
+    SLA framing (round 9): with ce=8 over 40 cycles, maintenance lands
+    in ~10-25% of ticks, so ON-arm p90 catching a fold tick is
+    arithmetic, not a defect — p90 is the 10% quantile. The numbers
+    that adjudicate the policy are `max` and `envelope_violations`
+    (cycles over the reference's 3 s tightest tick): the round-9 tiered
+    folds (minor vector fold + delta-tail merge, both O(cadence)) bound
+    what a tick can absorb, where the round-8 full folds grew with the
+    index. `fold_overhead_p50` isolates the maintenance cost itself
+    (median of fold-cycle latency minus median of clean-cycle latency)."""
     import statistics
 
     out = {}
     for label, ce in (("policy_on", LONGRUN_COMPACT_EVERY),
                       ("policy_off", None)):
         idx, state0 = mk_index(ce)
-        lat, folds = [], 0
+        lat, fold_cycles = [], []
         for c in range(LONGRUN_CYCLES):
             before = count_state(idx)
             t0 = time.perf_counter()
             update_fn(idx, c)
             lat.append(time.perf_counter() - t0)
             if count_state(idx) < before + 1:
-                folds += 1
+                fold_cycles.append(c)
         s = sorted(lat)
+        clean = [x for i, x in enumerate(lat) if i not in set(fold_cycles)]
+        foldlat = [lat[i] for i in fold_cycles]
         out[label] = {
             "cycles": LONGRUN_CYCLES,
             "preload": LONGRUN_PRELOAD if preload is None else preload,
@@ -487,7 +501,13 @@ def _longrun_arms(mk_index, update_fn, count_state,
             "max": round(max(lat), 3),
             "first10_median": round(statistics.median(lat[:10]), 3),
             "last10_median": round(statistics.median(lat[-10:]), 3),
-            "compaction_cycles": folds,
+            "compaction_cycles": len(fold_cycles),
+            "envelope_violations": sum(
+                1 for x in lat if x > LONGRUN_ENVELOPE_SEC
+            ),
+            "fold_overhead_p50": round(
+                statistics.median(foldlat) - statistics.median(clean), 3
+            ) if foldlat and clean else None,
         }
         print(json.dumps({label: out[label]}), flush=True)
     return out

@@ -44,10 +44,9 @@ PAIRWISE_ORACLES = {
     "ivfpq_ann_exact", "sq8_ann_topk", "typo_pairs", "shared_span_pairs",
     "containment_dup_pairs", "simhash_pairs_certified",
     "semantic_dedup_report", "benchmark_contamination",
-    # its `near` CTE is the same brute-force pairwise join (~20 min of
-    # DuckDB at sf0.1 measured in the round-8 sweep); the driver pins it
-    # at sf0.01 every rotation, the Spark side still executes here
-    "dedup_report",
+    # dedup_report returned to full oracle coverage in round 9: its
+    # oracle is now the inverted-index pair-count form (2.7 s at sf0.1
+    # vs the old all-pairs CTE's ~17 min)
 }
 
 

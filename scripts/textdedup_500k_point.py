@@ -4,11 +4,17 @@
 The round-8 axis stops at 50k docs while the vector maintainers carry
 1M-vector points; this prices the near-dup stream's documented floor —
 "one map-only state scan per tick, no cell/partition analog to prune"
-— at 10x the axis ceiling, and ATTRIBUTES the tick cost: the per-table
-read/upsert phases are timed separately, so if the CoW write-back of
-the corpus-sized bands/feats tables dominates (the suspected wall: a
-keyed CoW upsert rewrites O(state) rows to add a batch-bounded delta),
-the number says so directly.
+— at 10x the axis ceiling, and ATTRIBUTES the tick cost via per-phase
+timers (state reads vs pairs write-back).
+
+HISTORY: the first run of this script (round 9, pre-fix) measured
+8.218 s/tick at 500k on the original CoW-upsert-table state — reads
+0.12 s each (the floor claim held) but 5.35 s of keyed CoW write-back
+rewriting O(corpus) rows per tick (pairs 1.88 / bands 1.81 /
+feats 1.66). That measurement motivated IncrementalNearDup's round-9
+state redesign (batch-dir accrual + MoR pairs + tiered folds); this
+script now measures the redesigned maintainer UNDER ITS POLICY
+(compact_every) — the module contract, like the vector 1M points.
 
 Corpus profile: token-SHUFFLED resamples of sf0.1 texts — length/vocab
 marginals preserved, but shingle sets are fresh per doc, so the LSH
@@ -45,6 +51,7 @@ DUP_FRAC = 0.02
 RESERVOIR = 1_000
 
 SCHEMA = "doc_id long, text string, source string"
+COMPACT_EVERY = 16  # the maintained-index posture (policy minor folds)
 
 
 class _PhaseTimer:
@@ -108,7 +115,9 @@ def main() -> None:
     reservoir: list[str] = []
 
     d = tempfile.mkdtemp(prefix="textdedup_500k_")
-    idx = IncrementalNearDup(spark, os.path.join(d, "state"))
+    idx = IncrementalNearDup(
+        spark, os.path.join(d, "state"), compact_every=COMPACT_EVERY
+    )
 
     t0 = time.perf_counter()
     done = 0
@@ -123,11 +132,21 @@ def main() -> None:
     preload_sec = round(time.perf_counter() - t0, 1)
 
     timer = _PhaseTimer()
-    timer.wrap(idx.pairs_tbl, "upsert", "pairs_upsert")
-    timer.wrap(idx.bands_tbl, "upsert", "bands_upsert")
-    timer.wrap(idx.feats_tbl, "upsert", "feats_upsert")
-    timer.wrap(idx.bands_tbl, "read", "bands_read")
-    timer.wrap(idx.feats_tbl, "read", "feats_read")
+    timer.wrap(idx.pairs_tbl, "upsert", "pairs_append")
+    # attribute the state reads per relation (they are the floor claim)
+    orig_read = idx._read_state
+
+    def timed_read(name, upto, above=-1):
+        t0 = time.perf_counter()
+        try:
+            return orig_read(name, upto, above=above)
+        finally:
+            timer.acc[f"{name}_read"] = timer.acc.get(
+                f"{name}_read", 0.0
+            ) + time.perf_counter() - t0
+
+    idx._read_state = timed_read
+    timer.wrap(idx, "_maybe_compact_one", "policy_folds")
 
     def one_update():
         nonlocal done
@@ -162,10 +181,14 @@ def main() -> None:
         "preload_sec": preload_sec,
         "phase_sec_mean": phases,
         "n_pairs": n_pairs,
+        "compact_every": COMPACT_EVERY,
         "corpus": f"token-shuffled sf0.1 resamples, dup_frac={DUP_FRAC}",
-        "note": "phase breakdown attributes the tick: *_read phases are "
-                "the map-only state scans (the documented floor), "
-                "*_upsert phases are the keyed CoW write-backs",
+        "note": "redesigned batch-dir state under its policy; "
+                "*_read = relation construction/listing (the scans "
+                "execute inside the verify job), pairs_append = the MoR "
+                "delta write (blocks), policy_folds = in-tick minor "
+                "maintenance. Pre-redesign this tick cost 8.218 s, "
+                "5.35 s of it keyed CoW write-back (see module docstring)",
     }
     scales = doc.setdefault("stream_scales", {})
     scales["textdedup_docs"] = sorted(set(

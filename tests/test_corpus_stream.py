@@ -322,17 +322,17 @@ def test_near_dedup_stream_random_slicings_property(spark, tmp_path, sf_dir):
 def test_near_dedup_state_joins_broadcast_the_batch_side(
     spark, tmp_path, sf_dir
 ):
-    """Scale pin (round 8): the per-tick joins against stored state must
-    broadcast the BATCH-derived side so the corpus-sized relations
-    (bands index, feature table) are scanned map-only — a statistics-free
-    state read that fell back to sort-merge would shuffle O(corpus)
-    rows per micro-batch. Also pins that the redelivery dedup is the
-    broadcast anti-join, not the old full-state dropDuplicates shuffle."""
+    """Scale pin (round 8, re-pinned on the round-9 batch-dir state):
+    the per-tick joins against stored state must broadcast the
+    BATCH-derived side so the corpus-sized relations (bands index,
+    feature table) are scanned map-only — a statistics-free state read
+    that fell back to sort-merge would shuffle O(corpus) rows per
+    micro-batch. Also pins that new-id detection is the broadcast
+    semi + anti pair, never a full-state shuffle."""
     from moc_indexer_spark.streaming.corpus import (
-        _band_rows, _doc_features, _verify_pairs,
+        IncrementalNearDup, _band_rows, _doc_features, _verify_pairs,
         run_near_dedup_stream_available_now,
     )
-    from moc_indexer_spark.streaming.sink import ParquetUpsertTable
 
     docs = table(spark, sf_dir, "documents")
     src = f"{tmp_path}/src"
@@ -348,13 +348,19 @@ def test_near_dedup_state_joins_broadcast_the_batch_side(
         spark, src, f"{tmp_path}/state", f"{tmp_path}/ck", schema=docs.schema
     )
 
-    # reconstruct the batch body's two state joins against the built state
+    # reconstruct the update body's state joins against the built state
+    idx = IncrementalNearDup(spark, f"{tmp_path}/state")
+    committed = idx.committed_batch()
+    assert committed >= 0
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     feats = _doc_features(batch)
-    nb = F.broadcast(_band_rows(feats)).alias("n")
-    sb = ParquetUpsertTable(
-        spark, f"{tmp_path}/state/bands", keys=["band", "bucket", "doc_id"]
-    ).read().alias("o")
+    stored_feats = idx._read_state("feats", committed)
+    redelivered = stored_feats.select("doc_id").join(
+        F.broadcast(feats.select("doc_id")), "doc_id"
+    )
+    new = feats.join(F.broadcast(redelivered), "doc_id", "left_anti")
+    nb = F.broadcast(_band_rows(new)).alias("n")
+    sb = idx._read_state("bands", committed).alias("o")
     cross = nb.join(
         sb,
         (F.col("n.band") == F.col("o.band"))
@@ -364,19 +370,15 @@ def test_near_dedup_state_joins_broadcast_the_batch_side(
         F.least("n.doc_id", "o.doc_id").alias("doc_i"),
         F.greatest("n.doc_id", "o.doc_id").alias("doc_j"),
     )
-    stored_feats = ParquetUpsertTable(
-        spark, f"{tmp_path}/state/feats", keys=["doc_id"]
-    ).read()
-    feats_all = feats.select("doc_id", "sh").unionByName(
-        stored_feats.select("doc_id", "sh").join(
-            F.broadcast(feats.select("doc_id")), "doc_id", "left_anti"
-        )
+    feats_all = new.select("doc_id", "sh").unionByName(
+        stored_feats.select("doc_id", "sh")
     )
     hits = _verify_pairs(cross.dropDuplicates(["doc_i", "doc_j"]), feats_all)
     plan = hits._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3  # bands + verify x2
-    # the anti-join must be broadcast too (no full-state shuffle dedup)
+    # redelivery semi + bands + verify x2
+    assert plan.count("BroadcastHashJoin") >= 4
+    # new-id detection must be the broadcast anti (no full-state shuffle)
     assert "LeftAnti, BuildRight" in plan
     hits.count()  # and it executes
 

@@ -658,3 +658,56 @@ def test_indexer_folds_at_most_one_table_per_cycle(spark, workdir):
         assert len(folds) <= 1, folds
         total_folds += len(folds)
     assert total_folds >= 2  # the policy actually fires under pressure
+
+def test_compact_deltas_minor_merge(spark, workdir):
+    """compact_deltas (round 9): folds the delta TAIL into one appended
+    delta — resolved view unchanged, dir count bounded, version guard
+    preserved through the merge ordering — and refuses tombstone-carrying
+    tables (era resolution needs the per-delta seq history)."""
+    mk = lambda rows, cols: spark.createDataFrame(rows, cols)
+    tbl = ParquetUpsertTable(
+        spark, f"{workdir}/t", keys=["k"], version_col="ver", mode="mor",
+        compact_every=1000,
+    )
+    tbl.upsert(mk([(1, "a", 5), (2, "b", 5)], ["k", "v", "ver"]))
+    tbl.compact()  # establish a base
+    # tail: a newer version, then a STALE one (the guard must hold after
+    # the merge: within-tail resolution orders by version, not seq)
+    tbl.upsert(mk([(1, "a2", 9)], ["k", "v", "ver"]))
+    tbl.upsert(mk([(1, "a_stale", 7), (3, "c", 1)], ["k", "v", "ver"]))
+    tbl.upsert(mk([(2, "b2", 6)], ["k", "v", "ver"]))
+    want = _snapshot(tbl)
+    n_before = len(tbl.history())
+    folded = tbl.compact_deltas()
+    assert folded == n_before - 1
+    assert len(tbl.history()) == 2  # base + merged tail
+    assert _snapshot(tbl) == want
+    assert [r.v for r in tbl.read().filter(F.col("k") == 1).collect()] == ["a2"]
+    # folded-away as-of points are refused, surviving ones still answer
+    seqs = tbl.history()
+    tbl.read(as_of_seq=seqs[0]).count()
+    with pytest.raises(ValueError, match="folded away"):
+        tbl.read(as_of_seq=seqs[-1] - 1)
+    # idempotent-ish: nothing left to fold
+    assert tbl.compact_deltas() == 0
+
+    # crash window: merged delta appended but tail dirs not yet pruned
+    # (reconstructed by copying the merged delta back under old seqs is
+    # unnecessary — duplicates resolve by seq; simulate with a plain
+    # re-upsert of the same rows instead, then fold again)
+    tbl.upsert(mk([(3, "c", 1)], ["k", "v", "ver"]))
+    assert _snapshot(tbl) == want
+    # tail = the previous merged delta + the duplicate append
+    assert tbl.compact_deltas() == 2
+    assert _snapshot(tbl) == want
+
+    # tombstone refusal
+    tbl2 = ParquetUpsertTable(
+        spark, f"{workdir}/t2", keys=["k"], mode="mor", compact_every=1000
+    )
+    tbl2.upsert(mk([(1, "a")], ["k", "v"]))
+    tbl2.upsert(mk([(2, "b")], ["k", "v"]))
+    tbl2.upsert(mk([(3, "c")], ["k", "v"]))
+    tbl2.delete_where(F.col("k") == 1)
+    with pytest.raises(ValueError, match="tombstones"):
+        tbl2.compact_deltas()
