@@ -52,6 +52,8 @@ from .compaction import (  # noqa: F401
 from .triggers import apply_max_files_per_trigger
 # (_FOLD_MARKER re-exported for the fault-injection tests)
 
+_FOLD_BASE_MARKER = "_FOLDBASE"  # marks a full-fold base dir (round 9)
+
 
 class IncrementalBm25Index:
     """Parquet-backed BM25 index maintained one micro-batch at a time."""
@@ -144,19 +146,38 @@ class IncrementalBm25Index:
 
     def _maybe_compact_one(self) -> str | None:
         """Fold AT MOST ONE batched relation whose dir count crossed the
-        policy threshold (cheap listdirs, no data read). Returns the
-        folded relation's name, None if nothing crossed or no policy."""
+        policy threshold (cheap listdirs, no data read) — MINOR folds
+        only (round 9): the in-tick merge covers the tail since the
+        newest full-fold base, O(post-base tail) rows regardless of
+        index size; the O(index) full fold stays compact_index()'s
+        out-of-band contract. Returns the folded relation's name, None
+        if nothing crossed or no policy."""
         if self._compact_every is None:
             return None
         names = ("lengths", "postings")
         committed = self.committed_batch()
         for k in range(len(names)):
             name = names[(self._compact_rr + k) % len(names)]
-            if len(self._batches(name)) >= self._compact_every:
-                _compact_relation(self, name, committed)
+            n_tail = len([
+                b for b in self._batches(name)
+                if b > self._fold_base(name) and b <= committed
+            ])
+            if n_tail >= self._compact_every:
+                _compact_relation(self, name, committed, minor=True)
                 self._compact_rr = (self._compact_rr + k + 1) % len(names)
                 return name
         return None
+
+    def _fold_base(self, name: str) -> int:
+        """Newest FULL-fold dir id (`_FOLDBASE`-marked), -1 if none —
+        the lower bound minor folds merge above."""
+        base = -1
+        for b in self._batches(name):
+            if os.path.exists(
+                f"{self._dir(name)}/batch={b}/{_FOLD_BASE_MARKER}"
+            ):
+                base = b
+        return base
 
     def _write_generation(self, batch, batch_id: int, committed: int) -> None:
         postings, lengths, dfreq_delta, stats_delta = RT._index_relations(
@@ -294,13 +315,34 @@ def compact_index(idx: IncrementalBm25Index) -> int:
     return removed
 
 
-def _compact_relation(idx: IncrementalBm25Index, name: str, committed: int) -> int:
+def _compact_relation(
+    idx: IncrementalBm25Index, name: str, committed: int,
+    minor: bool = False,
+) -> int:
+    """minor=True merges only the tail above the newest full-fold base
+    (O(post-base tail), the in-tick policy form) into one UNMARKED flat
+    dir; minor=False folds everything into a new `_FOLDBASE`-marked
+    base (out-of-band)."""
+    lo = idx._fold_base(name) if minor else -1
+
+    def _read(upto):
+        if lo >= 0:
+            batches = [b for b in idx._batches(name) if lo < b <= upto]
+            return idx.spark.read.parquet(
+                *[f"{idx._dir(name)}/batch={b}" for b in batches]
+            )
+        return read_batches_upto(idx.spark, idx._dir(name), upto)
+
+    def _write(df, tmp, n):
+        df.coalesce(max(1, n // 4)).write.mode("overwrite").parquet(tmp)
+        if not minor:
+            open(os.path.join(tmp, _FOLD_BASE_MARKER), "w").close()
+
     return compact_batched_dir(
         base=idx._dir(name),
         committed=committed,
         list_batches=lambda: idx._batches(name),
-        read_upto=lambda upto: idx._read_upto(name, upto),
-        write_fold=lambda df, tmp, n: df.coalesce(max(1, n // 4))
-        .write.mode("overwrite")
-        .parquet(tmp),
+        read_upto=_read,
+        write_fold=_write,
+        min_batch=lo,
     )

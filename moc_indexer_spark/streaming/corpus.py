@@ -61,12 +61,16 @@ def quality_gate(docs: DataFrame) -> DataFrame:
     ).filter(F.col("quality_score") >= MIN_QUALITY)
 
 
-def corpus_table(spark: SparkSession, path: str) -> ParquetUpsertTable:
+def corpus_table(
+    spark: SparkSession, path: str, mode: str = "cow"
+) -> ParquetUpsertTable:
     """Corpus keyed by content hash; version = -doc_id so the MERGE's
     monotonic guard keeps the SMALLEST doc_id as keeper regardless of
-    arrival order (idempotent under replay)."""
+    arrival order (idempotent under replay). mode="mor" gives the
+    3 s-tick shape (O(batch) appends; the resolution ordering applies
+    the same neg_id guard at read) — the streaming funnel uses it."""
     return ParquetUpsertTable(
-        spark, path, keys=["content_hash"], version_col="neg_id"
+        spark, path, keys=["content_hash"], version_col="neg_id", mode=mode
     )
 
 
@@ -450,12 +454,16 @@ class IncrementalNearDup:
     # -- maintenance ------------------------------------------------------
 
     def _compact_state(self, name: str, minor: bool = False) -> int:
-        """Fold `name`'s committed batch dirs (tiered: minor folds only
-        the tail since the newest fold level — O(cadence) rows — and is
-        the only form the in-tick policy runs; the full fold re-merges
-        all levels, out-of-band). Bands/feats have no pruning dimension
-        (LSH buckets are uniform hash scatter), so folds are flat
-        single-file merges whose only job is bounding the file count."""
+        """Fold `name`'s committed batch dirs (tiered: a minor fold
+        merges the tail since the BASE — the newest full-fold dir —
+        into one unmarked flat file, O(post-base tail) rows, and is the
+        only form the in-tick policy runs; the full fold re-merges
+        everything into a new _FOLDLEVEL base, out-of-band). Bands/feats
+        have no pruning dimension (LSH buckets are uniform hash
+        scatter), so folds are flat single-file merges whose job is
+        bounding the file count — minor merges must NOT accrete marked
+        levels (the vector maintainers measured level read-amp; here
+        levels would at least grow the per-tick listing)."""
         from .compaction import compact_batched_dir, list_committed_batches
 
         base = self._dir(name)
@@ -472,7 +480,8 @@ class IncrementalNearDup:
 
         def _write(df, tmp, n):
             df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            open(os.path.join(tmp, _FOLD_LEVEL), "w").close()
+            if not minor:  # only full folds become the base level
+                open(os.path.join(tmp, _FOLD_LEVEL), "w").close()
 
         folded = compact_batched_dir(
             base,
@@ -483,7 +492,12 @@ class IncrementalNearDup:
             min_batch=lo,
         )
         if folded:
-            self._relation_cache.clear()
+            # dirs in (lo, committed] were swept; keep cached relations
+            # that only touch the untouched base
+            self._relation_cache = {
+                k: v for k, v in self._relation_cache.items()
+                if k[0] != base or not any(lo < b <= committed for b in k[1])
+            }
         return folded
 
     def compact(self) -> int:

@@ -112,12 +112,18 @@ class StreamingCurationFunnel:
         self.embeddings_path = embeddings_path
         # gated doc payloads, keyed by doc_id (idempotent re-MERGE on
         # redelivery — the maintainer contract: ids stable, payloads
-        # immutable)
+        # immutable). MoR: these two tables are CORPUS-sized, and a CoW
+        # upsert rewrites O(corpus) rows per tick — the exact wall the
+        # near-dup maintainer's 500k point measured; MoR appends are
+        # O(batch) and publish (the batch job) pays the one resolve.
         self.docs_tbl = ParquetUpsertTable(
-            spark, f"{state_dir}/docs", keys=["doc_id"]
+            spark, f"{state_dir}/docs", keys=["doc_id"], mode="mor"
         )
         # exact-dedup keeper state (min-doc_id per content hash)
-        self.corpus_tbl = corpus_table(spark, f"{state_dir}/corpus")
+        self.corpus_tbl = corpus_table(
+            spark, f"{state_dir}/corpus", mode="mor"
+        )
+        self._merge_rr = 0  # round-robin delta-merge cursor
         self.near = IncrementalNearDup(spark, f"{state_dir}/near")
         self.sem = (
             IncrementalSemDeDup(spark, f"{state_dir}/sem")
@@ -173,8 +179,22 @@ class StreamingCurationFunnel:
                     "batch_id long, n_raw long",
                 )
             )
+            self._maybe_merge_one()
         finally:
             gated.unpersist()
+
+    def _maybe_merge_one(self) -> None:
+        """In-tick maintenance budget for the funnel's own MoR tables
+        (the near-dup and semdedup maintainers run their own policies):
+        delta-tail-merge AT MOST ONE table per tick once its delta count
+        crosses the threshold — O(cadence) work, never a table rewrite."""
+        tables = (self.docs_tbl, self.corpus_tbl)
+        for k in range(len(tables)):
+            t = tables[(self._merge_rr + k) % len(tables)]
+            if len(t.history()) >= 16:
+                t.compact_deltas()
+                self._merge_rr = (self._merge_rr + k + 1) % len(tables)
+                return
 
     # -- publish ---------------------------------------------------------------
 

@@ -593,10 +593,12 @@ def compact_index(idx: IncrementalIvfIndex, minor: bool = False) -> int:
     Returns the number of batch partitions folded away.
 
     `minor=True` is the TIERED in-tick form (semdedup_stream's round-9
-    design): fold only the flat tail since the newest fold level —
-    O(compaction cadence) rows regardless of index size — leaving
-    earlier levels in place (probes' mixed-layout read handles any
-    number of fold dirs). The full fold stays the OUT-OF-BAND contract."""
+    design, incl. its two measured-and-rejected predecessors — see that
+    docstring): merge the flat tail since the cell-partitioned base
+    into ONE FLAT file (cell stays a data column -> row-group pushdown;
+    never a new partitioned level), leaving the base untouched;
+    O(post-base tail) rows, bounded between out-of-band full folds.
+    The full fold stays the OUT-OF-BAND contract."""
     from .compaction import assert_unique_ids, compact_batched_dir
 
     committed = idx.committed_batch()
@@ -639,18 +641,27 @@ def compact_index(idx: IncrementalIvfIndex, minor: bool = False) -> int:
         # read tasks (measured at 200k vectors / 160 cells: 19,659 files
         # after 12 policy folds, updates dominated by file opens). The
         # one cell-keyed shuffle bounds every fold at one file per cell.
-        write_fold=lambda df, tmp, n: df.drop("batch")
-        .repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(tmp),
+        write_fold=(
+            (lambda df, tmp, n: df.drop("batch").coalesce(1)
+             .write.mode("overwrite").parquet(tmp))
+            if minor else
+            (lambda df, tmp, n: df.drop("batch")
+             .repartition("cell")
+             .write.mode("overwrite")
+             .partitionBy("cell")
+             .parquet(tmp))
+        ),
         min_batch=lo,
     )
     if folded:
-        # the fold rewrote batch=<committed> IN PLACE (id reuse): any
-        # cached relation whose group contains that id now points at
-        # deleted part files — see _cached_relation's safety argument
-        idx._relation_cache.clear()
+        # every dir in (lo, committed] was swept (batch=<committed>
+        # rewritten in place — id reuse): cached relations touching the
+        # range dangle. Selective invalidation keeps the untouched
+        # base-fold relation (its O(cells) listing is the expensive one)
+        idx._relation_cache = {
+            k: v for k, v in idx._relation_cache.items()
+            if not any(lo < b <= committed for b in k[1])
+        }
     return folded
 
 

@@ -340,14 +340,19 @@ class IncrementalSemDeDup:
         partition (the shared crash-consistent protocol).
 
         `minor=True` is the TIERED form the in-tick policy uses: only
-        the flat tail SINCE THE NEWEST FOLD is read and rewritten —
-        O(compaction cadence) rows, bounded regardless of index size —
-        and earlier folds stay in place as levels (_read_upto already
-        reads any number of fold dirs, each cell-pruned). The full fold
-        (minor=False) re-merges all levels; it stays the OUT-OF-BAND
-        compact() contract, because its cost is O(index) and a 3 s-tick
-        daemon must never absorb it in-cycle — the round-8 policy
-        long-run measured exactly that as the ON-arm p90 spike."""
+        the flat tail SINCE THE CELL-PARTITIONED BASE is read and
+        merged into ONE FLAT file (cell stays a data column, so the
+        touched-cell predicate pushes to its row groups) — O(post-base
+        tail) rows, bounded between out-of-band full folds — and the
+        base fold stays in place untouched. Two designs measured and
+        rejected on the way here (round 9 long-runs): the round-8 full
+        fold in-tick (O(index): the ON-arm p90/max spike), and minor
+        folds that wrote cell-PARTITIONED levels (read amplification:
+        every level multiplies the listing + file-open cost of every
+        later tick — ON-arm CLEAN-cycle median rose 0.55 s over the OFF
+        arm). The full fold (minor=False) re-merges everything into one
+        cell-partitioned base; it stays the OUT-OF-BAND compact()
+        contract."""
         from .compaction import assert_unique_ids
 
         committed = self.committed_batch()
@@ -382,23 +387,37 @@ class IncrementalSemDeDup:
             assert_unique_ids(df, "vec_id", f"semdedup.compact({self.path})")
             return df
 
+        if minor:
+            # ONE flat file: the merged tail stays in the flats group
+            # (cell = data column, predicate pushdown); never a new
+            # partitioned level — see the docstring's rejected designs
+            def _write(df, tmp, n):
+                df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        else:
+            def _write(df, tmp, n):
+                (df.repartition("cell").write.mode("overwrite")
+                 .partitionBy("cell").parquet(tmp))
+
         folded = compact_batched_dir(
             self._vectors_dir(),
             committed,
             lambda: list_committed_batches(self._vectors_dir()),
             _read_checked,
-            lambda df, tmp, n: df.repartition("cell")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(tmp),
+            _write,
             min_batch=lo,
         )
         if folded:
-            # the fold rewrote batch=<committed> IN PLACE (id reuse):
-            # any cached relation whose group contains that id now
-            # points at deleted part files — see
-            # IncrementalIvfIndex._cached_relation's safety argument
-            self._relation_cache.clear()
+            # every dir in (lo, committed] was swept (and batch=
+            # <committed> rewritten in place — id reuse): any cached
+            # relation whose group touches that range points at deleted
+            # part files. Invalidate SELECTIVELY — a full clear would
+            # force a fresh O(cells) distributed listing of the
+            # untouched base fold on the next read, which is most of
+            # what every post-fold tick then pays
+            self._relation_cache = {
+                k: v for k, v in self._relation_cache.items()
+                if not any(lo < b <= committed for b in k)
+            }
         return folded
 
     def compact(self) -> int:

@@ -276,10 +276,11 @@ def test_semdedup_fold_id_reuse_invalidates_cached_relations(
     assert _vec_rows(auto) == _vec_rows(bare)
 
 def test_semdedup_minor_fold_is_tiered_and_crash_safe(spark, sf_dir, tmp_path):
-    """Round 9: the in-tick policy fold is MINOR — it folds only the flat
-    tail since the newest fold, leaving earlier levels in place — and a
-    crashed minor swap recovers WITHOUT sweeping the earlier level into
-    trash (the min_batch bound in the fold marker)."""
+    """Round 9: the in-tick policy fold is MINOR — it merges only the
+    flat tail since the cell-partitioned base into ONE FLAT file (no new
+    partitioned level: levels read-amplify, see _compact_vectors), the
+    base stays in place — and a crashed minor swap recovers WITHOUT
+    sweeping the base into trash (the min_batch bound in the marker)."""
     import os
     import shutil
 
@@ -295,7 +296,7 @@ def test_semdedup_minor_fold_is_tiered_and_crash_safe(spark, sf_dir, tmp_path):
         s = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
         idx.update(s, i)
         bare.update(s, i)
-    # level 1: full fold of batches 0..2
+    # the base: full fold of batches 0..2 (cell-partitioned)
     idx._compact_vectors()
     assert [b for b in list_committed_batches(idx._vectors_dir())
             if idx._is_fold(b)] == [2]
@@ -303,18 +304,19 @@ def test_semdedup_minor_fold_is_tiered_and_crash_safe(spark, sf_dir, tmp_path):
         s = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
         idx.update(s, i)
         bare.update(s, i)
-    # level 2: MINOR fold of the tail only — level 1 must stay in place
+    # MINOR fold: tail (batches 3,4) merges to ONE FLAT dir at batch=4;
+    # the base must stay the only cell-partitioned fold
     folded = idx._compact_vectors(minor=True)
     assert folded >= 1
-    folds = [b for b in list_committed_batches(idx._vectors_dir())
-             if idx._is_fold(b)]
-    assert folds == [2, 4]  # both levels present
+    batches = list_committed_batches(idx._vectors_dir())
+    assert batches == [2, 4]
+    assert [b for b in batches if idx._is_fold(b)] == [2]
     assert _rows(idx.duplicates()) == _rows(bare.duplicates())
     assert _vec_rows(idx) == _vec_rows(bare)
 
     # crashed MINOR swap: reconstruct tmp (complete, marker "2 4") +
-    # trash, with level 1 (batch=2) still installed — recovery must
-    # complete the swap at the RECORDED range and leave level 1 alone
+    # trash, with the base (batch=2) still installed — recovery must
+    # complete the swap at the RECORDED range and leave the base alone
     base = idx._vectors_dir()
     shutil.copytree(f"{base}/batch=4", f"{base}__fold_tmp")
     with open(f"{base}__fold_tmp/{_FOLD_MARKER}", "w") as fh:
@@ -323,9 +325,9 @@ def test_semdedup_minor_fold_is_tiered_and_crash_safe(spark, sf_dir, tmp_path):
     idx._relation_cache.clear()
     folded = idx._compact_vectors(minor=True)
     assert folded >= 1  # the recovery signal
-    folds = [b for b in list_committed_batches(idx._vectors_dir())
-             if idx._is_fold(b)]
-    assert folds == [2, 4]
+    batches = list_committed_batches(idx._vectors_dir())
+    assert batches == [2, 4]
+    assert [b for b in batches if idx._is_fold(b)] == [2]
     assert not os.path.isdir(f"{base}__fold_trash")
     assert _rows(idx.duplicates()) == _rows(bare.duplicates())
     assert _vec_rows(idx) == _vec_rows(bare)
