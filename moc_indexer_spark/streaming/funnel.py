@@ -102,7 +102,13 @@ class StreamingCurationFunnel:
         sample_k: int | None = None,
         semantic_threshold: float = 0.35,
         expected_corpus_rows: int | None = None,
+        compact_every: int | None = None,
     ):
+        """`compact_every` is the maintainers' auto-compaction policy
+        (minor folds / delta-tail merges, at most one unit per tick per
+        maintainer — see IncrementalNearDup / IncrementalSemDeDup); the
+        funnel's own docs/corpus MoR tables run their fixed one-merge-
+        per-tick budget regardless."""
         self.spark = spark
         self.state_dir = state_dir
         self.bench_source = bench_source
@@ -124,9 +130,13 @@ class StreamingCurationFunnel:
             spark, f"{state_dir}/corpus", mode="mor"
         )
         self._merge_rr = 0  # round-robin delta-merge cursor
-        self.near = IncrementalNearDup(spark, f"{state_dir}/near")
+        self.near = IncrementalNearDup(
+            spark, f"{state_dir}/near", compact_every=compact_every
+        )
         self.sem = (
-            IncrementalSemDeDup(spark, f"{state_dir}/sem")
+            IncrementalSemDeDup(
+                spark, f"{state_dir}/sem", compact_every=compact_every
+            )
             if embeddings_path is not None
             else None
         )

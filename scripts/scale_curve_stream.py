@@ -448,6 +448,129 @@ def run_textdedup(spark, runs: int) -> dict:
     return out
 
 
+FUNNEL_SIZES = [5_000, 15_000, 50_000]
+FUNNEL_PRELOAD_BATCH = 2_500
+FUNNEL_TICK_DOCS = 250
+FUNNEL_COMPACT_EVERY = 8
+
+
+def run_funnel(spark, runs: int) -> dict:
+    """funnel_tick/publish_vs_corpus_size: the streaming curation
+    funnel's two cost shapes. The TICK (one direct process_batch of
+    FUNNEL_TICK_DOCS docs — no stream-harness overhead, unlike the
+    textdedup axis) composes every tier's incremental maintenance and
+    must stay flat vs corpus size: gate is map-only, docs/corpus/pairs
+    state lands as O(batch) MoR/batch-dir appends, near-dup scans state
+    map-only, SemDeDup reads only touched cells. PUBLISH is the batch
+    artifact cut — O(corpus) BY SEMANTICS (DSIR/packing/shards read
+    every survivor) — measured so the linear exponent is a recorded
+    expectation, not a surprise. Timed-batch content fixed across sizes
+    (the round-9 variance-control discipline); the embedding sidecar
+    maps every resampled id to its base doc's vector, so the semantic
+    tier stays exercised at every size."""
+    import numpy as np
+
+    from moc_indexer_spark.streaming.funnel import StreamingCurationFunnel
+
+    docs_src = spark.read.parquet(f"{SF01}/documents.parquet")
+    rows_base = [
+        (r.text, r.lang, r.source)
+        for r in docs_src.select("text", "lang", "source").collect()
+    ]
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    n_base = len(rows_base)
+    schema = "doc_id long, text string, lang string, source string"
+
+    upd_rng = np.random.default_rng(103)
+    upd_picks = [
+        upd_rng.integers(0, n_base, size=FUNNEL_TICK_DOCS)
+        for _ in range(8)
+    ]
+
+    def mk_batch(start_id, picks):
+        return spark.createDataFrame(
+            [(start_id + j,) + rows_base[int(p)]
+             for j, p in enumerate(picks)],
+            schema,
+        )
+
+    out: dict[str, dict] = {}
+    tick_row: dict = {"t": {}}
+    pub_row: dict = {"t": {}}
+    for n in FUNNEL_SIZES:
+        rng = np.random.default_rng(47)  # prefix-nested preloads
+        base = tempfile.mkdtemp(prefix=f"funnel_{n}_")
+        # sidecar: every id this run can mint maps to a base vector, so
+        # gated docs always carry embeddings (vec_id = id, payload =
+        # base id's embedding)
+        side = os.path.join(base, "emb")
+        from pyspark.sql import functions as F
+
+        (
+            spark.range(n + 16 * FUNNEL_TICK_DOCS)
+            .select(F.col("id").alias("k"))
+            .join(
+                emb.select(F.col("vec_id").alias("m"), "embedding"),
+                F.pmod(F.col("k"), F.lit(n_base)) == F.col("m"),
+            )
+            .select(F.col("k").alias("vec_id"), "embedding")
+            .write.mode("overwrite")
+            .parquet(side)
+        )
+        funnel = StreamingCurationFunnel(
+            spark, os.path.join(base, "state"),
+            embeddings_path=side, expected_corpus_rows=n,
+            compact_every=FUNNEL_COMPACT_EVERY,
+        )
+        done, bid = 0, 0
+        while done < n:
+            m = min(FUNNEL_PRELOAD_BATCH, n - done)
+            funnel.process_batch(
+                mk_batch(done, rng.integers(0, n_base, size=m)), bid
+            )
+            done += m
+            bid += 1
+        upd_k = 0
+
+        def one_tick():
+            nonlocal done, bid, upd_k
+            funnel.process_batch(mk_batch(done, upd_picks[upd_k]), bid)
+            done += FUNNEL_TICK_DOCS
+            bid += 1
+            upd_k += 1
+
+        one_tick()  # warm
+        tick_row["t"][str(n)] = _median_times(one_tick, runs)
+        t0 = time.time()
+        funnel.publish(os.path.join(base, "out"))
+        pub_row["t"][str(n)] = round(time.time() - t0, 3)
+        print(json.dumps({f"funnel_tick@{n}": tick_row["t"][str(n)],
+                          f"funnel_publish@{n}": pub_row["t"][str(n)]}),
+              flush=True)
+    for row in (tick_row, pub_row):
+        row["exponent"] = _fit_exponent(
+            [s / FUNNEL_SIZES[0] for s in FUNNEL_SIZES],
+            [row["t"][str(s)] for s in FUNNEL_SIZES],
+        )
+    tick_row["note"] = (
+        "one direct process_batch of 250 docs (every tier's incremental "
+        "maintenance: gate + docs/corpus MoR appends + near-dup update + "
+        "SemDeDup touched-cell update + counts + at-most-one minor "
+        "merge), fixed timed-batch content across sizes — the funnel's "
+        "3 s-tick story is this row staying flat"
+    )
+    pub_row["note"] = (
+        "one publish() artifact cut (exact/near/semantic keeper "
+        "derivation + decontamination + DSIR + packing + sharded write "
+        "+ manifest) — O(corpus) BY SEMANTICS; run at release cadence, "
+        "not per tick"
+    )
+    out["funnel_tick_vs_corpus_size"] = tick_row
+    out["funnel_publish_vs_corpus_size"] = pub_row
+    print(json.dumps(out), flush=True)
+    return out
+
+
 LONGRUN_PRELOAD = 20_000
 LONGRUN_CYCLES = 40
 LONGRUN_TICK_VECS = 50
@@ -712,7 +835,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--only", default="",
                     help="comma list of axes: bm25,ivf,ivfpq,semdedup,"
-                         "textdedup,longrun_aux,"
+                         "textdedup,funnel,longrun_aux,"
                          "longrun")
     args = ap.parse_args()
 
@@ -738,6 +861,8 @@ def main() -> None:
         results.update(run_policy_longrun_aux(spark))
     if only is not None and "textdedup" in only:
         results.update(run_textdedup(spark, args.runs))
+    if only is not None and "funnel" in only:
+        results.update(run_funnel(spark, args.runs))
 
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -762,6 +887,8 @@ def main() -> None:
         scales["semdedup_vectors"] = SEMDEDUP_SIZES
     if only is not None and "textdedup" in only:
         scales["textdedup_docs"] = TEXTDEDUP_SIZES
+    if only is not None and "funnel" in only:
+        scales["funnel_docs"] = FUNNEL_SIZES
     with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=2)
     print(json.dumps({"written": out_path}), flush=True)
