@@ -302,6 +302,7 @@ def run_curation_funnel_available_now(
     semantic_threshold: float = 0.35,
     expected_corpus_rows: int | None = None,
     publish_every: int | None = None,
+    compact_every: int | None = None,
     schema=None,
     max_files_per_trigger: int | None = 1,
 ) -> tuple[StreamingCurationFunnel, dict | None]:
@@ -321,6 +322,7 @@ def run_curation_funnel_available_now(
         sample_k=sample_k,
         semantic_threshold=semantic_threshold,
         expected_corpus_rows=expected_corpus_rows,
+        compact_every=compact_every,
     )
     state = {"published": None, "ticks": 0}
 

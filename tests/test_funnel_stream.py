@@ -111,9 +111,12 @@ def test_streaming_funnel_mid_stream_publish_matches_prefix_batch(
 
     state = f"{tmp_path}/state"
     out_s = f"{tmp_path}/out_stream"
+    # compact_every=1: every tick runs a minor fold / delta merge in
+    # some maintainer — the published artifact must be identical to the
+    # never-folded batch answer (folding is physical, never semantic)
     _, published = run_curation_funnel_available_now(
         spark, src1, state, f"{tmp_path}/ck", out_dir=out_s,
-        embeddings_path=emb_path, schema=docs.schema,
+        embeddings_path=emb_path, schema=docs.schema, compact_every=1,
     )
 
     out_b = f"{tmp_path}/out_batch"
