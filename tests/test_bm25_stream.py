@@ -407,3 +407,57 @@ def test_bm25_auto_compaction_policy_bounds_dirs(spark, sf_dir, tmp_path):
     b = sorted(map(tuple, bare.probe().collect()))
     a = sorted(map(tuple, auto.probe().collect()))
     assert a == b
+
+def test_bm25_minor_fold_merges_above_the_base(spark, sf_dir, tmp_path):
+    """Round 9: the in-tick policy fold is the MINOR tail merge — after
+    an out-of-band full fold (_FOLDBASE-marked), the policy merges only
+    dirs above the base, never rewriting it — and probe results stay
+    identical to an unfolded twin."""
+    import os
+
+    from moc_indexer_spark.streaming.bm25_stream import (
+        _FOLD_BASE_MARKER, compact_index,
+    )
+    from moc_indexer_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents").limit(160)
+    bare = IncrementalBm25Index(spark, str(tmp_path / "bare"))
+    # policy armed only after the base exists (a minor with no base
+    # merges the whole tail, which here would leave a single UNMARKED
+    # dir and nothing for the full fold to mark)
+    idx = IncrementalBm25Index(spark, str(tmp_path / "idx"))
+    slices = [(0, 30), (30, 60), (60, 90), (90, 120), (120, 10**9)]
+    for i, (lo, hi) in enumerate(slices[:2]):
+        s = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        bare.update(s, i)
+        idx.update(s, i)
+    compact_index(idx)  # the base (full fold, marked)
+    idx._compact_every = 2
+    for name in ("lengths", "postings"):
+        base_id = idx._fold_base(name)
+        assert base_id >= 0
+        assert os.path.exists(
+            f"{idx._dir(name)}/batch={base_id}/{_FOLD_BASE_MARKER}"
+        )
+    base_mtimes = {
+        name: os.path.getmtime(
+            f"{idx._dir(name)}/batch={idx._fold_base(name)}"
+        )
+        for name in ("lengths", "postings")
+    }
+    for i, (lo, hi) in enumerate(slices[2:], start=2):
+        s = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        bare.update(s, i)
+        idx.update(s, i)  # policy minors fire at ce=2
+    for name in ("lengths", "postings"):
+        base_id = idx._fold_base(name)
+        # the base dir was never rewritten by the in-tick minors
+        assert os.path.getmtime(
+            f"{idx._dir(name)}/batch={base_id}"
+        ) == base_mtimes[name]
+        # and the tail stays bounded (policy merges above the base)
+        tail = [b for b in idx._batches(name) if b > base_id]
+        assert len(tail) <= 3
+    b = sorted(map(tuple, bare.probe().collect()))
+    a = sorted(map(tuple, idx.probe().collect()))
+    assert a == b
