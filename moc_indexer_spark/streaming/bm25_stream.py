@@ -158,9 +158,10 @@ class IncrementalBm25Index:
         committed = self.committed_batch()
         for k in range(len(names)):
             name = names[(self._compact_rr + k) % len(names)]
+            fold_base = self._fold_base(name)  # hoisted: O(dirs), once
             n_tail = len([
                 b for b in self._batches(name)
-                if b > self._fold_base(name) and b <= committed
+                if fold_base < b <= committed
             ])
             if n_tail >= self._compact_every:
                 _compact_relation(self, name, committed, minor=True)
@@ -335,7 +336,9 @@ def _compact_relation(
 
     def _write(df, tmp, n):
         df.coalesce(max(1, n // 4)).write.mode("overwrite").parquet(tmp)
-        if not minor:
+        # full folds become the base — and so does a minor with NO base
+        # yet (the first policy fold fires while the state is small)
+        if not minor or lo < 0:
             open(os.path.join(tmp, _FOLD_BASE_MARKER), "w").close()
 
     return compact_batched_dir(

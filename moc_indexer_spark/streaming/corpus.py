@@ -480,7 +480,11 @@ class IncrementalNearDup:
 
         def _write(df, tmp, n):
             df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            if not minor:  # only full folds become the base level
+            # full folds become the base — and so does a minor with NO
+            # base yet (it fires while the state is ce batches small;
+            # leaving it unmarked would make every later policy fold
+            # re-merge the whole corpus)
+            if not minor or lo < 0:
                 open(os.path.join(tmp, _FOLD_LEVEL), "w").close()
 
         folded = compact_batched_dir(

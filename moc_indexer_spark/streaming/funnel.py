@@ -208,11 +208,19 @@ class StreamingCurationFunnel:
 
     # -- publish ---------------------------------------------------------------
 
-    def publish(self, out_dir: str) -> dict:
+    def publish(self, out_dir: str, compact: bool = True) -> dict:
         """Derive the batch CLI's exact artifact (shards + manifest +
         funnel.json) from the maintained state — a pure function of
         state, so re-publishing is idempotent and a publish at any tick
-        equals the batch CLI over the docs ingested so far."""
+        equals the batch CLI over the docs ingested so far.
+
+        `compact=True` (default) runs every maintainer's FULL fold after
+        the artifact cut: publish is already the O(corpus) release-
+        cadence batch job, so it is the natural MAJOR-compaction point —
+        it re-bases the in-tick minor folds, whose cost is O(data since
+        the last major). Without a periodic major, a forever-running
+        funnel's minors stay bounded per-dir-count but the merged tail
+        they rewrite grows with time since the last base."""
         from ..llm_pipeline import _finish_funnel
         from ..operators.dedup import dedup_clusters
         from ..operators.similarity import semantic_dedup_keep
@@ -287,6 +295,13 @@ class StreamingCurationFunnel:
         finally:
             for df in caches:
                 df.unpersist()
+        if compact:
+            # the major: full folds at release cadence (see docstring)
+            self.near.compact()
+            if self.sem is not None:
+                self.sem.compact()
+            for t in (self.docs_tbl, self.corpus_tbl, self.counts_tbl):
+                t.compact()
         return funnel
 
 

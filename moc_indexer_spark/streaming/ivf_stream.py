@@ -641,10 +641,13 @@ def compact_index(idx: IncrementalIvfIndex, minor: bool = False) -> int:
         # read tasks (measured at 200k vectors / 160 cells: 19,659 files
         # after 12 policy folds, updates dominated by file opens). The
         # one cell-keyed shuffle bounds every fold at one file per cell.
+        # a minor with NO base yet writes the base itself (the first
+        # policy fold fires while the state is ce batches small) — see
+        # semdedup_stream._compact_vectors
         write_fold=(
             (lambda df, tmp, n: df.drop("batch").coalesce(1)
              .write.mode("overwrite").parquet(tmp))
-            if minor else
+            if minor and lo >= 0 else
             (lambda df, tmp, n: df.drop("batch")
              .repartition("cell")
              .write.mode("overwrite")

@@ -387,13 +387,19 @@ class IncrementalSemDeDup:
             assert_unique_ids(df, "vec_id", f"semdedup.compact({self.path})")
             return df
 
-        if minor:
+        if minor and lo >= 0:
             # ONE flat file: the merged tail stays in the flats group
             # (cell = data column, predicate pushdown); never a new
             # partitioned level — see the docstring's rejected designs
             def _write(df, tmp, n):
                 df.coalesce(1).write.mode("overwrite").parquet(tmp)
         else:
+            # full fold — or a minor with NO base yet, whose output IS
+            # the base: the first policy fold fires while the state is
+            # ce batches small, so paying the partitioned write here is
+            # what keeps every LATER minor bounded (without it a driver
+            # that never calls compact() out-of-band would re-merge the
+            # whole corpus on every policy fold)
             def _write(df, tmp, n):
                 (df.repartition("cell").write.mode("overwrite")
                  .partitionBy("cell").parquet(tmp))

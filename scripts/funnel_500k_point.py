@@ -28,7 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
 
-from _curve_util import fit_exponent, median_times  # noqa: E402
+from _curve_util import (  # noqa: E402
+    fit_exponent,
+    gen_shuffled_chunk,
+    median_times,
+    write_id_mapped_sidecar,
+)
 
 SF01 = "/root/testdata/sf0.1"
 N = 500_000
@@ -43,29 +48,15 @@ SCHEMA = "doc_id long, text string, lang string, source string"
 
 
 def _gen_chunk(rng, base_rows, start_id, n, reservoir):
-    rows = []
-    for j in range(n):
-        if reservoir and rng.random() < DUP_FRAC:
-            text, lang, source = reservoir[
-                int(rng.integers(0, len(reservoir)))
-            ]
-        else:
-            base = base_rows[int(rng.integers(0, len(base_rows)))]
-            toks = list(base[0].split(" "))
-            rng.shuffle(toks)
-            text, lang, source = " ".join(toks), base[1], base[2]
-        rows.append((start_id + j, text, lang, source))
-        if len(reservoir) < RESERVOIR:
-            reservoir.append((text, lang, source))
-        else:
-            reservoir[int(rng.integers(0, RESERVOIR))] = (text, lang, source)
-    return rows
+    """Shared corpus profile — see _curve_util.gen_shuffled_chunk."""
+    return gen_shuffled_chunk(
+        rng, base_rows, start_id, n, reservoir,
+        dup_frac=DUP_FRAC, reservoir_cap=RESERVOIR,
+    )
 
 
 def main() -> None:
     import numpy as np
-
-    from pyspark.sql import functions as F
 
     from moc_indexer_spark.session import get_spark, ship_package
     from moc_indexer_spark.streaming.funnel import StreamingCurationFunnel
@@ -75,28 +66,18 @@ def main() -> None:
     ship_package(spark)
 
     docs_src = spark.read.parquet(f"{SF01}/documents.parquet")
+    # (tokens, lang, source): gen_shuffled_chunk emits (id, text, ...)
     base_rows = [
-        (r.text, r.lang, r.source)
+        (r.text.split(" "), r.lang, r.source)
         for r in docs_src.select("text", "lang", "source").collect()
     ]
-    n_base = len(base_rows)
     emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
     rng = np.random.default_rng(53)
     reservoir: list = []
 
     d = tempfile.mkdtemp(prefix="funnel_500k_")
     side = os.path.join(d, "emb")
-    (
-        spark.range(N + 16 * TICK)
-        .select(F.col("id").alias("k"))
-        .join(
-            emb.select(F.col("vec_id").alias("m"), "embedding"),
-            F.pmod(F.col("k"), F.lit(n_base)) == F.col("m"),
-        )
-        .select(F.col("k").alias("vec_id"), "embedding")
-        .write.mode("overwrite")
-        .parquet(side)
-    )
+    write_id_mapped_sidecar(spark, emb, N + 16 * TICK, side)
     funnel = StreamingCurationFunnel(
         spark, os.path.join(d, "state"),
         embeddings_path=side, expected_corpus_rows=N,

@@ -423,7 +423,8 @@ def run_textdedup(spark, runs: int) -> dict:
 
             def one_update():
                 nonlocal nfile, done, upd_k
-                txts = upd_content[upd_k]
+                # cycle the fixed-content pool: --runs is unbounded
+                txts = upd_content[upd_k % len(upd_content)]
                 ids = list(range(done, done + len(txts)))
                 upd_k += 1
                 write_file(src, f"f{nfile:05d}", ids, txts)
@@ -504,18 +505,10 @@ def run_funnel(spark, runs: int) -> dict:
         # gated docs always carry embeddings (vec_id = id, payload =
         # base id's embedding)
         side = os.path.join(base, "emb")
-        from pyspark.sql import functions as F
+        from _curve_util import write_id_mapped_sidecar
 
-        (
-            spark.range(n + 16 * FUNNEL_TICK_DOCS)
-            .select(F.col("id").alias("k"))
-            .join(
-                emb.select(F.col("vec_id").alias("m"), "embedding"),
-                F.pmod(F.col("k"), F.lit(n_base)) == F.col("m"),
-            )
-            .select(F.col("k").alias("vec_id"), "embedding")
-            .write.mode("overwrite")
-            .parquet(side)
+        write_id_mapped_sidecar(
+            spark, emb, n + 16 * FUNNEL_TICK_DOCS, side
         )
         funnel = StreamingCurationFunnel(
             spark, os.path.join(base, "state"),
@@ -534,7 +527,10 @@ def run_funnel(spark, runs: int) -> dict:
 
         def one_tick():
             nonlocal done, bid, upd_k
-            funnel.process_batch(mk_batch(done, upd_picks[upd_k]), bid)
+            # cycle the fixed-content pool: --runs is unbounded
+            funnel.process_batch(
+                mk_batch(done, upd_picks[upd_k % len(upd_picks)]), bid
+            )
             done += FUNNEL_TICK_DOCS
             bid += 1
             upd_k += 1

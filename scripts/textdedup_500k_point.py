@@ -40,7 +40,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
 
-from _curve_util import fit_exponent, median_times  # noqa: E402
+from _curve_util import (  # noqa: E402
+    fit_exponent,
+    gen_shuffled_chunk,
+    median_times,
+)
 
 SF01 = "/root/testdata/sf0.1"
 N = 500_000
@@ -77,23 +81,12 @@ class _PhaseTimer:
         self.acc.clear()
 
 
-def _gen_chunk(rng, base_tokens, start_id, n, reservoir):
-    """n (id, text) rows: token-shuffled resamples + DUP_FRAC exact
-    copies drawn from the reservoir of earlier docs."""
-    rows = []
-    for j in range(n):
-        if reservoir and rng.random() < DUP_FRAC:
-            text = reservoir[int(rng.integers(0, len(reservoir)))]
-        else:
-            toks = list(base_tokens[int(rng.integers(0, len(base_tokens)))])
-            rng.shuffle(toks)
-            text = " ".join(toks)
-        rows.append((start_id + j, text, "s"))
-        if len(reservoir) < RESERVOIR:
-            reservoir.append(text)
-        else:
-            reservoir[int(rng.integers(0, RESERVOIR))] = text
-    return rows
+def _gen_chunk(rng, base_rows, start_id, n, reservoir):
+    """Shared corpus profile — see _curve_util.gen_shuffled_chunk."""
+    return gen_shuffled_chunk(
+        rng, base_rows, start_id, n, reservoir,
+        dup_frac=DUP_FRAC, reservoir_cap=RESERVOIR,
+    )
 
 
 def main() -> None:
@@ -106,13 +99,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)
 
+    # (tokens, source) tuples: gen_shuffled_chunk emits (id, text, src)
     base_tokens = [
-        r.text.split(" ")
+        (r.text.split(" "), "s")
         for r in spark.read.parquet(f"{SF01}/documents.parquet")
         .select("text").collect()
     ]
     rng = np.random.default_rng(41)
-    reservoir: list[str] = []
+    reservoir: list = []
 
     d = tempfile.mkdtemp(prefix="textdedup_500k_")
     idx = IncrementalNearDup(

@@ -415,24 +415,24 @@ def test_bm25_minor_fold_merges_above_the_base(spark, sf_dir, tmp_path):
     identical to an unfolded twin."""
     import os
 
-    from moc_indexer_spark.streaming.bm25_stream import (
-        _FOLD_BASE_MARKER, compact_index,
-    )
+    from moc_indexer_spark.streaming.bm25_stream import _FOLD_BASE_MARKER
     from moc_indexer_spark.tables import table as _table
 
     docs = _table(spark, sf_dir, "documents").limit(160)
     bare = IncrementalBm25Index(spark, str(tmp_path / "bare"))
-    # policy armed only after the base exists (a minor with no base
-    # merges the whole tail, which here would leave a single UNMARKED
-    # dir and nothing for the full fold to mark)
-    idx = IncrementalBm25Index(spark, str(tmp_path / "idx"))
+    # policy armed from the START: the first policy fold (no base yet)
+    # must CREATE the marked base itself — a driver that never calls
+    # compact_index() out-of-band must still get bounded minors
+    idx = IncrementalBm25Index(
+        spark, str(tmp_path / "idx"), compact_every=2
+    )
     slices = [(0, 30), (30, 60), (60, 90), (90, 120), (120, 10**9)]
-    for i, (lo, hi) in enumerate(slices[:2]):
+    # one fold per tick (round-robin), so BOTH relations hold a base
+    # only after the third update
+    for i, (lo, hi) in enumerate(slices[:3]):
         s = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
         bare.update(s, i)
         idx.update(s, i)
-    compact_index(idx)  # the base (full fold, marked)
-    idx._compact_every = 2
     for name in ("lengths", "postings"):
         base_id = idx._fold_base(name)
         assert base_id >= 0
@@ -445,7 +445,7 @@ def test_bm25_minor_fold_merges_above_the_base(spark, sf_dir, tmp_path):
         )
         for name in ("lengths", "postings")
     }
-    for i, (lo, hi) in enumerate(slices[2:], start=2):
+    for i, (lo, hi) in enumerate(slices[3:], start=3):
         s = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
         bare.update(s, i)
         idx.update(s, i)  # policy minors fire at ce=2
