@@ -128,3 +128,29 @@ def test_streaming_funnel_mid_stream_publish_matches_prefix_batch(
     )
     assert published == batch
     assert _manifest_rows(spark, out_s) == _manifest_rows(spark, out_b)
+
+
+def test_streaming_funnel_sampling_path_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """The A-ES weighted sampling stage flows through publish identically
+    to the batch CLI (deterministic hash-threshold sampling => exact
+    artifact equality holds with sample_k set too)."""
+    docs = table(spark, sf_dir, "documents")
+    src = f"{tmp_path}/src"
+    _slice_to_files(spark, docs, src, 2, tmp_path)
+
+    out_s = f"{tmp_path}/out_stream"
+    _, published = run_curation_funnel_available_now(
+        spark, src, f"{tmp_path}/state", f"{tmp_path}/ck", out_dir=out_s,
+        sample_k=40, schema=docs.schema,
+    )
+    out_b = f"{tmp_path}/out_batch"
+    batch = run_pipeline(
+        spark, src, out_b, sample_k=40,
+        near_dedup=True, near_method="minhash",
+    )
+    assert published == batch
+    assert published["after_sampling"] == 40 == published["final_docs"]
+    assert _manifest_rows(spark, out_s) == _manifest_rows(spark, out_b)
+    assert _corpus_ids(spark, out_s) == _corpus_ids(spark, out_b)

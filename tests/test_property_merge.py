@@ -398,3 +398,54 @@ def test_moments_any_slicing_order_equals_batch(spark, tmp_path_factory,
     got = sorted(tuple(r) for r in mom.serve().collect())
     want = sorted(tuple(r) for r in one.serve().collect())
     assert got == want
+
+
+# -- round 9: delta-tail merges in random op sequences ----------------------
+
+_minor_op_strategy = st.one_of(
+    st.tuples(st.just("upsert"), batch_strategy, st.booleans()),
+    st.tuples(st.just("compact")),
+    st.tuples(st.just("compact_deltas")),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_minor_op_strategy, min_size=2, max_size=6))
+def test_minor_delta_merges_in_op_sequences(spark, tmp_path_factory, ops):
+    """ANY interleaving of upserts (insert and update-only), FULL
+    compactions and MINOR delta-tail merges (round 9's compact_deltas)
+    must leave the MoR table in exactly the sequential-reference state —
+    the minor merge is physical maintenance, never semantic; in
+    particular the version guard must survive the within-tail re-merge
+    ordering (tombstone-free by construction: deletes are the documented
+    refusal case, covered by its unit test)."""
+    base = str(tmp_path_factory.mktemp("minorseq"))
+    tbl = ParquetUpsertTable(spark, f"{base}/t", keys=["k"],
+                             version_col="ver", mode="mor",
+                             compact_every=1000)
+    ref: dict[str, tuple[int, int]] = {}
+    for op in ops:
+        if op[0] == "upsert":
+            _, batch, insert = op
+            tbl.upsert(spark.createDataFrame(batch, ["k", "ver", "v"]),
+                       insert=insert)
+            best: dict[str, tuple[int, int]] = {}
+            for k, ver, v in batch:
+                if k not in best or ver > best[k][0]:
+                    best[k] = (ver, v)
+            for k, (ver, v) in best.items():
+                if k in ref:
+                    if ver >= ref[k][0]:
+                        ref[k] = (ver, v)
+                elif insert:
+                    ref[k] = (ver, v)
+        elif op[0] == "compact":
+            tbl.compact()
+        else:
+            tbl.compact_deltas()
+        # invariant after EVERY op, not only at the end: a minor merge
+        # mid-sequence must not perturb any later resolution
+        df = tbl.read()
+        got = {} if df is None else {r.k: (r.ver, r.v) for r in df.collect()}
+        assert got == ref
