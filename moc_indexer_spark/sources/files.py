@@ -45,10 +45,14 @@ def _with_corrupt(schema: T.StructType) -> T.StructType:
     return T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
 
 
-def read_jsonl(
-    spark: SparkSession, path: str, schema: T.StructType = DOCUMENTS_SCHEMA
+def parse_jsonl_lines(
+    lines: DataFrame, schema: T.StructType = DOCUMENTS_SCHEMA,
+    value_col: str = "value",
 ) -> tuple[DataFrame, DataFrame]:
-    """Read line-delimited JSON under an explicit schema.
+    """Parse a DataFrame of raw JSONL lines under an explicit schema —
+    the expression core of `read_jsonl`, factored out so the STREAMING
+    funnel's foreachBatch body parses micro-batches of text lines with
+    the identical semantics (batch/stream parity by construction).
 
     Returns (good, quarantine): `good` has exactly `schema`'s columns and
     only fully-parsed rows; `quarantine` is (raw_line string) for every
@@ -58,9 +62,11 @@ def read_jsonl(
     not kill the job (DROPMALFORMED would silently lose data;
     FAILFAST would lose the job)."""
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
-    parsed = spark.read.text(path).select(
-        F.col("value").alias("raw_line"),
-        F.from_json(F.col("value"), _with_corrupt(schema), opts).alias("r"),
+    parsed = lines.select(
+        F.col(value_col).alias("raw_line"),
+        F.from_json(
+            F.col(value_col), _with_corrupt(schema), opts
+        ).alias("r"),
     )
     # from_json yields a NULL struct (not a corrupt-record row) for blank
     # lines and literal `null` — those are quarantined too, so no input
@@ -71,6 +77,14 @@ def read_jsonl(
     )
     bad = parsed.filter(~is_good).select("raw_line")
     return good, bad
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType = DOCUMENTS_SCHEMA
+) -> tuple[DataFrame, DataFrame]:
+    """Read line-delimited JSON under an explicit schema — see
+    `parse_jsonl_lines` for the parse/quarantine contract."""
+    return parse_jsonl_lines(spark.read.text(path), schema)
 
 
 def read_csv(

@@ -71,6 +71,7 @@ this is the LLM-data growth area the survey's §2 extensions call for.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -153,6 +154,16 @@ class StreamingCurationFunnel:
         self.counts_tbl = ParquetUpsertTable(
             spark, f"{state_dir}/counts", keys=["batch_id"]
         )
+        self._quarantine_dir = f"{state_dir}/quarantine"
+
+    def ingest_quarantine(self, bad: DataFrame, batch_id: int) -> None:
+        """Persist a micro-batch's unparsable raw lines (JSONL arrival
+        mode) — one overwritten `batch=N` dir per batch, so replays are
+        idempotent and no input line is ever silently dropped (the batch
+        CLI's quarantine contract, sources/files.py)."""
+        bad.coalesce(1).write.mode("overwrite").parquet(
+            f"{self._quarantine_dir}/batch={int(batch_id)}"
+        )
 
     # -- per-tick maintenance -------------------------------------------------
 
@@ -233,6 +244,10 @@ class StreamingCurationFunnel:
         funnel: dict = {
             "raw": int(counts.agg(F.sum("n_raw")).collect()[0][0])
         }
+        if os.path.isdir(self._quarantine_dir):
+            funnel["quarantined_lines"] = (
+                spark.read.parquet(self._quarantine_dir).count()
+            )
         funnel["after_quality_gate"] = docs.count()
         caches: list[DataFrame] = []
         try:
@@ -318,18 +333,35 @@ def run_curation_funnel_available_now(
     expected_corpus_rows: int | None = None,
     publish_every: int | None = None,
     compact_every: int | None = None,
+    jsonl: bool = False,
     schema=None,
     max_files_per_trigger: int | None = 1,
 ) -> tuple[StreamingCurationFunnel, dict | None]:
     """Drain all available document files through the funnel maintainers
     (deterministic-replay mode; production uses a processing-time
     trigger), publishing to `out_dir` every `publish_every` batches and
-    once at the end. Returns (funnel, last published funnel counts)."""
-    if schema is None:
-        schema = spark.read.parquet(source_dir).schema
-    reader = spark.readStream.schema(schema)
-    reader = apply_max_files_per_trigger(reader, max_files_per_trigger)
-    stream = reader.parquet(source_dir)
+    once at the end. Returns (funnel, last published funnel counts).
+
+    `jsonl=True` reads the arrivals as line-delimited JSON text and
+    parses each micro-batch with the batch CLI's exact expression block
+    (sources/files.parse_jsonl_lines — PERMISSIVE, quarantine relation):
+    unparsable lines land in a replay-idempotent quarantine dir and are
+    counted in the published funnel, matching `run_pipeline(jsonl=True)`."""
+    if jsonl:
+        from ..sources.files import DOCUMENTS_SCHEMA
+
+        if schema is None:
+            schema = DOCUMENTS_SCHEMA
+        reader = apply_max_files_per_trigger(
+            spark.readStream, max_files_per_trigger
+        )
+        stream = reader.text(source_dir)
+    else:
+        if schema is None:
+            schema = spark.read.parquet(source_dir).schema
+        reader = spark.readStream.schema(schema)
+        reader = apply_max_files_per_trigger(reader, max_files_per_trigger)
+        stream = reader.parquet(source_dir)
     funnel = StreamingCurationFunnel(
         spark, state_dir,
         embeddings_path=embeddings_path,
@@ -342,6 +374,12 @@ def run_curation_funnel_available_now(
     state = {"published": None, "ticks": 0}
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
+        if jsonl:
+            from ..sources.files import parse_jsonl_lines
+
+            good, bad = parse_jsonl_lines(batch_df, schema)
+            funnel.ingest_quarantine(bad, batch_id)
+            batch_df = good
         funnel.process_batch(batch_df, batch_id)
         state["ticks"] += 1
         if (

@@ -154,3 +154,43 @@ def test_streaming_funnel_sampling_path_matches_batch(
     assert published["after_sampling"] == 40 == published["final_docs"]
     assert _manifest_rows(spark, out_s) == _manifest_rows(spark, out_b)
     assert _corpus_ids(spark, out_s) == _corpus_ids(spark, out_b)
+
+
+def test_streaming_funnel_jsonl_ingest_matches_batch(spark, sf_dir, tmp_path):
+    """JSONL arrival mode: text micro-batches parse with the batch CLI's
+    exact expression block, unparsable lines land in a replay-idempotent
+    quarantine, and the published artifact equals run_pipeline(jsonl=True)
+    over the same files — including the quarantined_lines count."""
+    docs = table(spark, sf_dir, "documents").limit(240).collect()
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    half = len(docs) // 2
+    for name, part, broken in (("a", docs[:half], 1), ("b", docs[half:], 2)):
+        with open(f"{src}/{name}.jsonl", "w") as fh:
+            for r in part:
+                fh.write(json.dumps({
+                    "doc_id": r.doc_id, "text": r.text, "lang": r.lang,
+                    "source": r.source, "n_chars": r.n_chars,
+                }) + "\n")
+            for k in range(broken):
+                fh.write("{broken json %d\n" % k)
+
+    out_s = f"{tmp_path}/out_stream"
+    state = f"{tmp_path}/state"
+    _, published = run_curation_funnel_available_now(
+        spark, src, state, f"{tmp_path}/ck", out_dir=out_s, jsonl=True,
+    )
+    out_b = f"{tmp_path}/out_batch"
+    batch = run_pipeline(
+        spark, src, out_b, jsonl=True,
+        near_dedup=True, near_method="minhash",
+    )
+    assert published["quarantined_lines"] == 3
+    assert published == batch
+    assert _manifest_rows(spark, out_s) == _manifest_rows(spark, out_b)
+
+    # fresh-checkpoint replay: quarantine dirs overwrite idempotently
+    _, republished = run_curation_funnel_available_now(
+        spark, src, state, f"{tmp_path}/ck2", out_dir=out_s, jsonl=True,
+    )
+    assert republished == batch
