@@ -104,12 +104,15 @@ class StreamingCurationFunnel:
         semantic_threshold: float = 0.35,
         expected_corpus_rows: int | None = None,
         compact_every: int | None = None,
+        track_quarantine: bool = False,
     ):
         """`compact_every` is the maintainers' auto-compaction policy
         (minor folds / delta-tail merges, at most one unit per tick per
         maintainer — see IncrementalNearDup / IncrementalSemDeDup); the
         funnel's own docs/corpus MoR tables run their fixed one-merge-
-        per-tick budget regardless."""
+        per-tick budget regardless. `track_quarantine` (the JSONL
+        arrival mode) makes publish() report `quarantined_lines` —
+        present even at zero, the batch CLI's key set."""
         self.spark = spark
         self.state_dir = state_dir
         self.bench_source = bench_source
@@ -155,14 +158,32 @@ class StreamingCurationFunnel:
             spark, f"{state_dir}/counts", keys=["batch_id"]
         )
         self._quarantine_dir = f"{state_dir}/quarantine"
+        self.track_quarantine = track_quarantine
+        # per-batch bad-line counts, keyed by batch id (replay-
+        # idempotent): publish() sums ONE tiny table instead of listing
+        # an ever-growing dir tree; the raw-line dirs are the audit
+        # artifact, written only when a batch actually had bad lines
+        self.qcounts_tbl = ParquetUpsertTable(
+            spark, f"{state_dir}/qcounts", keys=["batch_id"]
+        )
 
     def ingest_quarantine(self, bad: DataFrame, batch_id: int) -> None:
         """Persist a micro-batch's unparsable raw lines (JSONL arrival
-        mode) — one overwritten `batch=N` dir per batch, so replays are
-        idempotent and no input line is ever silently dropped (the batch
-        CLI's quarantine contract, sources/files.py)."""
+        mode) — one overwritten `batch=N` dir per batch plus a keyed
+        count row, so replays are idempotent and no input line is ever
+        silently dropped (the batch CLI's quarantine contract,
+        sources/files.py). Clean batches (the common case) cost one
+        count action and write nothing."""
+        n_bad = bad.count()
+        if n_bad == 0:
+            return
         bad.coalesce(1).write.mode("overwrite").parquet(
             f"{self._quarantine_dir}/batch={int(batch_id)}"
+        )
+        self.qcounts_tbl.upsert(
+            self.spark.createDataFrame(
+                [(int(batch_id), int(n_bad))], "batch_id long, n_bad long"
+            )
         )
 
     # -- per-tick maintenance -------------------------------------------------
@@ -238,16 +259,28 @@ class StreamingCurationFunnel:
 
         spark = self.spark
         docs = self.docs_tbl.read()
-        if docs is None:
-            raise ValueError("publish() before any document arrived")
         counts = self.counts_tbl.read()
         funnel: dict = {
-            "raw": int(counts.agg(F.sum("n_raw")).collect()[0][0])
-        }
-        if os.path.isdir(self._quarantine_dir):
-            funnel["quarantined_lines"] = (
-                spark.read.parquet(self._quarantine_dir).count()
+            "raw": (
+                0 if counts is None
+                else int(counts.agg(F.sum("n_raw")).collect()[0][0])
             )
+        }
+        if self.track_quarantine:
+            q = self.qcounts_tbl.read()
+            funnel["quarantined_lines"] = (
+                0 if q is None
+                else int(q.agg(F.sum("n_bad")).collect()[0][0])
+            )
+        if docs is None:
+            if counts is None and funnel.get("quarantined_lines", 0) == 0:
+                raise ValueError("publish() before any batch arrived")
+            # quarantine-only ingest (every arriving line malformed):
+            # nothing to cut — report the counts instead of failing the
+            # stream, so later valid arrivals keep flowing
+            funnel["after_quality_gate"] = 0
+            funnel["final_docs"] = 0
+            return funnel
         funnel["after_quality_gate"] = docs.count()
         caches: list[DataFrame] = []
         try:
@@ -370,6 +403,7 @@ def run_curation_funnel_available_now(
         semantic_threshold=semantic_threshold,
         expected_corpus_rows=expected_corpus_rows,
         compact_every=compact_every,
+        track_quarantine=jsonl,
     )
     state = {"published": None, "ticks": 0}
 

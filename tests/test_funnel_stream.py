@@ -194,3 +194,37 @@ def test_streaming_funnel_jsonl_ingest_matches_batch(spark, sf_dir, tmp_path):
         spark, src, state, f"{tmp_path}/ck2", out_dir=out_s, jsonl=True,
     )
     assert republished == batch
+
+
+def test_streaming_funnel_quarantine_only_prefix_does_not_kill_stream(
+    spark, sf_dir, tmp_path
+):
+    """Resilience (review finding): a first arrival whose lines are ALL
+    malformed must not fail a publish_every stream — the publish reports
+    counts only, and later valid arrivals publish the real artifact,
+    equal to the batch CLI over the same files."""
+    docs = table(spark, sf_dir, "documents").limit(120).collect()
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    with open(f"{src}/a_bad.jsonl", "w") as fh:
+        fh.write("{broken 1\n{broken 2\n")
+    with open(f"{src}/b_good.jsonl", "w") as fh:
+        for r in docs:
+            fh.write(json.dumps({
+                "doc_id": r.doc_id, "text": r.text, "lang": r.lang,
+                "source": r.source, "n_chars": r.n_chars,
+            }) + "\n")
+
+    out_s = f"{tmp_path}/out_stream"
+    _, published = run_curation_funnel_available_now(
+        spark, src, f"{tmp_path}/state", f"{tmp_path}/ck",
+        out_dir=out_s, jsonl=True, publish_every=1,
+    )
+    out_b = f"{tmp_path}/out_batch"
+    batch = run_pipeline(
+        spark, src, out_b, jsonl=True,
+        near_dedup=True, near_method="minhash",
+    )
+    assert published["quarantined_lines"] == 2
+    assert published == batch
+    assert _manifest_rows(spark, out_s) == _manifest_rows(spark, out_b)
