@@ -73,34 +73,26 @@ def register(name, oracle, tags=(), bench=False):
 # reproducible; see COVERAGE.md "Driver-window rotation" for the
 # procedure and the full queue; `scripts/rotation_queue.py --check`
 # recomputes it and tests/test_rotation_queue.py enforces it). This
-# round-9 window: the 16 remaining r5 residents + 34 r6 residents.
+# round-10 window: the 16 r6 residents left after the r9 window + 34
+# r6-resident cohort members by name (computed by rotation_queue.py).
 # Newly oracle-gated queries, when a round adds any, take slots ahead
-# of the age queue. The queries rotated OUT hold fresh r7/r8 rows and
+# of the age queue. The queries rotated OUT hold fresh r8/r9 rows and
 # stay oracle-gated right behind the window — the builder mirror, the
 # sf0.1 sweep and judge re-checks keep exercising them.
 _DRIVER_WINDOW = [
-    # last driver row: round 5 (the 16 residents left after the r8 window)
-    "ngram_dup_pairs", "pagerank_trade_graph", "pca_gram_check",
-    "price_variation_24h", "registered_user_txs", "report_summary",
-    "settlement_price_override", "sq8_ann_topk", "text_stats",
-    "top_event_per_address", "training_corpus_filter",
-    "tx_list_with_total", "typo_pairs", "user_sessions_native",
-    "value_percentiles", "weighted_reservoir_sample",
-    # last driver row: round 6 (first 34 by name; the rest queue for r10)
-    "amount_quartiles", "api_db_info", "api_pegout_list",
-    "asof_join_price_at_click", "below_avg_qty_revenue",
-    "boilerplate_shingles", "brand_revenue_share",
-    "cheapest_supplier_per_part", "cumulative_unique_users",
-    "customer_order_distribution", "customer_returns_topk",
-    "daily_event_matrix", "daily_rollup", "dedup_keeper_selection",
-    "disjunctive_revenue", "ewma_amount", "excess_shipment_suppliers",
-    "forecast_revenue", "hourly_ohlc", "idle_customer_balance",
-    "important_part_stock", "large_volume_orders",
-    "local_supplier_volume", "logreg_quality_scores", "moving_hour_sum",
-    "nation_market_share", "nation_pair_volume",
-    "ngram_dup_pairs_guarded", "ngram_dup_pairs_prefix",
-    "order_priority_counts", "part_supplier_variety", "price_lag_change",
-    "pricing_summary", "product_type_profit",
+    "region_supplier_rollup", "repetition_stats", "report_last_transactions", "report_pay_tc_holders",
+    "retention_cohorts", "returned_order_priority", "salted_hot_key_join", "settlement_window_activity",
+    "shipmode_priority_counts", "simhash_pairs_certified", "sole_blame_supplier", "state_decode",
+    "top_revenue_orders", "top_supplier_revenue", "users_purchase_and_signup", "users_purchase_never_error",
+    "active_address_counts", "api_price_variation", "asof_price", "benchmark_contamination",
+    "bigram_logprob", "bloom_decontamination", "bpe_merges", "column_profile",
+    "constraint_report", "containment_dup_pairs", "cross_doc_ngram_frac", "doc_chunking",
+    "doc_chunking_udtf", "event_pipeline_demo", "event_rollup", "kmeans_clusters",
+    "label_centroids", "latest_per_address", "lsh_ann_exact", "minhash_dup_pairs",
+    "novel_ngram_rate", "numeric_correlation", "payload_json_histogram", "quality_weighted_sample",
+    "recent_price_enrichment", "repeat_purchase_rate", "replica_reconciliation", "robust_outliers_mad",
+    "rollup_cascade", "semantic_dedup_report", "semantic_dedup_scaled_certified", "sequence_packing",
+    "shared_span_pairs", "signup_purchase_funnel",
 ]
 
 
