@@ -113,6 +113,7 @@ def compact_batched_dir(
     read_upto: Callable[[int], DataFrame],
     write_fold: Callable[[DataFrame, str, int], None],
     min_batch: int = -1,
+    on_recovered: Callable[[], None] | None = None,
 ) -> int:
     """Fold every `batch=N` with `min_batch < N <= committed` under
     `base` into one partition at `batch=<committed>`. Returns the number
@@ -130,11 +131,22 @@ def compact_batched_dir(
     (this function only bounds the SWEEP); `write_fold(df, tmp,
     n_batches)` owns the fold write's layout (coalesce / partitionBy).
     `list_batches` must re-list the directory on each call (it is
-    consulted again after recovery)."""
+    consulted again after recovery).
+
+    `on_recovered` fires when the startup heal completed (or found
+    already installed) a CRASHED swap — whose recorded bounds belong to
+    the crashed run, not this call, and may be WIDER than this call's
+    (min_batch, committed] range (e.g. a crashed FULL fold recovered
+    during a later minor fold). A caller keying selective relation-cache
+    invalidation on its own range must clear the ENTIRE cache here
+    (ADVICE r9): cached relations over batches <= min_batch can point at
+    part files the recovered swap deleted."""
     tmp = f"{base}__fold_tmp"
     trash = f"{base}__fold_trash"
 
     recovered_swap = heal_batched_dir(base, list_batches)
+    if recovered_swap and on_recovered is not None:
+        on_recovered()
 
     batches = [b for b in list_batches() if min_batch < b <= committed]
     if len(batches) <= 1:

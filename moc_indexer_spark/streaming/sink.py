@@ -400,12 +400,18 @@ class ParquetUpsertTable:
 
     # -- merge-on-read write path -------------------------------------------
 
-    def _append_delta(self, batch: DataFrame, shards: int = 1) -> None:
+    def _append_delta(
+        self, batch: DataFrame, shards: int = 1, auto_compact: bool = True
+    ) -> None:
         """Append one batch as the next `__seq=N/` partition dir. The batch
         is written to a temp dir and renamed in — one atomic directory per
         upsert, O(batch) bytes, no table rewrite. `shards` > 1 keeps the
         write stage parallel for size-gated catch-up batches (read() is
-        multi-file-tolerant inside a `__seq=` dir)."""
+        multi-file-tolerant inside a `__seq=` dir). `auto_compact=False`
+        suppresses the compact_every full-fold check — compact_deltas()'s
+        merge-append MUST pass it (ADVICE r9): a minor fold whose
+        threshold sits at or near compact_every would otherwise silently
+        absorb the O(table) rewrite the minor form exists to avoid."""
         seqs = self._delta_seqs()
         nxt = (seqs[-1] + 1) if seqs else 0
         os.makedirs(self.path, exist_ok=True)
@@ -445,7 +451,7 @@ class ParquetUpsertTable:
             for f_ in batch.schema.fields:
                 if f_.name not in known:
                     self._schema = self._schema.add(f_)
-        if len(seqs) + 1 >= self.compact_every:
+        if auto_compact and len(seqs) + 1 >= self.compact_every:
             self.compact()
 
     def _upsert_mor(
@@ -570,7 +576,10 @@ class ParquetUpsertTable:
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__seq")
         )
-        self._append_delta(merged)
+        # auto_compact=False: this append is the MINOR fold itself — it
+        # must never trip the compact_every threshold into a full
+        # O(table) compact() mid-tick (the docstring's budget rule)
+        self._append_delta(merged, auto_compact=False)
         for s in tail:
             shutil.rmtree(
                 os.path.join(self.path, f"__seq={s}"), ignore_errors=True

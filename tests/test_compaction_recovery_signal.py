@@ -89,3 +89,58 @@ def test_completed_swap_trash_only_cleanup_still_signals(tmp_path):
     assert folded == 1
     assert not os.path.isdir(trash)
     assert list_committed_batches(base) == [1]
+
+
+def test_recovered_swap_fires_on_recovered_callback(tmp_path):
+    """ADVICE r9: a recovery-installed swap's bounds belong to the
+    CRASHED run and may be wider than the current call's
+    (min_batch, committed] range — e.g. a crashed FULL fold healed
+    during a later MINOR fold. Selective cache invalidation keyed on the
+    current range would keep cached relations over batches <= min_batch
+    that point at part files the recovered swap deleted; the
+    on_recovered hook is where callers clear the ENTIRE cache."""
+    base = str(tmp_path / "vectors")
+    tmp = f"{base}__fold_tmp"
+    trash = f"{base}__fold_trash"
+    os.makedirs(base, exist_ok=True)
+    # crashed FULL fold (bounds -1..2) awaiting install; a later batch 3
+    # exists, and the CURRENT call is a MINOR fold over (2, 3] only
+    _mk_committed_partition(tmp)
+    with open(os.path.join(tmp, _FOLD_MARKER), "w") as f:
+        f.write("-1 2")
+    _mk_committed_partition(os.path.join(trash, "batch=0"))
+    _mk_committed_partition(os.path.join(trash, "batch=1"))
+    _mk_committed_partition(os.path.join(trash, "batch=2"))
+    _mk_committed_partition(os.path.join(base, "batch=3"))
+
+    fired = []
+    folded = compact_batched_dir(
+        base,
+        committed=3,
+        list_batches=lambda: list_committed_batches(base),
+        read_upto=_boom,
+        write_fold=_boom,
+        min_batch=2,
+        on_recovered=lambda: fired.append(True),
+    )
+    # the crashed full fold was installed at batch=2, outside this minor
+    # call's own range — and the hook fired so the caller's whole cache
+    # clears, not just relations touching (2, 3]
+    assert fired == [True]
+    assert sorted(list_committed_batches(base)) == [2, 3]
+    # only batch=3 above min_batch=2 -> nothing further to fold; the
+    # recovery alone still signals via the return
+    assert folded == 1
+
+    # clean state: the hook must NOT fire
+    fired.clear()
+    compact_batched_dir(
+        base,
+        committed=3,
+        list_batches=lambda: list_committed_batches(base),
+        read_upto=_boom,
+        write_fold=_boom,
+        min_batch=2,
+        on_recovered=lambda: fired.append(True),
+    )
+    assert fired == []

@@ -711,3 +711,30 @@ def test_compact_deltas_minor_merge(spark, workdir):
     tbl2.delete_where(F.col("k") == 1)
     with pytest.raises(ValueError, match="tombstones"):
         tbl2.compact_deltas()
+
+
+def test_compact_deltas_never_triggers_full_compact(spark, workdir):
+    """ADVICE r9: the minor fold's merge-append must not trip the
+    compact_every threshold into a FULL O(table) compact() mid-tick —
+    the exact rewrite the minor form exists to avoid. With
+    compact_every=4 and 3 deltas, the merge-append is the 4th dir:
+    before the fix it auto-compacted the whole table to one base."""
+    mk = lambda rows, cols: spark.createDataFrame(rows, cols)
+    tbl = ParquetUpsertTable(
+        spark, f"{workdir}/t", keys=["k"], mode="mor", compact_every=4
+    )
+    tbl.upsert(mk([(1, "a")], ["k", "v"]))
+    tbl.upsert(mk([(2, "b")], ["k", "v"]))
+    tbl.upsert(mk([(1, "a2")], ["k", "v"]))
+    want = _snapshot(tbl)
+    assert tbl.compact_deltas() == 2
+    # base delta 0 survives + merged tail at seq 3: a full compact would
+    # have collapsed everything to the single highest seq
+    assert tbl.history() == [0, 3]
+    assert _snapshot(tbl) == want
+    # the threshold still applies to REAL appends: the next upsert is
+    # the 3rd dir, one more reaches 4 and full-compacts as configured
+    tbl.upsert(mk([(3, "c")], ["k", "v"]))
+    assert len(tbl.history()) == 3
+    tbl.upsert(mk([(4, "d")], ["k", "v"]))
+    assert len(tbl.history()) == 1
