@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -63,6 +64,7 @@ class IncrementalBm25Index:
         spark: SparkSession,
         path: str,
         compact_every: int | None = None,
+        fold_budget_sec: float | None = None,
     ):
         """`compact_every` is the AUTO-COMPACTION policy — the Indexer's
         threshold + per-cycle fold budget (app.py _maybe_compact_one)
@@ -72,10 +74,20 @@ class IncrementalBm25Index:
         update tick never absorbs two rewrites; the waiting relation
         overshoots by at most one update). None (default) keeps the
         bare out-of-band compact() contract the flat update exponents
-        previously assumed."""
+        previously assumed.
+
+        `fold_budget_sec` (round 10) is the OFF-TICK DEFERRAL rule —
+        the Indexer's budget deferral completing the policy: when the
+        tick's own work already consumed the budget, a due minor fold
+        is SKIPPED this tick (counted in `deferred_folds`) and the
+        still-crossed threshold fires it on a later, faster tick — so
+        maintenance can never stack on an already-slow tick and push it
+        over the operator's envelope. None keeps folds unconditional."""
         self.spark = spark
         self.path = path.rstrip("/") or path
         self._compact_every = compact_every
+        self._fold_budget_sec = fold_budget_sec
+        self.deferred_folds = 0
         self._compact_rr = 0  # round-robin cursor over batched relations
         os.makedirs(self.path, exist_ok=True)
         # startup heal (round 9): a crash inside an in-tick policy fold
@@ -119,6 +131,7 @@ class IncrementalBm25Index:
     def update(self, batch_docs: DataFrame, batch_id: int) -> None:
         """Fold one micro-batch of documents into the index (foreachBatch
         body). Idempotent under replay of any prefix of its steps."""
+        tick_start = time.perf_counter()
         committed = self.committed_batch()
         if batch_id <= committed:
             return
@@ -142,9 +155,19 @@ class IncrementalBm25Index:
             self._write_generation(batch, batch_id, committed)
         finally:
             batch.unpersist()
-        self._maybe_compact_one()
+        self._maybe_compact_one(tick_start)
 
-    def _maybe_compact_one(self) -> str | None:
+    def _over_fold_budget(self, tick_start: float | None) -> bool:
+        """Off-tick deferral check (round 10) — shared shape across the
+        maintainers: True when the tick's pre-fold work already consumed
+        fold_budget_sec, so a due fold must wait for a faster tick."""
+        return (
+            self._fold_budget_sec is not None
+            and tick_start is not None
+            and time.perf_counter() - tick_start > self._fold_budget_sec
+        )
+
+    def _maybe_compact_one(self, tick_start: float | None = None) -> str | None:
         """Fold AT MOST ONE batched relation whose dir count crossed the
         policy threshold (cheap listdirs, no data read) — MINOR folds
         only (round 9): the in-tick merge covers the tail since the
@@ -164,6 +187,11 @@ class IncrementalBm25Index:
                 if fold_base < b <= committed
             ])
             if n_tail >= self._compact_every:
+                if self._over_fold_budget(tick_start):
+                    # budget deferral: the threshold stays crossed, so
+                    # the next (faster) tick absorbs this fold instead
+                    self.deferred_folds += 1
+                    return None
                 _compact_relation(self, name, committed, minor=True)
                 self._compact_rr = (self._compact_rr + k + 1) % len(names)
                 return name

@@ -20,6 +20,7 @@ for idempotent tx upserts (scan_raw_txs.py:51-54).
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -263,10 +264,18 @@ class IncrementalNearDup:
         spark: SparkSession,
         state_dir: str,
         compact_every: int | None = None,
+        fold_budget_sec: float | None = None,
     ):
+        """`fold_budget_sec` (round 10): off-tick deferral — a due
+        minor fold is skipped (counted in `deferred_folds`) when the
+        tick's own work already consumed the budget; the crossed
+        threshold fires it on a later, faster tick. None = folds
+        unconditional."""
         self.spark = spark
         self.state_dir = state_dir.rstrip("/") or state_dir
         self._compact_every = compact_every
+        self._fold_budget_sec = fold_budget_sec
+        self.deferred_folds = 0
         self._compact_rr = 0  # round-robin over (bands, feats, pairs)
         self._relation_cache: dict[tuple, DataFrame] = {}
         os.makedirs(self.state_dir, exist_ok=True)
@@ -332,6 +341,7 @@ class IncrementalNearDup:
         committed id are no-ops; a crash anywhere replays into the
         identical state (pairs MERge re-converges, bands/feats dirs are
         idempotent overwrites, feats commits last)."""
+        tick_start = time.perf_counter()
         if batch_df.isEmpty():
             return
         committed = self.committed_batch()
@@ -449,7 +459,7 @@ class IncrementalNearDup:
                 new.unpersist()
             if cand is not None:
                 cand.unpersist()
-        self._maybe_compact_one()
+        self._maybe_compact_one(tick_start)
 
     # -- maintenance ------------------------------------------------------
 
@@ -494,6 +504,10 @@ class IncrementalNearDup:
             lambda upto: self._read_state(name, upto, above=lo),
             _write,
             min_batch=lo,
+            # a recovery-installed crashed swap may exceed this call's
+            # (lo, committed] range — selective invalidation would keep
+            # dangling relations; clear everything (ADVICE r9)
+            on_recovered=self._relation_cache.clear,
         )
         if folded:
             # dirs in (lo, committed] were swept; keep cached relations
@@ -511,10 +525,14 @@ class IncrementalNearDup:
         self.pairs_tbl.compact()
         return n
 
-    def _maybe_compact_one(self) -> str | None:
+    def _maybe_compact_one(
+        self, tick_start: float | None = None
+    ) -> str | None:
         """Fold AT MOST ONE state unit whose accretion crossed the policy
         threshold (cheap listdirs, no data read) — minor folds only, so
-        a tick never absorbs an O(corpus) rewrite."""
+        a tick never absorbs an O(corpus) rewrite. With a
+        fold_budget_sec, a due fold is DEFERRED when the tick's own
+        work already consumed the budget (off-tick deferral, round 10)."""
         if self._compact_every is None:
             return None
         from .compaction import list_committed_batches
@@ -538,6 +556,16 @@ class IncrementalNearDup:
         for k in range(len(units)):
             name, count, fold = units[(self._compact_rr + k) % len(units)]
             if count() >= self._compact_every:
+                if (
+                    self._fold_budget_sec is not None
+                    and tick_start is not None
+                    and time.perf_counter() - tick_start
+                    > self._fold_budget_sec
+                ):
+                    # budget deferral: the threshold stays crossed, so a
+                    # later, faster tick absorbs this fold
+                    self.deferred_folds += 1
+                    return None
                 fold()
                 self._compact_rr = (self._compact_rr + k + 1) % len(units)
                 return name

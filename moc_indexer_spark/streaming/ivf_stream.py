@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -50,6 +51,7 @@ class IncrementalIvfIndex:
         spark: SparkSession,
         path: str,
         compact_every: int | None = None,
+        fold_budget_sec: float | None = None,
     ):
         """`compact_every` is the AUTO-COMPACTION policy (the Indexer's
         threshold pattern, app.py: fold once the delta-dir count crosses
@@ -58,10 +60,18 @@ class IncrementalIvfIndex:
         exponents assume an operator calls compact() out-of-band; a
         daemon that never does rides the flat-batch tail growth
         (SCALE_CURVE.json *_stream_policy_longrun measures both arms).
-        None (default) keeps the bare out-of-band contract."""
+        None (default) keeps the bare out-of-band contract.
+
+        `fold_budget_sec` (round 10): off-tick deferral — a due minor
+        fold is skipped (counted in `deferred_folds`) when the tick's
+        own work already consumed the budget; the still-crossed
+        threshold fires it on a later, faster tick, so maintenance can
+        never stack on an already-slow tick. None = unconditional."""
         self.spark = spark
         self.path = path.rstrip("/") or path
         self._compact_every = compact_every
+        self._fold_budget_sec = fold_budget_sec
+        self.deferred_folds = 0
         # relation cache for _read_upto (see its docstring): building a
         # DataFrame over the fold re-lists its O(cells) partition dirs
         # with a fresh distributed listing job EVERY read (measured at
@@ -204,17 +214,28 @@ class IncrementalIvfIndex:
 
     # -- maintenance ---------------------------------------------------------
 
-    def _maybe_compact(self) -> bool:
+    def _maybe_compact(self, tick_start: float | None = None) -> bool:
         """Apply the auto-compaction policy after a committed update:
         MINOR-fold the flat tail iff its dir count crossed the threshold
         (a cheap listdir — no data read). Minor = tiered (round 9): the
         in-tick fold reads O(cadence) rows regardless of index size, so
         the policy can never land an O(index) rewrite inside a tick;
         fold LEVELS are re-merged only by the out-of-band
-        compact_index(idx). Returns True when a fold ran."""
+        compact_index(idx). Returns True when a fold ran. With a
+        fold_budget_sec, a due fold is DEFERRED when the tick's own
+        work already consumed the budget (off-tick deferral)."""
         if self._compact_every is not None:
             n_flats = sum(1 for b in self._batches() if not self._is_fold(b))
             if n_flats >= self._compact_every:
+                if (
+                    self._fold_budget_sec is not None
+                    and tick_start is not None
+                    and time.perf_counter() - tick_start
+                    > self._fold_budget_sec
+                ):
+                    # budget deferral: a later, faster tick absorbs it
+                    self.deferred_folds += 1
+                    return False
                 compact_index(self, minor=True)
                 return True
         return False
@@ -238,6 +259,7 @@ class IncrementalIvfIndex:
         see _read_upto. An id re-sent with a different payload is an
         upstream correction -> rebuild, the shared maintainer
         contract)."""
+        tick_start = time.perf_counter()
         if batch_id <= self.committed_batch():
             return
         import numpy as np
@@ -318,7 +340,7 @@ class IncrementalIvfIndex:
             if assigned_new is not assigned:
                 assigned_new.unpersist()
             assigned.unpersist()
-        self._maybe_compact()
+        self._maybe_compact(tick_start)
 
     # -- probe ---------------------------------------------------------------
 
@@ -466,6 +488,7 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> None:
+        tick_start = time.perf_counter()
         if batch_id <= self.committed_batch():
             return
         import numpy as np
@@ -548,7 +571,7 @@ class IncrementalIvfPqIndex(IncrementalIvfIndex):
             if encoded_new is not encoded:
                 encoded_new.unpersist()
             encoded.unpersist()
-        self._maybe_compact()
+        self._maybe_compact(tick_start)
 
     def probe(
         self,
@@ -655,6 +678,12 @@ def compact_index(idx: IncrementalIvfIndex, minor: bool = False) -> int:
              .parquet(tmp))
         ),
         min_batch=lo,
+        # a recovery-installed crashed swap may carry WIDER bounds than
+        # this call's (lo, committed] (e.g. a crashed full fold healed
+        # during a minor) — the selective invalidation below would keep
+        # cached relations over batches <= lo that now point at deleted
+        # part files; clear everything (ADVICE r9)
+        on_recovered=idx._relation_cache.clear,
     )
     if folded:
         # every dir in (lo, committed] was swept (batch=<committed>

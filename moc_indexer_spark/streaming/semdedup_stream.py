@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -94,6 +95,7 @@ class IncrementalSemDeDup:
         spark: SparkSession,
         path: str,
         compact_every: int | None = None,
+        fold_budget_sec: float | None = None,
     ):
         """`compact_every` is the AUTO-COMPACTION policy (the Indexer's
         threshold + per-cycle fold budget, app.py _maybe_compact_one):
@@ -101,7 +103,13 @@ class IncrementalSemDeDup:
         count crosses the threshold, fold it — AT MOST ONE of the two
         per update (round-robin cursor), so a tick never absorbs two
         rewrites. None (default) keeps the bare out-of-band compact()
-        contract the flat update exponent previously assumed."""
+        contract the flat update exponent previously assumed.
+
+        `fold_budget_sec` (round 10): off-tick deferral — a due minor
+        fold is skipped (counted in `deferred_folds`) when the tick's
+        own work already consumed the budget; the still-crossed
+        threshold fires it on a later, faster tick, so maintenance can
+        never stack on an already-slow tick. None = unconditional."""
         self.spark = spark
         self.path = path.rstrip("/") or path
         os.makedirs(self.path, exist_ok=True)
@@ -109,6 +117,8 @@ class IncrementalSemDeDup:
             spark, f"{self.path}/dups", keys=["vec_id"], mode="mor"
         )
         self._compact_every = compact_every
+        self._fold_budget_sec = fold_budget_sec
+        self.deferred_folds = 0
         self._compact_rr = 0  # round-robin over (vectors, dups)
         # relation cache for _read_upto — the ivf_stream design: building
         # a DataFrame over the cell-partitioned fold re-lists its
@@ -272,6 +282,7 @@ class IncrementalSemDeDup:
         recomputed over the full touched cells — read pruned to those
         cells (see _read_upto) — so late smaller ids retro-invalidate
         stale dup rows at a cost independent of index size."""
+        tick_start = time.perf_counter()
         if not self.is_trained():
             raise ValueError("train() the quantizer before streaming updates")
         if batch_id <= self.committed_batch():
@@ -333,7 +344,7 @@ class IncrementalSemDeDup:
             if new_ids is not new:
                 new_ids.unpersist()
             new.unpersist()
-        self._maybe_compact_one()
+        self._maybe_compact_one(tick_start)
 
     def _compact_vectors(self, minor: bool = False) -> int:
         """Fold committed vector batches into one cell-partitioned
@@ -411,6 +422,10 @@ class IncrementalSemDeDup:
             _read_checked,
             _write,
             min_batch=lo,
+            # a recovery-installed crashed swap may exceed this call's
+            # (lo, committed] range — selective invalidation would keep
+            # dangling relations; clear everything (ADVICE r9)
+            on_recovered=self._relation_cache.clear,
         )
         if folded:
             # every dir in (lo, committed] was swept (and batch=
@@ -434,10 +449,14 @@ class IncrementalSemDeDup:
         self.dups.compact()
         return folded
 
-    def _maybe_compact_one(self) -> str | None:
+    def _maybe_compact_one(
+        self, tick_start: float | None = None
+    ) -> str | None:
         """Fold AT MOST ONE state relation whose accretion crossed the
         policy threshold (cheap listdirs — no data read). Returns the
-        folded unit's name, None if nothing crossed or no policy."""
+        folded unit's name, None if nothing crossed or no policy. With
+        a fold_budget_sec, a due fold is DEFERRED when the tick's own
+        work already consumed the budget (off-tick deferral)."""
         if self._compact_every is None:
             return None
         units = (
@@ -462,6 +481,15 @@ class IncrementalSemDeDup:
         for k in range(len(units)):
             name, count, fold = units[(self._compact_rr + k) % len(units)]
             if count() >= self._compact_every:
+                if (
+                    self._fold_budget_sec is not None
+                    and tick_start is not None
+                    and time.perf_counter() - tick_start
+                    > self._fold_budget_sec
+                ):
+                    # budget deferral: a later, faster tick absorbs it
+                    self.deferred_folds += 1
+                    return None
                 fold()
                 self._compact_rr = (self._compact_rr + k + 1) % len(units)
                 return name
