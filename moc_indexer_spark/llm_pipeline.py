@@ -380,10 +380,63 @@ def main() -> None:
              "decontamination; pass an empty string to disable (no "
              "source is deleted from the corpus)",
     )
+    ap.add_argument(
+        "--stream", action="store_true",
+        help="run the STREAMING curation funnel instead of the one-shot "
+             "batch: drain in_path's files through the incremental "
+             "maintainers (streaming/funnel.py) and publish the batch-"
+             "identical artifact to out_dir — the daemon-operable form; "
+             "dedup tiers are always on (the maintainers' contract), so "
+             "--near-dedup/--near-method/--near-threshold are ignored",
+    )
+    ap.add_argument(
+        "--state-dir", default=None,
+        help="(--stream) maintainer state root; default <out_dir>/_state",
+    )
+    ap.add_argument(
+        "--checkpoint-dir", default=None,
+        help="(--stream) Structured Streaming checkpoint; default "
+             "<out_dir>/_checkpoint",
+    )
+    ap.add_argument(
+        "--publish-every", type=int, default=None,
+        help="(--stream) also publish every N micro-batches (a final "
+             "publish always runs at drain)",
+    )
+    ap.add_argument(
+        "--embeddings-in-stream", action="store_true",
+        help="(--stream) arriving docs carry their own `embedding` "
+             "column; enables the semantic tier without a sidecar",
+    )
+    ap.add_argument(
+        "--missing-embedding", default="fail", choices=("fail", "skip"),
+        help="(--stream --embeddings-in-stream) contract for a gated "
+             "doc arriving with a null embedding",
+    )
     args = ap.parse_args()
     from .session import get_spark
 
     spark = get_spark(app_name="llm-pipeline")
+    if args.stream:
+        from .streaming.funnel import run_curation_funnel_available_now
+
+        _, funnel = run_curation_funnel_available_now(
+            spark,
+            args.in_path,
+            args.state_dir or f"{args.out_dir}/_state",
+            args.checkpoint_dir or f"{args.out_dir}/_checkpoint",
+            out_dir=args.out_dir,
+            embeddings_path=args.semantic_dedup,
+            bench_source=args.bench_source,
+            sample_k=args.sample_k,
+            semantic_threshold=args.semantic_threshold,
+            publish_every=args.publish_every,
+            jsonl=args.jsonl,
+            embeddings_in_stream=args.embeddings_in_stream,
+            missing_embedding=args.missing_embedding,
+        )
+        print(json.dumps(funnel, sort_keys=True))
+        return
     funnel = run_pipeline(
         spark, args.in_path, args.out_dir, jsonl=args.jsonl,
         bench_source=args.bench_source,

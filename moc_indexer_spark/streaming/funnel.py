@@ -72,6 +72,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -105,6 +107,9 @@ class StreamingCurationFunnel:
         expected_corpus_rows: int | None = None,
         compact_every: int | None = None,
         track_quarantine: bool = False,
+        embeddings_in_stream: bool = False,
+        missing_embedding: str = "fail",
+        fold_budget_sec: float | None = None,
     ):
         """`compact_every` is the maintainers' auto-compaction policy
         (minor folds / delta-tail merges, at most one unit per tick per
@@ -112,7 +117,28 @@ class StreamingCurationFunnel:
         funnel's own docs/corpus MoR tables run their fixed one-merge-
         per-tick budget regardless. `track_quarantine` (the JSONL
         arrival mode) makes publish() report `quarantined_lines` —
-        present even at zero, the batch CLI's key set."""
+        present even at zero, the batch CLI's key set.
+
+        `embeddings_in_stream=True` is the PRODUCTION embedding shape
+        (round-10): arriving docs carry their own `embedding` column and
+        the semantic tier consumes it directly — no sidecar join, so a
+        doc can never silently miss the tier because a sidecar row is
+        absent. `missing_embedding` is the explicit contract for a null
+        embedding on a gated doc: "fail" (default — raise, the strict
+        daemon contract) or "skip" (the doc passes through the semantic
+        tier exactly like the batch CLI's docs-without-a-sidecar-row,
+        but COUNTED: a replay-idempotent per-batch count table feeds
+        publish()'s `docs_missing_embedding` key, present even at zero).
+        Mutually exclusive with `embeddings_path` (the fixture sidecar
+        shape, matching the batch CLI's sidecar)."""
+        if embeddings_in_stream and embeddings_path is not None:
+            raise ValueError(
+                "embeddings_in_stream and embeddings_path are mutually "
+                "exclusive — arrivals either carry embeddings or a "
+                "sidecar does"
+            )
+        if missing_embedding not in ("fail", "skip"):
+            raise ValueError("missing_embedding must be 'fail' or 'skip'")
         self.spark = spark
         self.state_dir = state_dir
         self.bench_source = bench_source
@@ -134,18 +160,26 @@ class StreamingCurationFunnel:
             spark, f"{state_dir}/corpus", mode="mor"
         )
         self._merge_rr = 0  # round-robin delta-merge cursor
+        # fold_budget_sec: the maintainers' off-tick deferral (round 10)
+        # — a due minor fold is skipped when the tick already consumed
+        # the budget; see IncrementalNearDup.__init__
         self.near = IncrementalNearDup(
-            spark, f"{state_dir}/near", compact_every=compact_every
+            spark, f"{state_dir}/near", compact_every=compact_every,
+            fold_budget_sec=fold_budget_sec,
         )
+        self.embeddings_in_stream = embeddings_in_stream
+        self.missing_embedding = missing_embedding
         self.sem = (
             IncrementalSemDeDup(
-                spark, f"{state_dir}/sem", compact_every=compact_every
+                spark, f"{state_dir}/sem", compact_every=compact_every,
+                fold_budget_sec=fold_budget_sec,
             )
-            if embeddings_path is not None
+            if (embeddings_path is not None or embeddings_in_stream)
             else None
         )
-        # production ships embeddings IN the arrival stream; the sidecar
-        # join is the fixture shape (matches the batch CLI's sidecar)
+        # production ships embeddings IN the arrival stream
+        # (embeddings_in_stream); the sidecar join is the fixture shape
+        # (matches the batch CLI's sidecar)
         if embeddings_path is not None:
             emb = spark.read.parquet(embeddings_path)
             if "vec_id" not in emb.columns and "doc_id" in emb.columns:
@@ -166,6 +200,13 @@ class StreamingCurationFunnel:
         self.qcounts_tbl = ParquetUpsertTable(
             spark, f"{state_dir}/qcounts", keys=["batch_id"]
         )
+        # per-batch null-embedding counts (embeddings_in_stream +
+        # missing_embedding="skip"), keyed by batch id — same replay-
+        # idempotent shape as qcounts; written only when a batch actually
+        # had misses, summed once at publish
+        self.mcounts_tbl = ParquetUpsertTable(
+            spark, f"{state_dir}/mcounts", keys=["batch_id"]
+        )
 
     def ingest_quarantine(self, bad: DataFrame, batch_id: int) -> None:
         """Persist a micro-batch's unparsable raw lines (JSONL arrival
@@ -177,9 +218,19 @@ class StreamingCurationFunnel:
         n_bad = bad.count()
         if n_bad == 0:
             return
-        bad.coalesce(1).write.mode("overwrite").parquet(
-            f"{self._quarantine_dir}/batch={int(batch_id)}"
-        )
+        # stage-and-rename, the sink's _append_delta protocol (ADVICE
+        # r9): a crash mid-write must never leave a partial batch=N dir
+        # visible to out-of-band audit readers. Staged as a SIBLING of
+        # the quarantine dir so a stage crash leaves no garbage inside
+        # the tree audit readers scan; a replayed batch swaps its dir
+        # whole (remove-then-rename — a crash between the two restores
+        # on the replay that caused it).
+        dest = f"{self._quarantine_dir}/batch={int(batch_id)}"
+        tmp = f"{self._quarantine_dir}__stage_{uuid.uuid4().hex[:8]}"
+        bad.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(dest, ignore_errors=True)
+        os.makedirs(self._quarantine_dir, exist_ok=True)
+        os.rename(tmp, dest)
         self.qcounts_tbl.upsert(
             self.spark.createDataFrame(
                 [(int(batch_id), int(n_bad))], "batch_id long, n_bad long"
@@ -205,8 +256,7 @@ class StreamingCurationFunnel:
             self.corpus_tbl.upsert(_coalesce_keepers(gated_keys))
             self.near.update(gated, batch_id)
             if self.sem is not None:
-                ids = gated.select(F.col("doc_id").alias("vec_id"))
-                ebatch = self._emb.join(F.broadcast(ids), "vec_id")
+                ebatch = self._semantic_batch(gated, batch_id)
                 if not self.sem.is_trained() and not ebatch.isEmpty():
                     self.sem.train(
                         ebatch,
@@ -225,22 +275,64 @@ class StreamingCurationFunnel:
         finally:
             gated.unpersist()
 
-    def _maybe_merge_one(self) -> None:
+    def _semantic_batch(self, gated: DataFrame, batch_id: int) -> DataFrame:
+        """The micro-batch's (vec_id, embedding) rows for the semantic
+        tier. In-stream mode consumes the arrivals' own `embedding`
+        column under the explicit missing_embedding contract (never a
+        silent skip); sidecar mode is the fixture shape — a doc without
+        a sidecar row passes the tier, same as the batch CLI."""
+        if not self.embeddings_in_stream:
+            ids = gated.select(F.col("doc_id").alias("vec_id"))
+            return self._emb.join(F.broadcast(ids), "vec_id")
+        if "embedding" not in gated.columns:
+            raise ValueError(
+                "embeddings_in_stream=True but the arrival batch has no "
+                "'embedding' column"
+            )
+        ebatch = gated.select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        n_missing = ebatch.filter(F.col("embedding").isNull()).count()
+        if n_missing:
+            if self.missing_embedding == "fail":
+                raise ValueError(
+                    f"batch {batch_id}: {n_missing} gated doc(s) arrived "
+                    "with a null embedding (missing_embedding='fail'); "
+                    "pass missing_embedding='skip' to let them bypass "
+                    "the semantic tier, counted in the published funnel"
+                )
+            self.mcounts_tbl.upsert(
+                self.spark.createDataFrame(
+                    [(int(batch_id), int(n_missing))],
+                    "batch_id long, n_missing long",
+                )
+            )
+        return ebatch.filter(F.col("embedding").isNotNull())
+
+    def _maybe_merge_one(self) -> str | None:
         """In-tick maintenance budget for the funnel's own MoR tables
         (the near-dup and semdedup maintainers run their own policies):
         delta-tail-merge AT MOST ONE table per tick once its delta count
-        crosses the threshold — O(cadence) work, never a table rewrite."""
+        crosses the threshold — O(cadence) work, never a table rewrite.
+        Returns the merged table's path (observability: the long-run
+        soak attributes fold ticks), None when nothing crossed."""
         tables = (self.docs_tbl, self.corpus_tbl)
         for k in range(len(tables)):
             t = tables[(self._merge_rr + k) % len(tables)]
             if len(t.history()) >= 16:
                 t.compact_deltas()
                 self._merge_rr = (self._merge_rr + k + 1) % len(tables)
-                return
+                return t.path
+        return None
 
     # -- publish ---------------------------------------------------------------
 
-    def publish(self, out_dir: str, compact: bool = True) -> dict:
+    def publish(
+        self,
+        out_dir: str,
+        compact: bool = True,
+        timings: dict | None = None,
+    ) -> dict:
         """Derive the batch CLI's exact artifact (shards + manifest +
         funnel.json) from the maintained state — a pure function of
         state, so re-publishing is idempotent and a publish at any tick
@@ -252,12 +344,32 @@ class StreamingCurationFunnel:
         it re-bases the in-tick minor folds, whose cost is O(data since
         the last major). Without a periodic major, a forever-running
         funnel's minors stay bounded per-dir-count but the merged tail
-        they rewrite grows with time since the last base."""
+        they rewrite grows with time since the last base.
+
+        `timings` (round 10 observability): pass a dict to receive
+        per-phase wall seconds — which tier dominates a release cut is
+        a measured number, not a guess. Keys: `exact` (doc-store read +
+        keeper join + count), `near` (pair restriction + connected
+        components + anti-join + count), `semantic` (pruned vector scan
+        + per-cell keeper + anti-join + count), `finish` (the shared
+        decontamination→DSIR→pack→shard→manifest tail), `major_compact`
+        (the post-cut full folds when compact=True). Phase boundaries
+        sit on the funnel counts' actions, so each phase's Spark work
+        is actually executed inside its bracket."""
+        import time as _time
+
         from ..llm_pipeline import _finish_funnel
         from ..operators.dedup import dedup_clusters
         from ..operators.similarity import semantic_dedup_keep
 
+        def _mark(key: str, t0: float) -> float:
+            now = _time.perf_counter()
+            if timings is not None:
+                timings[key] = round(now - t0, 3)
+            return now
+
         spark = self.spark
+        _t = _time.perf_counter()
         docs = self.docs_tbl.read()
         counts = self.counts_tbl.read()
         funnel: dict = {
@@ -272,22 +384,51 @@ class StreamingCurationFunnel:
                 0 if q is None
                 else int(q.agg(F.sum("n_bad")).collect()[0][0])
             )
+        if self.embeddings_in_stream:
+            m = self.mcounts_tbl.read()
+            funnel["docs_missing_embedding"] = (
+                0 if m is None
+                else int(m.agg(F.sum("n_missing")).collect()[0][0])
+            )
         if docs is None:
             if counts is None and funnel.get("quarantined_lines", 0) == 0:
                 raise ValueError("publish() before any batch arrived")
-            # quarantine-only ingest (every arriving line malformed):
-            # nothing to cut — report the counts instead of failing the
-            # stream, so later valid arrivals keep flowing
+            # quarantine-only ingest (every arriving line malformed) or
+            # every doc gate-rejected: nothing to cut — report the
+            # counts instead of failing the stream, so later valid
+            # arrivals keep flowing. The dict carries the FULL key set
+            # this funnel's configuration would publish (zeros), and a
+            # funnel.json lands in out_dir (ADVICE r9): a consumer
+            # polling out_dir after a successful publish must see a
+            # fresh artifact with the same schema as every other
+            # publish, never a stale or absent file with no signal.
             funnel["after_quality_gate"] = 0
+            funnel["after_exact_dedup"] = 0
+            funnel["after_near_dedup"] = 0
+            funnel["near_dedup_params"] = {
+                "method": "minhash", "n": NEAR_N, "k": NEAR_K,
+                "bands": NEAR_BANDS, "threshold": NEAR_THRESHOLD,
+            }
+            if self.sem is not None and self.sem.is_trained():
+                funnel["after_semantic_dedup"] = 0
+            if self.bench_source:
+                funnel["after_decontamination"] = 0
+            if self.sample_k is not None:
+                funnel["after_sampling"] = 0
             funnel["final_docs"] = 0
+            os.makedirs(out_dir, exist_ok=True)
+            with open(f"{out_dir}/funnel.json", "w") as fh:
+                json.dump(funnel, fh, indent=2, sort_keys=True)
             return funnel
         funnel["after_quality_gate"] = docs.count()
         caches: list[DataFrame] = []
         try:
+            _t = _mark("counts", _t)
             keep_e = self.corpus_tbl.read().select("doc_id")
             deduped = docs.join(keep_e, "doc_id").persist()
             caches.append(deduped)
             funnel["after_exact_dedup"] = deduped.count()
+            _t = _mark("exact", _t)
 
             pairs = self.near.pairs()
             if pairs is not None:
@@ -312,6 +453,7 @@ class StreamingCurationFunnel:
                 "method": "minhash", "n": NEAR_N, "k": NEAR_K,
                 "bands": NEAR_BANDS, "threshold": NEAR_THRESHOLD,
             }
+            _t = _mark("near", _t)
 
             if self.sem is not None and self.sem.is_trained():
                 vecs = self.sem.vectors_df()
@@ -332,14 +474,19 @@ class StreamingCurationFunnel:
                     funnel["after_semantic_dedup"] = deduped.count()
                     funnel["semantic_dedup_params"] = {
                         "threshold": thr,
-                        "embeddings": self.embeddings_path,
+                        "embeddings": (
+                            "in-stream" if self.embeddings_in_stream
+                            else self.embeddings_path
+                        ),
                         "centroids": self.sem._model_path(),
                     }
+            _t = _mark("semantic", _t)
 
             _finish_funnel(
                 spark, deduped, funnel, out_dir,
                 self.bench_source, self.sample_k, caches,
             )
+            _t = _mark("finish", _t)
         finally:
             for df in caches:
                 df.unpersist()
@@ -350,6 +497,7 @@ class StreamingCurationFunnel:
                 self.sem.compact()
             for t in (self.docs_tbl, self.corpus_tbl, self.counts_tbl):
                 t.compact()
+            _mark("major_compact", _t)
         return funnel
 
 
@@ -369,6 +517,8 @@ def run_curation_funnel_available_now(
     jsonl: bool = False,
     schema=None,
     max_files_per_trigger: int | None = 1,
+    embeddings_in_stream: bool = False,
+    missing_embedding: str = "fail",
 ) -> tuple[StreamingCurationFunnel, dict | None]:
     """Drain all available document files through the funnel maintainers
     (deterministic-replay mode; production uses a processing-time
@@ -404,6 +554,8 @@ def run_curation_funnel_available_now(
         expected_corpus_rows=expected_corpus_rows,
         compact_every=compact_every,
         track_quarantine=jsonl,
+        embeddings_in_stream=embeddings_in_stream,
+        missing_embedding=missing_embedding,
     )
     state = {"published": None, "ticks": 0}
 

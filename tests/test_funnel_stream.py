@@ -228,3 +228,165 @@ def test_streaming_funnel_quarantine_only_prefix_does_not_kill_stream(
     assert published["quarantined_lines"] == 2
     assert published == batch
     assert _manifest_rows(spark, out_s) == _manifest_rows(spark, out_b)
+
+
+def _docs_with_embeddings(spark, sf_dir, null_ids=()):
+    """Documents enriched with their embedding as an arrival column —
+    the production shape (embeddings_in_stream); `null_ids` get a NULL
+    embedding to exercise the missing-embedding contract."""
+    docs = table(spark, sf_dir, "documents")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    enriched = docs.join(emb, "doc_id", "left")
+    if null_ids:
+        enriched = enriched.withColumn(
+            "embedding",
+            F.when(F.col("doc_id").isin(*null_ids), F.lit(None))
+            .otherwise(F.col("embedding")),
+        )
+    return enriched
+
+
+def test_streaming_funnel_in_stream_embeddings_match_batch(
+    spark, sf_dir, tmp_path
+):
+    """Round-10: embeddings arrive IN the stream (no sidecar). The
+    published artifact must equal the batch CLI with the sidecar over
+    the same docs and the stream's persisted quantizer — the semantic
+    tier's judgments cannot depend on how embeddings were delivered."""
+    enriched = _docs_with_embeddings(spark, sf_dir)
+    src = f"{tmp_path}/src"
+    _slice_to_files(spark, enriched, src, 3, tmp_path)
+    emb_path = f"{sf_dir}/embeddings.parquet"
+
+    state = f"{tmp_path}/state"
+    out_s = f"{tmp_path}/out_stream"
+    _, published = run_curation_funnel_available_now(
+        spark, src, state, f"{tmp_path}/ck", out_dir=out_s,
+        schema=enriched.schema, embeddings_in_stream=True,
+    )
+    out_b = f"{tmp_path}/out_batch"
+    batch = run_pipeline(
+        spark, src, out_b,
+        near_dedup=True, near_method="minhash",
+        semantic_dedup=emb_path,
+        semantic_centroids=f"{state}/sem/_model.json",
+    )
+    pub = dict(published)
+    # the two keys that legitimately differ by delivery mode: the
+    # always-present miss counter (zero here) and the params' source tag
+    assert pub.pop("docs_missing_embedding") == 0
+    assert pub["semantic_dedup_params"]["embeddings"] == "in-stream"
+    pub["semantic_dedup_params"] = {
+        **pub["semantic_dedup_params"], "embeddings": emb_path,
+    }
+    assert pub == batch
+    assert published["after_semantic_dedup"] < published["after_near_dedup"]
+    assert _manifest_rows(spark, out_s) == _manifest_rows(spark, out_b)
+    assert _corpus_ids(spark, out_s) == _corpus_ids(spark, out_b)
+
+
+def test_streaming_funnel_missing_embedding_fail_contract(
+    spark, sf_dir, tmp_path
+):
+    """missing_embedding='fail' (the default): a gated doc arriving with
+    a null embedding kills the stream with an explicit error — never a
+    silent semantic-tier skip."""
+    from moc_indexer_spark.streaming.corpus import quality_gate
+
+    enriched = _docs_with_embeddings(spark, sf_dir)
+    # null the embedding of a doc that PASSES the quality gate, so the
+    # contract check is actually reached
+    gated_id = quality_gate(enriched).select("doc_id").first().doc_id
+    enriched = _docs_with_embeddings(spark, sf_dir, null_ids=[gated_id])
+    src = f"{tmp_path}/src"
+    _slice_to_files(spark, enriched, src, 1, tmp_path)
+
+    import pytest
+
+    with pytest.raises(Exception) as ei:
+        run_curation_funnel_available_now(
+            spark, src, f"{tmp_path}/state", f"{tmp_path}/ck",
+            out_dir=f"{tmp_path}/out",
+            schema=enriched.schema, embeddings_in_stream=True,
+        )
+    assert "null embedding" in str(ei.value)
+
+
+def test_streaming_funnel_missing_embedding_skip_is_counted(
+    spark, sf_dir, tmp_path
+):
+    """missing_embedding='skip': null-embedding docs bypass the semantic
+    tier exactly like the batch CLI's docs-without-a-sidecar-row — and
+    the published funnel COUNTS them (docs_missing_embedding), so the
+    skip is observable, not silent. Equivalence: stream(skip, nulls for
+    ids I) == batch(sidecar minus I)."""
+    from moc_indexer_spark.streaming.corpus import quality_gate
+
+    enriched = _docs_with_embeddings(spark, sf_dir)
+    null_ids = [
+        r.doc_id
+        for r in quality_gate(enriched).select("doc_id").limit(5).collect()
+    ]
+    enriched = _docs_with_embeddings(spark, sf_dir, null_ids=null_ids)
+    src = f"{tmp_path}/src"
+    _slice_to_files(spark, enriched, src, 2, tmp_path)
+
+    state = f"{tmp_path}/state"
+    out_s = f"{tmp_path}/out_stream"
+    _, published = run_curation_funnel_available_now(
+        spark, src, state, f"{tmp_path}/ck", out_dir=out_s,
+        schema=enriched.schema, embeddings_in_stream=True,
+        missing_embedding="skip",
+    )
+    assert published["docs_missing_embedding"] == len(null_ids)
+
+    # batch oracle: a sidecar that simply lacks those ids
+    partial = f"{tmp_path}/partial_emb"
+    (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(~F.col("vec_id").isin(*null_ids))
+        .write.mode("overwrite").parquet(partial)
+    )
+    out_b = f"{tmp_path}/out_batch"
+    batch = run_pipeline(
+        spark, src, out_b,
+        near_dedup=True, near_method="minhash",
+        semantic_dedup=partial,
+        semantic_centroids=f"{state}/sem/_model.json",
+    )
+    pub = dict(published)
+    assert pub.pop("docs_missing_embedding") == len(null_ids)
+    pub["semantic_dedup_params"] = {
+        **pub["semantic_dedup_params"], "embeddings": partial,
+    }
+    assert pub == batch
+    assert _corpus_ids(spark, out_s) == _corpus_ids(spark, out_b)
+
+
+def test_streaming_funnel_quarantine_only_publish_writes_artifact(
+    spark, tmp_path
+):
+    """ADVICE r9: a publish over quarantine-only state must still land a
+    funnel.json in out_dir with the full key set (zeros) — a consumer
+    polling out_dir after a successful publish can never see a stale or
+    absent artifact with no signal."""
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    with open(f"{src}/bad.jsonl", "w") as fh:
+        fh.write("{broken 1\n{broken 2\n{broken 3\n")
+    out = f"{tmp_path}/out"
+    _, published = run_curation_funnel_available_now(
+        spark, src, f"{tmp_path}/state", f"{tmp_path}/ck",
+        out_dir=out, jsonl=True,
+    )
+    assert published["quarantined_lines"] == 3
+    assert published["raw"] == 0
+    assert published["after_quality_gate"] == 0
+    assert published["after_exact_dedup"] == 0
+    assert published["after_near_dedup"] == 0
+    assert published["after_decontamination"] == 0
+    assert published["final_docs"] == 0
+    assert "near_dedup_params" in published
+    assert json.load(open(f"{out}/funnel.json")) == published

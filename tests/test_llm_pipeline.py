@@ -170,3 +170,55 @@ def test_pipeline_near_and_semantic_tiers(spark, sf_dir, tmp_path):
     assert persisted == funnel
     assert persisted["near_dedup_params"]["threshold"] == 0.8
     assert persisted["semantic_dedup_params"]["threshold"] == 0.35
+
+
+def test_streaming_cli_matches_batch_cli(spark, sf_dir, tmp_path, monkeypatch):
+    """`moc-llm-pipeline --stream` (round 10): the daemon-operable form
+    of the funnel. Drains the source through the incremental maintainers
+    and must land the batch CLI's exact artifact in out_dir — the same
+    equivalence the API-level funnel tests pin, here through the CLI
+    entry point (argv parsing, default state/checkpoint dirs, publish
+    cadence)."""
+    import os
+    import shutil
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from moc_indexer_spark.llm_pipeline import main
+
+    docs = table(spark, sf_dir, "documents")
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    for i in range(2):
+        part = docs.filter(F.col("doc_id") % 2 == i)
+        stage = f"{tmp_path}/stage_{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        for f_ in os.listdir(stage):
+            if f_.endswith(".parquet"):
+                shutil.copy(f"{stage}/{f_}", f"{src}/slice_{i}.parquet")
+
+    out_s = f"{tmp_path}/out_stream"
+    monkeypatch.setattr(sys, "argv", [
+        "moc-llm-pipeline", src, out_s, "--stream", "--publish-every", "1",
+    ])
+    main()
+
+    out_b = f"{tmp_path}/out_batch"
+    batch = run_pipeline(
+        spark, src, out_b, near_dedup=True, near_method="minhash",
+    )
+    assert json.load(open(f"{out_s}/funnel.json")) == batch
+    stream_ids = sorted(
+        r.doc_id for r in
+        spark.read.parquet(f"{out_s}/corpus").select("doc_id").collect()
+    )
+    batch_ids = sorted(
+        r.doc_id for r in
+        spark.read.parquet(f"{out_b}/corpus").select("doc_id").collect()
+    )
+    assert stream_ids == batch_ids
+    # the CLI defaulted state/checkpoint under out_dir
+    assert os.path.isdir(f"{out_s}/_state") and os.path.isdir(
+        f"{out_s}/_checkpoint"
+    )
