@@ -116,7 +116,8 @@ def main() -> None:
     t_tick = median_times(one_tick, RUNS)
 
     t0 = time.perf_counter()
-    pub = funnel.publish(os.path.join(d, "out"))
+    publish_phases: dict = {}
+    pub = funnel.publish(os.path.join(d, "out"), timings=publish_phases)
     publish_sec = round(time.perf_counter() - t0, 1)
 
     out_path = os.path.join(
@@ -134,6 +135,7 @@ def main() -> None:
     row["at_500k"] = {
         "preload_sec": preload_sec,
         "publish_sec": publish_sec,
+        "publish_phases": publish_phases,
         "compact_every": COMPACT_EVERY,
         "funnel": {k: v for k, v in pub.items()
                    if isinstance(v, int)},
@@ -149,6 +151,7 @@ def main() -> None:
     with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=2)
     print(json.dumps({"tick_at_500k": t_tick, "publish_sec": publish_sec,
+                      "publish_phases": publish_phases,
                       "preload_sec": preload_sec,
                       "exponent": row["exponent"],
                       "funnel": row["at_500k"]["funnel"]}), flush=True)
