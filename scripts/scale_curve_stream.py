@@ -601,9 +601,15 @@ def _longrun_arms(mk_index, update_fn, count_state,
     import statistics
 
     out = {}
-    for label, ce in (("policy_on", LONGRUN_COMPACT_EVERY),
-                      ("policy_off", None)):
-        idx, state0 = mk_index(ce)
+    # round 10: the policy_on_deferral arm enforces the BASELINE.md
+    # maintenance SLA — same threshold, plus the off-tick deferral
+    # budget; a due fold skips when the tick already consumed it
+    for label, ce, budget in (
+        ("policy_on", LONGRUN_COMPACT_EVERY, None),
+        ("policy_on_deferral", LONGRUN_COMPACT_EVERY, LONGRUN_FOLD_BUDGET),
+        ("policy_off", None, None),
+    ):
+        idx, state0 = mk_index(ce, budget)
         lat, fold_cycles = [], []
         for c in range(LONGRUN_CYCLES):
             before = count_state(idx)
