@@ -334,14 +334,27 @@ class IncrementalNearDup:
         p = self.pairs_tbl.read()
         return None if p is None else p.select("doc_i", "doc_j", "jaccard")
 
-    def update(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+    def update(
+        self,
+        batch_df: DataFrame,
+        batch_id: int | None = None,
+        tick_start: float | None = None,
+    ) -> None:
         """Fold one micro-batch of documents (doc_id, text, ...) in.
         `batch_id` is the stream's epoch (foreachBatch); None (direct
         calls) continues from the committed batch. Replays of a
         committed id are no-ops; a crash anywhere replays into the
         identical state (pairs MERge re-converges, bands/feats dirs are
-        idempotent overwrites, feats commits last)."""
-        tick_start = time.perf_counter()
+        idempotent overwrites, feats commits last).
+
+        `tick_start` (round 10): a COMPOSED driver (the funnel) passes
+        its own tick's perf_counter start so the fold budget gates on
+        the whole tick's elapsed, not this maintainer's slice of it —
+        without this a funnel-scale budget never fires (each
+        maintainer's own slice is seconds while the composed tick is
+        the operator's envelope). Standalone callers leave it None."""
+        if tick_start is None:
+            tick_start = time.perf_counter()
         if batch_df.isEmpty():
             return
         committed = self.committed_batch()

@@ -73,6 +73,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -244,6 +245,7 @@ class StreamingCurationFunnel:
         tier's state. Each step is a keyed idempotent MERGE (or the
         semdedup index's committed-batch protocol), so crash replays of
         the same slice converge."""
+        tick_start = time.perf_counter()
         if batch_df.isEmpty():
             return
         n_raw = batch_df.count()
@@ -254,7 +256,13 @@ class StreamingCurationFunnel:
                 gated.select("doc_id", "text", "lang", "source")
             )
             self.corpus_tbl.upsert(_coalesce_keepers(gated_keys))
-            self.near.update(gated, batch_id)
+            # tick_start threads the COMPOSED tick's start into the
+            # maintainers' fold budgets: a funnel-scale fold_budget_sec
+            # must gate on the whole tick's elapsed, not each
+            # maintainer's own slice (round-10 soak finding: a 10 s
+            # budget never fired against 1-3 s per-maintainer slices
+            # inside 8-12 s composed ticks)
+            self.near.update(gated, batch_id, tick_start=tick_start)
             if self.sem is not None:
                 ebatch = self._semantic_batch(gated, batch_id)
                 if not self.sem.is_trained() and not ebatch.isEmpty():
@@ -264,7 +272,7 @@ class StreamingCurationFunnel:
                         expected_corpus_rows=self.expected_corpus_rows,
                     )
                 if self.sem.is_trained():
-                    self.sem.update(ebatch, batch_id)
+                    self.sem.update(ebatch, batch_id, tick_start=tick_start)
             self.counts_tbl.upsert(
                 self.spark.createDataFrame(
                     [(int(batch_id), int(n_raw))],

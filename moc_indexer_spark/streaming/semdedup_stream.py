@@ -276,13 +276,21 @@ class IncrementalSemDeDup:
 
     # -- maintenance ----------------------------------------------------------
 
-    def update(self, batch_vectors: DataFrame, batch_id: int) -> None:
+    def update(
+        self,
+        batch_vectors: DataFrame,
+        batch_id: int,
+        tick_start: float | None = None,
+    ) -> None:
         """Fold one micro-batch in (foreachBatch body). Idempotent under
         replay (batch partitions commit at most once); the keeper rule is
         recomputed over the full touched cells — read pruned to those
         cells (see _read_upto) — so late smaller ids retro-invalidate
-        stale dup rows at a cost independent of index size."""
-        tick_start = time.perf_counter()
+        stale dup rows at a cost independent of index size. `tick_start`:
+        a composed driver's own tick start, so the fold budget gates on
+        the WHOLE tick's elapsed (see IncrementalNearDup.update)."""
+        if tick_start is None:
+            tick_start = time.perf_counter()
         if not self.is_trained():
             raise ValueError("train() the quantizer before streaming updates")
         if batch_id <= self.committed_batch():

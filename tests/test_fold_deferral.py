@@ -88,3 +88,42 @@ def test_semdedup_budget_zero_defers_then_folds(spark, workdir):
     assert len(flats) >= 2
     idx._fold_budget_sec = None
     assert idx._maybe_compact_one() is not None
+
+
+def test_funnel_threads_composed_tick_start_into_budgets(spark, workdir):
+    """Round-10 soak finding: a funnel-scale fold budget must gate on
+    the COMPOSED tick's elapsed, not each maintainer's own slice (a
+    10 s budget never fired against 1-3 s per-maintainer slices inside
+    8-12 s composed ticks). Pin the wiring: process_batch passes its
+    own tick start into the maintainers' updates, and a budget of 0
+    defers the due near-dup fold, observably."""
+    from moc_indexer_spark.streaming.funnel import StreamingCurationFunnel
+
+    funnel = StreamingCurationFunnel(
+        spark, f"{workdir}/state", compact_every=1, fold_budget_sec=0.0
+    )
+    seen = {}
+    orig = funnel.near.update
+
+    def spy(df, bid, tick_start=None):
+        seen["tick_start"] = tick_start
+        return orig(df, bid, tick_start=tick_start)
+
+    funnel.near.update = spy
+    rows = [
+        (i,
+         f"alpha beta gamma delta epsilon zeta eta theta doc {i} "
+         "the quick brown fox jumps over the lazy dog again and again",
+         "en", "srcX")
+        for i in range(6)
+    ]
+    schema = "doc_id long, text string, lang string, source string"
+    for b in range(3):
+        batch = spark.createDataFrame(
+            [(100 * b + i,) + r[1:] for i, r in enumerate(rows)], schema
+        )
+        funnel.process_batch(batch, b)
+    # the composed tick's start reached the maintainer...
+    assert seen["tick_start"] is not None
+    # ...and the zero budget deferred its due folds, counted
+    assert funnel.near.deferred_folds >= 1
