@@ -390,3 +390,66 @@ def test_streaming_funnel_quarantine_only_publish_writes_artifact(
     assert published["final_docs"] == 0
     assert "near_dedup_params" in published
     assert json.load(open(f"{out}/funnel.json")) == published
+
+
+def test_streaming_funnel_jsonl_with_in_stream_embeddings(
+    spark, sf_dir, tmp_path
+):
+    """The production daemon shape end-to-end: JSONL arrivals that CARRY
+    their embeddings (plus broken lines into quarantine), semantic tier
+    fed in-stream. Must equal the batch CLI over the same JSONL files
+    with the parquet sidecar and the stream's persisted quantizer —
+    embedding values survive the JSON round-trip exactly (float32 →
+    shortest-repr JSON → float64 parse → float32 cast is lossless)."""
+    import pyspark.sql.types as T
+
+    from moc_indexer_spark.sources.files import DOCUMENTS_SCHEMA
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    rows = docs.join(emb, "doc_id", "left").collect()
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    half = len(rows) // 2
+    for name, part, broken in (("a", rows[:half], 1), ("b", rows[half:], 2)):
+        with open(f"{src}/{name}.jsonl", "w") as fh:
+            for r in part:
+                fh.write(json.dumps({
+                    "doc_id": r.doc_id, "text": r.text, "lang": r.lang,
+                    "source": r.source, "n_chars": r.n_chars,
+                    "embedding": list(r.embedding),
+                }) + "\n")
+            for k in range(broken):
+                fh.write("{broken %d\n" % k)
+
+    schema = T.StructType(
+        DOCUMENTS_SCHEMA.fields
+        + [T.StructField("embedding", T.ArrayType(T.FloatType()))]
+    )
+    out_s = f"{tmp_path}/out_stream"
+    state = f"{tmp_path}/state"
+    _, published = run_curation_funnel_available_now(
+        spark, src, state, f"{tmp_path}/ck", out_dir=out_s,
+        jsonl=True, schema=schema, embeddings_in_stream=True,
+    )
+    assert published["quarantined_lines"] == 3
+    assert published["docs_missing_embedding"] == 0
+
+    out_b = f"{tmp_path}/out_batch"
+    batch = run_pipeline(
+        spark, src, out_b, jsonl=True,
+        near_dedup=True, near_method="minhash",
+        semantic_dedup=f"{sf_dir}/embeddings.parquet",
+        semantic_centroids=f"{state}/sem/_model.json",
+    )
+    pub = dict(published)
+    assert pub.pop("docs_missing_embedding") == 0
+    pub["semantic_dedup_params"] = {
+        **pub["semantic_dedup_params"],
+        "embeddings": f"{sf_dir}/embeddings.parquet",
+    }
+    assert pub == batch
+    assert _manifest_rows(spark, out_s) == _manifest_rows(spark, out_b)
+    assert _corpus_ids(spark, out_s) == _corpus_ids(spark, out_b)
