@@ -320,6 +320,24 @@ def _finish_funnel(
         .partitionBy("shard_id")
         .parquet(f"{out_dir}/corpus")
     )
+    if funnel["final_docs"] == 0:
+        # a 0-row corpus write leaves only _SUCCESS — re-reading it for
+        # the manifest fails schema inference and would kill the caller
+        # (reachable when every doc was gate-rejected or the bench
+        # source held the whole corpus); publish an explicitly-empty
+        # manifest with the standard schema instead
+        manifest = spark.createDataFrame(
+            [],
+            "shard_id bigint, n_docs bigint, total_chars bigint, "
+            "min_doc_id bigint, max_doc_id bigint, n_packs bigint",
+        )
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/manifest"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        with open(f"{out_dir}/funnel.json", "w") as fh:
+            json.dump(funnel, fh, indent=2, sort_keys=True)
+        return funnel
     manifest = (
         spark.read.parquet(f"{out_dir}/corpus")
         .groupBy("shard_id")
@@ -387,7 +405,10 @@ def main() -> None:
              "maintainers (streaming/funnel.py) and publish the batch-"
              "identical artifact to out_dir — the daemon-operable form; "
              "dedup tiers are always on (the maintainers' contract), so "
-             "--near-dedup/--near-method/--near-threshold are ignored",
+             "--near-dedup/--near-method/--near-threshold are ignored; "
+             "--semantic-centroids is honored (seeds the maintainer's "
+             "quantizer) and --semantic-threshold applies only when "
+             "training fresh (a seeded model carries its own)",
     )
     ap.add_argument(
         "--state-dir", default=None,
@@ -434,6 +455,7 @@ def main() -> None:
             jsonl=args.jsonl,
             embeddings_in_stream=args.embeddings_in_stream,
             missing_embedding=args.missing_embedding,
+            semantic_centroids=args.semantic_centroids,
         )
         print(json.dumps(funnel, sort_keys=True))
         return

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..operators import retrieval as RT
 from .compaction import (  # noqa: F401
+    over_fold_budget,
     _BATCH_RE,
     _FOLD_MARKER,
     compact_batched_dir,
@@ -157,16 +158,6 @@ class IncrementalBm25Index:
             batch.unpersist()
         self._maybe_compact_one(tick_start)
 
-    def _over_fold_budget(self, tick_start: float | None) -> bool:
-        """Off-tick deferral check (round 10) — shared shape across the
-        maintainers: True when the tick's pre-fold work already consumed
-        fold_budget_sec, so a due fold must wait for a faster tick."""
-        return (
-            self._fold_budget_sec is not None
-            and tick_start is not None
-            and time.perf_counter() - tick_start > self._fold_budget_sec
-        )
-
     def _maybe_compact_one(self, tick_start: float | None = None) -> str | None:
         """Fold AT MOST ONE batched relation whose dir count crossed the
         policy threshold (cheap listdirs, no data read) — MINOR folds
@@ -187,7 +178,7 @@ class IncrementalBm25Index:
                 if fold_base < b <= committed
             ])
             if n_tail >= self._compact_every:
-                if self._over_fold_budget(tick_start):
+                if over_fold_budget(self._fold_budget_sec, tick_start):
                     # budget deferral: the threshold stays crossed, so
                     # the next (faster) tick absorbs this fold instead
                     self.deferred_folds += 1

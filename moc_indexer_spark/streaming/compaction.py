@@ -41,11 +41,30 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import time
 from typing import Callable
 
 from pyspark.sql import DataFrame
 
 _FOLD_MARKER = "_FOLD_COMMITTED"
+
+
+def over_fold_budget(
+    fold_budget_sec: float | None, tick_start: float | None
+) -> bool:
+    """THE off-tick deferral rule (round 10), shared by every
+    maintainer's policy check: True when the tick's pre-fold work
+    already consumed the budget, so a due minor fold must wait for a
+    faster tick (the caller counts it in `deferred_folds`). One
+    definition — the budget semantics (what counts as the tick's
+    elapsed, see the composed-tick threading in funnel.process_batch)
+    must not drift between maintainers."""
+    return (
+        fold_budget_sec is not None
+        and tick_start is not None
+        and time.perf_counter() - tick_start > fold_budget_sec
+    )
+
 
 _BATCH_RE = re.compile(r"^batch=(\d+)$")
 

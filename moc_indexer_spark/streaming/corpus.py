@@ -569,12 +569,9 @@ class IncrementalNearDup:
         for k in range(len(units)):
             name, count, fold = units[(self._compact_rr + k) % len(units)]
             if count() >= self._compact_every:
-                if (
-                    self._fold_budget_sec is not None
-                    and tick_start is not None
-                    and time.perf_counter() - tick_start
-                    > self._fold_budget_sec
-                ):
+                from .compaction import over_fold_budget
+
+                if over_fold_budget(self._fold_budget_sec, tick_start):
                     # budget deferral: the threshold stays crossed, so a
                     # later, faster tick absorbs this fold
                     self.deferred_folds += 1

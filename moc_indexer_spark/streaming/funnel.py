@@ -111,6 +111,7 @@ class StreamingCurationFunnel:
         embeddings_in_stream: bool = False,
         missing_embedding: str = "fail",
         fold_budget_sec: float | None = None,
+        semantic_centroids: str | None = None,
     ):
         """`compact_every` is the maintainers' auto-compaction policy
         (minor folds / delta-tail merges, at most one unit per tick per
@@ -131,7 +132,15 @@ class StreamingCurationFunnel:
         but COUNTED: a replay-idempotent per-batch count table feeds
         publish()'s `docs_missing_embedding` key, present even at zero).
         Mutually exclusive with `embeddings_path` (the fixture sidecar
-        shape, matching the batch CLI's sidecar)."""
+        shape, matching the batch CLI's sidecar).
+
+        `semantic_centroids` seeds the semantic maintainer with a
+        PERSISTED quantizer (an IncrementalSemDeDup `_model.json`) —
+        the batch CLI's flag of the same name, honored here so a
+        streaming funnel can agree with an existing index instead of
+        training fresh on its first batch. Refused when the state
+        already holds a DIFFERENT model (stored cells depend on the
+        centroids — switching models is an offline rebuild)."""
         if embeddings_in_stream and embeddings_path is not None:
             raise ValueError(
                 "embeddings_in_stream and embeddings_path are mutually "
@@ -178,6 +187,26 @@ class StreamingCurationFunnel:
             if (embeddings_path is not None or embeddings_in_stream)
             else None
         )
+        if semantic_centroids is not None:
+            if self.sem is None:
+                raise ValueError(
+                    "semantic_centroids requires the semantic tier "
+                    "(embeddings_path or embeddings_in_stream)"
+                )
+            if self.sem.is_trained():
+                with open(semantic_centroids) as fa, open(
+                    self.sem._model_path()
+                ) as fb:
+                    if fa.read() != fb.read():
+                        raise ValueError(
+                            "state already holds a DIFFERENT quantizer "
+                            "— stored cells depend on the centroids; "
+                            "rebuild the state dir to switch models"
+                        )
+            else:
+                tmp = self.sem._model_path() + ".tmp"
+                shutil.copyfile(semantic_centroids, tmp)
+                os.replace(tmp, self.sem._model_path())
         # production ships embeddings IN the arrival stream
         # (embeddings_in_stream); the sidecar join is the fixture shape
         # (matches the batch CLI's sidecar)
@@ -201,12 +230,14 @@ class StreamingCurationFunnel:
         self.qcounts_tbl = ParquetUpsertTable(
             spark, f"{state_dir}/qcounts", keys=["batch_id"]
         )
-        # per-batch null-embedding counts (embeddings_in_stream +
-        # missing_embedding="skip"), keyed by batch id — same replay-
-        # idempotent shape as qcounts; written only when a batch actually
-        # had misses, summed once at publish
+        # null-embedding DOC IDS (embeddings_in_stream +
+        # missing_embedding="skip"), keyed by vec_id — idempotent under
+        # BOTH same-batch replays and cross-batch redeliveries (a
+        # batch-id-keyed count would double-count a doc redelivered in a
+        # later batch, review finding); written only when a batch
+        # actually had misses, counted once at publish
         self.mcounts_tbl = ParquetUpsertTable(
-            spark, f"{state_dir}/mcounts", keys=["batch_id"]
+            spark, f"{state_dir}/mcounts", keys=["vec_id"]
         )
 
     def ingest_quarantine(self, bad: DataFrame, batch_id: int) -> None:
@@ -252,6 +283,21 @@ class StreamingCurationFunnel:
         gated_keys = quality_gate(batch_df)
         gated = batch_df.join(gated_keys.select("doc_id"), "doc_id").persist()
         try:
+            if gated.isEmpty():
+                # every arrival gate-rejected: record the raw count (the
+                # published funnel must still report these arrivals) and
+                # write NO state — an empty docs delta would make
+                # docs_tbl.read() non-None and steer publish() off its
+                # zero-docs branch into a 0-row artifact write (review
+                # finding: the corpus re-read then fails schema
+                # inference and kills a publish_every stream)
+                self.counts_tbl.upsert(
+                    self.spark.createDataFrame(
+                        [(int(batch_id), int(n_raw))],
+                        "batch_id long, n_raw long",
+                    )
+                )
+                return
             self.docs_tbl.upsert(
                 gated.select("doc_id", "text", "lang", "source")
             )
@@ -300,7 +346,8 @@ class StreamingCurationFunnel:
         ebatch = gated.select(
             F.col("doc_id").alias("vec_id"), "embedding"
         )
-        n_missing = ebatch.filter(F.col("embedding").isNull()).count()
+        missing = ebatch.filter(F.col("embedding").isNull())
+        n_missing = missing.count()
         if n_missing:
             if self.missing_embedding == "fail":
                 raise ValueError(
@@ -310,9 +357,8 @@ class StreamingCurationFunnel:
                     "the semantic tier, counted in the published funnel"
                 )
             self.mcounts_tbl.upsert(
-                self.spark.createDataFrame(
-                    [(int(batch_id), int(n_missing))],
-                    "batch_id long, n_missing long",
+                missing.select(
+                    "vec_id", F.lit(int(batch_id)).alias("batch_id")
                 )
             )
         return ebatch.filter(F.col("embedding").isNotNull())
@@ -356,14 +402,16 @@ class StreamingCurationFunnel:
 
         `timings` (round 10 observability): pass a dict to receive
         per-phase wall seconds — which tier dominates a release cut is
-        a measured number, not a guess. Keys: `exact` (doc-store read +
-        keeper join + count), `near` (pair restriction + connected
+        a measured number, not a guess. Keys: `counts` (doc-store read
+        + raw/quarantine/miss sums + the quality-gate count), `exact`
+        (keeper join + count), `near` (pair restriction + connected
         components + anti-join + count), `semantic` (pruned vector scan
         + per-cell keeper + anti-join + count), `finish` (the shared
         decontamination→DSIR→pack→shard→manifest tail), `major_compact`
-        (the post-cut full folds when compact=True). Phase boundaries
-        sit on the funnel counts' actions, so each phase's Spark work
-        is actually executed inside its bracket."""
+        (the post-cut full folds when compact=True; absent with
+        compact=False). Phase boundaries sit on the funnel counts'
+        actions, so each phase's Spark work is actually executed inside
+        its bracket; the keys sum to the publish wall time."""
         import time as _time
 
         from ..llm_pipeline import _finish_funnel
@@ -395,11 +443,18 @@ class StreamingCurationFunnel:
         if self.embeddings_in_stream:
             m = self.mcounts_tbl.read()
             funnel["docs_missing_embedding"] = (
-                0 if m is None
-                else int(m.agg(F.sum("n_missing")).collect()[0][0])
+                0 if m is None else int(m.count())
             )
-        if docs is None:
-            if counts is None and funnel.get("quarantined_lines", 0) == 0:
+        if docs is None or docs.isEmpty():
+            # docs empty (not just None): defense for a state dir whose
+            # docs table was created by a pre-round-10 empty-gated
+            # upsert — the zero-docs artifact branch below is correct
+            # for both shapes
+            if (
+                docs is None
+                and counts is None
+                and funnel.get("quarantined_lines", 0) == 0
+            ):
                 raise ValueError("publish() before any batch arrived")
             # quarantine-only ingest (every arriving line malformed) or
             # every doc gate-rejected: nothing to cut — report the
@@ -527,6 +582,7 @@ def run_curation_funnel_available_now(
     max_files_per_trigger: int | None = 1,
     embeddings_in_stream: bool = False,
     missing_embedding: str = "fail",
+    semantic_centroids: str | None = None,
 ) -> tuple[StreamingCurationFunnel, dict | None]:
     """Drain all available document files through the funnel maintainers
     (deterministic-replay mode; production uses a processing-time
@@ -564,6 +620,7 @@ def run_curation_funnel_available_now(
         track_quarantine=jsonl,
         embeddings_in_stream=embeddings_in_stream,
         missing_embedding=missing_embedding,
+        semantic_centroids=semantic_centroids,
     )
     state = {"published": None, "ticks": 0}
 
@@ -576,8 +633,10 @@ def run_curation_funnel_available_now(
             batch_df = good
         funnel.process_batch(batch_df, batch_id)
         state["ticks"] += 1
+        # `publish_every` falsy (None or 0) disables periodic publish —
+        # 0 is user-reachable via the CLI flag and must not divide
         if (
-            publish_every is not None
+            publish_every
             and out_dir is not None
             and state["ticks"] % publish_every == 0
         ):

@@ -227,12 +227,9 @@ class IncrementalIvfIndex:
         if self._compact_every is not None:
             n_flats = sum(1 for b in self._batches() if not self._is_fold(b))
             if n_flats >= self._compact_every:
-                if (
-                    self._fold_budget_sec is not None
-                    and tick_start is not None
-                    and time.perf_counter() - tick_start
-                    > self._fold_budget_sec
-                ):
+                from .compaction import over_fold_budget
+
+                if over_fold_budget(self._fold_budget_sec, tick_start):
                     # budget deferral: a later, faster tick absorbs it
                     self.deferred_folds += 1
                     return False

@@ -81,6 +81,7 @@ from .compaction import (
     compact_batched_dir,
     heal_batched_dir,
     list_committed_batches,
+    over_fold_budget,
 )
 from .sink import ParquetUpsertTable
 from .triggers import apply_max_files_per_trigger
@@ -489,12 +490,7 @@ class IncrementalSemDeDup:
         for k in range(len(units)):
             name, count, fold = units[(self._compact_rr + k) % len(units)]
             if count() >= self._compact_every:
-                if (
-                    self._fold_budget_sec is not None
-                    and tick_start is not None
-                    and time.perf_counter() - tick_start
-                    > self._fold_budget_sec
-                ):
+                if over_fold_budget(self._fold_budget_sec, tick_start):
                     # budget deferral: a later, faster tick absorbs it
                     self.deferred_folds += 1
                     return None

@@ -138,6 +138,13 @@ def run_arm(spark, base_rows, emb, label, preload, cycles,
         bid += 1
     preload_sec = round(time.perf_counter() - t0, 1)
 
+    # measurement window starts here: preload-phase fold events carry
+    # cyc=-1 (filtered below) and the deferral counters are SNAPSHOTTED
+    # so the reported numbers cover only the measured cycles (review
+    # finding: lifetime counters mixed preload into the attribution)
+    deferred0 = funnel.near.deferred_folds + (
+        funnel.sem.deferred_folds if funnel.sem else 0
+    )
     lat: list[float] = []
     publishes: list[dict] = []
     for c in range(cycles):
@@ -186,12 +193,13 @@ def run_arm(spark, base_rows, emb, label, preload, cycles,
         "last30_median": round(statistics.median(lat[-30:]), 3),
         "compaction_cycles": len(fold_cycles),
         "fold_events": {
-            tag: sum(1 for _, t in events if t == tag)
+            tag: sum(1 for c_, t in events if t == tag and c_ >= 0)
             for tag in ("near", "sem", "tbl")
         },
         "deferred_folds": (
             funnel.near.deferred_folds
             + (funnel.sem.deferred_folds if funnel.sem else 0)
+            - deferred0
         ),
         "envelope_violations_3s": sum(1 for x in lat if x > ENVELOPE_TIGHT),
         "envelope_violations_15s": sum(

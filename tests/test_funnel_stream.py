@@ -453,3 +453,141 @@ def test_streaming_funnel_jsonl_with_in_stream_embeddings(
     assert pub == batch
     assert _manifest_rows(spark, out_s) == _manifest_rows(spark, out_b)
     assert _corpus_ids(spark, out_s) == _corpus_ids(spark, out_b)
+
+
+def test_streaming_funnel_all_gate_rejected_publish_survives(
+    spark, tmp_path
+):
+    """Review finding (round 10): a stream whose docs ALL fail the
+    quality gate must still publish the zero-docs artifact — an empty
+    gated batch must not create an empty docs table that steers
+    publish() into a 0-row corpus write whose manifest re-read kills
+    the stream."""
+    import pyspark.sql.types as T
+
+    rows = [(i, "too short", "en", "srcX", 9) for i in range(8)]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+    ])
+    src = f"{tmp_path}/src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    out = f"{tmp_path}/out"
+    _, published = run_curation_funnel_available_now(
+        spark, src, f"{tmp_path}/state", f"{tmp_path}/ck",
+        out_dir=out, schema=schema, publish_every=1,
+    )
+    assert published["raw"] == 8
+    assert published["after_quality_gate"] == 0
+    assert published["final_docs"] == 0
+    assert json.load(open(f"{out}/funnel.json")) == published
+
+
+def test_batch_pipeline_survives_total_decontamination(spark, sf_dir, tmp_path):
+    """Review finding (round 10): when the benchmark slice holds the
+    WHOLE surviving corpus, decontamination deletes everything and the
+    0-row corpus write must not crash the manifest re-read — the funnel
+    reports zeros and an explicitly-empty manifest lands."""
+    docs = table(spark, sf_dir, "documents").limit(50).withColumn(
+        "source", F.lit("src0")
+    )
+    src = f"{tmp_path}/in"
+    docs.coalesce(1).write.parquet(src)
+    out = f"{tmp_path}/out"
+    funnel = run_pipeline(spark, src, out)
+    assert funnel["after_decontamination"] == 0 == funnel["final_docs"]
+    manifest = spark.read.parquet(f"{out}/manifest")
+    assert manifest.count() == 0
+    assert set(manifest.columns) == {
+        "shard_id", "n_docs", "total_chars", "min_doc_id", "max_doc_id",
+        "n_packs",
+    }
+    assert json.load(open(f"{out}/funnel.json")) == funnel
+
+
+def test_missing_embedding_redelivery_counts_once(spark, sf_dir, tmp_path):
+    """Review finding (round 10): a null-embedding doc REDELIVERED in a
+    later micro-batch (in-contract) must count once in
+    docs_missing_embedding — the miss store is keyed by doc id, not by
+    (batch, count)."""
+    from moc_indexer_spark.streaming.corpus import quality_gate
+    from moc_indexer_spark.streaming.funnel import StreamingCurationFunnel
+
+    enriched = _docs_with_embeddings(spark, sf_dir)
+    gated_id = quality_gate(enriched).select("doc_id").first().doc_id
+    enriched = _docs_with_embeddings(spark, sf_dir, null_ids=[gated_id])
+    batch = enriched.filter(F.col("doc_id") == gated_id)
+
+    funnel = StreamingCurationFunnel(
+        spark, f"{tmp_path}/state",
+        embeddings_in_stream=True, missing_embedding="skip",
+    )
+    funnel.process_batch(batch, 0)
+    funnel.process_batch(batch, 1)  # cross-batch redelivery
+    pub = funnel.publish(f"{tmp_path}/out")
+    assert pub["docs_missing_embedding"] == 1
+
+
+def test_publish_every_zero_disables_periodic_publish(spark, sf_dir, tmp_path):
+    """Review finding (round 10): `--publish-every 0` must mean
+    'disabled', not ZeroDivisionError inside the stream."""
+    docs = table(spark, sf_dir, "documents").limit(60)
+    src = f"{tmp_path}/src"
+    _slice_to_files(spark, docs, src, 1, tmp_path)
+    out = f"{tmp_path}/out"
+    _, published = run_curation_funnel_available_now(
+        spark, src, f"{tmp_path}/state", f"{tmp_path}/ck",
+        out_dir=out, schema=docs.schema, publish_every=0,
+    )
+    assert published is not None and published["final_docs"] > 0
+
+
+def test_streaming_semantic_centroids_seed_and_mismatch(
+    spark, sf_dir, tmp_path
+):
+    """--semantic-centroids in stream mode (review finding: previously
+    silently ignored): seeds the maintainer's quantizer so the funnel
+    judges under an existing index's model; a state already holding a
+    DIFFERENT model is refused."""
+    import shutil as _sh
+
+    from moc_indexer_spark.streaming.funnel import StreamingCurationFunnel
+
+    # train a model by running one batch through funnel A
+    enriched = _docs_with_embeddings(spark, sf_dir)
+    a = StreamingCurationFunnel(
+        spark, f"{tmp_path}/stateA", embeddings_in_stream=True,
+    )
+    a.process_batch(enriched.limit(80), 0)
+    model = a.sem._model_path()
+    assert a.sem.is_trained()
+
+    # seed funnel B from A's model: trained before any batch
+    b = StreamingCurationFunnel(
+        spark, f"{tmp_path}/stateB", embeddings_in_stream=True,
+        semantic_centroids=model,
+    )
+    assert b.sem.is_trained()
+    with open(model) as fh, open(b.sem._model_path()) as fh2:
+        assert fh.read() == fh2.read()
+
+    # a DIFFERENT model against B's now-trained state is refused
+    other = f"{tmp_path}/other_model.json"
+    _sh.copyfile(model, other)
+    with open(other, "a") as fh:
+        fh.write(" ")
+    import pytest
+
+    with pytest.raises(ValueError, match="DIFFERENT quantizer"):
+        StreamingCurationFunnel(
+            spark, f"{tmp_path}/stateB", embeddings_in_stream=True,
+            semantic_centroids=other,
+        )
+    # centroids without a semantic tier is refused
+    with pytest.raises(ValueError, match="requires the semantic tier"):
+        StreamingCurationFunnel(
+            spark, f"{tmp_path}/stateC", semantic_centroids=model,
+        )
