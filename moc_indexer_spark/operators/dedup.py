@@ -259,10 +259,59 @@ def ngram_jaccard_pairs(
     computed — the DEPLOY.md saturated-vocab mitigation, wired in rather
     than manual. Jaccard is then over the filtered sets; passing an empty
     list is result-identical.
+
+    Single-evaluation plan shape: the older inverted-index SELF-join form
+    evaluated the shingle pipeline (tokenize -> explode -> hash -> stop
+    anti-join) four times — once per join side and once per size relation
+    side — and the guarded form re-ran the stop-list heavy-hitter
+    aggregate inside each copy (8 corpus scans at runtime, zero exchange
+    reuse: column pruning makes the copies non-identical). This form
+    computes it ONCE: per-doc set sizes ride the shingle rows as a window
+    count over doc_id, candidate pairs come from grouping the posting
+    list per shingle and expanding in-bucket combinations (the same
+    bucket-grouping trick minhash_lsh_pairs uses; the expansion output is
+    exactly the rows the self-join would have produced, so the
+    intersection counts are identical), and the sizes arrive on the pair
+    rows as group keys instead of two more joins. Three narrow shuffles
+    total (by doc, by shingle, by pair). Posting-list memory per group is
+    f ids; in the guarded production form f < min_df by construction, and
+    in the plain form a hot shingle's C(f,2) pair output dwarfs the list
+    itself — the same intrinsic cost the self-join had.
     """
-    sh, sizes = _hashed_shingles(docs, n, id_col, text_col, stop_shingles)
-    inter = _candidate_inter(sh, id_col)
-    return _jaccard_from_inter(inter, sizes, threshold, id_col)
+    sh, _ = _hashed_shingles(docs, n, id_col, text_col, stop_shingles)
+    sh = sh.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    members = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "__n"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    pairs = members.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col(f"p.a.{id_col}").alias("doc_i"),
+        F.col("p.a.__n").alias("n_i"),
+        F.col(f"p.b.{id_col}").alias("doc_j"),
+        F.col("p.b.__n").alias("n_j"),
+    )
+    inter = pairs.groupBy("doc_i", "doc_j", "n_i", "n_j").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.col("inter").cast("double")
+        / (F.col("n_i") + F.col("n_j") - F.col("inter")).cast("double"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_i", "doc_j", "jaccard"
+    )
 
 
 def minhash_lsh_pairs(

@@ -78,10 +78,17 @@ def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
             F.when(F.col("lang") == target_lang, F.lit(1)).otherwise(F.lit(0))
         ).cast("bigint").alias("cnt_t"),
     )
-    totals = buckets.agg(
-        F.sum("cnt_raw").cast("bigint").alias("tot_raw"),
-        F.sum("cnt_t").cast("bigint").alias("tot_t"),
-    )
+    # totals ride the bucket table as a whole-relation window sum: the
+    # separate buckets.agg() relation re-executed the corpus explode +
+    # bucket groupBy a second time (and the crossJoin a third) just to
+    # attach two scalars. The empty-partitionBy window funnels only the
+    # 4096-row bucket table through one partition — bounded by
+    # construction — so the corpus explode now runs twice (bucket build +
+    # probe side), not three times.
+    wall = Window.partitionBy()
+    buckets = buckets.withColumn(
+        "tot_raw", F.sum("cnt_raw").over(wall).cast("bigint")
+    ).withColumn("tot_t", F.sum("cnt_t").over(wall).cast("bigint"))
     nb = F.lit(float(N_BUCKETS))
     lr = (
         F.round(
@@ -99,9 +106,7 @@ def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
             9,
         ).cast("decimal(18,9)")
     )
-    bucket_lr = buckets.crossJoin(F.broadcast(totals)).select(
-        "bucket", lr.alias("lr")
-    )
+    bucket_lr = buckets.select("bucket", lr.alias("lr"))
     return (
         bg.join(F.broadcast(bucket_lr), "bucket")
         .groupBy("doc_id")
@@ -201,9 +206,6 @@ def logreg_predictions(
         *[F.col(f"w{j}").cast("decimal(18,9)").alias(f"w{j}") for j in
           range(N_FEATURES)]
     )
-    n_docs = feats.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
     for _ in range(iters):
         z = reduce(
             lambda a, b: a + b,
@@ -213,6 +215,10 @@ def logreg_predictions(
             "p", _sigmoid(z)
         )
         err_d = (F.col("p") - F.col("y").cast("decimal(18,9)")).cast("double")
+        # n_docs rides each iteration's gradient aggregate (same value
+        # every pass — the feature relation is fixed); the standalone
+        # feats.agg(count) relation it replaces was one more full
+        # evaluation of the feature-extraction subtree.
         grads = scored.agg(
             *[
                 F.sum(
@@ -223,8 +229,9 @@ def logreg_predictions(
                 for j in range(N_FEATURES)
             ],
             *[F.first(f"w{j}").alias(f"w{j}") for j in range(N_FEATURES)],
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         )
-        weights = grads.crossJoin(F.broadcast(n_docs)).select(
+        weights = grads.select(
             *[
                 F.round(
                     F.col(f"w{j}").cast("double")

@@ -22,7 +22,7 @@ Scale notes per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # --- column profiler (ANALYZE-style stats, long format) ---------------------
@@ -279,14 +279,22 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
 
     tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total_tokens"))
+    # total_tokens rides the vocab relation as a whole-relation window sum
+    # instead of a separate vocab.agg() + crossJoin: every DataFrame
+    # reference re-executes its subtree, and the aggregate form re-ran the
+    # full corpus explode + groupBy just to produce one scalar. The empty
+    # partitionBy window funnels only the VOCAB (bounded: distinct tokens,
+    # not corpus-proportional) through a single partition — the corpus
+    # itself is tokenized twice (vocab build + probe) instead of three times.
+    vocab = vocab.withColumn(
+        "total_tokens", F.sum("cnt").over(Window.partitionBy())
+    )
     lp = (
         F.log(F.col("cnt").cast("double") / F.col("total_tokens").cast("double"))
         .cast("decimal(18,9)")
     )
     return (
         tok.join(F.broadcast(vocab), "token")
-        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -432,11 +440,26 @@ def kneser_ney_logprob(docs: DataFrame, discount: float = 0.75) -> DataFrame:
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
     bigc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ctx = bigc.groupBy("w1").agg(
-        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_follow")
+    # The context (c1, n_follow) and continuation (n_prec) tables are
+    # per-key aggregates OF bigc — building them as separate groupBy
+    # relations re-executed the whole corpus explode + bigram groupBy once
+    # per table (plus twice more for their broadcast-join probes): five
+    # corpus passes for one score. As windows over bigc they are computed
+    # in the same evaluation; the two window exchanges move only the
+    # bigram-TYPE relation (vocab^2-bounded, Zipf-concentrated — per-w1
+    # partitions are capped at |vocab|, so no unbounded skew). The corpus
+    # is now tokenized three times (bigc, the n_types scalar, the
+    # instance-side probe) instead of five.
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    bigc = (
+        bigc.withColumn("c1", F.sum("c12").over(w1w))
+        .withColumn("n_follow", F.count(F.lit(1)).over(w1w))
+        .withColumn("n_prec", F.count(F.lit(1)).over(w2w))
     )
-    cont = bigc.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
-    types = bigc.agg(F.count(F.lit(1)).alias("n_types"))
+    types = big.groupBy("w1", "w2").agg(F.count(F.lit(1))).agg(
+        F.count(F.lit(1)).alias("n_types")
+    )
     p = (
         F.greatest(
             F.col("c12").cast("double") - F.lit(discount), F.lit(0.0)
@@ -452,8 +475,6 @@ def kneser_ney_logprob(docs: DataFrame, discount: float = 0.75) -> DataFrame:
     lp = F.log(p).cast("decimal(18,9)")
     return (
         big.join(bigc, ["w1", "w2"])
-        .join(F.broadcast(ctx), "w1")
-        .join(F.broadcast(cont), "w2")
         .crossJoin(F.broadcast(types))
         .groupBy("doc_id")
         .agg(

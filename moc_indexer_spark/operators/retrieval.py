@@ -95,6 +95,14 @@ def _score_probe(
         .join(lengths, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
+    return _score_rank(probe, k, k1, b)
+
+
+def _score_rank(probe: DataFrame, k: int, k1: float, b: float) -> DataFrame:
+    """(query_id, doc_id, tf, dl, df, n_docs, sum_dl) rows -> ranked top-k.
+
+    One definition of the BM25 arithmetic for both the ad-hoc and the
+    persisted-index probe, so the two paths stay bit-identical."""
     n_d = F.col("n_docs").cast("double")
     df_d = F.col("df").cast("double")
     tf_d = F.col("tf").cast("double")
@@ -139,11 +147,52 @@ def bm25_topk(
     Returns (query_id int, rank int, doc_id bigint, score double).
     """
     queries = QUERIES if queries is None else queries
-    postings, lengths, dfreq, stats = _index_relations(docs)
-    return _score_probe(
-        postings, lengths, dfreq, stats,
-        _qterms(docs.sparkSession, queries), k, k1, b,
+    # Ad-hoc (no persisted index) form, restructured so the corpus is
+    # tokenized TWICE instead of four times and shuffled ONCE instead of
+    # twice. The four separate index relations each re-evaluated the
+    # tokenize/explode subtree (Spark re-executes every DataFrame
+    # reference; exchange reuse does not fire because column pruning
+    # makes the copies non-identical):
+    #   * dl rides the postings groupBy as first("dl") — dl is constant
+    #     within a (doc_id, term) group — so the per-doc lengths relation
+    #     and its probe-side join disappear outright;
+    #   * df is a window count over the query-term-pruned postings: the
+    #     pruned relation holds EVERY (doc_id, term) row for each probed
+    #     term, so count(1) over partitionBy(term) equals the full-corpus
+    #     document frequency, computed on |probed terms| * df rows instead
+    #     of a second corpus-wide explode + groupBy;
+    #   * stats stays a second tokenize pass (a global scalar cannot ride
+    #     a keyed window), but it is a map + 1-row aggregate — no explode,
+    #     no shuffle of substance.
+    # The persisted-index path (`build_bm25_index` / `bm25_topk_from_index`)
+    # keeps the four-relation layout: there each relation is ONE parquet
+    # scan, so the duplication this form removes never existed.
+    qterms = _qterms(docs.sparkSession, queries)
+    toks = docs.select("doc_id", T.tokens().alias("t")).filter(F.size("t") > 0)
+    postings = (
+        toks.select("doc_id", F.size("t").cast("bigint").alias("dl"),
+                    F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
     )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("t")).cast("bigint").alias("sum_dl"),
+    )
+    pruned = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    probe = (
+        pruned.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("bigint")
+        )
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    return _score_rank(probe, k, k1, b)
 
 
 def build_bm25_index(docs: DataFrame, path: str, n_files: int = 8) -> None:

@@ -432,23 +432,31 @@ def q_benchmark_contamination(spark, sf_dir):
     shingles BROADCAST and the corpus is filtered in its scan stage by a
     broadcast hash join: zero corpus shuffle before the per-doc count.
     Shingles are xxhash64'd (8-byte broadcast keys, same trick as
-    ngram_jaccard_pairs)."""
+    ngram_jaccard_pairs).
+
+    The source filters sit BELOW the per-doc shingle dedup (source is
+    functionally determined by doc_id, so filter-then-dedup is row-
+    identical to the old dedup-then-filter): each side's evaluation now
+    pushes its source predicate into the parquet scan and tokenizes only
+    its own slice, instead of both sides re-running a full-corpus
+    (doc_id, h) dedup shuffle — and the bench side needs no (doc_id, h)
+    dedup at all, its `.distinct()` on h alone subsumes it."""
     from ..functions import text as T
 
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "source", T.tokens("text").alias("t")).filter(
-        F.size("t") >= 4
+
+    def shingled(pred):
+        toks = d.filter(pred).select(
+            "doc_id", T.tokens("text").alias("t")
+        ).filter(F.size("t") >= 4)
+        return toks.select(
+            "doc_id", F.explode(T.shingles(F.col("t"), 4)).alias("shingle")
+        ).select("doc_id", F.xxhash64("shingle").alias("h"))
+
+    bench = shingled(F.col("source") == "src0").select("h").distinct()
+    corpus = shingled(F.col("source") != "src0").dropDuplicates(
+        ["doc_id", "h"]
     )
-    sh = (
-        toks.select(
-            "doc_id", "source",
-            F.explode(T.shingles(F.col("t"), 4)).alias("shingle"),
-        )
-        .select("doc_id", "source", F.xxhash64("shingle").alias("h"))
-        .dropDuplicates(["doc_id", "h"])
-    )
-    bench = sh.filter(F.col("source") == "src0").select("h").distinct()
-    corpus = sh.filter(F.col("source") != "src0")
     return (
         corpus.join(F.broadcast(bench), "h")
         .groupBy("doc_id")
@@ -836,24 +844,32 @@ def q_bloom_decontamination(spark, sf_dir):
 
     m = 1<<20 bits / k = 5 covers the sf bench sets at <1% fpp; size m at
     ~10 bits per expected distinct bench shingle in production.
+
+    As in `benchmark_contamination`, the source filters sit below the
+    shingle dedup (source is a function of doc_id, so the rows are
+    identical): the bench-side pipeline — which is evaluated twice, once
+    to build the filter and once as the exact-confirm key set — tokenizes
+    only the benchmark slice with the source predicate pushed into its
+    scan, and the corpus side pays the (doc_id, h) dedup shuffle exactly
+    once instead of every side re-running a full-corpus dedup.
     """
     from ..functions import text as T
     from ..operators.bloom import bloom_build, bloom_probe
 
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "source", T.tokens("text").alias("t")).filter(
-        F.size("t") >= 4
+
+    def shingled(pred):
+        toks = d.filter(pred).select(
+            "doc_id", T.tokens("text").alias("t")
+        ).filter(F.size("t") >= 4)
+        return toks.select(
+            "doc_id", F.explode(T.shingles(F.col("t"), 4)).alias("shingle")
+        ).select("doc_id", F.xxhash64("shingle").alias("h"))
+
+    bench = shingled(F.col("source") == "src0").select("h").distinct()
+    corpus = shingled(F.col("source") != "src0").dropDuplicates(
+        ["doc_id", "h"]
     )
-    sh = (
-        toks.select(
-            "doc_id", "source",
-            F.explode(T.shingles(F.col("t"), 4)).alias("shingle"),
-        )
-        .select("doc_id", "source", F.xxhash64("shingle").alias("h"))
-        .dropDuplicates(["doc_id", "h"])
-    )
-    bench = sh.filter(F.col("source") == "src0").select("h").distinct()
-    corpus = sh.filter(F.col("source") != "src0").select("doc_id", "h")
     bloom = bloom_build(bench, "h")
     candidates = bloom_probe(corpus, "h", bloom)  # (doc_id, h) distinct
     return (

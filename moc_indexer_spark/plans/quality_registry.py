@@ -208,11 +208,16 @@ def q_tfidf_top_terms(spark, sf_dir):
     unigram LM score). tf and df are exact integers; the score is ONE
     double expression ROUND(,6)ed on both engines, and the per-doc top-k
     orders by (score desc, token) — a total order, so the rank-k boundary
-    is deterministic. Plan: tf is one shuffle on (doc_id, token); df is a
-    tiny aggregate of tf broadcast back; n_docs is a 1-row broadcast; the
-    top-k window shuffles on doc_id. At 100 TB the df relation is the
-    vocab — prune to df >= 2 before broadcasting (rare terms keep
-    tfidf = tf * ln((N+1)/2) and can be scored without the join)."""
+    is deterministic. Plan: tf is one shuffle on (doc_id, token); df rides
+    tf as a window count over partitionBy(token) — the separate df
+    aggregate re-executed the whole explode + tf groupBy a second time
+    (every DataFrame reference re-runs its subtree) and then paid a
+    broadcast join to re-attach; the window computes it in the same
+    evaluation for one exchange of the (doc_id, token, tf) relation.
+    Per-token window partitions are bounded by n_docs; a Zipf-saturated
+    corpus prunes stop tokens first (they are never top-k characteristic
+    terms), the same df-cap note as before. n_docs is a 1-row broadcast;
+    the top-k window shuffles on doc_id."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -223,11 +228,12 @@ def q_tfidf_top_terms(spark, sf_dir):
     tf = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token")).cast("bigint")
+    )
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "token")
-        .crossJoin(F.broadcast(nd))
+        tf.crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
             "token",
