@@ -339,52 +339,65 @@ def q_token_entropy(spark, sf_dir):
 )
 def q_constraint_report(spark, sf_dir):
     """Declarative data-quality constraint report (the Deequ/dbt-tests
-    shape) in THREE bounded passes: all row-local rules (not-null, range)
-    fold into ONE scan of conditional aggregates; key uniqueness is one
-    grouped count over the key columns; referential integrity is one
-    anti-join against the broadcast parent keys. Output is a single row of
-    violation counts — the gate a 100 TB ingest runs before publishing a
-    snapshot, where 'three bounded passes' is the difference between a
-    nightly check and an all-day one."""
+    shape) in ONE bounded pass: the row-local rules (not-null, range) and
+    the referential-integrity flag (a left join against the broadcast
+    parent keys — parent keys are unique, so the join neither multiplies
+    nor drops rows and the null-match count equals the anti-join count)
+    fold into the key-uniqueness groupBy as per-key partial sums, which
+    the final 1-row aggregate totals. The fact table is scanned once and
+    shuffled once (the dup-key groupBy it needed anyway, six longs wider
+    per key) — the previous shape paid three separate fact scans, which
+    at a 100 TB ingest gate is the difference between a nightly check
+    and an all-day one."""
     from pyspark.sql import functions as F
 
     from ..tables import table
 
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
-    c1 = F.count(F.lit(1)).cast("bigint").alias("n_rows")
 
     def viol(cond, name):
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
 
-    checks = l.agg(
-        c1,
-        viol(F.col("l_orderkey").isNull(), "null_orderkey"),
-        viol(
-            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
-            "qty_out_of_range",
-        ),
-        viol(
-            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
-            "discount_out_of_range",
-        ),
-        viol(F.col("l_shipdate").isNull(), "null_shipdate"),
-    )
-    dupes = (
-        l.groupBy("l_orderkey", "l_linenumber")
-        .agg(F.count(F.lit(1)).alias("n"))
+    per_key = (
+        l.select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+            "l_shipdate",
+        )
+        .join(
+            F.broadcast(o.select("o_orderkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .groupBy("l_orderkey", "l_linenumber")
         .agg(
-            F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
-            .cast("bigint")
-            .alias("dup_key_rows")
+            F.count(F.lit(1)).alias("n"),
+            viol(F.col("l_orderkey").isNull(), "p_null_orderkey"),
+            viol(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+                "p_qty",
+            ),
+            viol(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                "p_discount",
+            ),
+            viol(F.col("l_shipdate").isNull(), "p_null_shipdate"),
+            viol(F.col("o_orderkey").isNull(), "p_orphan"),
         )
     )
-    orphans = l.join(
-        F.broadcast(o.select("o_orderkey")),
-        l.l_orderkey == o.o_orderkey,
-        "left_anti",
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("orphan_lineitems"))
-    return checks.crossJoin(F.broadcast(dupes)).crossJoin(F.broadcast(orphans))
+    return per_key.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.sum("p_null_orderkey").cast("bigint").alias("null_orderkey"),
+        F.sum("p_qty").cast("bigint").alias("qty_out_of_range"),
+        F.sum("p_discount").cast("bigint").alias("discount_out_of_range"),
+        F.sum("p_null_shipdate").cast("bigint").alias("null_shipdate"),
+        F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("dup_key_rows"),
+        F.coalesce(F.sum("p_orphan"), F.lit(0))
+        .cast("bigint")
+        .alias("orphan_lineitems"),
+    )
 
 
 @register(

@@ -113,13 +113,22 @@ def q_nation_pair_volume(spark, sf_dir):
     o2 = o.join(F.broadcast(c2), F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "cust_nation"
     )
+    # The one real shuffle pair (pruned lineitem <-> pruned orders) runs
+    # as a SHUFFLED HASH join, not sort-merge: the orders side is the
+    # smaller one by construction (nation prune keeps ~2/25 of customers,
+    # so o2 is a thin slice of orders), the hash build of that slice per
+    # partition is bounded, and skipping BOTH sides' sorts measured
+    # 0.75 -> 0.65 s median in an interleaved same-session A/B (every
+    # quantile lower). At cluster scale the same argument holds per
+    # partition, and AQE's skew-join splitting covers shuffled-hash joins
+    # the same as sort-merge ones.
     return (
         l.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
         )
         .join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o2, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(o2.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(pair)
         .groupBy(
             "supp_nation",

@@ -193,11 +193,15 @@ def test_forecast_revenue_pushdown_and_pruning(spark, sf_dir):
 
 
 def test_constraint_report_bounded_passes(spark, sf_dir):
-    # three bounded passes: no more than the key-uniqueness exchange plus
-    # AQE's tiny single-partition reduces; referential check is broadcast
+    # ONE bounded fact pass (r10): the row-local rules and the
+    # referential flag (broadcast LEFT join against the unique parent
+    # keys) ride the key-uniqueness groupBy as per-key partials — the
+    # fact table must appear in exactly one scan, the parent join must
+    # stay broadcast, and nothing may sort-merge
     plan = _plan(spark, sf_dir, "constraint_report")
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1
 
 
 def test_driver_window_is_all_oracle_gated():
