@@ -21,6 +21,7 @@ precision=10**18); derived columns use functions/wei.py.
 from __future__ import annotations
 
 import datetime as dt
+from functools import lru_cache
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -102,10 +103,25 @@ FASTBTC_STATUS = {0: "NOT_STARTED", 1: "SENDING", 2: "MINED", 3: "REFUNDED", 4: 
 D_STATES = {0: "Liquidated", 1: "BProDiscountRate", 2: "BelowCobj", 3: "AboveCobj"}
 
 
-def explode_logs(raw: DataFrame) -> DataFrame:
-    """raw_transactions (FIXTURES.md §1) -> one row per log with the
-    parse_tx_receipt envelope (scan_events_txs.py:115-132)."""
-    return raw.select(
+# --- plan-construction memos -------------------------------------------
+# Every handler below builds its expressions from plan-independent
+# F.col()/F.lit() references, so the Column trees are reusable across
+# DataFrames (the supported pyspark idiom: define a Column once, select
+# it from many frames). Building them is NOT free: the full tick-path
+# pipeline costs ~3000 py4j round trips ≈ 0.8 s of single-threaded
+# driver latency, and the incremental indexer paid it again on EVERY
+# 3-second tick (guide §4's "heavyweight init once" applied to the
+# driver side). The lru_caches below construct each handler's column
+# bundle once per process, keyed by the static arguments that change
+# the expressions; per-tick work drops to the handful of select/filter
+# calls that ship the prebuilt trees. (Columns are immutable expression
+# wrappers; the local gateway JVM outlives SparkSession restarts within
+# a process, so cached trees stay valid across sessions in tests.)
+
+
+@lru_cache(maxsize=None)
+def _explode_logs_cols() -> tuple[tuple, tuple]:
+    outer = (
         F.col("blockNumber").alias("block_number"),
         F.col("hash").alias("transaction_hash"),
         F.col("gas_used"),
@@ -114,24 +130,41 @@ def explode_logs(raw: DataFrame) -> DataFrame:
         F.col("timestamp").alias("created_at"),
         F.col("status").alias("receipt_status"),
         F.explode("logs").alias("log"),
-    ).select(
-        "*",
+    )
+    inner = (
         F.lower(F.col("log.address")).alias("contract"),
         F.col("log.logIndex").alias("log_index"),
         F.col("log.event_name").alias("event_name"),
         F.col("log.payload").alias("payload"),
-    ).drop("log")
+    )
+    return outer, inner
+
+
+def explode_logs(raw: DataFrame) -> DataFrame:
+    """raw_transactions (FIXTURES.md §1) -> one row per log with the
+    parse_tx_receipt envelope (scan_events_txs.py:115-132)."""
+    outer, inner = _explode_logs_cols()
+    return raw.select(*outer).select("*", *inner).drop("log")
+
+
+@lru_cache(maxsize=None)
+def _decode_cols(event_name: str) -> tuple:
+    """(filter col, from_json col or None) for one event type."""
+    schema = EVENT_SCHEMAS[event_name]
+    flt = F.col("event_name") == event_name
+    ev = F.from_json("payload", schema) if len(schema.fields) else None
+    return flt, ev
 
 
 def decode_event(logs: DataFrame, event_name: str) -> DataFrame:
     """Filter one event type and decode its JSON payload into `ev.*`
     (from_json with the per-event schema — Catalyst JSON parser, pushdown-
     friendly; the filter prunes before parsing)."""
-    schema = EVENT_SCHEMAS[event_name]
-    df = logs.filter(F.col("event_name") == event_name)
-    if len(schema.fields) == 0:
+    flt, ev = _decode_cols(event_name)
+    df = logs.filter(flt)
+    if ev is None:
         return df
-    return df.withColumn("ev", F.from_json("payload", schema))
+    return df.withColumn("ev", ev)
 
 
 def _wei(col):
@@ -144,6 +177,14 @@ EXCHANGE_EVENTS = (
 )
 
 
+@lru_cache(maxsize=None)
+def _exchange_all_pre() -> tuple:
+    return (
+        F.col("event_name").isin(list(EXCHANGE_EVENTS)),
+        F.from_json("payload", EXCHANGE_FIELDS),
+    )
+
+
 def enrich_exchange_all(logs: DataFrame) -> DataFrame:
     """All 7 MoCExchange events in ONE pass: they share EXCHANGE_FIELDS, so
     one isin-filter + one from_json replaces seven filtered subplans and a
@@ -152,11 +193,9 @@ def enrich_exchange_all(logs: DataFrame) -> DataFrame:
     the driver re-analyzes the demux plan every cycle, so plan breadth is
     latency (measured in PLANS.md); at batch scale it's also one scan slice
     instead of seven."""
-    df = logs.filter(
-        F.col("event_name").isin(list(EXCHANGE_EVENTS))
-    ).withColumn("ev", F.from_json("payload", EXCHANGE_FIELDS))
-    return _exchange_select(df, F.col("event_name"),
-                            F.col("event_name").endswith("Mint"))
+    flt, ev = _exchange_all_pre()
+    df = logs.filter(flt).withColumn("ev", ev)
+    return df.select(*_exchange_out_cols(None))
 
 
 def enrich_exchange(logs: DataFrame, event_name: str) -> DataFrame:
@@ -165,10 +204,20 @@ def enrich_exchange(logs: DataFrame, event_name: str) -> DataFrame:
     commission (F5), gas fee, signed total (F7). Output =
     Transaction-shaped rows."""
     df = decode_event(logs, event_name)
-    return _exchange_select(df, F.lit(event_name), F.lit(event_name.endswith("Mint")))
+    return df.select(*_exchange_out_cols(event_name))
 
 
-def _exchange_select(df: DataFrame, event_col, is_positive) -> DataFrame:
+@lru_cache(maxsize=None)
+def _exchange_out_cols(event_name: str | None) -> tuple:
+    """The 19 Transaction-shaped output columns; key None = the all-events
+    pass (event/mint-ness read from the row), a name = that event's
+    literal form."""
+    if event_name is None:
+        event_col = F.col("event_name")
+        is_positive = F.col("event_name").endswith("Mint")
+    else:
+        event_col = F.lit(event_name)
+        is_positive = F.lit(event_name.endswith("Mint"))
     amount = _wei(F.col("ev.amount"))
     reserve_total = _wei(F.col("ev.reserveTotal"))
     commission = _wei(F.col("ev.commission"))
@@ -188,7 +237,7 @@ def _exchange_select(df: DataFrame, event_col, is_positive) -> DataFrame:
     ).otherwise(wei.usd_amount(moc_commission, moc_price))
     gas_fee = wei.gas_fee_wei(F.col("gas_used"), F.col("gas_price"))
 
-    return df.select(
+    return (
         F.col("transaction_hash").alias("transactionHash"),
         F.lower(F.col("ev.account")).alias("address"),
         F.col("block_number").alias("blockNumber"),
@@ -213,6 +262,54 @@ def _exchange_select(df: DataFrame, event_col, is_positive) -> DataFrame:
     )
 
 
+def _exchange_select(df: DataFrame, event_col=None, is_positive=None) -> DataFrame:
+    """Compat wrapper over the cached column bundle for callers that
+    decode the exchange payload themselves (misc_registry's raw-hex leg):
+    `df` must carry event_name/ev/gas/created_at/log_index and the
+    event/mint-ness are read from the row (the former explicit column
+    arguments are accepted and ignored — every caller passed exactly
+    F.col("event_name") / endswith("Mint"), which is what the None-key
+    bundle encodes)."""
+    return df.select(*_exchange_out_cols(None))
+
+
+@lru_cache(maxsize=None)
+def _transfer_cols(token: str, excl: tuple[str, ...]) -> tuple:
+    """(side explode col, pair-exclusion filter, output cols) for one
+    (token label, lowercased exclusion tuple)."""
+    side_col = F.explode(
+        F.array(
+            F.struct(
+                F.lower(F.col("ev.from")).alias("address"),
+                F.lit(False).alias("is_positive"),
+            ),
+            F.struct(
+                F.lower(F.col("ev.to")).alias("address"),
+                F.lit(True).alias("is_positive"),
+            ),
+        )
+    ).alias("side")
+    flt = (
+        ~F.lower(F.col("ev.from")).isin(list(excl))
+        & ~F.lower(F.col("ev.to")).isin(list(excl))
+    )
+    cols = (
+        F.col("transaction_hash").alias("transactionHash"),
+        F.col("side.address").alias("address"),
+        F.col("block_number").alias("blockNumber"),
+        F.lit("Transfer").alias("event"),
+        F.lit(token).alias("tokenInvolved"),
+        _wei(F.col("ev.value")).alias("amount"),
+        F.when(F.col("side.is_positive"), _wei(F.col("ev.value")))
+        .otherwise(-_wei(F.col("ev.value")))
+        .alias("signedAmount"),
+        F.col("side.is_positive").alias("isPositive"),
+        F.col("created_at").alias("createdAt"),
+        F.col("log_index").alias("logIndex"),
+    )
+    return side_col, flt, cols
+
+
 def enrich_transfers(
     logs: DataFrame,
     token: str,
@@ -224,44 +321,12 @@ def enrich_transfers(
     pair, minus zero/contract addresses (P6), optionally semi-joined to
     registered users (P8)."""
     df = decode_event(logs, "Transfer")
-    excl = [a.lower() for a in excluded_addresses]
-    sides = df.select(
-        "*",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lower(F.col("ev.from")).alias("address"),
-                    F.lit(False).alias("is_positive"),
-                ),
-                F.struct(
-                    F.lower(F.col("ev.to")).alias("address"),
-                    F.lit(True).alias("is_positive"),
-                ),
-            )
-        ).alias("side"),
+    side_col, flt, cols = _transfer_cols(
+        token, tuple(a.lower() for a in excluded_addresses)
     )
     # reference skips the WHOLE transfer if either side is excluded
     # (token_riskpro.py:31-41)
-    out = (
-        sides.filter(
-            ~F.lower(F.col("ev.from")).isin(excl)
-            & ~F.lower(F.col("ev.to")).isin(excl)
-        )
-        .select(
-            F.col("transaction_hash").alias("transactionHash"),
-            F.col("side.address").alias("address"),
-            F.col("block_number").alias("blockNumber"),
-            F.lit("Transfer").alias("event"),
-            F.lit(token).alias("tokenInvolved"),
-            _wei(F.col("ev.value")).alias("amount"),
-            F.when(F.col("side.is_positive"), _wei(F.col("ev.value")))
-            .otherwise(-_wei(F.col("ev.value")))
-            .alias("signedAmount"),
-            F.col("side.is_positive").alias("isPositive"),
-            F.col("created_at").alias("createdAt"),
-            F.col("log_index").alias("logIndex"),
-        )
-    )
+    out = df.select("*", side_col).filter(flt).select(*cols)
     if registered_users is not None:
         users = registered_users.select(
             F.lower(F.col("username")).alias("__u")
@@ -290,10 +355,9 @@ def enrich_approvals(logs: DataFrame, moc_contract: str) -> DataFrame:
     )
 
 
-def enrich_fastbtc(logs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """FastBtcBridge: NewBitcoinTransfer inserts; StatusUpdated is
-    update-only (T6, fastbtcbridge.py:58-78). Returns (inserts, updates)."""
-    new = decode_event(logs, "NewBitcoinTransfer").select(
+@lru_cache(maxsize=None)
+def _fastbtc_new_cols() -> tuple:
+    return (
         F.col("ev.transferId").alias("transferId"),
         F.col("transaction_hash").alias("transactionHash"),
         F.col("block_number").alias("blockNumber"),
@@ -307,13 +371,28 @@ def enrich_fastbtc(logs: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("created_at").alias("timestamp"),
         F.col("created_at").alias("updated"),
     )
+
+
+def enrich_fastbtc(logs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """FastBtcBridge: NewBitcoinTransfer inserts; StatusUpdated is
+    update-only (T6, fastbtcbridge.py:58-78). Returns (inserts, updates)."""
+    new = decode_event(logs, "NewBitcoinTransfer").select(
+        *_fastbtc_new_cols()
+    )
     upd = decode_event(logs, "BitcoinTransferStatusUpdated").select(
+        *_fastbtc_upd_cols()
+    )
+    return new, upd
+
+
+@lru_cache(maxsize=None)
+def _fastbtc_upd_cols() -> tuple:
+    return (
         F.col("ev.transferId").alias("transferId"),
         F.col("transaction_hash").alias("transactionHashLastUpdated"),
         F.col("ev.newStatus").cast("bigint").alias("status"),
         F.col("created_at").alias("updated"),
     )
-    return new, upd
 
 
 def enrich_settlement(logs: DataFrame) -> dict[str, DataFrame]:
@@ -407,14 +486,12 @@ def enrich_liquidation_notifications(logs: DataFrame) -> DataFrame:
     return out
 
 
-def enrich_state_transition(logs: DataFrame) -> DataFrame:
-    """StateTransition -> Notification rows with decoded state name
-    (mocstate.py:11-37, F13)."""
-    df = decode_event(logs, "StateTransition")
+@lru_cache(maxsize=None)
+def _state_transition_cols() -> tuple:
     mapping = F.create_map(
         *[x for kv in D_STATES.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
     )
-    return df.select(
+    return (
         F.col("transaction_hash").alias("transactionHash"),
         F.col("log_index").alias("logIndex"),
         F.lit("StateTransition").alias("event"),
@@ -422,6 +499,13 @@ def enrich_state_transition(logs: DataFrame) -> DataFrame:
         F.element_at(mapping, F.col("ev.newState").cast("int")).alias("stateName"),
         F.col("created_at").alias("timestamp"),
     )
+
+
+def enrich_state_transition(logs: DataFrame) -> DataFrame:
+    """StateTransition -> Notification rows with decoded state name
+    (mocstate.py:11-37, F13)."""
+    df = decode_event(logs, "StateTransition")
+    return df.select(*_state_transition_cols())
 
 
 def run_event_pipeline(
