@@ -347,6 +347,16 @@ def minhash_lsh_pairs(
     ex = toks.select(
         F.col(id_col), F.explode(T.shingles(F.col("t"), n)).alias("s")
     ).select(F.col(id_col), F.xxhash64("s").alias("h"))
+    # Round-11 note: a vectorized Arrow signature lane (per-task partial
+    # minima via a bit-exact numpy XXH64 pass, then a JVM final min over
+    # ~one row per (doc, task)) was built, certified signature-identical,
+    # and REVERTED on measured loss: interleaved A/B 1.194 s (this form)
+    # vs 1.265 s at sf0.1 AND 5.79 vs 6.31 s on a 10x resampled corpus —
+    # the codegen'd aggregates with map-side partials beat the Arrow
+    # transpose+transfer at both scales. A true single-buffer array
+    # aggregate is not expressible in Catalyst (no elementwise array-min
+    # aggregate builtin), and a pandas GROUPED_AGG UDAF ships every row
+    # (no partial aggregation) — strictly worse at 100 TB.
     sig = ex.groupBy(id_col).agg(
         F.array(*T.minhash_agg_exprs("h", k)).alias("sig")
     )

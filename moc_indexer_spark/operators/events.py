@@ -262,21 +262,26 @@ def _exchange_out_cols(event_name: str | None) -> tuple:
     )
 
 
-def _exchange_select(df: DataFrame, event_col=None, is_positive=None) -> DataFrame:
+def _exchange_select(df: DataFrame) -> DataFrame:
     """Compat wrapper over the cached column bundle for callers that
     decode the exchange payload themselves (misc_registry's raw-hex leg):
-    `df` must carry event_name/ev/gas/created_at/log_index and the
-    event/mint-ness are read from the row (the former explicit column
-    arguments are accepted and ignored — every caller passed exactly
-    F.col("event_name") / endswith("Mint"), which is what the None-key
-    bundle encodes)."""
+    `df` must carry event_name/ev/gas/created_at/log_index; the event
+    name and mint-ness are read from the row (the None-key bundle
+    encodes F.col("event_name") / endswith("Mint") — formerly explicit
+    column arguments that every caller passed identically; dropped so a
+    future caller can't pass a different value and silently get the
+    row-derived one)."""
     return df.select(*_exchange_out_cols(None))
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=64)
 def _transfer_cols(token: str, excl: tuple[str, ...]) -> tuple:
     """(side explode col, pair-exclusion filter, output cols) for one
-    (token label, lowercased exclusion tuple)."""
+    (token label, lowercased exclusion tuple). Bounded (unlike the
+    zero-arg bundles above): this is the one cache whose key embeds a
+    caller-supplied collection, so a caller cycling exclusion lists must
+    not grow driver memory without bound — 64 covers every (token,
+    exclusion-set) pair a deployment configures."""
     side_col = F.explode(
         F.array(
             F.struct(

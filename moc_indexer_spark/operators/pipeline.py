@@ -447,18 +447,22 @@ def kneser_ney_logprob(docs: DataFrame, discount: float = 0.75) -> DataFrame:
     # corpus passes for one score. As windows over bigc they are computed
     # in the same evaluation; the two window exchanges move only the
     # bigram-TYPE relation (vocab^2-bounded, Zipf-concentrated — per-w1
-    # partitions are capped at |vocab|, so no unbounded skew). The corpus
-    # is now tokenized three times (bigc, the n_types scalar, the
-    # instance-side probe) instead of five.
+    # partitions are capped at |vocab|, so no unbounded skew). n_types is
+    # the ROW COUNT of that same type relation, so it rides bigc too, as
+    # a whole-relation window count (the unigram_logprob/dsir trick) —
+    # the empty partitionBy funnels only the bounded type relation
+    # through one task, and removes what was a third full corpus
+    # tokenize+explode+groupBy pass plus its crossJoin. The corpus is now
+    # tokenized twice (bigc build, instance-side probe).
     w1w = Window.partitionBy("w1")
     w2w = Window.partitionBy("w2")
     bigc = (
         bigc.withColumn("c1", F.sum("c12").over(w1w))
         .withColumn("n_follow", F.count(F.lit(1)).over(w1w))
         .withColumn("n_prec", F.count(F.lit(1)).over(w2w))
-    )
-    types = big.groupBy("w1", "w2").agg(F.count(F.lit(1))).agg(
-        F.count(F.lit(1)).alias("n_types")
+        .withColumn(
+            "n_types", F.count(F.lit(1)).over(Window.partitionBy())
+        )
     )
     p = (
         F.greatest(
@@ -475,7 +479,6 @@ def kneser_ney_logprob(docs: DataFrame, discount: float = 0.75) -> DataFrame:
     lp = F.log(p).cast("decimal(18,9)")
     return (
         big.join(bigc, ["w1", "w2"])
-        .crossJoin(F.broadcast(types))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

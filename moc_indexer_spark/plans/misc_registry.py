@@ -344,9 +344,7 @@ def q_event_pipeline_raw_hex(spark, sf_dir):
         ).drop("w")
         parts.append(dec)
     decoded = parts[0].unionByName(parts[1])
-    tx = _exchange_select(
-        decoded, F.col("event_name"), F.col("event_name").endswith("Mint")
-    )
+    tx = _exchange_select(decoded)
     return tx.select(
         "transactionHash", "address", "blockNumber", "event",
         F.col("USDAmount").cast("string").alias("usd_amount_wei"),

@@ -339,16 +339,32 @@ def q_token_entropy(spark, sf_dir):
 )
 def q_constraint_report(spark, sf_dir):
     """Declarative data-quality constraint report (the Deequ/dbt-tests
-    shape) in ONE bounded pass: the row-local rules (not-null, range) and
-    the referential-integrity flag (a left join against the broadcast
-    parent keys — parent keys are unique, so the join neither multiplies
-    nor drops rows and the null-match count equals the anti-join count)
-    fold into the key-uniqueness groupBy as per-key partial sums, which
-    the final 1-row aggregate totals. The fact table is scanned once and
-    shuffled once (the dup-key groupBy it needed anyway, six longs wider
-    per key) — the previous shape paid three separate fact scans, which
-    at a 100 TB ingest gate is the difference between a nightly check
-    and an all-day one."""
+    shape), three independent column-pruned passes — the shape the
+    round-11 paired adjudication of round 10's regression settled on:
+
+    1. Row-local rules (not-null, range): ONE whole-relation aggregate,
+       no join — map-side partials reduce each task to one row, the
+       exchange carries ~#partitions rows.
+    2. dup_key_rows: the per-key groupBy over ONLY the two key columns.
+       The near-unique-key shuffle is unavoidable for an exact duplicate
+       count; what is avoidable is its width.
+    3. orphan_lineitems: broadcast LEFT ANTI join of the 1-column key
+       projection against the parent keys. Anti-join counting is
+       duplicate-safe for ARBITRARY parent data (a duplicated o_orderkey
+       can fan out a LEFT join and inflate counts — the r10 fold's
+       latent trap — but never an anti-join), and n_rows never touches a
+       join at all.
+
+    Adjudication record: round 10 folded everything into the dup-key
+    groupBy (1 scan, but every fact row shuffled six longs wider) — the
+    driver measured 0.44->0.73 s; round 11 first tried a 2-pass hybrid
+    (row-local + orphan flag fused via broadcast-left-join over distinct
+    parent keys) — interleaved A/B at sf0.1/32c: r9 three-pass 0.602 s,
+    r10 single-pass 0.670 s, hybrid 0.736 s. The three passes each read
+    a 1-2-4 column subset of a columnar file (~the same total bytes as
+    one wide scan), so the "3 scans -> 1" fold never bought I/O at any
+    scale; it only bought the wide shuffle. Three cheap passes win at
+    bench scale AND keep the narrowest possible exchange at 100 TB."""
     from pyspark.sql import functions as F
 
     from ..tables import table
@@ -357,46 +373,46 @@ def q_constraint_report(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
 
     def viol(cond, name):
-        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
-
-    per_key = (
-        l.select(
-            "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
-            "l_shipdate",
+        return (
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
         )
+
+    checks = l.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        viol(F.col("l_orderkey").isNull(), "null_orderkey"),
+        viol(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            "qty_out_of_range",
+        ),
+        viol(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            "discount_out_of_range",
+        ),
+        viol(F.col("l_shipdate").isNull(), "null_shipdate"),
+    )
+    dupes = (
+        l.select("l_orderkey", "l_linenumber")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("dup_key_rows")
+        )
+    )
+    orphans = (
+        l.select("l_orderkey")
         .join(
             F.broadcast(o.select("o_orderkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
-            "left",
+            "left_anti",
         )
-        .groupBy("l_orderkey", "l_linenumber")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            viol(F.col("l_orderkey").isNull(), "p_null_orderkey"),
-            viol(
-                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
-                "p_qty",
-            ),
-            viol(
-                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
-                "p_discount",
-            ),
-            viol(F.col("l_shipdate").isNull(), "p_null_shipdate"),
-            viol(F.col("o_orderkey").isNull(), "p_orphan"),
-        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_lineitems"))
     )
-    return per_key.agg(
-        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_rows"),
-        F.sum("p_null_orderkey").cast("bigint").alias("null_orderkey"),
-        F.sum("p_qty").cast("bigint").alias("qty_out_of_range"),
-        F.sum("p_discount").cast("bigint").alias("discount_out_of_range"),
-        F.sum("p_null_shipdate").cast("bigint").alias("null_shipdate"),
-        F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
-        .cast("bigint")
-        .alias("dup_key_rows"),
-        F.coalesce(F.sum("p_orphan"), F.lit(0))
-        .cast("bigint")
-        .alias("orphan_lineitems"),
+    return checks.crossJoin(dupes).crossJoin(orphans).select(
+        "n_rows", "null_orderkey", "qty_out_of_range",
+        "discount_out_of_range", "null_shipdate", "dup_key_rows",
+        "orphan_lineitems",
     )
 
 

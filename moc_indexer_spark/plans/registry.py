@@ -73,26 +73,27 @@ def register(name, oracle, tags=(), bench=False):
 # reproducible; see COVERAGE.md "Driver-window rotation" for the
 # procedure and the full queue; `scripts/rotation_queue.py --check`
 # recomputes it and tests/test_rotation_queue.py enforces it). This
-# round-10 window: the 16 r6 residents left after the r9 window + 34
-# r6-resident cohort members by name (computed by rotation_queue.py).
-# Newly oracle-gated queries, when a round adds any, take slots ahead
-# of the age queue. The queries rotated OUT hold fresh r8/r9 rows and
-# stay oracle-gated right behind the window — the builder mirror, the
-# sf0.1 sweep and judge re-checks keep exercising them.
+# round-11 window (computed by rotation_queue.py over r01..r10): the 16
+# r7-resident queue heads by name + 34 r8 residents — the round-10
+# window's 50 all hold fresh green r10 rows and rotate to the queue
+# tail. Newly oracle-gated queries, when a round adds any, take slots
+# ahead of the age queue. The queries rotated OUT stay oracle-gated
+# right behind the window — the builder mirror, the sf0.1 sweep and
+# judge re-checks keep exercising them.
 _DRIVER_WINDOW = [
-    "region_supplier_rollup", "repetition_stats", "report_last_transactions", "report_pay_tc_holders",
-    "retention_cohorts", "returned_order_priority", "salted_hot_key_join", "settlement_window_activity",
-    "shipmode_priority_counts", "simhash_pairs_certified", "sole_blame_supplier", "state_decode",
-    "top_revenue_orders", "top_supplier_revenue", "users_purchase_and_signup", "users_purchase_never_error",
-    "active_address_counts", "api_price_variation", "asof_price", "benchmark_contamination",
-    "bigram_logprob", "bloom_decontamination", "bpe_merges", "column_profile",
-    "constraint_report", "containment_dup_pairs", "cross_doc_ngram_frac", "doc_chunking",
-    "doc_chunking_udtf", "event_pipeline_demo", "event_rollup", "kmeans_clusters",
-    "label_centroids", "latest_per_address", "lsh_ann_exact", "minhash_dup_pairs",
-    "novel_ngram_rate", "numeric_correlation", "payload_json_histogram", "quality_weighted_sample",
-    "recent_price_enrichment", "repeat_purchase_rate", "replica_reconciliation", "robust_outliers_mad",
-    "rollup_cascade", "semantic_dedup_report", "semantic_dedup_scaled_certified", "sequence_packing",
-    "shared_span_pairs", "signup_purchase_funnel",
+    "source_quota_sample", "source_temperature_sample", "stratified_sample", "text_scrub",
+    "tfidf_top_terms", "token_entropy", "training_shards", "tx_enrich_money",
+    "tx_list", "unigram_logprob", "unregistered_user_txs", "user_running_total",
+    "user_sessions", "value_histogram", "value_zscore_outliers", "vocab_coverage",
+    "abi_decode_roundtrip", "activity_heatmap", "api_tx_list_formatted", "block_gap_report",
+    "bm25_topk", "bool_coercion", "bpe_token_counts", "classifier_auc",
+    "cms_trigram_estimates", "confirming_status", "cosine_topk", "decile_share",
+    "dedup_clusters", "dedup_exact", "dedup_report", "distinct_active_addresses",
+    "doc_fingerprint", "doc_winnowing", "dsir_importance_weights", "embedding_dup_pairs",
+    "embedding_norms", "event_journeys", "event_pipeline_raw_hex", "event_transitions",
+    "first_touch_attribution", "heldout_perplexity", "histogram_quantiles_certified", "hll_distinct_certified",
+    "hourly_window_agg", "ivf_ann_exact", "ivfpq_ann_exact", "json_result_envelope",
+    "kmv_distinct_sketch", "kneser_ney_logprob",
 ]
 
 

@@ -315,6 +315,19 @@ class ParquetUpsertTable:
         measured single-file default. CoW rewrites are bucket-partitioned
         already and ignore it.
         """
+        if self.mode == "mor" and shards <= 1:
+            # Tick-path append (shards=1): the delta lands as ONE file
+            # anyway (_append_delta coalesces post-dedup), so coalesce
+            # BEFORE the key-dedup window instead — a SinglePartition
+            # child satisfies the window's ClusteredDistribution, so the
+            # whole append (compute batch -> dedup -> write) runs as one
+            # exchange-free stage instead of paying a hash shuffle + a
+            # second stage per sink per tick (6 sinks x 1 shuffle on a 3 s
+            # cadence was pure scheduling overhead on a few hundred rows).
+            # Catch-up batches (shards>1) keep their parallel shape; the
+            # dedup result is unchanged — same window, same ordering, ties
+            # were arbitrary-but-stable under either partitioning.
+            batch = batch.coalesce(1)
         batch = self._dedup_incoming(batch)
         if self.mode == "mor":
             self._upsert_mor(batch, insert, shards)
