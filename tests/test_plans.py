@@ -193,15 +193,19 @@ def test_forecast_revenue_pushdown_and_pruning(spark, sf_dir):
 
 
 def test_constraint_report_bounded_passes(spark, sf_dir):
-    # ONE bounded fact pass (r10): the row-local rules and the
-    # referential flag (broadcast LEFT join against the unique parent
-    # keys) ride the key-uniqueness groupBy as per-key partials — the
-    # fact table must appear in exactly one scan, the parent join must
-    # stay broadcast, and nothing may sort-merge
+    # Three column-pruned passes (r11 adjudication of the r10
+    # regression): row-local rules as a whole-relation aggregate with NO
+    # join, dup_key_rows over exactly the two key columns, orphans via
+    # broadcast LEFT ANTI join (duplicate-safe). Nothing may sort-merge,
+    # the orphan join must stay broadcast-anti, and the wide r10 fold
+    # must not come back: no per-key groupBy may carry the violation
+    # sums (the dup-key exchange stays two keys + one count).
     plan = _plan(spark, sf_dir, "constraint_report")
-    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
-    assert "SortMergeJoin" not in plan
-    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan and "LeftOuter" not in plan
+    assert plan.count("lineitem.parquet") == 3
+    # dup-key scan reads ONLY the two key columns
+    assert "struct<l_orderkey:bigint,l_linenumber:int>" in plan
 
 
 def test_driver_window_is_all_oracle_gated():
